@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.EngineError.IoError
+import graft.sources.{ExampleDataset, Tables}
+import graft.sinks.Sinks
+
+class DatasetsSinksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("Cars dataset: 25 rows, 13 red / 12 green, declared schema " +
+    "(reference datasets.rs:40-56, data/csv/cars.csv)") {
+    val cars = ExampleDataset.Cars.load(spark)
+    // Spark's CSV source always reports nullable=true regardless of the
+    // supplied schema — compare names and types (the reference's declared
+    // non-null flags can't be enforced by the Spark reader)
+    assert(cars.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      ExampleDataset.Cars.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(cars.count() == 25)
+    val groups = cars.groupBy("car").count().as[(String, Long)].collect().toMap
+    assert(groups == Map("red" -> 13L, "green" -> 12L))
+  }
+
+  test("cars golden: top speeds sorted (reference datasets.rs:136-167 shape)") {
+    val top = ExampleDataset.Cars.load(spark)
+      .orderBy($"speed".desc).select("car", "speed").limit(3)
+      .as[(String, Double)].collect().toSeq
+    assert(top.head._2 == top.map(_._2).max)
+  }
+
+  test("csvToParquet materializes and round-trips; missing file errors " +
+    "(reference datasets.rs:60-120, :227-244)") {
+    val path = ExampleDataset.csvToParquet(spark, "data/csv/cars.csv")
+    val back = spark.read.parquet(path.toString)
+    assert(back.count() == 25)
+    val e = intercept[IoError](ExampleDataset.csvToParquet(spark, "/nope/missing.csv"))
+    assert(e.getMessage == "CSV file does not exist: /nope/missing.csv")
+  }
+
+  test("parquet sink round-trip (reference dataframe_tests.rs:586-686)") {
+    val dir = Files.createTempDirectory("graft_sink_").resolve("t.parquet")
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    Sinks.writeParquet(df, dir.toString)
+    assert(spark.read.parquet(dir.toString).count() == 2)
+  }
+
+  test("toJsonBytes: JSON array of row objects, nulls omitted " +
+    "(reference dataframe.rs:813-823)") {
+    val df = Seq((Option(1), "a"), (None, "b")).toDF("id", "v").orderBy(asc_nulls_last("id"))
+    val s = new String(Sinks.toJsonBytes(df), "UTF-8")
+    assert(s == """[{"id":1,"v":"a"},{"v":"b"}]""")
+  }
+
+  test("csvNoHeader names columns column_i like DataFusion") {
+    val tmp = Files.createTempFile("graft_nh_", ".csv")
+    Files.writeString(tmp, "a;1\nb;2\n")
+    val df = Tables.csvNoHeader(spark, tmp.toString)
+    assert(df.columns.toSeq == Seq("column_1"))
+    assert(df.count() == 2)
+  }
+
+  test("S3 conf helper applies reference constants (config-only)") {
+    Sinks.S3.configure(spark, Some("eu-west-1"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(conf.get("fs.s3a.attempts.maximum") == "10")
+    assert(conf.get("fs.s3a.multipart.size") == (10L * 1024 * 1024).toString)
+    assert(conf.get("fs.s3a.max.total.tasks") == "10")
+  }
+}
