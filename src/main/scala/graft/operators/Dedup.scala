@@ -1,0 +1,264 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Deduplication suite for large-scale text/embedding corpora.
+  *
+  * Everything is expressed as joins/aggregations over Catalyst — no
+  * driver-side loops, no O(n²) cross joins — so each method's cost is a
+  * bounded number of shuffles on keys (content hash, LSH bucket, shingle)
+  * and survives a 1000-executor / 100 TB scale-up:
+  *
+  *  - exact:      1 shuffle on content hash
+  *  - minhash:    narrow signature compute + 1 shuffle per band bucket join
+  *  - simhash:    narrow fingerprint compute + 1 shuffle on 16-bit chunks
+  *  - ngram:      inverted-index join on shingle (shuffle on shingle key),
+  *                never materializing the n² pair space
+  *  - embedding:  random-hyperplane LSH bucket join + exact cosine verify
+  *
+  * All hashing is deterministic (fixed seeds, xxhash64) so results are
+  * reproducible across runs and cluster layouts.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact row dedup on the given columns (hash-shuffle groupBy). */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Exact content dedup: keep the smallest id per identical content.
+    * One shuffle on md5(content); survivors returned with their id. */
+  def exactByContent(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  // -------------------------------------------------------------- minhash
+
+  /** Word n-gram shingles per document: (id, shingle) exploded — the
+    * narrow, distributed representation every method below builds on. */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+               n: Int = 3): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    // sliding n-grams via transform over index range; drop tail stubs
+    val grams = filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")),
+      g => length(g) > 0)
+    df.select(col(idCol), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  /** Deterministic (a,b) coefficient pairs for k universal hash fns,
+    * bounded to 31 bits so a*h + b stays within 2^62 (no long overflow). */
+  private def hashCoeffs(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val r = new Random(seed)
+    Seq.fill(k)((r.nextInt(Int.MaxValue - 1).toLong + 1L,
+      r.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** 2^31 - 1, prime; the universal-hash modulus. */
+  private val Prime31 = Int.MaxValue.toLong
+
+  /** MinHash signatures: (id, sig array<long> of length numHashes).
+    * h_i(s) = (a_i * h(s) + b_i) mod p with h(s) = xxhash64 reduced to
+    * 31 bits, min over the doc's shingles. Computed as one aggregation
+    * over the exploded shingle frame — a single shuffle on id, with
+    * partial map-side mins first.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, shingleSize: Int = 3,
+                        seed: Long = 42L): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleSize)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(Prime31)))
+    val minCols = hashCoeffs(numHashes, seed).zipWithIndex.map {
+      case ((a, b), i) =>
+        min(pmod(col("h") * lit(a) + lit(b), lit(Prime31))).as(s"m$i")
+    }
+    sh.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"m$i")): _*)
+        .as("signature"))
+  }
+
+  /** LSH band buckets: (id, band, bucket_hash). bands * rowsPerBand must
+    * equal the signature length. */
+  def minhashBuckets(sigs: DataFrame, idCol: String, bands: Int,
+                     rowsPerBand: Int): DataFrame =
+    sigs.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("signature"), b * rowsPerBand + 1,
+            lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  /** Candidate pairs (idA < idB) sharing at least one LSH bucket — a
+    * self-equi-join on (band, bucket), deduped. This is the scale path:
+    * the pair space is only materialized inside colliding buckets. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 16,
+                        shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize, seed)
+    val b = minhashBuckets(sigs, idCol, bands, numHashes / bands)
+    val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash near-dedup: estimate jaccard from signature agreement for
+    * candidate pairs, keep pairs above the threshold. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8, numHashes: Int = 64,
+                   bands: Int = 16, shingleSize: Int = 3,
+                   seed: Long = 42L): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize, seed)
+    val cand = minhashCandidates(df, idCol, textCol, numHashes, bands,
+      shingleSize, seed)
+    val sa = sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a"))
+    val sb = sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash fingerprints from token xxhash64 values: for each bit,
+    * sum +1/-1 over tokens, sign → bit. Expressed as explode + groupBy
+    * (one shuffle on id, partial aggregation map-side). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming, using the
+    * 4x16-bit chunk pigeonhole: pairs within hamming 3 share at least one
+    * exact 16-bit chunk, so candidates come from a chunk-equality join. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(df, idCol, textCol)
+    val chunks = fp.select(col(idCol), col("simhash"), posexplode(
+      array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    val l = chunks.select(col("chunk_idx"), col("chunk"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val r = chunks.select(col("chunk_idx"), col("chunk"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("chunk_idx", "chunk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------- exact n-gram jaccard
+
+  /** Exact n-gram Jaccard pairs >= threshold via inverted-index join:
+    * shuffle on shingle, count shared shingles per pair, then
+    * |A ∩ B| / (|A| + |B| - |A ∩ B|). The pair space is only materialized
+    * for pairs that actually share a shingle. At 100 TB, ubiquitous
+    * shingles are the skew risk — cap them with maxDocFreq (standard
+    * "stop-shingle" pruning; exactness holds for pairs whose intersection
+    * isn't entirely stop-shingles, which a 0.8 threshold implies).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.8, n: Int = 3,
+                        maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val pruned = maxDocFreq match {
+      case Some(cap) =>
+        val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df_count"))
+          .filter(col("df_count") <= cap).select("shingle")
+        sh.join(broadcast(freq), "shingle")
+      case None => sh
+    }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    val l = pruned.select(col("shingle"), col(idCol).as("id_a"))
+    val r = pruned.select(col("shingle"), col(idCol).as("id_b"))
+    val inter = l.join(r, "shingle").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b")), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // --------------------------------------------- embedding cosine near-dup
+
+  /** Deterministic random hyperplanes: tables x bits x dim. */
+  private[operators] def hyperplanes(tables: Int, bits: Int, dim: Int,
+                                     seed: Long): Seq[Seq[Seq[Double]]] = {
+    val r = new Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(r.nextGaussian())))
+  }
+
+  /** Sign-random-projection bucket per table: (id, table, bucket). */
+  def embeddingBuckets(df: DataFrame, idCol: String, vecCol: String,
+                       tables: Int = 8, bits: Int = 12, dim: Int = 64,
+                       seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(tables, bits, dim, seed)
+    val v = VectorFunctions.toDouble(col(vecCol))
+    val bucketCols = planes.zipWithIndex.map { case (tablePlanes, ti) =>
+      val bitVals = tablePlanes.zipWithIndex.map { case (plane, bi) =>
+        val planeCol = array(plane.map(lit): _*)
+        when(aggregate(zip_with(v, planeCol, (x, p) => x * p),
+          lit(0.0), (acc, x) => acc + x) > 0, lit(1L << bi)).otherwise(lit(0L))
+      }
+      struct(lit(ti).as("table"),
+        bitVals.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("bucket"))
+    }
+    df.select(col(idCol), explode(array(bucketCols: _*)).as("tb"))
+      .select(col(idCol), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Embedding near-dup pairs: LSH candidates (bucket join per table) then
+    * exact cosine verification — only candidate pairs pay the O(dim) cost. */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.95, tables: Int = 8,
+                     bits: Int = 12, dim: Int = 64,
+                     seed: Long = 42L): DataFrame = {
+    val b = embeddingBuckets(df, idCol, vecCol, tables, bits, dim, seed)
+    val l = b.select(col("table"), col("bucket"), col(idCol).as("id_a"))
+    val r = b.select(col("table"), col("bucket"), col(idCol).as("id_b"))
+    val cand = l.join(r, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Survivor view shared by all pair-producers: drop every doc that has a
+    * near-duplicate with a smaller id (single anti-join — no iterative
+    * connected components needed for dedup-keep-first semantics). */
+  def keepFirst(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol),
+      "left_anti")
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths, per the standard scale playbook:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The *query* side is
+  *    broadcast (queries are few), the corpus is scanned once partition-
+  *    parallel, and per-query top-k is a TakeOrdered-style window — the
+  *    correct exhaustive baseline even at 100 TB when the query set is
+  *    bounded.
+  *  - [[lshTopK]]: sign-random-projection bucketed search (IVF-style
+  *    probe): corpus is pre-bucketed (shuffle once, reusable), each query
+  *    probes only matching buckets across tables, then exact cosine ranks
+  *    the candidates. Recall is tunable via tables x bits.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k for each query vector.
+    * Output: (query id, neighbor id, cosine), k rows per query. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int = 10,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
+  /** LSH-bucketed approximate top-k: probe only buckets the query lands
+    * in. Same output shape as [[bruteForceTopK]]; neighbors the LSH tables
+    * miss are absent (recall < 1 by design). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int = 10, tables: Int = 8, bits: Int = 10,
+              dim: Int = 64, seed: Long = 42L,
+              excludeSelf: Boolean = true): DataFrame = {
+    val cb = Dedup.embeddingBuckets(corpus, idCol, vecCol, tables, bits, dim, seed)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val qb = Dedup.embeddingBuckets(queries, idCol, vecCol, tables, bits, dim, seed)
+      .withColumnRenamed(idCol, "query_id")
+    val cand = cb.join(qb, Seq("table", "bucket"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select("query_id", "neighbor_id").distinct()
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
+  /** Pairwise label-centroid similarity: average embedding per label, then
+    * cosine between centroids — a representative "analytics over vectors"
+    * op (group agg over array columns, no UDF). */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
+                     dim: Int = 64): DataFrame = {
+    val summed = df.groupBy(col(labelCol)).agg(
+      array((0 until dim).map(i =>
+        sum(element_at(toDouble(col(vecCol)), i + 1))): _*).as("sum_vec"),
+      count(lit(1)).as("n"))
+    summed.select(col(labelCol),
+      transform(col("sum_vec"), x => x / col("n")).as("centroid"), col("n"))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis for training-data pipelines: token statistics,
+  * quality scoring, language id, and content fingerprinting.
+  *
+  * Everything is built from codegen'd string/array builtins (split,
+  * regexp_count, transform, aggregate) — per-row narrow transforms with no
+  * shuffle at all, so these scan at parquet speed regardless of corpus
+  * size.
+  */
+object TextAnalysis {
+
+  /** Cross-engine-deterministic 4-decimal rounding: plain double math
+    * (`floor(x*1e4+0.5)/1e4`), identical bit-for-bit in any IEEE engine —
+    * unlike `round()`, whose half-way semantics differ between Spark
+    * (decimal-repr HALF_UP) and C++-based engines (binary-value rounding).
+    */
+  def round4(x: Column): Column = floor(x * 10000 + 0.5) / 10000
+
+  /** Whitespace tokens (the corpus-standard cheap tokenizer). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-count estimate: word-piece regex matches plus a
+    * chars/4 fallback blend — the standard cheap proxy when the real
+    * tokenizer is too expensive for a full-corpus pass. */
+  def tokenEstimate(text: Column): Column =
+    greatest(regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")),
+      ceil(length(text) / 4).cast("int"))
+
+  /** Quality metrics struct: char/token counts, mean token length,
+    * stopword ratio, punctuation ratio, alpha ratio. */
+  def qualityMetrics(text: Column,
+                     stopwords: Seq[String] = DefaultStopwords): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, lower(t))))
+    // explicit char class (not \p{Punct}): identical semantics in Java
+    // regex and RE2-based engines, so oracles can replicate it
+    val nPunct = regexp_count(text, lit("""[.,;:!?'"()\[\]{}-]"""))
+    val nAlpha = regexp_count(text, lit("[A-Za-z]"))
+    val len = length(text)
+    struct(
+      len.as("n_chars"),
+      nTok.as("n_tokens"),
+      round(length(regexp_replace(text, "\\s+", "")).cast("double") /
+        greatest(nTok, lit(1)), 4).as("mean_token_len"),
+      round(nStop.cast("double") / greatest(nTok, lit(1)), 4).as("stopword_ratio"),
+      round(nPunct.cast("double") / greatest(len, lit(1)), 4).as("punct_ratio"),
+      round(nAlpha.cast("double") / greatest(len, lit(1)), 4).as("alpha_ratio"))
+  }
+
+  /** Scalar quality score in [0,1]: blended heuristics (length band,
+    * stopword presence, alpha density) — the usual pre-training filter
+    * shape. Deterministic, tunable weights. */
+  def qualityScore(text: Column,
+                   stopwords: Seq[String] = DefaultStopwords): Column = {
+    val m = qualityMetrics(text, stopwords)
+    val lengthOk = when(m("n_tokens").between(10, 10000), 1.0).otherwise(0.3)
+    val stopOk = least(m("stopword_ratio") * 5.0, lit(1.0))
+    val alphaOk = m("alpha_ratio")
+    round4(lengthOk * 0.4 + stopOk * 0.3 + alphaOk * 0.3)
+  }
+
+  /** N-gram-heuristic language id: score each language by the fraction of
+    * tokens in its marker-word set; argmax with deterministic (alphabetic)
+    * tie-break; "und" when nothing matches. Marker sets are tiny and
+    * broadcast as literals into codegen. */
+  def langId(text: Column,
+             markers: Map[String, Seq[String]] = DefaultLangMarkers): Column = {
+    val toks = tokens(lower(text))
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val wordArr = array(words.map(lit): _*)
+      struct((size(filter(toks, t => array_contains(wordArr, t))).cast("double") /
+        greatest(size(toks), lit(1))).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on (score, lang) structs picks highest score; ties resolve
+    // to the lexicographically LAST lang, so invert: sort desc by score,
+    // asc by lang via negated score in a sort + first element
+    val best = element_at(
+      array_sort(array(scored: _*),
+        (a, b) => when(a("score") > b("score"), -1)
+          .when(a("score") < b("score"), 1)
+          .when(a("lang") < b("lang"), -1)
+          .when(a("lang") > b("lang"), 1)
+          .otherwise(0)), 1)
+    when(best("score") > 0, best("lang")).otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set — stable
+    * under token reordering, cross-engine reproducible (md5 is standard). */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " ")
+      .cast("binary"))
+
+  /** Rolling-hash (Rabin-Karp style) document fingerprint over tokens:
+    * polynomial accumulation mod 2^61-1 — order-sensitive complement to
+    * [[fingerprint]]. */
+  def rollingHash(text: Column): Column = {
+    val p = lit((1L << 31) - 1)
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 131 + pmod(xxhash64(t), p), p))
+  }
+
+  /** Per-document report over a corpus frame. */
+  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      qualityMetrics(col(textCol)).as("metrics"),
+      qualityScore(col(textCol)).as("quality"),
+      langId(col(textCol)).as("lang_pred"),
+      fingerprint(col(textCol)).as("fingerprint"),
+      tokenEstimate(col(textCol)).as("token_estimate"))
+
+  val DefaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "this")
+
+  /** Tiny marker sets per language (public stopword lists). */
+  val DefaultLangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "avec", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "con", "una"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "和", "有", "我"))
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "spark makes big data simple and fast for everyone today"
+  private def corpus = Seq(
+    (0L, base),
+    (1L, base),                                     // exact dup of 0
+    (2L, base.replace("fast", "quick")),            // near dup of 0
+    (3L, "completely different text about cooking pasta with tomato sauce"),
+    (4L, "the weather tomorrow looks cloudy with a chance of rain showers"))
+    .toDF("doc_id", "text")
+
+  test("exactByContent keeps min id and counts duplicates") {
+    val out = Dedup.exactByContent(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 4) // 0/1 collapse
+    assert(out(0).getLong(1) == 0L && out(0).getLong(2) == 2L)
+  }
+
+  test("shingles produces distinct word n-grams incl. short-text stub") {
+    val sh = Dedup.shingles(Seq((1L, "a b c d"), (2L, "x y")).toDF("id", "t"),
+      "id", "t", 3).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sh.count(_._1 == 1L) == 2) // "a b c", "b c d"
+    assert(sh.filter(_._1 == 2L).map(_._2).toSeq == Seq("x y"))
+  }
+
+  test("minhash signatures are deterministic and length-k") {
+    val s1 = Dedup.minhashSignatures(corpus, "doc_id", "text", 32)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val s2 = Dedup.minhashSignatures(corpus, "doc_id", "text", 32)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(s1.forall(_.length == 32))
+    assert(s1.map(_.toList).toSeq == s2.map(_.toList).toSeq)
+    // identical docs -> identical signatures
+    assert(s1(0) == s1(1))
+  }
+
+  test("minhashPairs finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+        threshold = 0.5, numHashes = 64, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs same fp; near dups within small hamming") {
+    val fps = Dedup.simhash(corpus, "doc_id", "text").orderBy("doc_id")
+      .collect().map(_.getLong(1))
+    assert(fps(0) == fps(1))
+    val ham02 = java.lang.Long.bitCount(fps(0) ^ fps(2))
+    val ham03 = java.lang.Long.bitCount(fps(0) ^ fps(3))
+    assert(ham02 < ham03)
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard via inverted index") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        threshold = 0.3, n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0) // identical sets
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("ngramJaccardPairs maxDocFreq prunes ubiquitous shingles") {
+    // docs 0/1/2 share their shingles (doc freq 3): cap=3 keeps the dup
+    // pair, cap=2 prunes every shared shingle and the pair disappears
+    val kept = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        threshold = 0.9, n = 3, maxDocFreq = Some(3))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(kept.contains((0L, 1L)))
+    val pruned = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        threshold = 0.9, n = 3, maxDocFreq = Some(2))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pruned.contains((0L, 1L)))
+  }
+
+  test("embedding LSH buckets identical vectors together; pairs verified by cosine") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array.fill(8)(1.0f)),              // identical
+      (2L, Array.fill(8)(-1.0f)),             // opposite
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding",
+        threshold = 0.99, tables = 4, bits = 6, dim = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("keepFirst drops only docs having a smaller-id near-duplicate") {
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepFirst(corpus, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.streaming.EventsStreaming
+
+class MultimodalStreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("attachPayload builds binary column + typed metadata struct") {
+    val df = Multimodal.attachPayload(
+      Seq((1L, "hello")).toDF("doc_id", "text"), "text", "image/png")
+    val r = df.select($"payload", $"media_meta.media_type",
+      $"media_meta.byte_len", $"media_meta.checksum").collect()(0)
+    assert(new String(r.getAs[Array[Byte]](0), "UTF-8") == "hello")
+    assert(r.getString(1) == "image/png")
+    assert(r.getLong(2) == 5L)
+    assert(r.getString(3).length == 32)
+  }
+
+  test("featurize runs batched mapPartitions, deterministic stub features") {
+    val docs = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("doc_id", "text")
+    val feats = Multimodal.featurize(
+      Multimodal.attachPayload(docs, "text"), "doc_id", batchSize = 2)
+      .collect().sortBy(_.doc_id)
+    assert(feats.length == 3)
+    // same payload -> same stub features; different payload -> different
+    assert(feats(0).width == feats(2).width)
+    assert(feats(0).feature.toSeq == feats(2).feature.toSeq)
+    assert(feats(0).width != feats(1).width ||
+      feats(0).height != feats(1).height)
+    assert(feats.forall(_.feature.length == 8))
+  }
+
+  test("frameSamplePlan and resizePlan are lazy metadata ops") {
+    val df = Seq((1L, 25, 1280, 720)).toDF("id", "n_frames", "w", "h")
+    val sampled = Multimodal.frameSamplePlan(df, "n_frames", every = 10)
+      .select("sampled_frames").collect()(0).getSeq[Int](0)
+    assert(sampled == Seq(0, 10, 20))
+    val resized = Multimodal.resizePlan(df, "w", "h", maxSide = 256)
+      .select("target_w", "target_h").collect()(0)
+    assert(resized.getInt(0) == 256 && resized.getInt(1) == 144)
+  }
+
+  test("streaming hourlyAggregates with watermark over MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventsStreaming.hourlyAggregates(events, "2 hours", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete").start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      mem.addData((ts(0, 10), "click", 1.0), (ts(0, 40), "click", 2.0),
+        (ts(1, 5), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from hourly_test order by window_start, event_type")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("cnt") == 2L)
+      assert(rows(0).getAs[Double]("sum_value") == 3.0)
+      assert(rows(1).getAs[String]("event_type") == "view")
+    } finally q.stop()
+  }
+
+  test("streaming sessionize via mapGroupsWithState emits running sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStreaming.Event]
+    val sessions = EventsStreaming.sessionize(mem.toDS(), gapMs = 60000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions_test")
+      .outputMode("update").start()
+    try {
+      def ev(id: Long, user: Long, v: Double) = EventsStreaming.Event(
+        id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), user, "click", v)
+      mem.addData(ev(1, 7, 1.0), ev(2, 7, 2.0), ev(3, 8, 5.0))
+      // processAllAvailable() would never settle here: ProcessingTimeTimeout
+      // keeps scheduling timeout-check batches. Poll the sink instead.
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def rows() = spark.sql("select * from sessions_test order by user_id").collect()
+      while (rows().length < 2 && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      val r = rows()
+      assert(r.length == 2)
+      assert(r(0).getAs[Long]("n_events") == 2L)
+      assert(r(0).getAs[Double]("total_value") == 3.0)
+      assert(r(1).getAs[Long]("user_id") == 8L)
+    } finally q.stop()
+  }
+}

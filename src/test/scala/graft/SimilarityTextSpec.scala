@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.{Similarity, TextAnalysis}
+
+class SimilarityTextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(0.0f, 0.0f, 1.0f), 1))
+    .toDF("vec_id", "embedding", "label")
+
+  test("VectorFunctions: dot/norm/cosine/l2 on float arrays in double") {
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot($"a", $"b"),
+      VectorFunctions.norm($"a"),
+      VectorFunctions.cosine($"a", $"a"),
+      VectorFunctions.l2Distance($"a", $"b")).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(5)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - math.sqrt(8)) < 1e-12)
+  }
+
+  test("cosine of zero vector is 0, not NaN") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosine($"a", $"b"))
+      .collect()(0).getDouble(0) == 0.0)
+  }
+
+  test("bruteForceTopK returns k best neighbors, self excluded, ranked") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
+        "vec_id", "embedding", k = 2)
+      .orderBy(desc("cosine")).collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 1L) // nearest is the 0.9/0.1 vector
+    assert(out.forall(_.getLong(1) != 0L))
+  }
+
+  test("lshTopK finds the strong neighbor (high-recall regime)") {
+    val out = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0),
+        "vec_id", "embedding", k = 2, tables = 8, bits = 4, dim = 3)
+      .collect()
+    assert(out.map(_.getLong(1)).contains(1L))
+  }
+
+  test("labelCentroids averages per label") {
+    val out = Similarity.labelCentroids(vecs, "label", "embedding", dim = 3)
+      .orderBy("label").collect()
+    val c0 = out(0).getSeq[Double](1)
+    assert(math.abs(c0.head - 0.95) < 1e-6)
+    assert(out(0).getLong(2) == 2L)
+  }
+
+  test("token counting and estimate") {
+    val df = Seq("hello world  foo", "a").toDF("text")
+    val out = df.select(TextAnalysis.tokenCount($"text"),
+      TextAnalysis.tokenEstimate($"text")).collect()
+    assert(out(0).getInt(0) == 3)
+    assert(out(1).getInt(0) == 1)
+    assert(out(0).getInt(1) >= 3)
+  }
+
+  test("qualityMetrics fields are sane and deterministic") {
+    val df = Seq("The quick brown fox, with the lazy dog!").toDF("text")
+    val m = df.select(TextAnalysis.qualityMetrics($"text").as("m"))
+      .select("m.*").collect()(0)
+    assert(m.getAs[Int]("n_tokens") == 8)
+    assert(m.getAs[Double]("stopword_ratio") == 0.375) // the, with, the
+    assert(m.getAs[Double]("punct_ratio") > 0)
+    assert(m.getAs[Double]("alpha_ratio") > 0.7)
+  }
+
+  test("qualityScore: long clean text beats short fragment") {
+    val good = ("the data pipeline processes documents with care " * 5)
+    val df = Seq(good, "x!!").toDF("text")
+    val s = df.select(TextAnalysis.qualityScore($"text")).as[Double].collect()
+    assert(s(0) > s(1))
+  }
+
+  test("langId picks marker language; deterministic alphabetic tie-break; und") {
+    val df = Seq(
+      "the cat and the dog sat in the garden with the birds",
+      "der hund und die katze ist nicht mit der maus",
+      "el perro y la casa es no con una mesa",
+      "zzz qqq xxx").toDF("text")
+    val out = df.select(TextAnalysis.langId($"text")).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "es", "und"))
+  }
+
+  test("fingerprint is token-order-insensitive; rollingHash is order-sensitive") {
+    val df = Seq(("b a c", "a b c"), ("a b c", "a b c")).toDF("t1", "t2")
+    val fp = df.select(TextAnalysis.fingerprint($"t1"),
+      TextAnalysis.fingerprint($"t2")).collect()
+    assert(fp(0).getString(0) == fp(0).getString(1))
+    val rh = df.select(TextAnalysis.rollingHash($"t1"),
+      TextAnalysis.rollingHash($"t2")).collect()
+    assert(rh(0).getLong(0) != rh(0).getLong(1)) // order matters
+    assert(rh(1).getLong(0) == rh(1).getLong(1))
+  }
+}
