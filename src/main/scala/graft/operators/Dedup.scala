@@ -51,7 +51,12 @@ object Dedup {
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => array_join(slice(toks, i + 1, lit(n)), " ")),
       g => length(g) > 0)
-    df.select(col(idCol), explode(array_distinct(grams)).as("shingle"))
+    // repartition by id first: decouples explode parallelism from the
+    // input file layout (a single parquet file otherwise serializes the
+    // whole tokenization on one core) and pre-positions the per-id
+    // aggregations downstream (sizes, signatures) to reuse the exchange
+    df.repartition(col(idCol))
+      .select(col(idCol), explode(array_distinct(grams)).as("shingle"))
   }
 
   /** Deterministic (a,b) coefficient pairs for k universal hash fns,
@@ -117,9 +122,18 @@ object Dedup {
                    threshold: Double = 0.8, numHashes: Int = 64,
                    bands: Int = 16, shingleSize: Int = 3,
                    seed: Long = 42L): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize, seed)
-    val cand = minhashCandidates(df, idCol, textCol, numHashes, bands,
-      shingleSize, seed)
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    // one signature computation feeds both the bucket join and the
+    // estimate — signatures are cached because the plan fans out into
+    // three scans (bucket left/right + both pair sides)
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize,
+      seed).cache()
+    val b = minhashBuckets(sigs, idCol, bands, numHashes / bands)
+    val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
     val sa = sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a"))
     val sb = sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b"))
     cand.join(sa, "id_a").join(sb, "id_b")
@@ -137,7 +151,7 @@ object Dedup {
     * sum +1/-1 over tokens, sign → bit. Expressed as explode + groupBy
     * (one shuffle on id, partial aggregation map-side). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
+    val toks = df.repartition(col(idCol)).select(col(idCol),
       explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { i =>
@@ -185,7 +199,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.8, n: Int = 3,
                         maxDocFreq: Option[Int] = None): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    // the shingle frame fans out into three consumers (both join sides +
+    // set sizes): cache it so tokenization runs once, spilling to disk at
+    // scale rather than recomputing the scan
+    val sh = shingles(df, idCol, textCol, n).cache()
     val pruned = maxDocFreq match {
       case Some(cap) =>
         val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df_count"))
@@ -221,17 +238,19 @@ object Dedup {
                        tables: Int = 8, bits: Int = 12, dim: Int = 64,
                        seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(tables, bits, dim, seed)
-    val v = VectorFunctions.toDouble(col(vecCol))
     val bucketCols = planes.zipWithIndex.map { case (tablePlanes, ti) =>
       val bitVals = tablePlanes.zipWithIndex.map { case (plane, bi) =>
+        // codegen'd VectorDot against the literal plane — the interpreted
+        // zip_with fold here made bucketing the LSH bottleneck
         val planeCol = array(plane.map(lit): _*)
-        when(aggregate(zip_with(v, planeCol, (x, p) => x * p),
-          lit(0.0), (acc, x) => acc + x) > 0, lit(1L << bi)).otherwise(lit(0L))
+        when(VectorFunctions.dot(col(vecCol), planeCol) > 0, lit(1L << bi))
+          .otherwise(lit(0L))
       }
       struct(lit(ti).as("table"),
         bitVals.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("bucket"))
     }
-    df.select(col(idCol), explode(array(bucketCols: _*)).as("tb"))
+    df.repartition(col(idCol))
+      .select(col(idCol), explode(array(bucketCols: _*)).as("tb"))
       .select(col(idCol), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
@@ -247,10 +266,14 @@ object Dedup {
     val cand = l.join(r, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      VectorFunctions.normSq(col(vecCol)).as("nsq_a"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      VectorFunctions.normSq(col(vecCol)).as("nsq_b"))
     cand.join(va, "id_a").join(vb, "id_b")
-      .withColumn("cosine", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", VectorFunctions.cosineFromParts(
+        VectorFunctions.dot(col("vec_a"), col("vec_b")),
+        col("nsq_a"), col("nsq_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

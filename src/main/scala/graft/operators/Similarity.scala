@@ -26,11 +26,15 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int = 10,
                      excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // norms computed once per vector, not once per pair
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      normSq(col(vecCol)).as("q_nsq"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      normSq(col(vecCol)).as("c_nsq"))
     val scored = c.crossJoin(broadcast(q))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", cosineFromParts(dot(col("q_vec"), col("c_vec")),
+        col("q_nsq"), col("c_nsq")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -51,10 +55,13 @@ object Similarity {
     val cand = cb.join(qb, Seq("table", "bucket"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select("query_id", "neighbor_id").distinct()
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      normSq(col(vecCol)).as("q_nsq"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      normSq(col(vecCol)).as("c_nsq"))
     val scored = cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", cosineFromParts(dot(col("q_vec"), col("c_vec")),
+        col("q_nsq"), col("c_nsq")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

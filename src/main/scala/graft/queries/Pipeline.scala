@@ -57,12 +57,15 @@ object Pipeline {
 
     // embedding near-dup pairs, brute-force verified (oracled)
     "dd_embed_pairs" -> ((s, dir) => {
+      import graft.functions.VectorFunctions._
       val e = embs(s, dir)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        normSq(col("embedding")).as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        normSq(col("embedding")).as("nb"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .withColumn("cosine",
-          graft.functions.VectorFunctions.cosine(col("va"), col("vb")))
+        .withColumn("cosine", cosineFromParts(dot(col("va"), col("vb")),
+          col("na"), col("nb")))
         .filter(col("cosine") >= 0.45)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id_a", "id_b")
