@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Surface beyond the reference's own usage (SURVEY §2.3/§2.4/§2.5 notes
+  * the reference sticks to inner-equi joins, plain aggregates and
+  * unordered windows): outer/semi/anti/full joins, set ops, rollup/cube,
+  * ranking windows and frames, date/string/array functions — all Spark
+  * built-ins, all DuckDB-oracled. A reference user gets these "for free"
+  * when switching.
+  */
+object Extended {
+  private type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, Q] = Map(
+    // left outer join with aggregated right side
+    "x_join_left" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("cnt"), lit(0L)).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // left semi join (EXISTS)
+    "x_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // left anti join (NOT EXISTS)
+    "x_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // full outer join of two disjointly-filtered aggregates
+    "x_join_full" -> ((s, dir) => {
+      val cu = t(s, dir, "customer").filter(col("c_nationkey") < 15)
+        .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier").filter(col("s_nationkey") >= 10)
+        .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+      cu.join(su, Seq("nk"), "full_outer")
+        .select(col("nk"), coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nk")
+    }),
+
+    // INTERSECT (distinct semantics)
+    "x_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // EXCEPT (distinct semantics)
+    "x_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // ROLLUP with grouping-null keys pinned NULLS FIRST
+    "x_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // CUBE
+    "x_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // ranking windows with deterministic tie-break
+    "x_rank_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // running-sum frame (ROWS UNBOUNDED PRECEDING .. CURRENT ROW)
+    "x_window_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(w), 2).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // lag/lead
+    "x_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // date functions (UTC session; outputs cast for cross-engine types)
+    "x_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          date_add(to_date(col("o_orderdate")), 30).cast("string")
+            .as("plus30"))
+        .orderBy("o_orderkey")
+    }),
+
+    // string functions
+    "x_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("u"),
+          substring(col("p_name"), 1, 5).as("pre"),
+          length(col("p_name")).cast("long").as("len"),
+          replace(col("p_name"), lit(" "), lit("_")).as("snake"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("joined"))
+        .orderBy("p_partkey")
+    }),
+
+    // grouped array agg, deterministically sorted
+    "x_array_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(sort_array(collect_set(col("o_orderpriority"))).as("prios"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // HAVING
+    "x_having" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 8)
+        .orderBy("o_custkey")
+    }),
+
+    // multi-CTE + correlated EXISTS through SQL (reference query.rs CTE
+    // shape, extended with correlation)
+    "x_cte_exists" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH big AS (
+          SELECT o_custkey, count(*) AS cnt FROM orders
+          GROUP BY o_custkey HAVING count(*) >= 5),
+        named AS (
+          SELECT c_custkey, c_name FROM customer
+          WHERE EXISTS (SELECT 1 FROM big WHERE big.o_custkey = c_custkey))
+        SELECT c_custkey, c_name FROM named ORDER BY c_custkey""")
+    }),
+
+    // manual pivot via conditional aggregation
+    "x_pivot_manual" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+          count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // null handling: nullif/coalesce/nvl2-style
+    "x_null_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+            .as("status_filled"))
+        .orderBy("o_orderkey")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_join_left" ->
+      """SELECT c_custkey, coalesce(cnt, 0) AS n_orders
+         FROM customer LEFT JOIN
+           (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) o
+           ON c_custkey = o.o_custkey
+         ORDER BY c_custkey""",
+    "x_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "x_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "x_join_full" ->
+      """SELECT coalesce(cu.nk, su.nk) AS nk,
+           coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+               WHERE c_nationkey < 15 GROUP BY 1) cu
+         FULL OUTER JOIN
+              (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier
+               WHERE s_nationkey >= 10 GROUP BY 1) su
+           ON cu.nk = su.nk
+         ORDER BY nk""",
+    "x_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey""",
+    "x_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey""",
+    "x_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""",
+    "x_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""",
+    "x_rank_window" ->
+      """SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn, rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC)
+         ORDER BY o_custkey, o_orderkey""",
+    "x_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "x_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 1) OVER w AS next_price
+         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "x_date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate)::BIGINT AS y,
+           month(o_orderdate)::BIGINT AS m, day(o_orderdate)::BIGINT AS d,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30
+         FROM orders ORDER BY o_orderkey""",
+    "x_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS u, substring(p_name, 1, 5) AS pre,
+           length(p_name)::BIGINT AS len,
+           replace(p_name, ' ', '_') AS snake,
+           p_brand || '|' || p_type AS joined
+         FROM part ORDER BY p_partkey""",
+    "x_array_agg" ->
+      """SELECT o_orderstatus,
+           list_sort(list(DISTINCT o_orderpriority)) AS prios
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "x_having" ->
+      """SELECT o_custkey, count(*) AS cnt FROM orders
+         GROUP BY o_custkey HAVING count(*) >= 8 ORDER BY o_custkey""",
+    "x_cte_exists" ->
+      """WITH big AS (
+           SELECT o_custkey, count(*) AS cnt FROM orders
+           GROUP BY o_custkey HAVING count(*) >= 5),
+         named AS (
+           SELECT c_custkey, c_name FROM customer
+           WHERE EXISTS (SELECT 1 FROM big WHERE big.o_custkey = c_custkey))
+         SELECT c_custkey, c_name FROM named ORDER BY c_custkey""",
+    "x_pivot_manual" ->
+      """SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "x_null_funcs" ->
+      """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled
+         FROM orders ORDER BY o_orderkey""",
+  )
+}
