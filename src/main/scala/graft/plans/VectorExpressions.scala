@@ -93,4 +93,10 @@ object VectorExpressions {
   def vectorDot(a: Column, b: Column): Column =
     SqlBridge.column(VectorDot(
       SqlBridge.expression(a), SqlBridge.expression(b)))
+
+  /** Register `vector_dot(a, b)` for SQL callers on this session
+    * (temp-function registry — the SQL analogue of the Column API above). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.plans.VectorExpressions
+
+class VectorDotSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("VectorDot matches interpreted fold bit-for-bit on float arrays") {
+    val df = Seq(
+      (Array(0.1f, -0.2f, 0.3f), Array(0.4f, 0.5f, -0.6f)),
+      (Array(1.5f, 2.5f), Array(-1.0f, 4.0f))).toDF("a", "b")
+    import org.apache.spark.sql.functions._
+    val interpreted = df.select(
+      aggregate(zip_with(transform($"a", _.cast("double")),
+          transform($"b", _.cast("double")), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)).as[Double].collect()
+    val codegen = df.select(VectorExpressions.vectorDot($"a", $"b"))
+      .as[Double].collect()
+    assert(codegen.toSeq == interpreted.toSeq) // exact, not approximate
+  }
+
+  test("VectorDot: null array -> null; null elements contribute 0") {
+    val df = Seq(
+      (Some(Seq(Some(1.0), None, Some(3.0))), Some(Seq(Some(2.0), Some(5.0), Some(4.0)))),
+      (None, Some(Seq(Some(1.0))))).toDF("a", "b")
+    val out = df.select(VectorExpressions.vectorDot($"a", $"b")).collect()
+    assert(out(0).getDouble(0) == 14.0) // 1*2 + skip + 3*4
+    assert(out(0.toInt + 1).isNullAt(0))
+  }
+
+  test("VectorDot length mismatch uses min length (defensive)") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(10.0f))).toDF("a", "b")
+    assert(df.select(VectorExpressions.vectorDot($"a", $"b"))
+      .collect()(0).getDouble(0) == 10.0)
+  }
+
+  test("vector_dot registered for SQL callers") {
+    VectorExpressions.register(spark)
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    assert(spark.sql("select vector_dot(a, b) from vecs")
+      .collect()(0).getDouble(0) == 11.0)
+  }
+
+  test("cosine built on VectorDot stays exact for unit cases") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosine($"a", $"b"))
+      .collect()(0).getDouble(0) == 0.0)
+  }
+}
