@@ -207,6 +207,36 @@ object Relational {
         .orderBy("h", "event_type")
     }),
 
+    // C1: pack columns into a JSON string column (sorted keys, lazy)
+    "q_cols_to_json" -> ((s, dir) => {
+      graft.operators.ColumnPack.colsToJson(t(s, dir, "nation"),
+          Seq("n_name", "n_regionkey"), "payload")
+        .orderBy("n_nationkey")
+    }),
+
+    // C2: pack columns into a nested struct column (caller field order)
+    "q_cols_to_struct" -> ((s, dir) => {
+      graft.operators.ColumnPack.colsToStruct(t(s, dir, "nation"),
+          Seq("n_name", "n_regionkey"), "s")
+        .orderBy("n_nationkey")
+    }),
+
+    // C6: sequential Int32 pk in sorted row order (zipWithIndex path)
+    "q_add_pk" -> ((s, dir) => {
+      graft.operators.ColumnAppend.addPk(
+          t(s, dir, "nation").orderBy("n_nationkey"), "pk")
+        .select("n_nationkey", "pk")
+    }),
+
+    // C17 shape: JSON pack + field extraction round trip
+    "q_json_extract" -> ((s, dir) => {
+      val packed = graft.operators.ColumnPack.colsToJson(
+        t(s, dir, "documents"), Seq("lang", "n_chars"), "payload")
+      packed.select(col("doc_id"), col("payload"),
+          get_json_object(col("payload"), "$.lang").as("lang_back"))
+        .orderBy("doc_id")
+    }),
+
     // multi-way star join: region -> nation -> customer -> orders rollup
     "q_star_join" -> ((s, dir) => {
       val r = t(s, dir, "region")
@@ -324,6 +354,26 @@ object Relational {
       """SELECT CAST(date_trunc('hour', ts) AS varchar) AS h, event_type,
            count(*) AS cnt, round(sum(value), 2) AS sum_v
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_cols_to_json" ->
+      """SELECT n_nationkey,
+           to_json(struct_pack(n_name := n_name, n_regionkey := n_regionkey))
+             AS payload
+         FROM nation ORDER BY n_nationkey""",
+    "q_cols_to_struct" ->
+      """SELECT n_nationkey,
+           struct_pack(n_name := n_name, n_regionkey := n_regionkey) AS s
+         FROM nation ORDER BY n_nationkey""",
+    "q_add_pk" ->
+      """SELECT n_nationkey,
+           (row_number() OVER (ORDER BY n_nationkey) - 1)::INT AS pk
+         FROM nation ORDER BY n_nationkey""",
+    "q_json_extract" ->
+      """SELECT doc_id,
+           to_json(struct_pack(lang := lang, n_chars := n_chars)) AS payload,
+           json_extract_string(
+             to_json(struct_pack(lang := lang, n_chars := n_chars)),
+             '$.lang') AS lang_back
+         FROM documents ORDER BY doc_id""",
     "q_star_join" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
            round(sum(o_totalprice), 2) AS revenue
