@@ -188,6 +188,34 @@ object Extended {
         .orderBy("o_orderpriority")
     }),
 
+    // exact interpolating quartiles per group
+    "x_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.25)"), 3).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 3).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 3).as("p75"))
+        .orderBy("l_returnflag")
+    }),
+
+    // regex extraction (patterns valid in both Java regex and RE2)
+    "x_regexp" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(col("source"), "src([0-9]+)", 1).as("src_num"),
+          regexp_count(col("text"), lit("data")).cast("long").as("n_data"))
+        .orderBy("doc_id")
+    }),
+
+    // JSON scalar functions over the events props column
+    "x_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("k_mod")
+    }),
+
     // null handling: nullif/coalesce/nvl2-style
     "x_null_funcs" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -298,6 +326,20 @@ object Extended {
            count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
            count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "x_percentiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 3) AS p25,
+           round(quantile_cont(l_extendedprice, 0.5), 3) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 3) AS p75
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "x_regexp" ->
+      """SELECT doc_id, regexp_extract(source, 'src([0-9]+)', 1) AS src_num,
+           len(regexp_extract_all(text, 'data'))::BIGINT AS n_data
+         FROM documents ORDER BY doc_id""",
+    "x_json_props" ->
+      """SELECT json_extract_string(props, '$.k')::BIGINT % 10 AS k_mod,
+           count(*) AS cnt
+         FROM events GROUP BY 1 ORDER BY 1""",
     "x_null_funcs" ->
       """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_or_null,
            coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled
