@@ -1,10 +1,14 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+
+/** Typed row for the Dataset[T] pipeline demo. */
+case class OrderRow(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+                    o_totalprice: Double)
 
 /** Surface beyond the reference's own usage (SURVEY §2.3/§2.4/§2.5 notes
   * the reference sticks to inner-equi joins, plain aggregates and
@@ -216,6 +220,27 @@ object Extended {
         .orderBy("k_mod")
     }),
 
+    // O6: random sampling — nondeterministic by design (rows-only check,
+    // like the reference's shape-only tests for random ops)
+    "x_sample" -> ((s, dir) => {
+      t(s, dir, "region").orderBy(rand()).limit(1)
+        .select("r_regionkey", "r_name")
+    }),
+
+    // typed Dataset[T] pipeline: case-class filter/map with Encoders.
+    // Typed lambdas cost codegen (documented tradeoff) — parity demo for
+    // the reference's struct-level processing, not a hot-path pattern.
+    "x_typed_ds" -> ((s, dir) => {
+      val ds = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .as(Encoders.product[OrderRow])
+      ds.filter(o => o.o_orderstatus == "F" && o.o_totalprice > 100000.0)
+        .map(o => (o.o_orderkey, o.o_totalprice * 0.9))(
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+        .toDF("o_orderkey", "discounted")
+        .orderBy("o_orderkey")
+    }),
+
     // null handling: nullif/coalesce/nvl2-style
     "x_null_funcs" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -326,6 +351,11 @@ object Extended {
            count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
            count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "x_typed_ds" ->
+      """SELECT o_orderkey, o_totalprice * 0.9 AS discounted
+         FROM orders
+         WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+         ORDER BY o_orderkey""",
     "x_percentiles" ->
       """SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.25), 3) AS p25,

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.core.EngineError.AnalysisError
+import graft.operators.{ColumnAppend, ColumnPack, DataFrameOps}
+
+/** Generative invariants over the column-engineering core (SURVEY §5
+  * bonus: the reference is purely example-based; ScalaCheck hardens the
+  * same surface against arbitrary inputs). Raw ScalaCheck generators with
+  * a fixed seed (no scalatestplus bridge in the offline dep cache).
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic sample stream from a generator. */
+  private def forAll[A](g: Gen[A], n: Int = 12)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private val rowsGen: Gen[List[(Option[Int], Option[String], Option[Int])]] =
+    Gen.listOfN(6, Gen.zip(
+      Gen.option(Gen.chooseNum(-1000, 1000)),
+      Gen.option(Gen.alphaNumStr.map(_.take(8))),
+      Gen.option(Gen.chooseNum(0, 99))))
+
+  test("colsToJson round-trips through from_json for arbitrary rows") {
+    forAll(rowsGen) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("id", "name", "data")
+        val packed = ColumnPack.colsToJson(df, Seq("id", "name", "data"), "j")
+        val schema = StructType(Seq(StructField("data", IntegerType),
+          StructField("id", IntegerType), StructField("name", StringType)))
+        val back = packed.select(from_json(col("j"), schema).as("s"))
+          .select("s.id", "s.name", "s.data")
+          .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2))))
+        assert(back.toSet == rows.map(t =>
+          (t._1.map(_.asInstanceOf[Any]), t._2.map(_.asInstanceOf[Any]),
+            t._3.map(_.asInstanceOf[Any]))).toSet)
+      }
+    }
+  }
+
+  test("addColumn: wrong-length input always errors; right length never does") {
+    forAll(Gen.zip(Gen.chooseNum(1, 8), Gen.chooseNum(0, 10))) { case (n, extra) =>
+      val df = spark.range(n).toDF("id")
+      val vals = (0 until n + extra).map(_.toString)
+      if (extra == 0) {
+        val out = ColumnAppend.addColumn(df, "v", vals, StringType)
+        assert(out.count() == n)
+      } else {
+        val e = intercept[AnalysisError](
+          ColumnAppend.addColumn(df, "v", vals, StringType))
+        assert(e.getMessage == s"Column 'v' has length ${n + extra}, expected $n")
+      }
+    }
+  }
+
+  test("concatDfs row count is the sum of the parts") {
+    forAll(Gen.listOfN(3, Gen.chooseNum(0, 20))) { sizes =>
+      val dfs = sizes.map(n => spark.range(n).toDF("id"))
+      assert(DataFrameOps.concatDfs(dfs).count() == sizes.sum)
+    }
+  }
+
+  test("addPk is always 0..n-1 regardless of partitioning") {
+    forAll(Gen.zip(Gen.chooseNum(1, 50), Gen.chooseNum(1, 8))) { case (n, parts) =>
+      val df = spark.range(n).repartition(parts).toDF("id")
+      val pks = ColumnAppend.addPk(df, "pk").select("pk").as[Int]
+        .collect().sorted.toSeq
+      assert(pks == (0 until n))
+    }
+  }
+}
