@@ -118,6 +118,12 @@ object DataFrameOps {
     base.select(cols: _*)
   }
 
+  /** W3: bulk-attach aliased window expressions — the reference's
+    * `df.window(vec![...])` (reference `examples/dataframe/query.rs:253-260`).
+    * Pass pre-aliased columns (`count(c).over(w).as("cnt")`). */
+  def withWindowColumns(df: DataFrame, exprs: Seq[Column]): DataFrame =
+    df.select((df.columns.map(col).toSeq ++ exprs): _*)
+
   /** U3: `concat_arrays` — column-major extraction of the whole frame
     * (reference `src/utils/dataframe.rs:198-214`). Driver-side action by
     * design (same caveat as the reference: whole frame on the host); for

@@ -148,21 +148,36 @@ object Dedup {
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash fingerprints from token xxhash64 values: for each bit,
-    * sum +1/-1 over tokens, sign → bit. Expressed as explode + groupBy
-    * (one shuffle on id, partial aggregation map-side). */
+    * majority vote over tokens (2*popcount > n ⟺ the classic ±1 sum > 0).
+    *
+    * SWAR formulation: instead of 64 separate `sum(when(...))` aggregate
+    * columns (64 hash-map slots updated per token), each token packs its
+    * 64 bit-values into 16 longs of four 16-bit lanes and the aggregation
+    * is 16 long sums — lane counts can't overflow 16 bits because tokens
+    * are per-doc distinct (< 65536). Same shuffle shape (groupBy id with
+    * map-side partials), 4x less aggregation state.
+    */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.repartition(col(idCol)).select(col(idCol),
       explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
-        .as(s"b$i")
+    // pack: lane i (16-bit, i=0..3) of packed long k holds bit (4k + i)
+    val packed = (0 until 16).map { k =>
+      (0 until 4).map { i =>
+        shiftleft(shiftright(col("h"), 4 * k + i).bitwiseAND(lit(1L)), 16 * i)
+      }.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as(s"p$k")
     }
-    toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(i =>
-          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+    val aggs = (0 until 16).map(k => sum(col(s"p$k")).as(s"s$k")) :+
+      count(lit(1)).as("n_tok")
+    val sums = toks.select((col(idCol) +: packed): _*)
+      .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // unpack: bit j set iff 2*count(j) > n_tok, count(j) = lane (j%4) of s(j/4)
+    val fp = (0 until 64).map { j =>
+      val lane = shiftright(col(s"s${j / 4}"), 16 * (j % 4))
+        .bitwiseAND(lit(0xFFFFL))
+      when(lane * 2 > col("n_tok"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    sums.select(col(idCol), fp.as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, using the
@@ -170,7 +185,8 @@ object Dedup {
     * exact 16-bit chunk, so candidates come from a chunk-equality join. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val fp = simhash(df, idCol, textCol)
+    // fingerprints feed both join sides — cache, don't recompute
+    val fp = simhash(df, idCol, textCol).cache()
     val chunks = fp.select(col(idCol), col("simhash"), posexplode(
       array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -182,8 +198,11 @@ object Dedup {
     l.join(r, Seq("chunk_idx", "chunk")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
+      // hamming is a cheap codegen'd bit_count: filter BEFORE the distinct
+      // so the dedup shuffle carries only true near-pairs, not every
+      // chunk collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ------------------------------------------------- exact n-gram jaccard

@@ -79,6 +79,17 @@ class DataFrameOpsSpec extends SparkTestBase {
     assert(strs.forall(s => s.length >= 1 && s.length <= 50))
   }
 
+  test("withWindowColumns bulk-attaches aliased window exprs (reference W3)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1, "a", 10), (2, "a", 20), (3, "b", 30)).toDF("id", "g", "v")
+    val w = Window.partitionBy("g")
+    val out = withWindowColumns(df, Seq(
+      count($"id").over(w).as("cnt"), sum($"v").over(w).as("sv")))
+    assert(out.columns.toSeq == Seq("id", "g", "v", "cnt", "sv"))
+    assert(out.filter($"g" === "a").select("sv").distinct()
+      .as[Long].collect().toSeq == Seq(30L))
+  }
+
   test("concatArrays returns column-major host values") {
     val m = concatArrays(idNameData)
     assert(m("id") == Seq(1, 2, 3))

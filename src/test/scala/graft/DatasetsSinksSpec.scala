@@ -24,6 +24,13 @@ class DatasetsSinksSpec extends SparkTestBase {
     assert(groups == Map("red" -> 13L, "green" -> 12L))
   }
 
+  test("cars timestamps: reference's raw ns values survive as exact µs " +
+    "(tests/api/dataframe_tests.rs:63-71; ns->µs lossless for whole seconds)") {
+    val first = ExampleDataset.Cars.load(spark).orderBy("time")
+      .select(unix_micros(to_timestamp($"time")) * 1000).as[Long].head()
+    assert(first == 829310703000000000L) // reference's first raw ns value
+  }
+
   test("cars golden: top speeds sorted (reference datasets.rs:136-167 shape)") {
     val top = ExampleDataset.Cars.load(spark)
       .orderBy($"speed".desc).select("car", "speed").limit(3)
