@@ -12,6 +12,25 @@ object Sinks {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Hive-style partitioned parquet layout: the 100 TB default. Queries
+    * filtering on the partition columns scan only matching directories
+    * (partition pruning — `PartitionFilters` in `.explain`), and
+    * partition columns cost zero storage in the files themselves. Choose
+    * low-cardinality columns (date, category); high-cardinality partition
+    * keys produce millions of tiny files. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Clustered write: sort within partitions by the given columns before
+    * writing, so parquet row-group min/max statistics become selective and
+    * point/range filters skip whole row groups at scan time. Pair with
+    * `writePartitioned` (partition prune first, then row-group skip). */
+  def writeClustered(df: DataFrame, path: String,
+                     sortCols: Seq[String]): Unit =
+    df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").parquet(path)
+
   /** S19: whole-frame → JSON array bytes (reference `df_to_json_bytes`,
     * `src/utils/dataframe.rs:813-823`). Driver-side action by design; null
     * fields are omitted, matching the reference's arrow-json writer. */

@@ -69,6 +69,24 @@ class DatasetsSinksSpec extends SparkTestBase {
     assert(df.count() == 2)
   }
 
+  test("writePartitioned: hive layout + partition pruning in the plan") {
+    val dir = Files.createTempDirectory("graft_part_").resolve("t")
+    val df = Seq((1, "a", 10), (2, "b", 20), (3, "a", 30)).toDF("id", "cat", "v")
+    Sinks.writePartitioned(df, dir.toString, Seq("cat"))
+    assert(Files.exists(dir.resolve("cat=a")) && Files.exists(dir.resolve("cat=b")))
+    val pruned = spark.read.parquet(dir.toString).filter($"cat" === "a")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cat"))
+    assert(pruned.count() == 2)
+  }
+
+  test("writeClustered: sorted row groups round-trip") {
+    val dir = Files.createTempDirectory("graft_clus_").resolve("t")
+    val df = spark.range(100).select(($"id" * 37 % 100).as("k"), $"id".as("v"))
+    Sinks.writeClustered(df, dir.toString, Seq("k"))
+    assert(spark.read.parquet(dir.toString).count() == 100)
+  }
+
   test("S3 conf helper applies reference constants (config-only)") {
     Sinks.S3.configure(spark, Some("eu-west-1"))
     val conf = spark.sparkContext.hadoopConfiguration
