@@ -108,6 +108,29 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 131 + pmod(xxhash64(t), p), p))
   }
 
+  /** Normalization for dedup/fingerprint pipelines: lowercase, strip
+    * punctuation (explicit cross-engine char class), collapse whitespace,
+    * trim. The standard canonical form fed to exact/minhash dedup. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), """[.,;:!?'"()\[\]{}-]""", ""),
+      "\\s+", " "))
+
+  /** Boilerplate-line stripping: drop lines matching any marker regex
+    * (copyright/nav/footer patterns), rejoin. Line-wise filter over a
+    * split — codegen'd, shuffle-free. */
+  def stripBoilerplate(text: Column,
+                       markers: Seq[String] = DefaultBoilerplate): Column = {
+    val keep = filter(split(text, "\n"), line =>
+      markers.map(m => !line.rlike(m)).reduce((a: Column, b: Column) => a && b))
+    array_join(keep, "\n")
+  }
+
+  val DefaultBoilerplate: Seq[String] = Seq(
+    "(?i)copyright|all rights reserved",
+    "(?i)^\\s*(home|about|contact|privacy policy)\\s*$",
+    "(?i)subscribe|sign up for our newsletter")
+
   /** Per-document report over a corpus frame. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),

@@ -137,6 +137,26 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // canonical text normalization (oracled)
+    "txt_normalize" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.normalize(col("text")).as("norm"),
+          length(TextAnalysis.normalize(col("text"))).cast("long")
+            .as("norm_len"))
+        .orderBy("doc_id")
+    }),
+
+    // LSH-probed ANN (xxhash-free but Spark-seeded hyperplanes: rows-only;
+    // the oracled exact counterpart is sim_topk)
+    "sim_topk_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id",
+          "embedding", k = 5, tables = 8, bits = 6)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // multimodal metadata plumbing (oracled: byte length + checksum)
     "mm_meta" -> ((s, dir) => {
       Multimodal.attachPayload(docs(s, dir), "text", "image/png")
@@ -291,6 +311,14 @@ object Pipeline {
       """SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(
              string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+    "txt_normalize" ->
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+             '[.,;:!?''"()\[\]{}-]', '', 'g'), '\s+', ' ', 'g')) AS norm,
+           length(trim(regexp_replace(regexp_replace(lower(text),
+             '[.,;:!?''"()\[\]{}-]', '', 'g'), '\s+', ' ', 'g')))::BIGINT
+             AS norm_len
          FROM documents ORDER BY doc_id""",
     "mm_meta" ->
       """SELECT doc_id, octet_length(text::BLOB)::BIGINT AS byte_len,

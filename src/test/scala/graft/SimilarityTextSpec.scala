@@ -94,6 +94,21 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(out.toSeq == Seq("en", "de", "es", "und"))
   }
 
+  test("normalize: lowercase, punct-free, single-spaced") {
+    val df = Seq("  The QUICK,   brown (fox)!  ").toDF("text")
+    assert(df.select(TextAnalysis.normalize($"text")).as[String].collect()(0)
+      == "the quick brown fox")
+  }
+
+  test("stripBoilerplate drops marker lines, keeps content") {
+    val doc = "Real content here\nCopyright 2024 Acme\nMore content\n" +
+      "Subscribe to our newsletter today"
+    val df = Seq(doc).toDF("text")
+    val out = df.select(TextAnalysis.stripBoilerplate($"text")).as[String]
+      .collect()(0)
+    assert(out == "Real content here\nMore content")
+  }
+
   test("fingerprint is token-order-insensitive; rollingHash is order-sensitive") {
     val df = Seq(("b a c", "a b c"), ("a b c", "a b c")).toDF("t1", "t2")
     val fp = df.select(TextAnalysis.fingerprint($"t1"),
