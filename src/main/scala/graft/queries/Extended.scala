@@ -220,6 +220,15 @@ object Extended {
         .orderBy("k_mod")
     }),
 
+    // HLL sketch next to the exact answer (approx values are engine-
+    // specific -> rows-only; the exact column is what q_agg_global oracles)
+    "x_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")
+    }),
+
     // O6: random sampling — nondeterministic by design (rows-only check,
     // like the reference's shape-only tests for random ops)
     "x_sample" -> ((s, dir) => {

@@ -198,6 +198,22 @@ object Relational {
         .orderBy("city")
     }),
 
+    // 1BRC with codegen'd builtins instead of the UDF — the "functions,
+    // not UDFs" counterpart of q_1brc (same oracle, same answer)
+    "q_1brc_fast" -> ((s, dir) => {
+      val raw = t(s, dir, "events")
+        .select(concat_ws(";", col("event_type"),
+          col("value").cast("string")).as("column_1"))
+      raw.select(
+          substring_index(col("column_1"), ";", 1).as("city"),
+          substring_index(col("column_1"), ";", -1).try_cast("double")
+            .as("temp"))
+        .groupBy("city")
+        .agg(min("temp").as("t_min"), max("temp").as("t_max"),
+          round(median(col("temp")), 3).as("t_med"))
+        .orderBy("city")
+    }),
+
     // streaming-analogue batch query: tumbling hourly window over events
     "q_events_hourly" -> ((s, dir) => {
       t(s, dir, "events")
@@ -340,6 +356,17 @@ object Relational {
              AS prio
          FROM orders ORDER BY o_orderkey""",
     "q_1brc" ->
+      """WITH raw AS (
+           SELECT event_type || ';' || CAST(value AS varchar) AS column_1
+           FROM events),
+         parsed AS (
+           SELECT split_part(column_1, ';', 1) AS city,
+                  CAST(split_part(column_1, ';', 2) AS double) AS temp
+           FROM raw)
+         SELECT city, min(temp) AS t_min, max(temp) AS t_max,
+                round(median(temp), 3) AS t_med
+         FROM parsed GROUP BY city ORDER BY city""",
+    "q_1brc_fast" ->
       """WITH raw AS (
            SELECT event_type || ';' || CAST(value AS varchar) AS column_1
            FROM events),
