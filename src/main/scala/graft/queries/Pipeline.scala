@@ -137,6 +137,26 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // batch sessionization: 30-min-gap sessions via lag + running sum —
+    // the batch twin of streaming.EventsStreaming.sessionize (oracled)
+    "ev_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val gapUs = 1800L * 1000000L
+      val sess = e
+        .withColumn("gap", col("us") - lag("us", 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap").isNull || col("gap") > gapUs, 1).otherwise(0))
+        .withColumn("session_id", sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // canonical text normalization (oracled)
     "txt_normalize" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -312,6 +332,26 @@ object Pipeline {
            md5(array_to_string(list_sort(list_distinct(
              string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
          FROM documents ORDER BY doc_id""",
+    "ev_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS us
+           FROM events),
+         g AS (
+           SELECT user_id, event_id, value, us,
+             CASE WHEN us - lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+               AS new_sess
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         s AS (
+           SELECT user_id, event_id, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+           FROM g)
+         SELECT user_id, session_id::BIGINT AS session_id,
+           count(*) AS n_events, round(sum(value), 2) AS total
+         FROM s GROUP BY user_id, s.session_id
+         ORDER BY user_id, session_id""",
     "txt_normalize" ->
       """SELECT doc_id,
            trim(regexp_replace(regexp_replace(lower(text),
