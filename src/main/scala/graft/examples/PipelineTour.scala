@@ -1,0 +1,66 @@
+package graft.examples
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Sessions
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sinks.Sinks
+import graft.sources.Tables
+
+/** End-to-end training-data pipeline over the documents corpus — the
+  * composition every individual operator exists for:
+  *
+  *   normalize → quality filter → language id → exact dedup →
+  *   near-dedup (minhash keep-first) → token stats → partitioned write
+  *
+  * Each stage is lazy; the whole pipeline is ONE Catalyst plan per action
+  * (dedup's candidate join is the only pair-wise stage). Run:
+  * `sbt "runMain graft.examples.PipelineTour"`.
+  */
+object PipelineTour {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("graft-pipeline-tour")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    val raw = Tables.load(spark, dir, "documents")
+    println(s"raw docs:            ${raw.count()}")
+
+    // 1. canonical text + per-doc stats (narrow, shuffle-free)
+    val normed = raw
+      .withColumn("norm", TextAnalysis.normalize(col("text")))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+
+    // 2. quality gate
+    val filtered = normed.filter(col("quality") >= 0.5 && col("n_tokens") >= 10)
+    println(s"after quality gate:  ${filtered.count()}")
+
+    // 3. exact dedup on normalized content (one shuffle)
+    val exactKept = filtered.join(
+      Dedup.exactByContent(filtered, "doc_id", "norm").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    println(s"after exact dedup:   ${exactKept.count()}")
+
+    // 4. near-dedup: minhash LSH pairs -> keep smallest id
+    val pairs = Dedup.minhashPairs(exactKept, "doc_id", "text",
+      threshold = 0.7)
+    val survivors = Dedup.keepFirst(exactKept, "doc_id", pairs)
+    println(s"after near dedup:    ${survivors.count()} " +
+      s"(removed ${exactKept.count() - survivors.count()} near-dups)")
+
+    // 5. partitioned write, clustered for downstream range scans
+    val out = Files.createTempDirectory("graft_pipeline_").resolve("corpus")
+    Sinks.writePartitioned(
+      survivors.select("doc_id", "lang_pred", "quality", "n_tokens", "norm"),
+      out.toString, Seq("lang_pred"))
+    val back = spark.read.parquet(out.toString)
+    println(s"written + re-read:   ${back.count()} rows, " +
+      s"partitions: ${back.select("lang_pred").distinct().count()} langs")
+
+    spark.stop()
+    println("PipelineTour done.")
+  }
+}

@@ -177,6 +177,32 @@ object Pipeline {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // corpus top terms: explode -> count -> top-k (oracled)
+    "txt_top_terms" -> ((s, dir) => {
+      docs(s, dir).repartition(col("doc_id"))
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(20)
+    }),
+
+    // TF-IDF per (doc, term): the classic feature-extraction join.
+    // round(6) absorbs potential last-ulp libm log() differences.
+    "txt_tfidf" -> ((s, dir) => {
+      val d = docs(s, dir).repartition(col("doc_id"))
+      val nDocs = d.count()
+      val terms = d.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      tf.join(dfreq, "token")
+        .withColumn("tfidf", round(col("tf") *
+          log(lit(nDocs.toDouble) / col("df")), 6))
+        .filter(col("doc_id") < 10)
+        .select("doc_id", "token", "tf", "df", "tfidf")
+        .orderBy("doc_id", "token")
+    }),
+
     // multimodal metadata plumbing (oracled: byte length + checksum)
     "mm_meta" -> ((s, dir) => {
       Multimodal.attachPayload(docs(s, dir), "text", "image/png")
@@ -360,6 +386,25 @@ object Pipeline {
              '[.,;:!?''"()\[\]{}-]', '', 'g'), '\s+', ' ', 'g')))::BIGINT
              AS norm_len
          FROM documents ORDER BY doc_id""",
+    "txt_top_terms" ->
+      """SELECT token, count(*) AS cnt FROM (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""",
+    "txt_tfidf" ->
+      """WITH terms AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+             AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM terms
+                GROUP BY 1, 2),
+         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+         SELECT doc_id, tf.token, tf, df,
+           round(tf * ln(n_docs / df), 6) AS tfidf
+         FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+         WHERE doc_id < 10
+         ORDER BY doc_id, tf.token""",
     "mm_meta" ->
       """SELECT doc_id, octet_length(text::BLOB)::BIGINT AS byte_len,
            md5(text) AS checksum
