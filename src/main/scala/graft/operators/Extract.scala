@@ -30,6 +30,13 @@ object Extract {
       }
     }
 
+  /** C13: `try_from_array` — single element extraction by row/column
+    * (reference `src/utils/scalarvalue.rs:10-12`); driver-side, use on
+    * small/collected frames only. */
+  def valueAt(df: DataFrame, rowIdx: Int, colName: String): Any =
+    df.select(colName).take(rowIdx + 1).lastOption
+      .map(_.get(0)).orNull
+
   /** C14: `parse_strings` — parse strings to a typed vector; unparsable →
     * null (reference `src/utils/scalarvalue.rs:32-60`). UInt32 widens to
     * Long (Spark has no unsigned types, SURVEY §7.3). */

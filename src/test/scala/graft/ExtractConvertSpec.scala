@@ -27,6 +27,12 @@ class ExtractConvertSpec extends SparkTestBase {
     assert(out == Seq(Seq("x", "10"), Seq("y", "null"), Seq()))
   }
 
+  test("valueAt extracts a single element (reference try_from_array)") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v").orderBy("id")
+    assert(Extract.valueAt(df, 1, "v") == "b")
+    assert(Extract.valueAt(df, 0, "id") == 1)
+  }
+
   test("parseStrings: unparsable -> null; unsigned widens to Long") {
     assert(Extract.parseStrings(Seq("1", "x", "3"), IntegerType) ==
       Seq(1, null, 3))
