@@ -46,7 +46,7 @@ object Tables {
     * (reference `examples/algo/one_billion_row_challenge.rs:121-123`). */
   def csvNoHeader(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.option("header", "false").csv(path)
-    df.toDF(df.columns.zipWithIndex.map { case (_, i) => s"column_${i + 1}" }: _*)
+    df.toDF(df.columns.indices.map(i => s"column_${i + 1}"): _*)
   }
 
   /** S4: parquet scan (reference `tests/api/dataframe_tests.rs:593-595`). */
