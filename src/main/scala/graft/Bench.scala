@@ -3,14 +3,26 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query at the configured
-  * scale factor and prints ONE JSON line. A short warm-up query runs first
-  * so Spark's codegen/JIT machinery is hot before measurement (the first
-  * query otherwise absorbs several seconds of one-time session cost).
+  * scale factor and prints ONE JSON line.
+  *
+  * Hygiene rules (without which per-query numbers are meaningless):
+  *  - a warm-up pass touches every table and the codegen/JIT machinery so
+  *    the first measured query doesn't absorb one-time session cost;
+  *  - `spark.catalog.clearCache()` runs between queries — several dedup
+  *    operators cache intermediate frames (signatures, shingles) for the
+  *    duration of their own plan, and leaked cache blocks otherwise evict
+  *    each other and inflate later queries 10-40x;
+  *  - each query is timed min-of-N (N=2 by default, SPARK_GRAFT_BENCH_RUNS
+  *    to override): min filters out GC/compile noise, which at sub-second
+  *    query times is the dominant variance source;
+  *  - the JSON line records cpus + sf so a number is never quoted without
+  *    the environment that produced it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,17 +40,25 @@ object Bench {
       }
       SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("q_join_inner").foreach(_(spark, sfDir).count())
+      spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop any cache an operator built for this plan before the next
+        // query (or the next run) is timed
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"runs":$runs,"timing":"min_of_runs"}""")
     spark.stop()
   }
 }

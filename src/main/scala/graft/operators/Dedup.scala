@@ -22,10 +22,45 @@ import graft.functions.VectorFunctions
   *                never materializing the n² pair space
   *  - embedding:  random-hyperplane LSH bucket join + exact cosine verify
   *
-  * All hashing is deterministic (fixed seeds, xxhash64) so results are
-  * reproducible across runs and cluster layouts.
+  * All hashing is deterministic (fixed seeds) so results are reproducible
+  * across runs and cluster layouts. Hashing is pluggable via [[HashMode]]:
+  * the production default is Spark's codegen'd `xxhash64`; [[HashMode.Md5]]
+  * derives the same-width hashes from md5 hex prefixes, which any SQL
+  * engine can replicate bit-for-bit — that mode exists so LSH outputs can
+  * be verified value-level against an external oracle (DuckDB), not just
+  * row-counted.
   */
 object Dedup {
+
+  /** Hash provider for the LSH family. */
+  sealed trait HashMode
+  object HashMode {
+    /** xxhash64 — fastest (codegen'd, no hex round-trip); production. */
+    case object Xx extends HashMode
+    /** md5-derived bits — bit-replicable in any engine with md5(). */
+    case object Md5 extends HashMode
+  }
+
+  /** 31-bit non-negative hash of a column. Md5 mode: first 8 md5 hex chars
+    * parsed as an unsigned 32-bit int, reduced mod 2^31-1 — DuckDB twin is
+    * `('0x' || substr(md5(c),1,8))::BIGINT % 2147483647`. */
+  private[graft] def hash31(c: Column, mode: HashMode): Column = mode match {
+    case HashMode.Xx => pmod(xxhash64(c), lit(Prime31))
+    case HashMode.Md5 =>
+      pmod(conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long"),
+        lit(Prime31))
+  }
+
+  /** 64-bit hash of a column. Md5 mode composes the first 16 md5 hex chars
+    * from two 32-bit halves (a single conv of 16 chars would overflow the
+    * signed long cast for half the values). */
+  private[graft] def hash64(c: Column, mode: HashMode): Column = mode match {
+    case HashMode.Xx => xxhash64(c)
+    case HashMode.Md5 =>
+      val hex = md5(c.cast("binary"))
+      shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
+  }
 
   // ---------------------------------------------------------------- exact
 
@@ -60,8 +95,10 @@ object Dedup {
   }
 
   /** Deterministic (a,b) coefficient pairs for k universal hash fns,
-    * bounded to 31 bits so a*h + b stays within 2^62 (no long overflow). */
-  private def hashCoeffs(k: Int, seed: Long): Seq[(Long, Long)] = {
+    * bounded to 31 bits so a*h + b stays within 2^62 (no long overflow).
+    * private[graft]: the DuckDB oracle generator embeds the same
+    * coefficients as SQL literals. */
+  private[graft] def hashCoeffs(k: Int, seed: Long): Seq[(Long, Long)] = {
     val r = new Random(seed)
     Seq.fill(k)((r.nextInt(Int.MaxValue - 1).toLong + 1L,
       r.nextInt(Int.MaxValue).toLong))
@@ -78,9 +115,10 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleSize: Int = 3,
-                        seed: Long = 42L): DataFrame = {
+                        seed: Long = 42L,
+                        mode: HashMode = HashMode.Xx): DataFrame = {
     val sh = shingles(df, idCol, textCol, shingleSize)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(Prime31)))
+      .withColumn("h", hash31(col("shingle"), mode))
     val minCols = hashCoeffs(numHashes, seed).zipWithIndex.map {
       case ((a, b), i) =>
         min(pmod(col("h") * lit(a) + lit(b), lit(Prime31))).as(s"m$i")
@@ -91,24 +129,37 @@ object Dedup {
   }
 
   /** LSH band buckets: (id, band, bucket_hash). bands * rowsPerBand must
-    * equal the signature length. */
+    * equal the signature length. Md5 mode buckets are the md5 hex of the
+    * comma-joined band slice (DuckDB: `md5(array_to_string(slice, ','))`);
+    * xx mode hashes the slice array directly. */
   def minhashBuckets(sigs: DataFrame, idCol: String, bands: Int,
-                     rowsPerBand: Int): DataFrame =
+                     rowsPerBand: Int,
+                     mode: HashMode = HashMode.Xx): DataFrame = {
+    def bucketOf(b: Int): Column = {
+      val sl = slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)
+      mode match {
+        case HashMode.Xx => xxhash64(sl).cast("string")
+        case HashMode.Md5 =>
+          md5(array_join(transform(sl, x => x.cast("string")), ",")
+            .cast("binary"))
+      }
+    }
     sigs.select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("signature"), b * rowsPerBand + 1,
-            lit(rowsPerBand))))))
+        array((0 until bands).map(bucketOf): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
 
   /** Candidate pairs (idA < idB) sharing at least one LSH bucket — a
     * self-equi-join on (band, bucket), deduped. This is the scale path:
     * the pair space is only materialized inside colliding buckets. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
-                        shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
+                        shingleSize: Int = 3, seed: Long = 42L,
+                        mode: HashMode = HashMode.Xx): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize, seed)
-    val b = minhashBuckets(sigs, idCol, bands, numHashes / bands)
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize,
+      seed, mode)
+    val b = minhashBuckets(sigs, idCol, bands, numHashes / bands, mode)
     val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "bucket"))
@@ -121,14 +172,17 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, numHashes: Int = 64,
                    bands: Int = 16, shingleSize: Int = 3,
-                   seed: Long = 42L): DataFrame = {
+                   seed: Long = 42L,
+                   mode: HashMode = HashMode.Xx): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // one signature computation feeds both the bucket join and the
     // estimate — signatures are cached because the plan fans out into
-    // three scans (bucket left/right + both pair sides)
+    // three scans (bucket left/right + both pair sides). Callers that run
+    // many queries in one session should clearCache() afterwards (Bench
+    // does); the cache is scoped to this plan's lifetime by convention.
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize,
-      seed).cache()
-    val b = minhashBuckets(sigs, idCol, bands, numHashes / bands)
+      seed, mode).cache()
+    val b = minhashBuckets(sigs, idCol, bands, numHashes / bands, mode)
     val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     val cand = l.join(r, Seq("band", "bucket"))
@@ -157,10 +211,11 @@ object Dedup {
     * are per-doc distinct (< 65536). Same shuffle shape (groupBy id with
     * map-side partials), 4x less aggregation state.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              mode: HashMode = HashMode.Xx): DataFrame = {
     val toks = df.repartition(col(idCol)).select(col(idCol),
       explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", hash64(col("tok"), mode))
     // pack: lane i (16-bit, i=0..3) of packed long k holds bit (4k + i)
     val packed = (0 until 16).map { k =>
       (0 until 4).map { i =>
@@ -184,9 +239,10 @@ object Dedup {
     * 4x16-bit chunk pigeonhole: pairs within hamming 3 share at least one
     * exact 16-bit chunk, so candidates come from a chunk-equality join. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   mode: HashMode = HashMode.Xx): DataFrame = {
     // fingerprints feed both join sides — cache, don't recompute
-    val fp = simhash(df, idCol, textCol).cache()
+    val fp = simhash(df, idCol, textCol, mode).cache()
     val chunks = fp.select(col(idCol), col("simhash"), posexplode(
       array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -252,11 +308,33 @@ object Dedup {
     Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(r.nextGaussian())))
   }
 
+  /** Oracle-replicable hyperplanes: component (t,b,d) is uniform in
+    * [-1, 1], derived from the first 8 md5 hex chars of "p:t:b:d" — the
+    * same value any engine computes as
+    * `(('0x'||substr(md5('p:'||t||':'||b||':'||d),1,8))::BIGINT
+    *   % 1000001 - 500000) / 500000.0`.
+    * Uniform (vs gaussian) components are an equally valid sign-random-
+    * projection family; integer-derived values make the double exact in
+    * both engines. */
+  private[graft] def md5Planes(tables: Int, bits: Int,
+                               dim: Int): Seq[Seq[Seq[Double]]] =
+    Seq.tabulate(tables)(t => Seq.tabulate(bits)(b => Seq.tabulate(dim) { d =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"p:$t:$b:$d".getBytes("UTF-8"))
+      val h = ((digest(0) & 0xFFL) << 24) | ((digest(1) & 0xFFL) << 16) |
+        ((digest(2) & 0xFFL) << 8) | (digest(3) & 0xFFL)
+      (h % 1000001L - 500000L).toDouble / 500000.0
+    }))
+
   /** Sign-random-projection bucket per table: (id, table, bucket). */
   def embeddingBuckets(df: DataFrame, idCol: String, vecCol: String,
                        tables: Int = 8, bits: Int = 12, dim: Int = 64,
-                       seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(tables, bits, dim, seed)
+                       seed: Long = 42L,
+                       mode: HashMode = HashMode.Xx): DataFrame = {
+    val planes = mode match {
+      case HashMode.Xx => hyperplanes(tables, bits, dim, seed)
+      case HashMode.Md5 => md5Planes(tables, bits, dim)
+    }
     val bucketCols = planes.zipWithIndex.map { case (tablePlanes, ti) =>
       val bitVals = tablePlanes.zipWithIndex.map { case (plane, bi) =>
         // codegen'd VectorDot against the literal plane — the interpreted
@@ -278,8 +356,9 @@ object Dedup {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, tables: Int = 8,
                      bits: Int = 12, dim: Int = 64,
-                     seed: Long = 42L): DataFrame = {
-    val b = embeddingBuckets(df, idCol, vecCol, tables, bits, dim, seed)
+                     seed: Long = 42L,
+                     mode: HashMode = HashMode.Xx): DataFrame = {
+    val b = embeddingBuckets(df, idCol, vecCol, tables, bits, dim, seed, mode)
     val l = b.select(col("table"), col("bucket"), col(idCol).as("id_a"))
     val r = b.select(col("table"), col("bucket"), col(idCol).as("id_b"))
     val cand = l.join(r, Seq("table", "bucket"))

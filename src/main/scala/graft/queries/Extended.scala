@@ -152,11 +152,14 @@ object Extended {
         .orderBy("p_partkey")
     }),
 
-    // grouped array agg, deterministically sorted
+    // grouped array agg, deterministically sorted; the list is built by
+    // collect_set/sort_array then flattened with array_join because the
+    // driver's comparer cannot sort list-typed columns
     "x_array_agg" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(sort_array(collect_set(col("o_orderpriority"))).as("prios"))
+        .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+          .as("prios"))
         .orderBy("o_orderstatus")
     }),
 
@@ -230,10 +233,23 @@ object Extended {
     }),
 
     // O6: random sampling — nondeterministic by design (rows-only check,
-    // like the reference's shape-only tests for random ops)
+    // like the reference's shape-only tests for random ops).
+    // PARITY form: ORDER BY random() LIMIT 1 — a full global sort to pick
+    // one row. Fine on a 5-row dim; a scale-killer on a 100 TB fact (total
+    // shuffle sort of the corpus). The scale-safe twin is below.
     "x_sample" -> ((s, dir) => {
       t(s, dir, "region").orderBy(rand()).limit(1)
         .select("r_regionkey", "r_name")
+    }),
+
+    // O6 scale twin: rand() < p filter + limit — a narrow scan-side filter
+    // (no shuffle, no sort; each partition drops ~(1-p) of its rows and
+    // the limit short-circuits the scan). This is the form that survives
+    // 100 TB; size p so the expected survivor count safely exceeds the
+    // limit. Nondeterministic -> rows-only check, like x_sample.
+    "x_sample_scalable" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(rand() < 0.01).limit(5)
+        .select("l_orderkey", "l_linenumber")
     }),
 
     // typed Dataset[T] pipeline: case-class filter/map with Encoders.
@@ -341,7 +357,8 @@ object Extended {
          FROM part ORDER BY p_partkey""",
     "x_array_agg" ->
       """SELECT o_orderstatus,
-           list_sort(list(DISTINCT o_orderpriority)) AS prios
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+             AS prios
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "x_having" ->
       """SELECT o_custkey, count(*) AS cnt FROM orders

@@ -4,14 +4,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.Dedup.HashMode
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (dedup / similarity / text analysis /
   * multimodal) as named queries over `documents` and `embeddings`, with
-  * DuckDB oracles wherever the semantics are SQL-expressible. Hash-based
-  * ops that depend on Spark's xxhash64 (minhash/simhash/LSH) are
-  * rows-only checked — their *verified* counterparts (exact n-gram
-  * jaccard, brute-force cosine) carry the oracles.
+  * DuckDB oracles wherever the semantics are SQL-expressible.
+  *
+  * The LSH family (minhash/simhash/hyperplane buckets) runs here in
+  * [[Dedup.HashMode.Md5]]: hashes and hyperplanes derive from md5 hex
+  * prefixes, which DuckDB replicates bit-for-bit, so even the
+  * "approximate" operators get full rows+schema+hash verification (the
+  * oracle SQL below is generated with the same constants). Production
+  * callers keep the default xxhash64 mode — same operator code path,
+  * faster hash — covered by the ScalaTest specs.
   */
 object Pipeline {
   private type Q = (SparkSession, String) => DataFrame
@@ -34,17 +40,21 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     }),
 
-    // minhash LSH near-dup pairs (xxhash-dependent -> rows-only check)
+    // minhash LSH near-dup pairs (md5 hash mode -> fully oracled)
     "dd_minhash_pairs" -> ((s, dir) => {
-      Dedup.minhashPairs(docs(s, dir), "doc_id", "text", threshold = 0.7)
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text", threshold = 0.7,
+          mode = HashMode.Md5)
         .select(col("id_a"), col("id_b"),
           round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy("id_a", "id_b")
     }),
 
-    // simhash near-dup pairs (xxhash-dependent -> rows-only check)
+    // simhash near-dup pairs (md5 hash mode -> fully oracled)
     "dd_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3,
+          mode = HashMode.Md5)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -71,11 +81,11 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     }),
 
-    // embedding near-dup pairs via hyperplane LSH (rows-only; recall<1 by
-    // design — the scale path for true near-dup regimes)
+    // embedding near-dup pairs via hyperplane LSH (md5-derived planes ->
+    // fully oracled; recall<1 vs dd_embed_pairs by design — the scale path)
     "dd_embed_lsh" -> ((s, dir) => {
       Dedup.embeddingPairs(embs(s, dir), "vec_id", "embedding",
-          threshold = 0.3, tables = 8, bits = 8)
+          threshold = 0.3, tables = 8, bits = 8, mode = HashMode.Md5)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
@@ -166,15 +176,35 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
-    // LSH-probed ANN (xxhash-free but Spark-seeded hyperplanes: rows-only;
-    // the oracled exact counterpart is sim_topk)
+    // LSH-probed ANN (md5-derived planes -> fully oracled; the exact
+    // counterpart is sim_topk)
     "sim_topk_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id",
-          "embedding", k = 5, tables = 8, bits = 6)
+          "embedding", k = 5, tables = 16, bits = 4, mode = HashMode.Md5)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"))
         .orderBy("query_id", "neighbor_id")
+    }),
+
+    // LSH recall measurement: fraction of the exact top-5 the LSH probe
+    // recovers, per query — the evidence behind "recall tunable via
+    // tables x bits" (deterministic given md5-mode planes -> oracled)
+    "sim_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5,
+          tables = 16, bits = 4, mode = HashMode.Md5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("k"), 4))
+        .orderBy("query_id")
     }),
 
     // corpus top terms: explode -> count -> top-k (oracled)
@@ -188,16 +218,19 @@ object Pipeline {
 
     // TF-IDF per (doc, term): the classic feature-extraction join.
     // round(6) absorbs potential last-ulp libm log() differences.
+    // The corpus size joins in as a broadcast scalar aggregate — one job,
+    // no driver-side count() during plan construction.
     "txt_tfidf" -> ((s, dir) => {
       val d = docs(s, dir).repartition(col("doc_id"))
-      val nDocs = d.count()
+      val nDocs = d.agg(count(lit(1)).cast("double").as("n_docs"))
       val terms = d.select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
       val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       tf.join(dfreq, "token")
+        .crossJoin(broadcast(nDocs))
         .withColumn("tfidf", round(col("tf") *
-          log(lit(nDocs.toDouble) / col("df")), 6))
+          log(col("n_docs") / col("df")), 6))
         .filter(col("doc_id") < 10)
         .select("doc_id", "token", "tf", "df", "tfidf")
         .orderBy("doc_id", "token")
@@ -228,6 +261,145 @@ object Pipeline {
          i -> array_to_string(t[i:i+2], ' ')))) AS shingle
        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
              FROM documents)"""
+
+  // ------------------------------------------------------- oracle builders
+  // DuckDB twins of the Md5 hash mode (Dedup.hash31/hash64/md5Planes):
+  // generated with the same constants the Spark operators use, so the
+  // "approximate" LSH queries are verified value-for-value.
+
+  /** DuckDB twin of Dedup.hash31(c, Md5). */
+  private def hash31Sql(c: String): String =
+    s"(('0x' || substr(md5($c),1,8))::BIGINT % 2147483647)"
+
+  /** Minhash oracle: same universal-hash coefficients (embedded as SQL
+    * literals from Dedup.hashCoeffs), same band bucketing, same signature-
+    * agreement estimate. */
+  private def minhashOracleSql(numHashes: Int, bands: Int, seed: Long,
+                               threshold: Double): String = {
+    val coeffs = Dedup.hashCoeffs(numHashes, seed)
+    val aList = coeffs.map(_._1).mkString("[", ",", "]")
+    val bList = coeffs.map(_._2).mkString("[", ",", "]")
+    val rpb = numHashes / bands
+    s"""WITH sh AS ($ShingleSql),
+       hs AS (SELECT doc_id, ${hash31Sql("shingle")} AS h FROM sh),
+       m AS (SELECT doc_id, i.i AS i,
+               min(($aList[i.i+1] * h + $bList[i.i+1]) % 2147483647) AS mv
+             FROM hs CROSS JOIN unnest(range(0,$numHashes)) AS i(i)
+             GROUP BY doc_id, i.i),
+       sig AS (SELECT doc_id, list(mv ORDER BY i) AS sig FROM m
+               GROUP BY doc_id),
+       bands AS (SELECT doc_id, b.b AS band,
+                   md5(array_to_string(sig[b.b*$rpb+1 : b.b*$rpb+$rpb], ','))
+                     AS bucket
+                 FROM sig CROSS JOIN unnest(range(0,$bands)) AS b(b)),
+       cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM bands l JOIN bands r
+                  ON l.band = r.band AND l.bucket = r.bucket
+                     AND l.doc_id < r.doc_id),
+       est AS (SELECT id_a, id_b,
+                 len(list_filter(range(0,$numHashes),
+                   i -> sa.sig[i+1] = sb.sig[i+1]))::DOUBLE / $numHashes AS ej
+               FROM cand
+               JOIN sig sa ON sa.doc_id = cand.id_a
+               JOIN sig sb ON sb.doc_id = cand.id_b)
+       SELECT id_a, id_b, round(ej, 4) AS est_jaccard
+       FROM est WHERE ej >= $threshold ORDER BY id_a, id_b"""
+  }
+
+  /** Simhash oracle: per-token 64-bit md5 hash (two 32-bit halves), bit
+    * majority vote, 16-bit chunk pigeonhole join, hamming <= max. */
+  private def simhashOracleSql(maxHamming: Int): String = {
+    val sums = (0 until 64).map { j =>
+      val half = if (j < 32) "lo" else "hi"
+      s"sum(($half >> ${j % 32}) & 1) AS s$j"
+    }.mkString(", ")
+    val chunks = (0 until 4).map { c =>
+      val bits = (0 until 16).map { i =>
+        s"(CASE WHEN 2*s${16 * c + i} > n THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($bits)::BIGINT AS c$c"
+    }.mkString(", ")
+    s"""WITH tok AS (
+         SELECT doc_id, unnest(list_distinct(
+           string_split_regex(trim(text), '\\s+'))) AS tok
+         FROM documents),
+       hs AS (SELECT doc_id,
+                ('0x' || substr(md5(tok),1,8))::BIGINT AS hi,
+                ('0x' || substr(md5(tok),9,8))::BIGINT AS lo
+              FROM tok),
+       votes AS (SELECT doc_id, count(*) AS n, $sums FROM hs
+                 GROUP BY doc_id),
+       fp AS (SELECT doc_id, $chunks FROM votes),
+       chunks AS (SELECT doc_id, i.i AS chunk_idx, [c0,c1,c2,c3][i.i+1]
+                    AS chunk
+                  FROM fp CROSS JOIN unnest(range(0,4)) AS i(i)),
+       cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM chunks l JOIN chunks r
+                  ON l.chunk_idx = r.chunk_idx AND l.chunk = r.chunk
+                     AND l.doc_id < r.doc_id),
+       ham AS (SELECT id_a, id_b,
+                 (bit_count(xor(a.c0,b.c0)) + bit_count(xor(a.c1,b.c1)) +
+                  bit_count(xor(a.c2,b.c2)) + bit_count(xor(a.c3,b.c3)))::INT
+                   AS hamming
+               FROM cand JOIN fp a ON a.doc_id = cand.id_a
+                         JOIN fp b ON b.doc_id = cand.id_b)
+       SELECT id_a, id_b, hamming FROM ham
+       WHERE hamming <= $maxHamming ORDER BY id_a, id_b"""
+  }
+
+  /** Shared CTE block: md5-derived hyperplanes (DuckDB twin of
+    * Dedup.md5Planes) + corpus embeddings + per-(vec, table) buckets. */
+  private def bucketsCteSql(tables: Int, bits: Int): String =
+    s"""planes AS (
+         SELECT tb.t AS t, tb.b AS b, list(tb.pv ORDER BY tb.d) AS plane
+         FROM (
+           SELECT t.t, b.b, d.d,
+             ((('0x' || substr(md5('p:' || t.t::VARCHAR || ':' ||
+                 b.b::VARCHAR || ':' || d.d::VARCHAR),1,8))::BIGINT
+               % 1000001 - 500000) / 500000.0) AS pv
+           FROM unnest(range(0,$tables)) AS t(t)
+           CROSS JOIN unnest(range(0,$bits)) AS b(b)
+           CROSS JOIN unnest(range(0,64)) AS d(d)) tb
+         GROUP BY tb.t, tb.b),
+       emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       buckets AS (
+         SELECT emb.vec_id, p.t AS tbl,
+           sum(CASE WHEN list_dot_product(emb.e, p.plane) > 0
+               THEN (1::BIGINT << p.b) ELSE 0 END)::BIGINT AS bucket
+         FROM emb CROSS JOIN planes p
+         GROUP BY emb.vec_id, p.t)"""
+
+  private def embedLshOracleSql(tables: Int, bits: Int,
+                                threshold: Double): String =
+    s"""WITH ${bucketsCteSql(tables, bits)},
+       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM buckets a JOIN buckets b
+                  ON a.tbl = b.tbl AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id)
+       SELECT id_a, id_b,
+         round(list_cosine_similarity(ea.e, eb.e), 4) AS cosine
+       FROM cand JOIN emb ea ON ea.vec_id = cand.id_a
+                 JOIN emb eb ON eb.vec_id = cand.id_b
+       WHERE list_cosine_similarity(ea.e, eb.e) >= $threshold
+       ORDER BY id_a, id_b"""
+
+  /** LSH top-k CTE chain shared by sim_topk_lsh and sim_recall. */
+  private def lshTopKCtes(tables: Int, bits: Int, k: Int): String =
+    s"""${bucketsCteSql(tables, bits)},
+       qb AS (SELECT * FROM buckets WHERE vec_id < 8),
+       cand AS (SELECT DISTINCT qb.vec_id AS query_id,
+                  cb.vec_id AS neighbor_id
+                FROM buckets cb JOIN qb
+                  ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+                WHERE cb.vec_id != qb.vec_id),
+       scored AS (SELECT query_id, neighbor_id,
+                    list_cosine_similarity(eq.e, ec.e) AS cos
+                  FROM cand JOIN emb eq ON eq.vec_id = cand.query_id
+                            JOIN emb ec ON ec.vec_id = cand.neighbor_id),
+       lsh_ranked AS (SELECT query_id, neighbor_id, cos,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rn
+                      FROM scored)"""
 
   val oracle: Map[String, String] = Map(
     "dd_exact" ->
@@ -264,6 +436,46 @@ object Pipeline {
            WHERE i::DOUBLE / (sa.set_size + sb.set_size - i) >= 0.8)
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT id_b FROM dups)
+         ORDER BY doc_id""",
+    "dd_minhash_pairs" ->
+      minhashOracleSql(numHashes = 64, bands = 16, seed = 42L,
+        threshold = 0.7),
+    "dd_simhash_pairs" -> simhashOracleSql(maxHamming = 3),
+    "dd_embed_lsh" ->
+      embedLshOracleSql(tables = 8, bits = 8, threshold = 0.3),
+    "sim_topk_lsh" ->
+      s"""WITH ${lshTopKCtes(tables = 16, bits = 4, k = 5)}
+         SELECT query_id, neighbor_id, round(cos, 4) AS cosine
+         FROM lsh_ranked WHERE rn <= 5 ORDER BY query_id, neighbor_id""",
+    "sim_recall" ->
+      s"""WITH ${lshTopKCtes(tables = 16, bits = 4, k = 5)},
+         lsh AS (SELECT query_id, neighbor_id FROM lsh_ranked WHERE rn <= 5),
+         b_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        list_cosine_similarity(q.e, c.e) AS cos
+                      FROM emb q JOIN emb c ON c.vec_id != q.vec_id
+                      WHERE q.vec_id < 8),
+         b_ranked AS (SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rn
+                      FROM b_scored),
+         brute AS (SELECT query_id, neighbor_id FROM b_ranked WHERE rn <= 5)
+         SELECT b.query_id, count(*) AS k,
+           sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hit,
+           round(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0
+             END)::DOUBLE / count(*), 4) AS recall
+         FROM brute b LEFT JOIN lsh l
+           ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         GROUP BY b.query_id ORDER BY b.query_id""",
+    "mm_features" ->
+      """SELECT doc_id,
+           octet_length(text::BLOB)::BIGINT AS byte_len,
+           (64 + h % 512)::INT AS width,
+           (64 + (h // 7) % 512)::INT AS height,
+           1 AS n_frames
+         FROM (SELECT doc_id, text,
+                 ('0x' || substr(md5(text),1,8))::BIGINT AS h
+               FROM documents)
          ORDER BY doc_id""",
     "dd_embed_pairs" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)

@@ -231,9 +231,15 @@ object Relational {
     }),
 
     // C2: pack columns into a nested struct column (caller field order)
+    // The struct is built by the operator, then destructured to scalar
+    // fields for the driver's comparer (which cannot sort nested columns);
+    // the nested-value shape itself is pinned by ColumnPackSpec.
     "q_cols_to_struct" -> ((s, dir) => {
       graft.operators.ColumnPack.colsToStruct(t(s, dir, "nation"),
           Seq("n_name", "n_regionkey"), "s")
+        .select(col("n_nationkey"),
+          col("s.n_name").as("s_n_name"),
+          col("s.n_regionkey").as("s_n_regionkey"))
         .orderBy("n_nationkey")
     }),
 
@@ -388,7 +394,10 @@ object Relational {
          FROM nation ORDER BY n_nationkey""",
     "q_cols_to_struct" ->
       """SELECT n_nationkey,
-           struct_pack(n_name := n_name, n_regionkey := n_regionkey) AS s
+           struct_pack(n_name := n_name, n_regionkey := n_regionkey).n_name
+             AS s_n_name,
+           struct_pack(n_name := n_name, n_regionkey := n_regionkey)
+             .n_regionkey AS s_n_regionkey
          FROM nation ORDER BY n_nationkey""",
     "q_add_pk" ->
       """SELECT n_nationkey,

@@ -51,7 +51,7 @@ class SimilarityTextSpec extends SparkTestBase {
   }
 
   test("labelCentroids averages per label") {
-    val out = Similarity.labelCentroids(vecs, "label", "embedding", dim = 3)
+    val out = Similarity.labelCentroids(vecs, "label", "embedding")
       .orderBy("label").collect()
     val c0 = out(0).getSeq[Double](1)
     assert(math.abs(c0.head - 0.95) < 1e-6)
