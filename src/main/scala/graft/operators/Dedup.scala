@@ -378,7 +378,17 @@ object Dedup {
 
   /** Survivor view shared by all pair-producers: drop every doc that has a
     * near-duplicate with a smaller id (single anti-join — no iterative
-    * connected components needed for dedup-keep-first semantics). */
+    * connected components needed for dedup-keep-first semantics).
+    *
+    * Semantics note — GREEDY, not cluster-exact: for a chain A~B, B~C
+    * (without A~C) this keeps only A; C is dropped because it has *some*
+    * smaller-id near-dup, even though its pair partner B was itself
+    * dropped. That is the standard keep-first training-data dedup rule
+    * (order-stable, one shuffle). If one representative per *connected
+    * component* is required instead, run union-find over the pair edges —
+    * e.g. iterative label propagation: repeat `id -> min(id, min over
+    * neighbors)` joins until fixpoint (O(log n) rounds on realistic dup
+    * graphs) — and keep ids equal to their component minimum. */
   def keepFirst(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol),
       "left_anti")

@@ -20,6 +20,10 @@ object GoldenTable {
     case s: scala.collection.Seq[_] => s.map(fmt).mkString("[", ", ", "]")
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, x) => s"${fmt(k)}: ${fmt(x)}" }.mkString("{", ", ", "}")
+    // arrow prints structs with field names: {a: foo, b: 42}
+    case r: org.apache.spark.sql.Row if r.schema != null =>
+      r.schema.fieldNames.zip(r.toSeq)
+        .map { case (n, x) => s"$n: ${fmt(x)}" }.mkString("{", ", ", "}")
     case r: org.apache.spark.sql.Row => r.toSeq.map(fmt).mkString("{", ", ", "}")
     case a: Array[Byte] => a.map("%02x".format(_)).mkString
     case other => other.toString

@@ -102,4 +102,40 @@ class DedupSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(0L, 3L, 4L))
   }
+
+  test("keepFirst chain semantics: A~B~C keeps only A (greedy, not clusters)") {
+    // 1 is a dup of 0, 2 is a dup of 1, but 0~2 was never emitted (e.g.
+    // their similarity fell below threshold). Greedy keep-first still drops
+    // 2 — it has SOME smaller-id near-dup — so only chain head 0 survives.
+    // Cluster-exact dedup (union-find / connected components) could instead
+    // keep one representative per component; keepFirst's scaladoc names
+    // that alternative. Here we pin the greedy contract.
+    val chain = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepFirst(corpus, "doc_id", chain)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L))
+  }
+
+  test("Md5 hash mode: same dup structure as xxhash mode") {
+    import Dedup.HashMode
+    val mh = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.5,
+        numHashes = 64, bands = 16, mode = HashMode.Md5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh.contains((0L, 1L)))
+    assert(!mh.exists(p => p._1 == 3L || p._2 == 3L))
+    val fps = Dedup.simhash(corpus, "doc_id", "text", mode = HashMode.Md5)
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(fps(0) == fps(1))
+    assert(java.lang.Long.bitCount(fps(0) ^ fps(2)) <
+      java.lang.Long.bitCount(fps(0) ^ fps(3)))
+  }
+
+  test("md5Planes are deterministic and uniform in [-1,1]") {
+    val p1 = Dedup.md5Planes(2, 4, 8)
+    val p2 = Dedup.md5Planes(2, 4, 8)
+    assert(p1 == p2)
+    val flat = p1.flatten.flatten
+    assert(flat.forall(v => v >= -1.0 && v <= 1.0))
+    assert(flat.distinct.size > 50) // not degenerate
+  }
 }
