@@ -392,4 +392,60 @@ object Dedup {
   def keepFirst(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol),
       "left_anti")
+
+  /** Connected components over a near-dup pair set: (id, cluster) where
+    * cluster is the minimum id reachable through pair edges — the
+    * union-find alternative to [[keepFirst]], for cluster-exact dedup
+    * (one survivor per transitive duplicate group).
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the min of its own label and its neighbors' labels — one
+    * shuffle per round, converging in O(component diameter) rounds.
+    * Near-dup graphs have tiny diameters (dup clusters are dense), so in
+    * practice this is a handful of rounds even at 100 TB; each round's
+    * frame is `localCheckpoint`ed to truncate lineage (without it the
+    * plan doubles every round and the job dies on planning, not data).
+    * The convergence check rides on the same materialized result. For
+    * adversarial long-chain graphs, the large-star/small-star variant
+    * halves diameter per round; not needed for dedup workloads.
+    *
+    * Only ids that appear in `pairs` are returned — callers join back to
+    * the corpus and coalesce singletons to their own id. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b",
+                          maxIter: Int = 50): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"),
+          coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label") < col("label")).as("chg"))
+        .localCheckpoint()
+      converged = updated.filter(col("chg")).isEmpty
+      labels = updated.select("id", "label")
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "cluster")
+  }
+
+  /** Cluster-exact survivors: keep exactly one doc (the min id) per
+    * connected near-dup component — the transitive counterpart of
+    * [[keepFirst]] (see the chain example in its scaladoc). */
+  def keepFirstExact(df: DataFrame, idCol: String,
+                     pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val dropped = cc.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -79,6 +79,67 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** IVF coarse assignment: each vector joins its nearest centroid by
+    * cosine (ties broken by centroid id). Centroids are broadcast (k is
+    * small); one narrow pass over the corpus — the "build inverted lists"
+    * half of IVF. Output: (idCol, cid). */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, cidCol: String = "cid",
+                centCol: String = "centroid",
+                nProbe: Int = 1): DataFrame = {
+    val scored = df.crossJoin(broadcast(
+        centroids.select(col(cidCol), col(centCol))))
+      .withColumn("c_cos", cosineFromParts(
+        dot(col(vecCol), col(centCol)),
+        normSq(col(vecCol)), normSq(col(centCol))))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("c_cos").desc, col(cidCol).asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= nProbe)
+      .select(col(idCol), col(cidCol))
+  }
+
+  /** IVF-style approximate top-k: corpus vectors are inverted-listed under
+    * their nearest centroid, each query probes only its `nProbe` nearest
+    * lists, and exact cosine ranks the candidates — the classic
+    * coarse-quantizer ANN, complementing the hyperplane-LSH path in
+    * [[lshTopK]].
+    *
+    * The centroid set is an input (any (cid, centroid) frame): here it
+    * comes from [[labelCentroids]]; production would train unsupervised
+    * k-means — itself expressible as iterated [[ivfAssign]] +
+    * posexplode-mean (the [[labelCentroids]] aggregation shape), one
+    * shuffle per iteration. Recall is governed by nProbe/k (probing all k
+    * lists degenerates to exact search restricted by quantization).
+    * Corpus-side cost at scale: one broadcast-join pass to build lists
+    * (no shuffle of the corpus), then each query touches only its probed
+    * lists. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, centroids: DataFrame, k: Int = 10,
+              nProbe: Int = 3, cidCol: String = "cid",
+              centCol: String = "centroid",
+              excludeSelf: Boolean = true): DataFrame = {
+    val lists = ivfAssign(corpus, idCol, vecCol, centroids, cidCol, centCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val probes = ivfAssign(queries, idCol, vecCol, centroids, cidCol,
+        centCol, nProbe)
+      .withColumnRenamed(idCol, "query_id")
+    val cand = probes.join(lists, cidCol)
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+              else lit(true))
+      .select("query_id", "neighbor_id").distinct()
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      normSq(col(vecCol)).as("q_nsq"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      normSq(col(vecCol)).as("c_nsq"))
+    val scored = cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+      .withColumn("cosine", cosineFromParts(dot(col("q_vec"), col("c_vec")),
+        col("q_nsq"), col("c_nsq")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
   /** Label centroids: average embedding per label — a representative
     * "analytics over vectors" op (group agg over array columns, no UDF).
     *

@@ -24,6 +24,16 @@ object Pipeline {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** IVF coarse quantizer for the sim_topk_ivf/sim_recall_ivf queries:
+    * label centroids with components rounded to 6dp, so Spark and the
+    * DuckDB oracle quantize from bit-identical centroid values (raw means
+    * differ in last-ulp from aggregation order; round(6) reconciles —
+    * same policy sim_centroids uses). */
+  private def ivfCentroids(e: DataFrame): DataFrame =
+    Similarity.labelCentroids(e, "label", "embedding")
+      .select(col("label").as("cid"),
+        transform(col("centroid"), x => round(x, 6)).as("centroid"))
+
   val queries: Map[String, Q] = Map(
     // exact content dedup: survivors + multiplicity per content hash
     "dd_exact" -> ((s, dir) => {
@@ -63,6 +73,29 @@ object Pipeline {
       val d = docs(s, dir)
       val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.8, 3)
       Dedup.keepFirst(d, "doc_id", pairs).select("doc_id").orderBy("doc_id")
+    }),
+
+    // transitive duplicate clusters: iterative min-label propagation
+    // (union-find semantics) over the same pair set; singletons cluster to
+    // themselves (oracled via DuckDB recursive CTE)
+    "dd_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.8, 3)
+      val cc = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      d.select("doc_id").join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .orderBy("doc_id")
+    }),
+
+    // cluster-exact survivors: one doc per transitive component — compare
+    // dd_survivors (greedy keep-first can keep several per component)
+    "dd_survivors_exact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.8, 3)
+      Dedup.keepFirstExact(d, "doc_id", pairs)
+        .select("doc_id").orderBy("doc_id")
     }),
 
     // embedding near-dup pairs, brute-force verified (oracled)
@@ -207,6 +240,36 @@ object Pipeline {
         .orderBy("query_id")
     }),
 
+    // IVF ANN: label-centroid coarse quantizer (rounded 6dp so both
+    // engines quantize identically), probe 3 of 10 inverted lists, exact
+    // cosine re-rank (oracled)
+    "sim_topk_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), "vec_id",
+          "embedding", ivfCentroids(e), k = 5, nProbe = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // IVF recall vs the exact top-5 (the probes/k tradeoff, measured)
+    "sim_recall_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+          ivfCentroids(e), k = 5, nProbe = 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("k"), 4))
+        .orderBy("query_id")
+    }),
+
     // corpus top terms: explode -> count -> top-k (oracled)
     "txt_top_terms" -> ((s, dir) => {
       docs(s, dir).repartition(col("doc_id"))
@@ -270,6 +333,68 @@ object Pipeline {
   /** DuckDB twin of Dedup.hash31(c, Md5). */
   private def hash31Sql(c: String): String =
     s"(('0x' || substr(md5($c),1,8))::BIGINT % 2147483647)"
+
+  /** CTE chain: exact n-gram jaccard pairs >= 0.8 (the dd_ngram_pairs
+    * computation) + symmetric edge list + min-label components via
+    * recursive transitive closure — the oracle twin of
+    * Dedup.connectedComponents (which iterates label propagation; both
+    * converge to the component-minimum labeling). */
+  private val CcCtes =
+    s"""sh AS ($ShingleSql),
+       sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         FROM sh a JOIN sh b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT id_a, id_b FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE i::DOUBLE / (sa.set_size + sb.set_size - i) >= 0.8),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(a, b) AS (
+         SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       labels AS (SELECT a AS doc_id, min(b) AS cluster FROM reach
+                  GROUP BY a)"""
+
+  /** CTE chain: IVF over label centroids (rounded 6dp), nearest-centroid
+    * assignment, nProbe probes, exact cosine re-rank — the oracle twin of
+    * Similarity.ivfTopK over Pipeline.ivfCentroids. */
+  private def ivfCtes(nProbe: Int): String =
+    s"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       sums AS (SELECT label, d.d AS pos,
+                  sum(embedding[d.d+1]::DOUBLE) AS s, count(*) AS n
+                FROM embeddings CROSS JOIN unnest(range(0,64)) AS d(d)
+                GROUP BY label, d.d),
+       cent AS (SELECT label AS cid, list(round(s / n, 6) ORDER BY pos) AS c
+                FROM sums GROUP BY label),
+       assign AS (SELECT vec_id, cid FROM (
+           SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.e, c.c) DESC, c.cid) AS rn
+           FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+       probes AS (SELECT vec_id AS query_id, cid FROM (
+           SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.e, c.c) DESC, c.cid) AS rn
+           FROM emb e CROSS JOIN cent c WHERE e.vec_id < 8)
+         WHERE rn <= $nProbe),
+       ivf_cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+                    FROM probes p JOIN assign a ON a.cid = p.cid
+                    WHERE a.vec_id != p.query_id),
+       ivf_scored AS (SELECT query_id, neighbor_id,
+                        list_cosine_similarity(eq.e, ec.e) AS cos
+                      FROM ivf_cand
+                      JOIN emb eq ON eq.vec_id = ivf_cand.query_id
+                      JOIN emb ec ON ec.vec_id = ivf_cand.neighbor_id),
+       ivf_ranked AS (SELECT query_id, neighbor_id, cos,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rn
+                      FROM ivf_scored)"""
 
   /** Minhash oracle: same universal-hash coefficients (embedded as SQL
     * literals from Dedup.hashCoeffs), same band bucketing, same signature-
@@ -437,6 +562,41 @@ object Pipeline {
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT id_b FROM dups)
          ORDER BY doc_id""",
+    "dd_clusters" ->
+      s"""WITH RECURSIVE $CcCtes
+         SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+         FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    "dd_survivors_exact" ->
+      s"""WITH RECURSIVE $CcCtes
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN
+           (SELECT doc_id FROM labels WHERE doc_id != cluster)
+         ORDER BY doc_id""",
+    "sim_topk_ivf" ->
+      s"""WITH ${ivfCtes(nProbe = 3)}
+         SELECT query_id, neighbor_id, round(cos, 4) AS cosine
+         FROM ivf_ranked WHERE rn <= 5 ORDER BY query_id, neighbor_id""",
+    "sim_recall_ivf" ->
+      s"""WITH ${ivfCtes(nProbe = 3)},
+         ivf AS (SELECT query_id, neighbor_id FROM ivf_ranked WHERE rn <= 5),
+         b_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        list_cosine_similarity(q.e, c.e) AS cos
+                      FROM emb q JOIN emb c ON c.vec_id != q.vec_id
+                      WHERE q.vec_id < 8),
+         b_ranked AS (SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rn
+                      FROM b_scored),
+         brute AS (SELECT query_id, neighbor_id FROM b_ranked WHERE rn <= 5)
+         SELECT b.query_id, count(*) AS k,
+           sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hit,
+           round(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0
+             END)::DOUBLE / count(*), 4) AS recall
+         FROM brute b LEFT JOIN ivf l
+           ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         GROUP BY b.query_id ORDER BY b.query_id""",
     "dd_minhash_pairs" ->
       minhashOracleSql(numHashes = 64, bands = 16, seed = 42L,
         threshold = 0.7),

@@ -130,6 +130,35 @@ class DedupSpec extends SparkTestBase {
       java.lang.Long.bitCount(fps(0) ^ fps(3)))
   }
 
+  test("connectedComponents labels transitive groups with the min id") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(cc == Seq((0L, 0L), (1L, 0L), (2L, 0L), (5L, 5L), (6L, 5L)))
+  }
+
+  test("keepFirstExact keeps one per component where greedy keeps two") {
+    // 1 and 2 are each near-dups of 3 but not of each other: greedy
+    // keepFirst keeps both (neither is ever an id_b); cluster-exact keeps
+    // only the component minimum 1
+    val d = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val greedy = Dedup.keepFirst(d, "doc_id", pairs)
+      .as[Long].collect().toSet
+    val exact = Dedup.keepFirstExact(d, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(greedy == Set(1L, 2L, 9L))
+    assert(exact == Set(1L, 9L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter rounds)") {
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(0L))
+    assert(cc.size == 10)
+  }
+
   test("md5Planes are deterministic and uniform in [-1,1]") {
     val p1 = Dedup.md5Planes(2, 4, 8)
     val p2 = Dedup.md5Planes(2, 4, 8)

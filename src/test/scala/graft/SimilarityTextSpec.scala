@@ -50,6 +50,30 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(out.map(_.getLong(1)).contains(1L))
   }
 
+  test("ivfAssign maps each vector to its nearest centroid") {
+    val cents = Seq(
+      (0, Array(1.0, 0.0, 0.0)),
+      (1, Array(0.0, 1.0, 0.0))).toDF("cid", "centroid")
+    val out = Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+      .orderBy("vec_id").as[(Long, Int)].collect().toSeq
+    // 0,1 point along x -> centroid 0; 2 along y -> centroid 1;
+    // 3 along z is equidistant (cos 0 to both) -> tie broken to cid 0
+    assert(out == Seq((0L, 0), (1L, 0), (2L, 1), (3L, 0)))
+  }
+
+  test("ivfTopK finds the strong neighbor through its probed list") {
+    val cents = Seq(
+      (0, Array(1.0, 0.0, 0.0)),
+      (1, Array(0.0, 1.0, 0.0))).toDF("cid", "centroid")
+    val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0),
+        "vec_id", "embedding", cents, k = 2, nProbe = 1)
+      .collect()
+    // probe list 0 only: candidates {1} (vec 3 tie-assigned there, but
+    // cosine to query is 0 and still ranks below vec 1)
+    assert(out.map(_.getLong(1)).contains(1L))
+    assert(out.forall(_.getLong(1) != 0L))
+  }
+
   test("labelCentroids averages per label") {
     val out = Similarity.labelCentroids(vecs, "label", "embedding")
       .orderBy("label").collect()
