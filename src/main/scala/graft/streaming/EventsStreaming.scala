@@ -64,6 +64,51 @@ object EventsStreaming {
       }
   }
 
+  /** Streaming exact dedup on arbitrary key columns with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` only remembers keys younger than the
+    * watermark, so state is O(keys per watermark window), not O(all keys
+    * ever) — the only safe form on an unbounded 100 TB/day stream. Exact
+    * global dedup (plain `dropDuplicates`) would grow state forever; run
+    * that as the batch `Dedup.exact` over the landed data instead. */
+  def dedupeExact(events: DataFrame, keyCols: Seq[String] = Seq("event_id"),
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Sessionization emitting only CLOSED sessions, via
+    * flatMapGroupsWithState + event-time timeout: a session closes when
+    * the watermark passes its last event + gap, i.e. closure is driven by
+    * stream time, not wall clock — replayable and deterministic, unlike
+    * the processing-time variant above (which emits running updates).
+    * Append output mode; state per key is O(1) counters. */
+  def sessionizeClosed(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                       watermark: String = "0 seconds"): Dataset[Session] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[Session]
+    implicit val longEnc = Encoders.scalaLong
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.count, s.sum))
+          } else {
+            val evs = batch.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val next = SessionState(prev.count + evs.size,
+              prev.sum + evs.map(_.value).sum,
+              math.max(prev.lastTs, evs.map(_.ts.getTime).max))
+            state.update(next)
+            // close when the watermark passes last-event-time + gap
+            state.setTimeoutTimestamp(next.lastTs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** File-source stream over a directory of event parquet files — the
     * production entry point (swap path for kafka, same downstream plan). */
   def fromParquetDir(spark: org.apache.spark.sql.SparkSession, dir: String,

@@ -65,6 +65,52 @@ class MultimodalStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedupeExact drops in-watermark duplicate keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "value")
+    val out = EventsStreaming.dedupeExact(events, Seq("event_id"), "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedupe_test")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      mem.addData((1L, t0, 1.0), (1L, t0, 1.0), (2L, t0, 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, t0, 1.0)) // still within watermark -> dropped
+      q.processAllAvailable()
+      val rows = spark.sql("select event_id from dedupe_test order by 1")
+        .as[Long].collect().toSeq
+      assert(rows == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("sessionizeClosed emits a session only when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStreaming.Event]
+    val sessions = EventsStreaming.sessionizeClosed(mem.toDS(),
+      gapMs = 60000L, watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("closed_test")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, user: Long, t: String, v: Double) =
+        EventsStreaming.Event(id,
+          java.sql.Timestamp.valueOf(s"2024-01-01 $t"), user, "click", v)
+      mem.addData(ev(1, 7, "00:00:00", 1.0), ev(2, 7, "00:00:30", 2.0))
+      q.processAllAvailable()
+      // watermark is still 00:00:30 — nothing closed yet
+      assert(spark.sql("select * from closed_test").collect().isEmpty)
+      // a much later event advances the watermark past 00:01:30
+      mem.addData(ev(3, 8, "00:10:00", 5.0))
+      q.processAllAvailable()
+      mem.addData(ev(4, 9, "00:20:00", 0.0)) // push watermark again
+      q.processAllAvailable()
+      val r = spark.sql("select * from closed_test where user_id = 7")
+        .as[EventsStreaming.Session].collect()
+      assert(r.length == 1)
+      assert(r(0).n_events == 2L && r(0).total_value == 3.0)
+    } finally q.stop()
+  }
+
   test("streaming sessionize via mapGroupsWithState emits running sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventsStreaming.Event]
