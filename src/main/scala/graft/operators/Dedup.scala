@@ -358,7 +358,12 @@ object Dedup {
                      bits: Int = 12, dim: Int = 64,
                      seed: Long = 42L,
                      mode: HashMode = HashMode.Xx): DataFrame = {
-    val b = embeddingBuckets(df, idCol, vecCol, tables, bits, dim, seed, mode)
+    // the bucket frame feeds both self-join sides: cache the NARROW
+    // (id, table, bucket) projection so the corpus is scanned once, not
+    // twice — at 100 TB the cache is ~tables x 16B/row, the re-scan is
+    // the full corpus (same lifecycle convention as minhashPairs)
+    val b = embeddingBuckets(df, idCol, vecCol, tables, bits, dim, seed,
+      mode).cache()
     val l = b.select(col("table"), col("bucket"), col(idCol).as("id_a"))
     val r = b.select(col("table"), col("bucket"), col(idCol).as("id_b"))
     val cand = l.join(r, Seq("table", "bucket"))
@@ -416,10 +421,19 @@ object Dedup {
                           maxIter: Int = 50): DataFrame = {
     val fwd = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
+    // pre-partition on the per-round join key so the (larger) edge frame
+    // is shuffled once here, not once per round
     val edges = fwd.union(fwd.select(col("dst").as("src"),
-      col("src").as("dst"))).distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+        col("src").as("dst"))).distinct()
+      .repartition(col("src")).localCheckpoint()
+    // seed with min(self, direct neighbors) — this IS the first
+    // propagation round, done as one aggregation without a labels join;
+    // star/clique-shaped dup clusters then converge in a single loop pass
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("src").as("id"),
+        least(col("src"), col("m")).as("label"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

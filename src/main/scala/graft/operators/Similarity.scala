@@ -63,7 +63,9 @@ object Similarity {
     val qb = Dedup.embeddingBuckets(queries, idCol, vecCol, tables, bits, dim,
         seed, mode)
       .withColumnRenamed(idCol, "query_id")
-    val cand = cb.join(qb, Seq("table", "bucket"))
+    // query buckets are queries x tables rows — broadcast them so the
+    // corpus bucket index never shuffles for the probe join
+    val cand = cb.join(broadcast(qb), Seq("table", "bucket"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select("query_id", "neighbor_id").distinct()
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
@@ -92,10 +94,21 @@ object Similarity {
       .withColumn("c_cos", cosineFromParts(
         dot(col(vecCol), col(centCol)),
         normSq(col(vecCol)), normSq(col(centCol))))
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("c_cos").desc, col(cidCol).asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= nProbe)
-      .select(col(idCol), col(cidCol))
+    if (nProbe == 1) {
+      // the corpus-side hot path: argmax as a hash aggregate (map-side
+      // partials, no sort) instead of a window — min over the struct
+      // (-cos, cid) is lexicographically "max cosine, tie -> min cid",
+      // identical semantics to the window form below
+      scored.groupBy(col(idCol)).agg(
+        min_by(col(cidCol), struct(negate(col("c_cos")), col(cidCol)))
+          .as(cidCol))
+    } else {
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("c_cos").desc, col(cidCol).asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= nProbe)
+        .select(col(idCol), col(cidCol))
+    }
   }
 
   /** IVF-style approximate top-k: corpus vectors are inverted-listed under
@@ -123,7 +136,9 @@ object Similarity {
     val probes = ivfAssign(queries, idCol, vecCol, centroids, cidCol,
         centCol, nProbe)
       .withColumnRenamed(idCol, "query_id")
-    val cand = probes.join(lists, cidCol)
+    // probes is queries x nProbe rows — broadcast it so the inverted
+    // lists (corpus-sized) never shuffle
+    val cand = broadcast(probes).join(lists, cidCol)
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
               else lit(true))
       .select("query_id", "neighbor_id").distinct()
