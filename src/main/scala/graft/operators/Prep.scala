@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-preparation operators for training pipelines: chunking long
+  * documents into model-window pieces, deterministic train/val/test
+  * splitting, and sequence packing.
+  *
+  * All three are deliberately hash/window-deterministic (md5-derived
+  * buckets, id-ordered windows) so results are reproducible across runs,
+  * cluster layouts, AND engines — each has a value-level DuckDB oracle in
+  * `queries/Pipeline.scala`.
+  */
+object Prep {
+
+  /** md5-derived bucket in [0, buckets): deterministic, engine-portable
+    * (DuckDB twin: `('0x'||substr(md5(salt||id),1,8))::BIGINT % buckets`).
+    * Salt lets several independent splits coexist over one id space. */
+  private def md5Bucket(id: Column, buckets: Int, salt: String): Column =
+    pmod(conv(substring(md5(concat(lit(salt), id.cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long"), lit(buckets))
+
+  /** Chunk each document into token windows of `chunkTokens` with
+    * `overlap` tokens shared between consecutive chunks — the standard
+    * long-document -> model-context-window step. Narrow explode, no
+    * shuffle; chunk count per doc ~ n_tokens / (chunkTokens - overlap).
+    * Output: (idCol, chunk_idx, chunk_tokens, chunk_text). */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int = 512, overlap: Int = 64): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = TextAnalysis.tokens(col(textCol))
+    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)),
+      lit(stride))
+    df.select(col(idCol), posexplode(
+        transform(starts, s => slice(toks, s + 1, lit(chunkTokens)))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        size(col("col")).cast("long").as("chunk_tokens"),
+        array_join(col("col"), " ").as("chunk_text"))
+  }
+
+  /** Deterministic train/val/test assignment from the md5 of the id: a
+    * document lands in the same split on every run, on every engine, and
+    * under any repartitioning — the property random() splits lack. Narrow
+    * per-row op. Output adds (bucket, split). */
+  def hashSplit(df: DataFrame, idCol: String, trainPct: Int = 90,
+                valPct: Int = 5, salt: String = "split:"): DataFrame = {
+    require(trainPct + valPct <= 100, "trainPct + valPct must be <= 100")
+    val bucket = md5Bucket(col(idCol), 100, salt)
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** Sequence packing: assign documents to fixed-budget bins by running
+    * token count — the batching step that turns a corpus into
+    * max-length training sequences. Documents are sharded by md5(id) so
+    * packing parallelizes (each shard packs independently — packing is
+    * per-worker in any real loader), then a per-shard id-ordered running
+    * sum assigns bin = floor(exclusive_cumsum / maxTokens).
+    *
+    * Capacity semantics: start-offset binning — a bin may overrun
+    * `maxTokens` by at most one document (the one straddling the
+    * boundary). Exact first-fit packing needs sequential state and is
+    * deliberately not offered as a distributed op; at the loader level
+    * the overrun doc is truncated or spilled. Output adds
+    * (shard, bin, n_tokens). */
+  def packSequences(df: DataFrame, idCol: String, tokenCountCol: String,
+                    maxTokens: Long = 8192, shards: Int = 64,
+                    salt: String = "pack:"): DataFrame = {
+    val shard = md5Bucket(col(idCol), shards, salt)
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", shard)
+      .withColumn("n_tokens", col(tokenCountCol).cast("long"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / maxTokens))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Prep, Similarity, TextAnalysis}
 import graft.operators.Dedup.HashMode
 import graft.sources.Tables
 
@@ -297,6 +297,30 @@ object Pipeline {
         .filter(col("doc_id") < 10)
         .select("doc_id", "token", "tf", "df", "tfidf")
         .orderBy("doc_id", "token")
+    }),
+
+    // long-doc chunking into 64-token windows with 16-token overlap
+    // (oracled)
+    "txt_chunks" -> ((s, dir) => {
+      Prep.chunk(docs(s, dir).filter(col("doc_id") < 20), "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // deterministic md5 train/val/test split (oracled)
+    "ds_split" -> ((s, dir) => {
+      Prep.hashSplit(docs(s, dir), "doc_id", trainPct = 90, valPct = 5)
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    }),
+
+    // sequence packing into 512-token bins over 8 shards (oracled)
+    "ds_pack" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      Prep.packSequences(d, "doc_id", "n_tok", maxTokens = 512, shards = 8)
+        .select("doc_id", "shard", "n_tokens", "bin")
+        .orderBy("doc_id")
     }),
 
     // multimodal metadata plumbing (oracled: byte length + checksum)
@@ -627,6 +651,40 @@ object Pipeline {
          FROM brute b LEFT JOIN lsh l
            ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
          GROUP BY b.query_id ORDER BY b.query_id""",
+    "txt_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
+             AS tk FROM documents WHERE doc_id < 20),
+         st AS (SELECT doc_id, tk,
+                  range(0, greatest(len(tk)-1, 0)+1, 48) AS starts FROM t),
+         ch AS (SELECT doc_id, i.i AS chunk_idx,
+                  tk[starts[i.i+1]+1 : starts[i.i+1]+64] AS ctoks
+                FROM st CROSS JOIN unnest(range(0, 1000)) AS i(i)
+                WHERE i.i < len(starts))
+         SELECT doc_id, chunk_idx::INT AS chunk_idx,
+           len(ctoks)::BIGINT AS chunk_tokens,
+           array_to_string(ctoks, ' ') AS chunk_text
+         FROM ch ORDER BY doc_id, chunk_idx""",
+    "ds_split" ->
+      """SELECT doc_id, bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 (('0x' || substr(md5('split:' || doc_id::VARCHAR),1,8))
+                   ::BIGINT % 100) AS bucket
+               FROM documents)
+         ORDER BY doc_id""",
+    "ds_pack" ->
+      """WITH d AS (SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+             (('0x' || substr(md5('pack:' || doc_id::VARCHAR),1,8))
+               ::BIGINT % 8) AS shard
+           FROM documents)
+         SELECT doc_id, shard, n_tokens,
+           floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / 512)::BIGINT AS bin
+         FROM d ORDER BY doc_id""",
     "mm_features" ->
       """SELECT doc_id,
            octet_length(text::BLOB)::BIGINT AS byte_len,

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Prep
+
+class PrepSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chunk windows tokens with overlap; trailing chunk is short") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Prep.chunk(df, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_tokens", "chunk_text")
+      .as[(Int, Long, String)].collect().toSeq
+    // stride 3: starts 0,3,6,9 -> [t1..t4], [t4..t7], [t7..t10], [t10]
+    assert(out == Seq(
+      (0, 4L, "t1 t2 t3 t4"),
+      (1, 4L, "t4 t5 t6 t7"),
+      (2, 4L, "t7 t8 t9 t10"),
+      (3, 1L, "t10")))
+  }
+
+  test("chunk of a short doc is a single chunk") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val out = Prep.chunk(df, "doc_id", "text", 512, 64).collect()
+    assert(out.length == 1 && out(0).getLong(2) == 2L)
+  }
+
+  test("hashSplit is deterministic, covers all rows, respects percentages") {
+    val df = (0L until 1000L).toDF("doc_id")
+    val s1 = Prep.hashSplit(df, "doc_id", trainPct = 80, valPct = 10)
+    val s2 = Prep.hashSplit(df, "doc_id", trainPct = 80, valPct = 10)
+    val counts = s1.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts.values.sum == 1000L)
+    // md5 buckets are uniform: 80/10/10 within a loose tolerance
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("val") < 160)
+    // same assignment on recompute
+    assert(s1.orderBy("doc_id").select("split").collect().toSeq ==
+      s2.orderBy("doc_id").select("split").collect().toSeq)
+  }
+
+  test("packSequences: bins respect budget except the straddling doc") {
+    val df = (0L until 100L).map(i => (i, 100L)).toDF("doc_id", "n_tok")
+    val out = Prep.packSequences(df, "doc_id", "n_tok",
+        maxTokens = 250, shards = 4)
+      .groupBy("shard", "bin").agg(sum("n_tokens").as("tot"),
+        count(lit(1)).as("n"))
+      .collect()
+    // each bin holds docs whose exclusive cumsum < 250·(bin+1): with
+    // uniform 100-token docs that is 3 docs (300 tokens — one doc over
+    // budget, per start-offset semantics), except each shard's last bin
+    assert(out.forall(_.getAs[Long]("tot") <= 350))
+    assert(out.forall(_.getAs[Long]("n") <= 3))
+  }
+
+  test("GraftExtensions registers vector_dot for config-driven sessions") {
+    val prior = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val v = s.sql(
+        "SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect()(0).getDouble(0)
+      assert(v == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+}
