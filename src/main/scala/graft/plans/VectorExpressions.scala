@@ -18,14 +18,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * on the sf0.1 all-pairs cosine scan) while producing bit-identical
   * results to the fold it replaces (same sequential double accumulation).
   *
-  * Null handling: a null array yields null (BinaryExpression default);
-  * null *elements* contribute 0, matching `zip_with`'s null-propagating
-  * product summed by a null-skipping fold.
+  * Null handling, two modes:
+  *  - default (`strict = false`, the Column-API surface): a null array
+  *    yields null; null *elements* contribute 0 and lengths clamp to the
+  *    shorter array — the forgiving vector-math contract.
+  *  - `strict = true` (used by [[RewriteVectorDot]]): exact
+  *    `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, +)` semantics — any
+  *    null element or a length mismatch yields NULL (zip_with pads the
+  *    shorter side with null and the fold propagates it). This makes the
+  *    optimizer rewrite unconditionally sound, whatever the data.
   */
-case class VectorDot(left: Expression, right: Expression)
+case class VectorDot(left: Expression, right: Expression,
+                     strict: Boolean = false)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = strict || super.nullable
 
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -47,6 +56,7 @@ case class VectorDot(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (strict && a.numElements() != b.numElements()) return null
     val n = math.min(a.numElements(), b.numElements())
     val la = elemType(left) == FloatType
     val lb = elemType(right) == FloatType
@@ -57,6 +67,8 @@ case class VectorDot(left: Expression, right: Expression)
         val x = if (la) a.getFloat(i).toDouble else a.getDouble(i)
         val y = if (lb) b.getFloat(i).toDouble else b.getDouble(i)
         acc += x * y
+      } else if (strict) {
+        return null
       }
       i += 1
     }
@@ -70,16 +82,36 @@ case class VectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $acc += (double) $a.$getA($i) * (double) $b.$getB($i);
-         |  }
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
+      if (strict) {
+        // HOF-compatible: length mismatch or any null element -> NULL
+        s"""
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |      ${ev.isNull} = true;
+           |      break;
+           |    }
+           |    $acc += (double) $a.$getA($i) * (double) $b.$getB($i);
+           |  }
+           |  ${ev.value} = $acc;
+           |}
+         """.stripMargin
+      } else {
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+           |    $acc += (double) $a.$getA($i) * (double) $b.$getB($i);
+           |  }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      }
     })
   }
 

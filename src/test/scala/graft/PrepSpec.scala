@@ -59,6 +59,65 @@ class PrepSpec extends SparkTestBase {
   }
 
   test("GraftExtensions registers vector_dot for config-driven sessions") {
+    withExtensionsSession { s =>
+      val v = s.sql(
+        "SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect()(0).getDouble(0)
+      assert(v == 11.0)
+    }
+  }
+
+  test("RewriteVectorDot turns the HOF dot pattern into VectorDot") {
+    withExtensionsSession { s =>
+      import s.implicits._
+      // parquet-backed source: a local Seq would be folded to a
+      // LocalRelation by ConvertToLocalRelation before the plan is
+      // observable
+      val dir = java.nio.file.Files.createTempDirectory("graft_rvd_").toString
+      Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir).createOrReplaceTempView("vecs")
+      val q = s.sql(
+        """SELECT aggregate(zip_with(a, b, (x, y) -> x * y),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d FROM vecs"""
+          .stripMargin)
+      val rewritten = q.queryExecution.optimizedPlan.expressions.exists(
+        _.exists(_.isInstanceOf[graft.plans.VectorDot]))
+      assert(rewritten, "expected VectorDot in the optimized plan")
+      assert(q.collect()(0).getDouble(0) == 11.0)
+
+      // strict mode preserves HOF null semantics: an actual null element
+      // yields NULL through the rewritten expression too
+      val qn = s.sql(
+        """SELECT aggregate(zip_with(
+          |    transform(a, e -> IF(e > 1.5D, CAST(NULL AS DOUBLE), e)),
+          |    b, (x, y) -> x * y),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d FROM vecs"""
+          .stripMargin)
+      val firedOnNullable = qn.queryExecution.optimizedPlan.expressions
+        .exists(_.exists {
+          case vd: graft.plans.VectorDot => vd.strict
+          case _ => false
+        })
+      assert(firedOnNullable)
+      assert(qn.collect()(0).isNullAt(0)) // a=[1.0, NULL] -> NULL, like the HOF
+
+      // opt-out flag respected
+      s.conf.set("spark.graft.rewriteVectorDot", "false")
+      try {
+        val qoff = s.sql(
+          """SELECT aggregate(zip_with(a, b, (x, y) -> x * y),
+            |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d FROM vecs"""
+            .stripMargin)
+        assert(!qoff.queryExecution.optimizedPlan.expressions.exists(
+          _.exists(_.isInstanceOf[graft.plans.VectorDot])))
+      } finally s.conf.set("spark.graft.rewriteVectorDot", "true")
+    }
+  }
+
+  /** Run a body against a fresh session built through the
+    * spark.sql.extensions path, restoring the shared test session after. */
+  private def withExtensionsSession(body: SparkSession => Unit): Unit = {
     val prior = spark
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -68,10 +127,7 @@ class PrepSpec extends SparkTestBase {
         .appName("graft-ext-test")
         .withExtensions(new GraftExtensions)
         .getOrCreate()
-      val v = s.sql(
-        "SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
-        .collect()(0).getDouble(0)
-      assert(v == 11.0)
+      body(s)
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
