@@ -200,6 +200,43 @@ object Pipeline {
         .orderBy("user_id", "session_id")
     }),
 
+    // as-of join: each purchase event picks up the user's most recent
+    // view value at-or-before it (union+window implementation, oracled
+    // against DuckDB's native ASOF JOIN)
+    "ev_asof" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "us")
+      // right side unique per (user, ts): the asofBackward contract
+      val views = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "us").agg(max("value").as("view_value"))
+      graft.operators.AsOfJoin.asofBackward(purchases, views,
+          Seq("user_id"), "us", Seq("view_value"))
+        .orderBy("event_id")
+    }),
+
+    // bucketed range join: which orders' first-week windows contain each
+    // lineitem ship date (oracled against a plain BETWEEN join)
+    "q_range_join" -> ((s, dir) => {
+      val pts = Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+            .cast("long").as("ship_day"))
+      val ivs = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 7)
+      graft.operators.RangeJoin.pointInInterval(pts, ivs,
+          "ship_day", "lo", "hi", bucketWidth = 7)
+        .select("l_orderkey", "l_linenumber", "ship_day", "o_orderkey")
+        .orderBy("l_orderkey", "l_linenumber", "ship_day", "o_orderkey")
+    }),
+
     // canonical text normalization (oracled)
     "txt_normalize" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -808,6 +845,33 @@ object Pipeline {
            count(*) AS n_events, round(sum(value), 2) AS total
          FROM s GROUP BY user_id, s.session_id
          ORDER BY user_id, session_id""",
+    "ev_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+             epoch_ns(ts) // 1000 AS us
+           FROM events),
+         p AS (SELECT user_id, event_id, us FROM e
+               WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, us, max(value) AS view_value FROM e
+               WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT p.user_id, p.event_id, p.us, v.view_value AS asof_view_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND p.us >= v.us
+         ORDER BY p.event_id""",
+    "q_range_join" ->
+      """WITH pts AS (
+           SELECT l_orderkey, l_linenumber,
+             date_diff('day', DATE '1970-01-01', l_shipdate::DATE)::BIGINT
+               AS ship_day
+           FROM lineitem WHERE l_orderkey < 200),
+         ivs AS (
+           SELECT o_orderkey,
+             date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT
+               AS lo
+           FROM orders WHERE o_orderkey < 2000)
+         SELECT l_orderkey, l_linenumber, ship_day, o_orderkey
+         FROM pts JOIN ivs
+           ON ship_day BETWEEN lo AND lo + 7
+         ORDER BY l_orderkey, l_linenumber, ship_day, o_orderkey""",
     "txt_normalize" ->
       """SELECT doc_id,
            trim(regexp_replace(regexp_replace(lower(text),

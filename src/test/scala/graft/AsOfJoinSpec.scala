@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def quotes = Seq(
+    (1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0),
+    (2L, 15L, 9.0))
+    .toDF("k", "ts", "px")
+
+  test("asofBackward attaches latest right row at-or-before each left ts") {
+    val trades = Seq((1L, 5L), (1L, 20L), (1L, 25L), (2L, 14L), (3L, 99L))
+      .toDF("k", "ts")
+    val out = AsOfJoin.asofBackward(trades, quotes, Seq("k"), "ts", Seq("px"))
+      .orderBy("k", "ts")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, 5L, None),          // before any quote
+      (1L, 20L, Some(2.0)),    // equal ts is inclusive
+      (1L, 25L, Some(2.0)),    // latest at-or-before
+      (2L, 14L, None),         // per-key isolation: k=1 quotes invisible
+      (3L, 99L, None)))        // key absent on right
+  }
+
+  test("asofBackward carries several value columns and keeps left columns") {
+    val right = Seq((1L, 10L, "a", 7.0)).toDF("k", "ts", "tag", "v")
+    val left = Seq((1L, 11L, "keep")).toDF("k", "ts", "note")
+    val out = AsOfJoin.asofBackward(left, right, Seq("k"), "ts",
+        Seq("tag", "v")).collect()(0)
+    assert(out.getAs[String]("note") == "keep")
+    assert(out.getAs[String]("asof_tag") == "a")
+    assert(out.getAs[Double]("asof_v") == 7.0)
+  }
+
+  test("pointInInterval matches inclusive bounds exactly once per pair") {
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 17L), (4L, 100L))
+      .toDF("pid", "p")
+    val intervals = Seq((10L, 0L, 10L), (20L, 10L, 30L))
+      .toDF("iid", "lo", "hi")
+    val out = graft.operators.RangeJoin.pointInInterval(
+        points, intervals, "p", "lo", "hi", bucketWidth = 4)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    // 5 in [0,10]; 10 in BOTH (inclusive ends); 17 in [10,30]; 100 in none
+    assert(out == Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)))
+  }
+
+  test("pointInInterval respects key columns") {
+    val points = Seq(("a", 5L), ("b", 5L)).toDF("k", "p")
+    val intervals = Seq(("a", 0L, 10L)).toDF("k", "lo", "hi")
+    val out = graft.operators.RangeJoin.pointInInterval(
+        points, intervals, "p", "lo", "hi", 4, keyCols = Seq("k"))
+      .select("k").as[String].collect().toSeq
+    assert(out == Seq("a"))
+  }
+}
