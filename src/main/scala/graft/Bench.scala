@@ -12,9 +12,10 @@ import org.apache.spark.sql.SparkSession
   *    operators cache intermediate frames (signatures, shingles) for the
   *    duration of their own plan, and leaked cache blocks otherwise evict
   *    each other and inflate later queries 10-40x;
-  *  - each query is timed min-of-N (N=2 by default, SPARK_GRAFT_BENCH_RUNS
+  *  - each query is timed min-of-N (N=3 by default, SPARK_GRAFT_BENCH_RUNS
   *    to override): min filters out GC/compile noise, which at sub-second
-  *    query times is the dominant variance source;
+  *    query times is the dominant variance source (observed ±2x run-to-run
+  *    on multi-stage queries at N=1);
   *  - the JSON line records cpus + sf so a number is never quoted without
   *    the environment that produced it.
   */
@@ -22,7 +23,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

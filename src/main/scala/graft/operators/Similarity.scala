@@ -155,6 +155,44 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** Deterministic k-means over an embedding column — the unsupervised
+    * coarse-quantizer trainer for [[ivfTopK]]. Init is the k lowest-id
+    * vectors (deterministic and engine-portable, unlike random init);
+    * each iteration is one broadcast assignment pass ([[ivfAssign]]) plus
+    * one posexplode-mean aggregation (the [[labelCentroids]] shape) — a
+    * bounded number of shuffles per iteration, never a pair-space blowup,
+    * so iterations scale exactly like a window aggregate. Centroid
+    * components round to 6dp per iteration so independent runs — and
+    * independent ENGINES — walk bit-identical trajectories (the
+    * `sim_kmeans` query is value-verified against a DuckDB unrolling of
+    * the same iterations). Per-iteration `localCheckpoint` truncates the
+    * growing lineage. A cluster left empty by an iteration drops out
+    * (standard k-means behavior; k shrinks). */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+             iters: Int = 5): DataFrame = {
+    var cents = df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol), toDouble(col(vecCol)).as("centroid"))
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col(idCol))) - 1)
+      .select(col("cid"),
+        transform(col("centroid"), x => round(x, 6)).as("centroid"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(df, idCol, vecCol, cents)
+      val members = df.join(assigned, idCol)
+      val sums = members
+        .select(col("cid"), posexplode(toDouble(col(vecCol))))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      cents = sums.groupBy(col("cid")).agg(
+        transform(array_sort(collect_list(struct(col("pos"),
+            round(col("s") / col("n"), 6).as("m")))),
+          x => x.getField("m")).as("centroid"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** Label centroids: average embedding per label — a representative
     * "analytics over vectors" op (group agg over array columns, no UDF).
     *

@@ -289,6 +289,23 @@ object Pipeline {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // deterministic k-means (lowest-id init, 6dp-rounded trajectories):
+    // centroids + member counts after 2 iterations, value-verified
+    // against a DuckDB unrolling of the same iterations
+    "sim_kmeans" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.kmeans(e, "vec_id", "embedding", k = 4,
+        iters = 2)
+      val counts = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+        .groupBy("cid").agg(count(lit(1)).as("n_members"))
+      cents.join(counts, Seq("cid"), "left")
+        .select(col("cid"),
+          round(element_at(col("centroid"), 1), 6).as("c1"),
+          round(element_at(col("centroid"), 2), 6).as("c2"),
+          coalesce(col("n_members"), lit(0L)).as("n_members"))
+        .orderBy("cid")
+    }),
+
     // IVF recall vs the exact top-5 (the probes/k tradeoff, measured)
     "sim_recall_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -555,6 +572,48 @@ object Pipeline {
          FROM emb CROSS JOIN planes p
          GROUP BY emb.vec_id, p.t)"""
 
+  /** DuckDB twin of Similarity.kmeans: the same iterations unrolled as
+    * CTEs — lowest-id init, cosine argmax assignment, 6dp-rounded means
+    * (rounding per iteration is what makes both engines walk the same
+    * trajectory despite aggregation-order ulps). */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    def asgSql(name: String, centName: String) =
+      s"""$name AS (SELECT vec_id, cid FROM (
+           SELECT emb.vec_id, p.cid,
+             row_number() OVER (PARTITION BY emb.vec_id
+               ORDER BY list_cosine_similarity(emb.e, p.c) DESC, p.cid)
+               AS rn
+           FROM emb CROSS JOIN $centName p) WHERE rn = 1)"""
+    val sb = new StringBuilder
+    sb ++= s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e
+         FROM embeddings),
+       cent0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT
+                   AS cid,
+                   list_transform(e, x -> round(x, 6)) AS c
+                 FROM (SELECT vec_id, e FROM emb ORDER BY vec_id
+                       LIMIT $k))"""
+    for (i <- 1 to iters) {
+      sb ++= s""",
+       ${asgSql(s"asg$i", s"cent${i - 1}")},
+       sums$i AS (SELECT a.cid, d.d AS pos, sum(emb.e[d.d+1]) AS s,
+                    count(*) AS n
+                  FROM asg$i a JOIN emb ON emb.vec_id = a.vec_id
+                  CROSS JOIN unnest(range(0,64)) AS d(d)
+                  GROUP BY a.cid, d.d),
+       cent$i AS (SELECT cid, list(round(s / n, 6) ORDER BY pos) AS c
+                  FROM sums$i GROUP BY cid)"""
+    }
+    sb ++= s""",
+       ${asgSql("asg_final", s"cent$iters")},
+       cnt AS (SELECT cid, count(*) AS n_members FROM asg_final
+               GROUP BY cid)
+       SELECT c.cid, round(c.c[1], 6) AS c1, round(c.c[2], 6) AS c2,
+         coalesce(cnt.n_members, 0) AS n_members
+       FROM cent$iters c LEFT JOIN cnt ON cnt.cid = c.cid
+       ORDER BY c.cid"""
+    sb.toString
+  }
+
   private def embedLshOracleSql(tables: Int, bits: Int,
                                 threshold: Double): String =
     s"""WITH ${bucketsCteSql(tables, bits)},
@@ -634,6 +693,7 @@ object Pipeline {
          WHERE doc_id NOT IN
            (SELECT doc_id FROM labels WHERE doc_id != cluster)
          ORDER BY doc_id""",
+    "sim_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
     "sim_topk_ivf" ->
       s"""WITH ${ivfCtes(nProbe = 3)}
          SELECT query_id, neighbor_id, round(cos, 4) AS cosine

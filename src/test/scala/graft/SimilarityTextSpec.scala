@@ -74,6 +74,30 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(out.forall(_.getLong(1) != 0L))
   }
 
+  test("kmeans separates well-separated groups deterministically") {
+    val data = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.95f, 0.05f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.0f)), (11L, Array(0.1f, 0.9f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val c1 = Similarity.kmeans(data, "vec_id", "embedding", k = 2, iters = 3)
+      .orderBy("cid").collect()
+    val c2 = Similarity.kmeans(data, "vec_id", "embedding", k = 2, iters = 3)
+      .orderBy("cid").collect()
+    assert(c1.length == 2)
+    assert(c1.map(_.toString).toSeq == c2.map(_.toString).toSeq) // determinism
+    // cluster 0 seeded near x-axis ends up x-dominant; cluster 1 y-dominant
+    val cent0 = c1(0).getSeq[Double](1)
+    val cent1 = c1(1).getSeq[Double](1)
+    assert(cent0.head > cent0(1) && cent1(1) > cent1.head)
+    // assignment recovers the two groups
+    val asg = Similarity.ivfAssign(data, "vec_id", "embedding",
+        Similarity.kmeans(data, "vec_id", "embedding", 2, 3))
+      .as[(Long, Int)].collect().toMap
+    assert(asg(0L) == asg(1L) && asg(1L) == asg(2L))
+    assert(asg(10L) == asg(11L) && asg(0L) != asg(10L))
+  }
+
   test("labelCentroids averages per label") {
     val out = Similarity.labelCentroids(vecs, "label", "embedding")
       .orderBy("label").collect()
