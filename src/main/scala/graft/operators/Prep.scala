@@ -56,6 +56,21 @@ object Prep {
           .otherwise("test"))
   }
 
+  /** Deterministic stratified sample: the `perGroup` rows with the
+    * smallest md5(salt || id) within each group — uniform-ish like a
+    * random sample, but reproducible across runs, engines, and
+    * repartitioning (the same property [[hashSplit]] gives splits).
+    * One shuffle on the group key; rank pushdown (WindowGroupLimit)
+    * keeps per-partition state at perGroup rows. */
+  def groupSample(df: DataFrame, idCol: String, groupCol: String,
+                  perGroup: Int, salt: String = "sample:"): DataFrame = {
+    val rank = Window.partitionBy(groupCol)
+      .orderBy(md5(concat(lit(salt), col(idCol).cast("string"))
+        .cast("binary")).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(rank))
+      .filter(col("__rn") <= perGroup).drop("__rn")
+  }
+
   /** Sequence packing: assign documents to fixed-budget bins by running
     * token count — the batching step that turns a corpus into
     * max-length training sequences. Documents are sharded by md5(id) so

@@ -368,6 +368,14 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // deterministic stratified sample: 3 docs per language by md5 rank
+    // (oracled — unlike random() sampling, hash rank replays exactly)
+    "ds_group_sample" -> ((s, dir) => {
+      Prep.groupSample(docs(s, dir), "doc_id", "lang", perGroup = 3)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    }),
+
     // sequence packing into 512-token bins over 8 shards (oracled)
     "ds_pack" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
@@ -770,6 +778,14 @@ object Pipeline {
                    ::BIGINT % 100) AS bucket
                FROM documents)
          ORDER BY doc_id""",
+    "ds_group_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5('sample:' || doc_id::VARCHAR) ASC, doc_id ASC)
+               AS rn
+           FROM documents)
+         WHERE rn <= 3 ORDER BY lang, doc_id""",
     "ds_pack" ->
       """WITH d AS (SELECT doc_id,
              len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,

@@ -44,6 +44,22 @@ class PrepSpec extends SparkTestBase {
       s2.orderBy("doc_id").select("split").collect().toSeq)
   }
 
+  test("groupSample takes exactly perGroup rows per group, deterministically") {
+    val df = (0L until 100L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val s1 = Prep.groupSample(df, "id", "grp", perGroup = 5)
+      .orderBy("grp", "id").select("id").as[Long].collect().toSeq
+    val s2 = Prep.groupSample(df, "id", "grp", perGroup = 5)
+      .orderBy("grp", "id").select("id").as[Long].collect().toSeq
+    assert(s1 == s2)
+    val counts = Prep.groupSample(df, "id", "grp", 5)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts.values.toSet == Set(5L))
+    // a different salt draws a different sample
+    val s3 = Prep.groupSample(df, "id", "grp", 5, salt = "other:")
+      .orderBy("grp", "id").select("id").as[Long].collect().toSeq
+    assert(s1 != s3)
+  }
+
   test("packSequences: bins respect budget except the straddling doc") {
     val df = (0L until 100L).map(i => (i, 100L)).toDF("doc_id", "n_tok")
     val out = Prep.packSequences(df, "doc_id", "n_tok",
