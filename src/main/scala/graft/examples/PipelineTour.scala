@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.core.Sessions
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Prep, Similarity, TextAnalysis}
 import graft.sinks.Sinks
 import graft.sources.Tables
 
@@ -13,7 +13,10 @@ import graft.sources.Tables
   * composition every individual operator exists for:
   *
   *   normalize → quality filter → language id → exact dedup →
-  *   near-dedup (minhash keep-first) → token stats → partitioned write
+  *   near-dedup (minhash, cluster-exact survivors) → deterministic
+  *   train/val/test split → chunk to context windows → pack into
+  *   sequence bins → partitioned write; plus the embedding side:
+  *   k-means quantizer → IVF top-k neighbors.
   *
   * Each stage is lazy; the whole pipeline is ONE Catalyst plan per action
   * (dedup's candidate join is the only pair-wise stage). Run:
@@ -44,21 +47,44 @@ object PipelineTour {
       Seq("doc_id"), "left_semi")
     println(s"after exact dedup:   ${exactKept.count()}")
 
-    // 4. near-dedup: minhash LSH pairs -> keep smallest id
+    // 4. near-dedup: minhash LSH pairs -> one survivor per transitive
+    // duplicate component (union-find), not just greedy keep-first
     val pairs = Dedup.minhashPairs(exactKept, "doc_id", "text",
       threshold = 0.7)
-    val survivors = Dedup.keepFirst(exactKept, "doc_id", pairs)
+    val survivors = Dedup.keepFirstExact(exactKept, "doc_id", pairs)
     println(s"after near dedup:    ${survivors.count()} " +
       s"(removed ${exactKept.count() - survivors.count()} near-dups)")
 
-    // 5. partitioned write, clustered for downstream range scans
+    // 5. deterministic split + chunk + pack — the loader-facing steps
+    val split = Prep.hashSplit(survivors, "doc_id", trainPct = 90, valPct = 5)
+    val train = split.filter(col("split") === "train")
+    val chunks = Prep.chunk(train, "doc_id", "norm",
+      chunkTokens = 128, overlap = 16)
+    val packed = Prep.packSequences(chunks
+        .withColumn("chunk_id",
+          concat(col("doc_id"), lit(":"), col("chunk_idx"))),
+      "chunk_id", "chunk_tokens", maxTokens = 2048, shards = 8)
+    println(s"train chunks:        ${chunks.count()} packed into " +
+      s"${packed.select("shard", "bin").distinct().count()} sequence bins")
+
+    // 6. embedding side: train the IVF quantizer, probe for neighbors
+    val embs = Tables.load(spark, dir, "embeddings")
+    val cents = Similarity.kmeans(embs, "vec_id", "embedding", k = 8,
+      iters = 2)
+    val nn = Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 4),
+      "vec_id", "embedding", cents, k = 3, nProbe = 2)
+    println(s"ivf neighbors (4 queries x 3): ${nn.count()}")
+
+    // 7. partitioned write, clustered for downstream range scans
     val out = Files.createTempDirectory("graft_pipeline_").resolve("corpus")
     Sinks.writePartitioned(
-      survivors.select("doc_id", "lang_pred", "quality", "n_tokens", "norm"),
-      out.toString, Seq("lang_pred"))
+      split.select("doc_id", "lang_pred", "quality", "n_tokens", "norm",
+        "split"),
+      out.toString, Seq("split", "lang_pred"))
     val back = spark.read.parquet(out.toString)
     println(s"written + re-read:   ${back.count()} rows, " +
-      s"partitions: ${back.select("lang_pred").distinct().count()} langs")
+      s"partitions: ${back.select("lang_pred").distinct().count()} langs" +
+      s" x ${back.select("split").distinct().count()} splits")
 
     spark.stop()
     println("PipelineTour done.")
