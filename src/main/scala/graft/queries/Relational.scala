@@ -259,6 +259,23 @@ object Relational {
         .orderBy("doc_id")
     }),
 
+    // skew-salted join: result-identical to the plain equi-join (the
+    // salt only respreads rows across reducers), so the plain join IS
+    // the oracle — the skew tool verified, not just spec'd
+    "q_salted_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey",
+        "o_totalprice")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name",
+        "c_nationkey")
+      graft.operators.ScaleJoins.saltedJoin(
+          o, c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey",
+          saltFactor = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_nationkey")
+    }),
+
     // multi-way star join: region -> nation -> customer -> orders rollup
     "q_star_join" -> ((s, dir) => {
       val r = t(s, dir, "region")
@@ -410,6 +427,11 @@ object Relational {
              to_json(struct_pack(lang := lang, n_chars := n_chars)),
              '$.lang') AS lang_back
          FROM documents ORDER BY doc_id""",
+    "q_salted_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_star_join" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
            round(sum(o_totalprice), 2) AS revenue
