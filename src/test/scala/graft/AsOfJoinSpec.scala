@@ -46,6 +46,23 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out == Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)))
   }
 
+  test("asofBackward with an empty right side keeps all left rows, null-filled") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = quotes.filter($"k" === 999L)
+    val out = AsOfJoin.asofBackward(left, right, Seq("k"), "ts", Seq("px"))
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq((1L, 10L, None)))
+  }
+
+  test("pointInInterval handles negative coordinates (floor bucketing)") {
+    val points = Seq((1L, -5L), (2L, -1L)).toDF("pid", "p")
+    val intervals = Seq((10L, -6L, -2L)).toDF("iid", "lo", "hi")
+    val out = graft.operators.RangeJoin.pointInInterval(
+        points, intervals, "p", "lo", "hi", bucketWidth = 4)
+      .select("pid").as[Long].collect().toSeq
+    assert(out == Seq(1L)) // -5 in [-6,-2]; -1 outside
+  }
+
   test("pointInInterval respects key columns") {
     val points = Seq(("a", 5L), ("b", 5L)).toDF("k", "p")
     val intervals = Seq(("a", 0L, 10L)).toDF("k", "lo", "hi")
