@@ -324,6 +324,15 @@ object Pipeline {
         .orderBy("query_id")
     }),
 
+    // corpus length histogram: fixed-width buckets over n_chars — the
+    // first chart anyone draws over a new corpus (oracled)
+    "txt_length_hist" -> ((s, dir) => {
+      docs(s, dir)
+        .select((floor(length(col("text")) / 100) * 100).as("bucket_lo"))
+        .groupBy("bucket_lo").agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket_lo")
+    }),
+
     // corpus top terms: explode -> count -> top-k (oracled)
     "txt_top_terms" -> ((s, dir) => {
       docs(s, dir).repartition(col("doc_id"))
@@ -956,6 +965,10 @@ object Pipeline {
              '[.,;:!?''"()\[\]{}-]', '', 'g'), '\s+', ' ', 'g')))::BIGINT
              AS norm_len
          FROM documents ORDER BY doc_id""",
+    "txt_length_hist" ->
+      """SELECT (length(text) // 100 * 100)::BIGINT AS bucket_lo,
+           count(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY 1""",
     "txt_top_terms" ->
       """SELECT token, count(*) AS cnt FROM (
            SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
