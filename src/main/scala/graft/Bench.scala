@@ -17,13 +17,20 @@ import org.apache.spark.sql.SparkSession
   *    query times is the dominant variance source (observed ±2x run-to-run
   *    on multi-stage queries at N=1);
   *  - the JSON line records cpus + sf so a number is never quoted without
-  *    the environment that produced it.
+  *    the environment that produced it;
+  *  - a query that throws is recorded as `"err"` (message, not a time) —
+  *    a silent catch would report a failure as a fast success and corrupt
+  *    the perf signal;
+  *  - the line is also written to `bench_out.json` so the artifact
+  *    survives stdout truncation.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // local-dev focus filter: comma-separated query names; unset = all
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,22 +51,38 @@ object Bench {
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop any cache an operator built for this plan before the next
-        // query (or the next run) is timed
-        spark.catalog.clearCache()
-        dt
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        var err: Option[String] = None
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable =>
+              err = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // drop any cache an operator built for this plan before the next
+          // query (or the next run) is timed
+          spark.catalog.clearCache()
+          dt
+        }
+        (name, times.min, err)
       }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"runs":$runs,"timing":"min_of_runs"}""")
+    val qs = results.map { case (name, t, err) =>
+      jstr(name) + ":" + err.fold(t.toString)(m => jstr(m))
+    }.mkString("{", ",", "}")
+    val nErr = results.count(_._3.isDefined)
+    val total = results.collect { case (_, t, None) => t }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"runs":$runs,"timing":"min_of_runs","n_err":$nErr}"""
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"),
+      line + "\n")
     spark.stop()
   }
 }

@@ -326,29 +326,30 @@ object Dedup {
       (h % 1000001L - 500000L).toDouble / 500000.0
     }))
 
-  /** Sign-random-projection bucket per table: (id, table, bucket). */
+  /** Sign-random-projection bucket per table: (id, table, bucket) plus any
+    * `extraCols` carried through from `df` (e.g. the vector itself, so a
+    * probe join can score candidates without re-joining the corpus).
+    *
+    * Entirely narrow: one scan, one [[graft.plans.VectorSignBuckets]] call
+    * computing every table's bucket in a single compact codegen'd loop
+    * (planes are ONE constant double[], not per-element literals — the
+    * earlier per-bit VectorDot-vs-literal form blew the whole-stage method
+    * past the JIT compile threshold and ran interpreted), one posexplode —
+    * no shuffle. */
   def embeddingBuckets(df: DataFrame, idCol: String, vecCol: String,
                        tables: Int = 8, bits: Int = 12, dim: Int = 64,
                        seed: Long = 42L,
-                       mode: HashMode = HashMode.Xx): DataFrame = {
+                       mode: HashMode = HashMode.Xx,
+                       extraCols: Seq[String] = Nil): DataFrame = {
     val planes = mode match {
       case HashMode.Xx => hyperplanes(tables, bits, dim, seed)
       case HashMode.Md5 => md5Planes(tables, bits, dim)
     }
-    val bucketCols = planes.zipWithIndex.map { case (tablePlanes, ti) =>
-      val bitVals = tablePlanes.zipWithIndex.map { case (plane, bi) =>
-        // codegen'd VectorDot against the literal plane — the interpreted
-        // zip_with fold here made bucketing the LSH bottleneck
-        val planeCol = array(plane.map(lit): _*)
-        when(VectorFunctions.dot(col(vecCol), planeCol) > 0, lit(1L << bi))
-          .otherwise(lit(0L))
-      }
-      struct(lit(ti).as("table"),
-        bitVals.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("bucket"))
-    }
-    df.repartition(col(idCol))
-      .select(col(idCol), explode(array(bucketCols: _*)).as("tb"))
-      .select(col(idCol), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val flat = planes.flatten  // row-major (table x bit) -> plane vectors
+    val buckets = graft.plans.VectorExpressions
+      .vectorSignBuckets(col(vecCol), flat, bits)
+    val keep = col(idCol) +: extraCols.map(col)
+    df.select(keep :+ posexplode(buckets).as(Seq("table", "bucket")): _*)
   }
 
   /** Embedding near-dup pairs: LSH candidates (bucket join per table) then

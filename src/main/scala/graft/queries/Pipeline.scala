@@ -24,6 +24,13 @@ object Pipeline {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Corpus-side split for compute-dense ANN scans: local test parquet is
+    * one unsplittable file, so without this the n x |q| cosine work runs
+    * in a single task. Explicit numPartitions ⇒ AQE does not coalesce. */
+  private val LshCorpusParts = 32
+  private def corpusPar(e: DataFrame): DataFrame =
+    e.repartition(LshCorpusParts, col("vec_id"))
+
   /** IVF coarse quantizer for the sim_topk_ivf/sim_recall_ivf queries:
     * label centroids with components rounded to 6dp, so Spark and the
     * DuckDB oracle quantize from bit-identical centroid values (raw means
@@ -123,10 +130,18 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     }),
 
-    // brute-force cosine top-k ANN baseline (oracled)
+    // brute-force cosine top-k ANN baseline (oracled). The query side is a
+    // 512-vector batch — the workload ANN indexing exists for: per-row
+    // brute cost is |queries| dots, so a bounded-but-batch query set is
+    // where the LSH twin's per-row cost (tables x bits signature dots)
+    // pays off. The corpus is explicitly split LSH_CORPUS_PARTS ways
+    // (single-file local input would otherwise serialize the whole
+    // n x |q| cosine scan in one task; explicit numPartitions exempts the
+    // exchange from AQE's size-based coalescing, which cannot see compute
+    // density).
     "sim_topk" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8),
+      Similarity.bruteForceTopK(corpusPar(e), e.filter(col("vec_id") < 512),
           "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"))
@@ -247,11 +262,14 @@ object Pipeline {
     }),
 
     // LSH-probed ANN (md5-derived planes -> fully oracled; the exact
-    // counterpart is sim_topk)
+    // counterpart is sim_topk). bits is DERIVED from the corpus size
+    // (autoBits: 4 at n=500, 6 at n=2000) so candidates/query stay
+    // ~tables x targetBucket at any sf — the oracle derives the same
+    // bits from count(*), so the check is sf-agnostic.
     "sim_topk_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id",
-          "embedding", k = 5, tables = 16, bits = 4, mode = HashMode.Md5)
+      Similarity.lshTopK(corpusPar(e), e.filter(col("vec_id") < 512),
+          "vec_id", "embedding", k = 5, tables = 8, mode = HashMode.Md5)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"))
         .orderBy("query_id", "neighbor_id")
@@ -260,21 +278,25 @@ object Pipeline {
     // LSH recall measurement: fraction of the exact top-5 the LSH probe
     // recovers, per query — the evidence behind "recall tunable via
     // tables x bits" (deterministic given md5-mode planes -> oracled)
+    // recall is summarized per query-id band (32 bands) rather than per
+    // query — 512 queries would make the artifact needlessly wide; the
+    // banded means still localize a recall regression
     "sim_recall" -> ((s, dir) => {
       val e = embs(s, dir)
-      val q = e.filter(col("vec_id") < 8)
-      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val q = e.filter(col("vec_id") < 512)
+      val ep = corpusPar(e)
+      val brute = Similarity.bruteForceTopK(ep, q, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5,
-          tables = 16, bits = 4, mode = HashMode.Md5)
+      val lsh = Similarity.lshTopK(ep, q, "vec_id", "embedding", k = 5,
+          tables = 8, mode = HashMode.Md5)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
+        .groupBy((col("query_id") % 32).as("band"))
         .agg(count(lit(1)).as("k"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
         .withColumn("recall",
           round(col("n_hit").cast("double") / col("k"), 4))
-        .orderBy("query_id")
+        .orderBy("band")
     }),
 
     // IVF ANN: label-centroid coarse quantizer (rounded 6dp so both
@@ -568,9 +590,12 @@ object Pipeline {
   }
 
   /** Shared CTE block: md5-derived hyperplanes (DuckDB twin of
-    * Dedup.md5Planes) + corpus embeddings + per-(vec, table) buckets. */
-  private def bucketsCteSql(tables: Int, bits: Int): String =
-    s"""planes AS (
+    * Dedup.md5Planes) + corpus embeddings + per-(vec, table) buckets.
+    * `bitsSql` is any scalar SQL expression for the bucket width — a
+    * literal, or [[autoBitsSql]] for the corpus-size-derived value. */
+  private def bucketsCteSql(tables: Int, bitsSql: String): String =
+    s"""nb AS (SELECT ($bitsSql)::BIGINT AS bits),
+       planes AS (
          SELECT tb.t AS t, tb.b AS b, list(tb.pv ORDER BY tb.d) AS plane
          FROM (
            SELECT t.t, b.b, d.d,
@@ -578,7 +603,7 @@ object Pipeline {
                  b.b::VARCHAR || ':' || d.d::VARCHAR),1,8))::BIGINT
                % 1000001 - 500000) / 500000.0) AS pv
            FROM unnest(range(0,$tables)) AS t(t)
-           CROSS JOIN unnest(range(0,$bits)) AS b(b)
+           CROSS JOIN unnest(range(0,(SELECT bits FROM nb))) AS b(b)
            CROSS JOIN unnest(range(0,64)) AS d(d)) tb
          GROUP BY tb.t, tb.b),
        emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -588,6 +613,16 @@ object Pipeline {
                THEN (1::BIGINT << p.b) ELSE 0 END)::BIGINT AS bucket
          FROM emb CROSS JOIN planes p
          GROUP BY emb.vec_id, p.t)"""
+
+  /** DuckDB twin of Similarity.autoBits(count(*), targetBucket): smallest
+    * bits with n/2^bits <= targetBucket, floored at 2 — written as an
+    * integer bit-length count (no floating log2, so both engines agree
+    * exactly at every n). */
+  private def autoBitsSql(targetBucket: Int): String =
+    s"""GREATEST(2, (SELECT count(*) FROM range(0,63) rr(b)
+         WHERE (1::BIGINT << rr.b::INT) <=
+           GREATEST(1, ((SELECT count(*) FROM embeddings) - 1)
+             // $targetBucket)))"""
 
   /** DuckDB twin of Similarity.kmeans: the same iterations unrolled as
     * CTEs — lowest-id init, cosine argmax assignment, 6dp-rounded means
@@ -633,7 +668,7 @@ object Pipeline {
 
   private def embedLshOracleSql(tables: Int, bits: Int,
                                 threshold: Double): String =
-    s"""WITH ${bucketsCteSql(tables, bits)},
+    s"""WITH ${bucketsCteSql(tables, bits.toString)},
        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                 FROM buckets a JOIN buckets b
                   ON a.tbl = b.tbl AND a.bucket = b.bucket
@@ -645,10 +680,18 @@ object Pipeline {
        WHERE list_cosine_similarity(ea.e, eb.e) >= $threshold
        ORDER BY id_a, id_b"""
 
-  /** LSH top-k CTE chain shared by sim_topk_lsh and sim_recall. */
-  private def lshTopKCtes(tables: Int, bits: Int, k: Int): String =
-    s"""${bucketsCteSql(tables, bits)},
-       qb AS (SELECT * FROM buckets WHERE vec_id < 8),
+  /** LSH top-k CTE chain shared by sim_topk_lsh and sim_recall; bits is
+    * corpus-size-derived exactly as in Similarity.lshTopK's default, and
+    * each query probes its own bucket (f = -1) plus every 1-bit-flip
+    * neighbor (multiprobe, the Spark default). */
+  private def lshTopKCtes(tables: Int, targetBucket: Int, k: Int): String =
+    s"""${bucketsCteSql(tables, autoBitsSql(targetBucket))},
+       qb AS (SELECT vec_id, tbl,
+                CASE WHEN f.f < 0 THEN bucket
+                     ELSE xor(bucket, (1::BIGINT << f.f::INT)) END AS bucket
+              FROM buckets
+              CROSS JOIN unnest(range(-1, (SELECT bits FROM nb))) AS f(f)
+              WHERE vec_id < 512),
        cand AS (SELECT DISTINCT qb.vec_id AS query_id,
                   cb.vec_id AS neighbor_id
                 FROM buckets cb JOIN qb
@@ -742,29 +785,29 @@ object Pipeline {
     "dd_embed_lsh" ->
       embedLshOracleSql(tables = 8, bits = 8, threshold = 0.3),
     "sim_topk_lsh" ->
-      s"""WITH ${lshTopKCtes(tables = 16, bits = 4, k = 5)}
+      s"""WITH ${lshTopKCtes(tables = 8, targetBucket = 32, k = 5)}
          SELECT query_id, neighbor_id, round(cos, 4) AS cosine
          FROM lsh_ranked WHERE rn <= 5 ORDER BY query_id, neighbor_id""",
     "sim_recall" ->
-      s"""WITH ${lshTopKCtes(tables = 16, bits = 4, k = 5)},
+      s"""WITH ${lshTopKCtes(tables = 8, targetBucket = 32, k = 5)},
          lsh AS (SELECT query_id, neighbor_id FROM lsh_ranked WHERE rn <= 5),
          b_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                         list_cosine_similarity(q.e, c.e) AS cos
                       FROM emb q JOIN emb c ON c.vec_id != q.vec_id
-                      WHERE q.vec_id < 8),
+                      WHERE q.vec_id < 512),
          b_ranked AS (SELECT query_id, neighbor_id,
                         row_number() OVER (PARTITION BY query_id
                           ORDER BY cos DESC, neighbor_id ASC) AS rn
                       FROM b_scored),
          brute AS (SELECT query_id, neighbor_id FROM b_ranked WHERE rn <= 5)
-         SELECT b.query_id, count(*) AS k,
+         SELECT b.query_id % 32 AS band, count(*) AS k,
            sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
              AS n_hit,
            round(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0
              END)::DOUBLE / count(*), 4) AS recall
          FROM brute b LEFT JOIN lsh l
            ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
-         GROUP BY b.query_id ORDER BY b.query_id""",
+         GROUP BY b.query_id % 32 ORDER BY band""",
     "txt_chunks" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
              AS tk FROM documents WHERE doc_id < 20),
@@ -830,7 +873,7 @@ object Pipeline {
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              list_cosine_similarity(q.e, c.e) AS cos
            FROM v q JOIN v c ON c.vec_id != q.vec_id
-           WHERE q.vec_id < 8),
+           WHERE q.vec_id < 512),
          ranked AS (
            SELECT query_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY query_id
