@@ -1,0 +1,237 @@
+package graft.operators
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Pure-JVM media byte codecs for the multimodal pipeline — no native
+  * image libraries, just format arithmetic:
+  *
+  *  - PNG: full decode for 8-bit non-interlaced gray/RGB/gray+alpha/RGBA —
+  *    chunk walk, zlib inflate of IDAT, all five scanline filters
+  *    (None/Sub/Up/Average/Paeth) reversed — plus a minimal solid-color
+  *    RGB8 encoder (real signature, IHDR/IDAT/IEND chunks, CRC32s) used by
+  *    tests and the oracle-checked `mm_features` query.
+  *  - JPEG: marker-segment walk to the first SOF frame header for
+  *    width/height (entropy decode is out of scope without a codec).
+  *  - GIF: logical-screen descriptor width/height.
+  *
+  * Dimension parsing reads the same bytes any real decoder reads
+  * (reference keeps media as opaque payload columns; cf.
+  * src/utils/aws.rs byte-range reads), so the Spark-side plumbing in
+  * [[Multimodal]] exercises genuine decode logic end to end.
+  */
+object MediaCodec {
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+
+  // ------------------------------------------------------------- dimensions
+
+  /** PNG IHDR width/height (None unless a valid PNG signature + IHDR). */
+  def pngDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 24 && b.startsWith(PngSig) &&
+        new String(b.slice(12, 16), "US-ASCII") == "IHDR")
+      Some((be32(b, 16), be32(b, 20)))
+    else None
+
+  /** JPEG width/height from the first SOF0-SOF15 frame header (skipping
+    * the non-frame markers C4/C8/CC). */
+  def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8)
+      return None
+    var pos = 2
+    while (pos + 3 < b.length) {
+      if ((b(pos) & 0xFF) != 0xFF) return None // lost marker sync
+      val marker = b(pos + 1) & 0xFF
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) ||
+          marker == 0x01 || marker == 0xFF) {
+        pos += (if (marker == 0xFF) 1 else 2) // parameterless / fill byte
+      } else if (marker == 0xD9 || marker == 0xDA) {
+        return None // end of image / start of scan without a SOF
+      } else {
+        val len = be16(b, pos + 2)
+        if (len < 2 || pos + 2 + len > b.length) return None
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          if (len < 7) return None
+          // segment: len(2) precision(1) height(2) width(2) ...
+          return Some((be16(b, pos + 7), be16(b, pos + 5)))
+        }
+        pos += 2 + len
+      }
+    }
+    None
+  }
+
+  /** GIF logical-screen width/height (GIF87a / GIF89a). */
+  def gifDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 10) return None
+    val hdr = new String(b.slice(0, 6), "US-ASCII")
+    if (hdr == "GIF87a" || hdr == "GIF89a")
+      Some(((b(6) & 0xFF) | ((b(7) & 0xFF) << 8),
+        (b(8) & 0xFF) | ((b(9) & 0xFF) << 8)))
+    else None
+  }
+
+  // ------------------------------------------------------------- PNG decode
+
+  /** Decoded image: dimensions, channel count, and per-channel pixel means
+    * in [0, 255] — the "feature" a stat-level vision stage consumes. */
+  case class Decoded(width: Int, height: Int, channels: Int,
+                     channelMeans: Array[Double])
+
+  /** Full PNG decode for 8-bit, non-interlaced gray (0), RGB (2),
+    * gray+alpha (4) and RGBA (6): inflate the concatenated IDAT stream and
+    * reverse the per-scanline filter, then reduce to channel means.
+    * Returns None for any other PNG flavor (16-bit, palette, interlaced)
+    * or malformed bytes — callers fall back to dimensions-only. */
+  def pngDecode(b: Array[Byte]): Option[Decoded] = {
+    if (!b.startsWith(PngSig)) return None
+    var pos = 8
+    var w = 0; var h = 0; var bitDepth = 0; var colorType = -1
+    var interlace = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && pos + 8 <= b.length) {
+      val len = be32(b, pos)
+      if (len < 0 || pos + 12 + len > b.length) return None
+      val ctype = new String(b.slice(pos + 4, pos + 8), "US-ASCII")
+      ctype match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = be32(b, pos + 8); h = be32(b, pos + 12)
+          bitDepth = b(pos + 16) & 0xFF; colorType = b(pos + 17) & 0xFF
+          interlace = b(pos + 20) & 0xFF
+        case "IDAT" => idat.write(b, pos + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunk
+      }
+      pos += 12 + len
+    }
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => return None
+    }
+    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+
+    val stride = w * channels
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    if (off < raw.length) return None
+
+    // reverse scanline filters in place into `img`
+    val img = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val filter = raw(y * (1 + stride)) & 0xFF
+      val rowIn = y * (1 + stride) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowIn + x) & 0xFF
+        val a = if (x >= channels) img(rowOut + x - channels) & 0xFF else 0
+        val up = if (y > 0) img(rowOut - stride + x) & 0xFF else 0
+        val c = if (y > 0 && x >= channels)
+          img(rowOut - stride + x - channels) & 0xFF else 0
+        val recon = filter match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + up
+          case 3 => cur + (a + up) / 2
+          case 4 => // Paeth predictor
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+          case _ => return None
+        }
+        img(rowOut + x) = (recon & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+
+    val sums = new Array[Double](channels)
+    var i = 0
+    while (i < img.length) {
+      sums(i % channels) += (img(i) & 0xFF)
+      i += 1
+    }
+    val nPix = (w.toLong * h).toDouble
+    Some(Decoded(w, h, channels, sums.map(_ / nPix)))
+  }
+
+  // ------------------------------------------------------------- PNG encode
+
+  private def chunk(out: java.io.ByteArrayOutputStream, ctype: String,
+                    data: Array[Byte]): Unit = {
+    def wbe32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xFF); out.write((v >>> 16) & 0xFF)
+      out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)
+    }
+    wbe32(data.length)
+    val tb = ctype.getBytes("US-ASCII")
+    out.write(tb, 0, 4)
+    out.write(data, 0, data.length)
+    val crc = new CRC32()
+    crc.update(tb); crc.update(data)
+    wbe32(crc.getValue.toInt)
+  }
+
+  /** Minimal real PNG: solid-color 8-bit RGB, non-interlaced, filter 0 —
+    * valid signature, chunk CRCs, and zlib stream (any PNG reader opens
+    * it). Used by specs and the `mm_features` oracle construction. */
+  def pngEncodeSolid(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"invalid dims ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, 8)
+    val ihdr = new Array[Byte](13)
+    def put32(off: Int, v: Int): Unit = {
+      ihdr(off) = ((v >>> 24) & 0xFF).toByte
+      ihdr(off + 1) = ((v >>> 16) & 0xFF).toByte
+      ihdr(off + 2) = ((v >>> 8) & 0xFF).toByte
+      ihdr(off + 3) = (v & 0xFF).toByte
+    }
+    put32(0, w); put32(4, h)
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, color type 2 (RGB)
+    chunk(out, "IHDR", ihdr)
+    val stride = 1 + w * 3
+    val rawData = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = y * stride + 1 + x * 3
+        rawData(o) = (r & 0xFF).toByte
+        rawData(o + 1) = (g & 0xFF).toByte
+        rawData(o + 2) = (b & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val def_ = new Deflater()
+    def_.setInput(rawData); def_.finish()
+    val buf = new Array[Byte](rawData.length + 1024)
+    val compLen = def_.deflate(buf)
+    def_.end()
+    chunk(out, "IDAT", buf.take(compLen))
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+}

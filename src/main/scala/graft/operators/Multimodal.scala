@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
   * travel as opaque `binary` columns with typed metadata structs, and
   * decode/feature-extract runs batch-wise inside `mapPartitions`.
   *
-  * The Spark-side mechanics here — schema shape, per-partition batched
-  * iteration, deterministic partitioning, no driver materialization — are
-  * real and tested. The actual media decoding is STUBBED (this container
-  * has no image/audio codecs): [[decodeStub]] derives deterministic fake
-  * dimensions/features from the payload bytes. Swap `decodeStub` for a
-  * real codec (JNI/javacv) without touching any of the plumbing.
+  * Decoding is REAL byte-level format work ([[MediaCodec]]): PNG payloads
+  * fully decode in pure JVM (IHDR walk, zlib-inflated IDAT, all five
+  * scanline filters) down to per-channel pixel means; JPEG and GIF parse
+  * width/height from their frame headers. Only entropy-coded pixel decode
+  * for JPEG (and video) still needs an external codec — a payload no
+  * parser recognizes degrades to dimensionless metadata rather than
+  * failing the pipeline (standard behavior for corrupt media at scale).
   */
 object Multimodal {
 
@@ -38,28 +39,28 @@ object Multimodal {
         octet_length(col("payload")).cast("long").as("byte_len"),
         md5(col("payload")).as("checksum")))
 
-  /** STUB decode: deterministic pseudo-dimensions/features derived from
-    * the md5 of the payload (the same checksum `attachPayload` records in
-    * `media_meta`) — so the stub's outputs are value-verifiable by any
-    * engine with md5: with h = first 8 md5 hex chars as an unsigned int,
-    * width = 64 + h % 512, height = 64 + (h / 7) % 512,
-    * n_frames = video ? 1 + h % 32 : 1. A real implementation decodes the
-    * image/audio here — the signature and batching contract are what
-    * production code keeps. */
-  private[operators] def decodeStub(id: Long, mediaType: String,
-                                    payload: Array[Byte]): MediaFeatures = {
+  /** Byte-level decode: PNG payloads get a full pixel decode (feature =
+    * per-channel means in [0,255], real dims); JPEG/GIF get header dims
+    * (feature empty — entropy decode needs a codec); unrecognized bytes
+    * degrade to width/height/n_frames = 0 with an empty feature, so a
+    * corrupt payload never fails the batch. The declared `mediaType` is
+    * metadata only — dispatch sniffs the actual bytes. */
+  private[operators] def decode(id: Long, mediaType: String,
+                                payload: Array[Byte]): MediaFeatures = {
     val len = payload.length.toLong
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(payload)
-    val h = ((digest(0) & 0xFFL) << 24) | ((digest(1) & 0xFFL) << 16) |
-      ((digest(2) & 0xFFL) << 8) | (digest(3) & 0xFFL)
-    val feat = Array.tabulate(8)(i =>
-      ((h >>> (i * 4)) & 0xF).toFloat / 15.0f)
-    MediaFeatures(id, mediaType, len,
-      width = (64 + h % 512).toInt,
-      height = (64 + (h / 7) % 512).toInt,
-      n_frames = if (mediaType.startsWith("video")) (1 + h % 32).toInt else 1,
-      feature = feat)
+    MediaCodec.pngDecode(payload) match {
+      case Some(d) =>
+        MediaFeatures(id, mediaType, len, d.width, d.height, 1,
+          d.channelMeans.map(_.toFloat))
+      case None =>
+        MediaCodec.pngDims(payload).orElse(MediaCodec.jpegDims(payload))
+          .orElse(MediaCodec.gifDims(payload)) match {
+          case Some((w, h)) =>
+            MediaFeatures(id, mediaType, len, w, h, 1, Array.empty)
+          case None =>
+            MediaFeatures(id, mediaType, len, 0, 0, 0, Array.empty)
+        }
+    }
   }
 
   /** Batch-wise featurization over partitions: pulls (id, type, payload)
@@ -76,7 +77,7 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch init point for a real codec/model goes here
         batch.iterator.map { r: Row =>
-          decodeStub(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+          decode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
         }
       }
     }

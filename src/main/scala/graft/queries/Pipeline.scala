@@ -424,13 +424,30 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
-    // multimodal featurize through the batched mapPartitions path
-    // (decode is stubbed -> rows-only check on the real plumbing)
+    // multimodal featurize through the batched mapPartitions path with a
+    // REAL decode: each doc's payload is a genuine PNG (signature, chunk
+    // CRCs, zlib IDAT) whose dims/color derive from doc columns; the
+    // decoder inverts the encoding from the raw bytes (IHDR parse, IDAT
+    // inflate, scanline unfilter, pixel means), and the oracle computes
+    // the same dims/channel values directly from the doc columns — green
+    // only if decode(encode(x)) == x for every row
     "mm_features" -> ((s, dir) => {
-      val withPayload = Multimodal.attachPayload(docs(s, dir), "text")
+      val pngUdf = udf((id: Long, nChars: Long) =>
+        graft.operators.MediaCodec.pngEncodeSolid(
+          w = (8 + id % 32).toInt, h = (8 + nChars % 32).toInt,
+          r = (id % 256).toInt, g = (id * 7 % 256).toInt,
+          b = ((id * 13 + 5) % 256).toInt))
+      val withPayload = docs(s, dir)
+        .withColumn("payload", pngUdf(col("doc_id"), col("n_chars")))
+        .withColumn("media_meta", struct(
+          lit("image/png").as("media_type"),
+          octet_length(col("payload")).cast("long").as("byte_len"),
+          md5(col("payload")).as("checksum")))
       Multimodal.featurize(withPayload, "doc_id").toDF()
-        .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
-          col("n_frames"))
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          element_at(col("feature"), 1).cast("int").as("mean_r"),
+          element_at(col("feature"), 2).cast("int").as("mean_g"),
+          element_at(col("feature"), 3).cast("int").as("mean_b"))
         .orderBy("doc_id")
     }),
   )
@@ -852,14 +869,13 @@ object Pipeline {
          FROM d ORDER BY doc_id""",
     "mm_features" ->
       """SELECT doc_id,
-           octet_length(text::BLOB)::BIGINT AS byte_len,
-           (64 + h % 512)::INT AS width,
-           (64 + (h // 7) % 512)::INT AS height,
-           1 AS n_frames
-         FROM (SELECT doc_id, text,
-                 ('0x' || substr(md5(text),1,8))::BIGINT AS h
-               FROM documents)
-         ORDER BY doc_id""",
+           (8 + doc_id % 32)::INT AS width,
+           (8 + n_chars % 32)::INT AS height,
+           1 AS n_frames,
+           (doc_id % 256)::INT AS mean_r,
+           (doc_id * 7 % 256)::INT AS mean_g,
+           ((doc_id * 13 + 5) % 256)::INT AS mean_b
+         FROM documents ORDER BY doc_id""",
     "dd_embed_pairs" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,

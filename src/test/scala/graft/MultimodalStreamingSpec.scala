@@ -20,18 +20,27 @@ class MultimodalStreamingSpec extends SparkTestBase {
     assert(r.getString(3).length == 32)
   }
 
-  test("featurize runs batched mapPartitions, deterministic stub features") {
-    val docs = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("doc_id", "text")
-    val feats = Multimodal.featurize(
-      Multimodal.attachPayload(docs, "text"), "doc_id", batchSize = 2)
+  test("featurize decodes real PNG payloads batch-wise in mapPartitions") {
+    import graft.operators.MediaCodec
+    val rows = Seq(
+      (1L, MediaCodec.pngEncodeSolid(7, 3, 10, 20, 30)),
+      (2L, MediaCodec.pngEncodeSolid(4, 9, 200, 100, 0)),
+      (3L, "definitely not an image".getBytes("UTF-8")))
+    val df = rows.toDF("doc_id", "payload")
+      .withColumn("media_meta", struct(
+        lit("image/png").as("media_type"),
+        octet_length($"payload").cast("long").as("byte_len"),
+        md5($"payload").as("checksum")))
+    val feats = Multimodal.featurize(df, "doc_id", batchSize = 2)
       .collect().sortBy(_.doc_id)
     assert(feats.length == 3)
-    // same payload -> same stub features; different payload -> different
-    assert(feats(0).width == feats(2).width)
-    assert(feats(0).feature.toSeq == feats(2).feature.toSeq)
-    assert(feats(0).width != feats(1).width ||
-      feats(0).height != feats(1).height)
-    assert(feats.forall(_.feature.length == 8))
+    assert(feats(0).width == 7 && feats(0).height == 3)
+    assert(feats(0).feature.toSeq == Seq(10f, 20f, 30f))
+    assert(feats(1).width == 4 && feats(1).height == 9)
+    assert(feats(1).feature.toSeq == Seq(200f, 100f, 0f))
+    // unrecognized bytes degrade instead of failing the batch
+    assert(feats(2).width == 0 && feats(2).height == 0 &&
+      feats(2).n_frames == 0 && feats(2).feature.isEmpty)
   }
 
   test("frameSamplePlan and resizePlan are lazy metadata ops") {
