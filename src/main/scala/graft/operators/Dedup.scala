@@ -404,22 +404,39 @@ object Dedup {
     * union-find alternative to [[keepFirst]], for cluster-exact dedup
     * (one survivor per transitive duplicate group).
     *
-    * Algorithm: iterative min-label propagation. Each round every node
-    * takes the min of its own label and its neighbors' labels — one
-    * shuffle per round, converging in O(component diameter) rounds.
-    * Near-dup graphs have tiny diameters (dup clusters are dense), so in
-    * practice this is a handful of rounds even at 100 TB; each round's
-    * frame is `localCheckpoint`ed to truncate lineage (without it the
-    * plan doubles every round and the job dies on planning, not data).
-    * The convergence check rides on the same materialized result. For
-    * adversarial long-chain graphs, the large-star/small-star variant
-    * halves diameter per round; not needed for dedup workloads.
+    * Algorithm: min-label propagation with POINTER DOUBLING. Each round
+    * (a) every node takes the min of its own label and its neighbors'
+    * labels (one edge join), then (b) every node shortcuts to its
+    * label's label (one self-join on the labels frame) — the classic
+    * path-halving step, same league as the large-star/small-star
+    * rewrite. Propagation alone converges in O(component diameter)
+    * rounds; the shortcut makes label chains collapse geometrically, so
+    * even an adversarial n-node CHAIN converges in O(log n) rounds (the
+    * long-chain property spec pins a 1023-node chain at <= 12 rounds;
+    * dense dup cliques converge in 1). Each round is a bounded number of
+    * shuffles; every frame is `localCheckpoint`ed to truncate lineage
+    * (without it the plan doubles every round and the job dies on
+    * planning, not data). The convergence check rides on the same
+    * materialized result.
+    *
+    * Labels only ever shrink and always stay within the component
+    * (label(x) is reachable from x), so the fixpoint is exactly
+    * min-of-component for every node. If `maxIter` rounds pass without a
+    * fixpoint the call THROWS rather than silently returning partially
+    * propagated labels.
     *
     * Only ids that appear in `pairs` are returned — callers join back to
     * the corpus and coalesce singletons to their own id. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b",
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took — the
+    * round count is what the convergence specs pin. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 50): (DataFrame, Int) = {
     val fwd = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     // pre-partition on the per-round join key so the (larger) edge frame
@@ -428,8 +445,7 @@ object Dedup {
         col("src").as("dst"))).distinct()
       .repartition(col("src")).localCheckpoint()
     // seed with min(self, direct neighbors) — this IS the first
-    // propagation round, done as one aggregation without a labels join;
-    // star/clique-shaped dup clusters then converge in a single loop pass
+    // propagation round, done as one aggregation without a labels join
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("m"))
       .select(col("src").as("id"),
@@ -438,19 +454,33 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // (a) propagate: min over direct neighbors' labels
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("label"),
-          coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("nbr_label") < col("label")).as("chg"))
+          coalesce(col("nbr_label"), col("label"))).as("label"))
+      // (b) shortcut: label <- label(label). Labels only shrink
+      // (label(x) <= x), so the parent's label is always <= the current
+      // one when present — coalesce suffices, no least() needed.
+      val parents = prop.select(col("id").as("label"),
+        col("label").as("parent_label"))
+      val updated = prop.join(parents, Seq("label"), "left")
+        .select(col("id"),
+          coalesce(col("parent_label"), col("label")).as("label"))
         .localCheckpoint()
-      converged = updated.filter(col("chg")).isEmpty
-      labels = updated.select("id", "label")
+      converged = updated.alias("n")
+        .join(labels.alias("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).isEmpty
+      labels = updated
       iter += 1
     }
-    labels.withColumnRenamed("label", "cluster")
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+          "raise maxIter for extreme-diameter graphs")
+    (labels.withColumnRenamed("label", "cluster"), iter)
   }
 
   /** Cluster-exact survivors: keep exactly one doc (the min id) per

@@ -232,6 +232,39 @@ object Pipeline {
         .orderBy("event_id")
     }),
 
+    // forward as-of: each purchase picks up the user's NEXT view value
+    // at-or-after it (oracled against DuckDB ASOF with <=)
+    "ev_asof_fwd" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "us")
+      val views = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "us").agg(max("value").as("view_value"))
+      graft.operators.AsOfJoin.asof(purchases, views,
+          Seq("user_id"), "us", Seq("view_value"), direction = "forward")
+        .orderBy("event_id")
+    }),
+
+    // nearest as-of with a 1-hour tolerance: closest view either side,
+    // ties to backward, matches farther than an hour dropped (oracled by
+    // combining DuckDB's backward + forward ASOF joins with the same
+    // arbitration)
+    "ev_asof_near" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "us")
+      val views = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "us").agg(max("value").as("view_value"))
+      graft.operators.AsOfJoin.asof(purchases, views,
+          Seq("user_id"), "us", Seq("view_value"), direction = "nearest",
+          tolerance = Some(3600L * 1000000L))
+        .orderBy("event_id")
+    }),
+
     // bucketed range join: which orders' first-week windows contain each
     // lineitem ship date (oracled against a plain BETWEEN join)
     "q_range_join" -> ((s, dir) => {
@@ -1000,6 +1033,50 @@ object Pipeline {
          SELECT p.user_id, p.event_id, p.us, v.view_value AS asof_view_value
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND p.us >= v.us
+         ORDER BY p.event_id""",
+    "ev_asof_fwd" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+             epoch_ns(ts) // 1000 AS us
+           FROM events),
+         p AS (SELECT user_id, event_id, us FROM e
+               WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, us, max(value) AS view_value FROM e
+               WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT p.user_id, p.event_id, p.us, v.view_value AS asof_view_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND p.us <= v.us
+         ORDER BY p.event_id""",
+    "ev_asof_near" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+             epoch_ns(ts) // 1000 AS us
+           FROM events),
+         p AS (SELECT user_id, event_id, us FROM e
+               WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, us, max(value) AS view_value FROM e
+               WHERE event_type = 'view' GROUP BY 1, 2),
+         b AS (SELECT p.event_id, v.us AS rts, v.view_value AS bv
+               FROM p ASOF LEFT JOIN v
+                 ON p.user_id = v.user_id AND p.us >= v.us),
+         f AS (SELECT p.event_id, v.us AS rts, v.view_value AS fv
+               FROM p ASOF LEFT JOIN v
+                 ON p.user_id = v.user_id AND p.us <= v.us)
+         SELECT p.user_id, p.event_id, p.us,
+           CASE WHEN m.rts IS NOT NULL AND abs(p.us - m.rts) <= 3600000000
+                THEN m.mv END AS asof_view_value
+         FROM p
+         LEFT JOIN (
+           SELECT b.event_id,
+             CASE WHEN f.rts IS NULL THEN b.rts
+                  WHEN b.rts IS NOT NULL
+                       AND (p2.us - b.rts) <= (f.rts - p2.us) THEN b.rts
+                  ELSE f.rts END AS rts,
+             CASE WHEN f.rts IS NULL THEN b.bv
+                  WHEN b.rts IS NOT NULL
+                       AND (p2.us - b.rts) <= (f.rts - p2.us) THEN b.bv
+                  ELSE f.fv END AS mv
+           FROM b JOIN f ON b.event_id = f.event_id
+           JOIN p p2 ON p2.event_id = b.event_id) m
+           ON m.event_id = p.event_id
          ORDER BY p.event_id""",
     "q_range_join" ->
       """WITH pts AS (

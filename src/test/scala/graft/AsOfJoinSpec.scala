@@ -46,6 +46,45 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out == Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)))
   }
 
+  test("asof forward attaches earliest right row at-or-after each left ts") {
+    val trades = Seq((1L, 5L), (1L, 20L), (1L, 31L), (2L, 14L))
+      .toDF("k", "ts")
+    val out = AsOfJoin.asof(trades, quotes, Seq("k"), "ts", Seq("px"),
+        direction = "forward")
+      .orderBy("k", "ts")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, 5L, Some(1.0)),   // earliest at-or-after is ts=10
+      (1L, 20L, Some(2.0)),  // equal ts inclusive
+      (1L, 31L, None),       // after the last quote
+      (2L, 14L, Some(9.0))))
+  }
+
+  test("asof nearest picks the closer side, ties to backward") {
+    val trades = Seq((1L, 14L), (1L, 16L), (1L, 15L), (1L, 29L))
+      .toDF("k", "ts")
+    val out = AsOfJoin.asof(trades, quotes, Seq("k"), "ts", Seq("px"),
+        direction = "nearest")
+      .orderBy("k", "ts")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, 14L, Some(1.0)),  // 4 back vs 6 fwd -> backward (ts=10)
+      (1L, 15L, Some(1.0)),  // 5 back vs 5 fwd -> tie -> backward
+      (1L, 16L, Some(2.0)),  // 6 back vs 4 fwd -> forward (ts=20)
+      (1L, 29L, Some(3.0)))) // 9 back vs 1 fwd -> forward (ts=30)
+  }
+
+  test("asof tolerance nulls matches farther than the window") {
+    val trades = Seq((1L, 12L), (1L, 27L)).toDF("k", "ts")
+    val out = AsOfJoin.asof(trades, quotes, Seq("k"), "ts", Seq("px"),
+        direction = "backward", tolerance = Some(3L))
+      .orderBy("k", "ts")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, 12L, Some(1.0)),  // |12-10| = 2 <= 3
+      (1L, 27L, None)))      // |27-20| = 7 > 3 -> dropped
+  }
+
   test("asofBackward with an empty right side keeps all left rows, null-filled") {
     val left = Seq((1L, 10L)).toDF("k", "ts")
     val right = quotes.filter($"k" === 999L)

@@ -159,6 +159,34 @@ class DedupSpec extends SparkTestBase {
     assert(cc.size == 10)
   }
 
+  test("connectedComponents: 1023-node chain converges in O(log n) rounds") {
+    // worst-case diameter graph — plain min-label propagation would need
+    // ~1023 rounds; pointer doubling must collapse it logarithmically
+    val chain = (0L until 1022L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (cc, rounds) = Dedup.connectedComponentsWithRounds(chain)
+    val labels = cc.as[(Long, Long)].collect()
+    assert(labels.length == 1023)
+    assert(labels.forall(_._2 == 0L))
+    assert(rounds <= 12, s"chain took $rounds rounds")
+  }
+
+  test("connectedComponents: dense clique converges in a round or two") {
+    val n = 40
+    val edges = (for (i <- 0 until n; j <- i + 1 until n)
+      yield (100L + i, 100L + j)).toDF("id_a", "id_b")
+    val (cc, rounds) = Dedup.connectedComponentsWithRounds(edges)
+    assert(cc.as[(Long, Long)].collect().forall(_._2 == 100L))
+    assert(rounds <= 2, s"clique took $rounds rounds")
+  }
+
+  test("connectedComponents throws instead of returning unconverged labels") {
+    val chain = (0L until 400L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponentsWithRounds(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("md5Planes are deterministic and uniform in [-1,1]") {
     val p1 = Dedup.md5Planes(2, 4, 8)
     val p2 = Dedup.md5Planes(2, 4, 8)
