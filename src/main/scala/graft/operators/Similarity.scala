@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -255,11 +255,25 @@ object Similarity {
     * growing lineage. A cluster left empty by an iteration drops out
     * (standard k-means behavior; k shrinks). */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-             iters: Int = 5): DataFrame = {
-    var cents = df.orderBy(col(idCol)).limit(k)
+             iters: Int = 5, init: String = "lowest-id"): DataFrame = {
+    // "lowest-id": deterministic and engine-portable, but quality-poor
+    // when low ids cluster together (e.g. time-ordered corpora).
+    // "hash-sample": a seeded pseudo-random draw — md5 rank over ids —
+    // which spreads seeds like a uniform sample (the cheap deterministic
+    // end of the kmeans|| spectrum) while staying replayable across
+    // engines and runs.
+    val ordering: Seq[Column] = init match {
+      case "lowest-id"   => Seq(col(idCol).asc)
+      case "hash-sample" =>
+        Seq(md5(concat(lit("km:"), col(idCol).cast("string"))).asc,
+          col(idCol).asc)
+      case other =>
+        throw new IllegalArgumentException(s"unknown kmeans init '$other'")
+    }
+    var cents = df.orderBy(ordering: _*).limit(k)
       .select(col(idCol), toDouble(col(vecCol)).as("centroid"))
       .withColumn("cid",
-        row_number().over(Window.orderBy(col(idCol))) - 1)
+        row_number().over(Window.orderBy(ordering: _*)) - 1)
       .select(col("cid"),
         transform(col("centroid"), x => round(x, 6)).as("centroid"))
       .localCheckpoint()
@@ -277,6 +291,20 @@ object Similarity {
         .localCheckpoint()
     }
     cents
+  }
+
+  /** Clustering quality: sum over vectors of (1 - cosine to the assigned
+    * centroid). The scalar the kmeans quality specs assert on — lower is
+    * tighter; a correct k-means run never increases it across
+    * iterations. One assignment pass + one aggregate. */
+  def kmeansInertia(df: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame): Double = {
+    val assigned = ivfAssign(df, idCol, vecCol, cents)
+    df.join(assigned, idCol).join(broadcast(cents), "cid")
+      .select((lit(1.0) - cosineFromParts(
+        dot(col(vecCol), col("centroid")),
+        normSq(col(vecCol)), normSq(col("centroid")))).as("d"))
+      .agg(sum(col("d"))).head().getDouble(0)
   }
 
   /** Label centroids: average embedding per label — a representative

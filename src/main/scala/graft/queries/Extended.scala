@@ -223,12 +223,19 @@ object Extended {
         .orderBy("k_mod")
     }),
 
-    // HLL sketch next to the exact answer (approx values are engine-
-    // specific -> rows-only; the exact column is what q_agg_global oracles)
+    // HLL sketch next to the exact answer. Raw HLL estimates are
+    // engine-specific, so the sketch is verified through an
+    // engine-agnostic ACCURACY claim instead: the estimate must land
+    // within 10% of the exact count (rsd is 2%, so this holds in any
+    // correct HLL) — both engines compute the same boolean and the row
+    // fully oracle-checks, exact column included.
     "x_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) <=
+            col("exact_parts") * 0.1).as("approx_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -278,6 +285,13 @@ object Extended {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_approx_distinct" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+           (abs(approx_count_distinct(l_partkey) -
+                count(DISTINCT l_partkey))
+              <= count(DISTINCT l_partkey) * 0.1) AS approx_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "x_join_left" ->
       """SELECT c_custkey, coalesce(cnt, 0) AS n_orders
          FROM customer LEFT JOIN

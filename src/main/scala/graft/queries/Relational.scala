@@ -261,15 +261,16 @@ object Relational {
 
     // skew-salted join: result-identical to the plain equi-join (the
     // salt only respreads rows across reducers), so the plain join IS
-    // the oracle — the skew tool verified, not just spec'd
+    // the oracle — the skew tool verified, not just spec'd. The factor
+    // is MEASURED from a sampled key histogram (adaptive): a uniform key
+    // measures ~1 and pays no salting cost, a hot key sizes itself.
     "q_salted_join" -> ((s, dir) => {
       val o = t(s, dir, "orders").select("o_orderkey", "o_custkey",
         "o_totalprice")
       val c = t(s, dir, "customer").select("c_custkey", "c_name",
         "c_nationkey")
-      graft.operators.ScaleJoins.saltedJoin(
-          o, c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey",
-          saltFactor = 8)
+      graft.operators.ScaleJoins.adaptiveSaltedJoin(
+          o, c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("revenue"))

@@ -63,4 +63,38 @@ class PlanAuditSpec extends SparkTestBase {
       "per-row text analysis must not shuffle (one range exchange for " +
         "the final orderBy is expected)")
   }
+
+  test("ev_asof is one union + window, never a range join") {
+    val p = plan("ev_asof")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "as-of must be the union+window shape, not an O(n x m) theta join")
+    assert(p.contains("Window"), "expected the carry-forward window")
+    // exchanges: the window's key partitioning, the query's own
+    // right-side pre-aggregation (the uniqueness contract), and the
+    // final orderBy range partitioning — the OPERATOR contributes one
+    assert("Exchange".r.findAllMatchIn(p).length <= 3,
+      "as-of itself should shuffle once on the keys:\n" + p)
+  }
+
+  test("q_range_join is an equi-join on buckets, no nested-loop blowup") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "range join must probe quantized buckets, not cross-pair")
+  }
+
+  test("dd_minhash_pairs never cross-pairs the corpus") {
+    val p = plan("dd_minhash_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidate pairs must come from bucket equi-joins only")
+  }
+
+  test("sim_topk_lsh probes with broadcast buckets, no corpus shuffle join") {
+    val p = plan("sim_topk_lsh")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe join must broadcast the query-bucket side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }

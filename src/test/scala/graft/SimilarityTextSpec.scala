@@ -98,6 +98,33 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(asg(10L) == asg(11L) && asg(0L) != asg(10L))
   }
 
+  test("kmeans hash-sample init: inertia non-increasing, beats lowest-id " +
+      "when low ids collapse into one cluster") {
+    // adversarial for lowest-id: ids 0..9 are ALL in the x-cluster, so
+    // both lowest-id seeds start there; hash-sample spreads seeds
+    val data = ((0L until 10L).map(i =>
+        (i, Array(1.0f, 0.05f * i, 0.0f))) ++
+      (100L until 110L).map(i =>
+        (i, Array(0.0f, 1.0f, 0.05f * (i - 100)))))
+      .toDF("vec_id", "embedding")
+    def inertia(init: String, iters: Int): Double =
+      Similarity.kmeansInertia(data, "vec_id", "embedding",
+        Similarity.kmeans(data, "vec_id", "embedding", k = 2, iters, init))
+    // quality improves (never degrades) with more iterations
+    val i1 = inertia("hash-sample", 1)
+    val i3 = inertia("hash-sample", 3)
+    assert(i3 <= i1 + 1e-9, s"inertia rose: $i1 -> $i3")
+    // determinism of the seeded draw
+    val a = Similarity.kmeans(data, "vec_id", "embedding", 2, 2,
+      "hash-sample").orderBy("cid").collect().map(_.toString).toSeq
+    val b = Similarity.kmeans(data, "vec_id", "embedding", 2, 2,
+      "hash-sample").orderBy("cid").collect().map(_.toString).toSeq
+    assert(a == b)
+    // with both lowest-id seeds inside one cluster, the seeded sample
+    // must do at least as well after the same iterations
+    assert(inertia("hash-sample", 3) <= inertia("lowest-id", 3) + 1e-9)
+  }
+
   test("labelCentroids averages per label") {
     val out = Similarity.labelCentroids(vecs, "label", "embedding")
       .orderBy("label").collect()
