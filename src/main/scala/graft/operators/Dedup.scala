@@ -299,6 +299,38 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------------- benchmark decontamination
+
+  /** Benchmark decontamination: (corpus doc, benchmark doc) pairs whose
+    * n-gram CONTAINMENT — |corpus ∩ bench| / |bench distinct n-grams| —
+    * reaches `threshold`. The training-data hygiene op: a corpus doc
+    * containing most of a benchmark item leaks that benchmark into
+    * training. Deliberately asymmetric (containment, not Jaccard): a
+    * long document quoting a short benchmark item must flag even though
+    * their Jaccard is tiny.
+    *
+    * Inverted-index equi-join on the n-gram with the benchmark side
+    * broadcast (benchmarks are MBs, corpora are TBs): the corpus is
+    * scanned once, never shuffled, and the only exchange is the
+    * per-pair intersection count — which exists only for pairs that
+    * actually share an n-gram, never the cross space. */
+  def contaminationPairs(corpus: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val cs = shingles(corpus, idCol, textCol, n)
+      .withColumnRenamed(idCol, "corpus_id")
+    val bs = shingles(bench, idCol, textCol, n)
+      .withColumnRenamed(idCol, "bench_id")
+    val bSizes = bs.groupBy("bench_id").agg(count(lit(1)).as("bench_size"))
+    cs.join(broadcast(bs), "shingle")
+      .groupBy("corpus_id", "bench_id").agg(count(lit(1)).as("shared"))
+      .join(broadcast(bSizes), "bench_id")
+      .withColumn("containment",
+        col("shared").cast("double") / col("bench_size"))
+      .filter(col("containment") >= threshold)
+      .select("corpus_id", "bench_id", "containment")
+  }
+
   // --------------------------------------------- embedding cosine near-dup
 
   /** Deterministic random hyperplanes: tables x bits x dim. */

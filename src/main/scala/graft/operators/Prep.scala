@@ -71,6 +71,28 @@ object Prep {
       .filter(col("__rn") <= perGroup).drop("__rn")
   }
 
+  /** Weighted dataset mixing: keep each row with probability
+    * `weights(group)` — evaluated as a deterministic md5 coin per id, so
+    * the mixed corpus is bit-reproducible across runs, engines, and
+    * cluster layouts (a `rand()` mix is none of those). The corpus
+    * assembly step: upsample is out of scope (weights in [0,1] —
+    * duplication belongs to the loader); downsampling crawl-heavy
+    * sources is exactly this. Narrow per-row op, no shuffle. Groups
+    * absent from `weights` keep `defaultWeight`. */
+  def weightedSample(df: DataFrame, idCol: String, groupCol: String,
+                     weights: Map[String, Double],
+                     defaultWeight: Double = 1.0,
+                     salt: String = "mix:"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w =>
+      w >= 0.0 && w <= 1.0), "weights must be in [0, 1]")
+    val buckets = 1000000
+    val coin = md5Bucket(col(idCol), buckets, salt)
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col(groupCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(coin < w * buckets)
+  }
+
   /** Sequence packing: assign documents to fixed-budget bins by running
     * token count — the batching step that turns a corpus into
     * max-length training sequences. Documents are sharded by md5(id) so

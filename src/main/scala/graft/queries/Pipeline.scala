@@ -105,6 +105,29 @@ object Pipeline {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // benchmark decontamination: corpus docs (id >= 50) whose word-3-gram
+    // containment of a "benchmark" doc (id < 50) reaches 0.8 — the
+    // train/test-leak detector (oracled)
+    "dd_contam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationPairs(d.filter(col("doc_id") >= 50),
+          d.filter(col("doc_id") < 50), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .select(col("corpus_id"), col("bench_id"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy("corpus_id", "bench_id")
+    }),
+
+    // deterministic weighted dataset mixing: en kept fully, zh halved,
+    // de quartered, everything else at 10% — md5-coin per doc, so the
+    // mix replays identically on any engine (oracled)
+    "ds_mix" -> ((s, dir) => {
+      Prep.weightedSample(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 1.0, "zh" -> 0.5, "de" -> 0.25),
+          defaultWeight = 0.1)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // embedding near-dup pairs, brute-force verified (oracled)
     "dd_embed_pairs" -> ((s, dir) => {
       import graft.functions.VectorFunctions._
@@ -802,6 +825,29 @@ object Pipeline {
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN
            (SELECT doc_id FROM labels WHERE doc_id != cluster)
+         ORDER BY doc_id""",
+    "dd_contam" ->
+      s"""WITH sh AS ($ShingleSql),
+         cs AS (SELECT doc_id AS corpus_id, shingle FROM sh
+                WHERE doc_id >= 50),
+         bs AS (SELECT doc_id AS bench_id, shingle FROM sh
+                WHERE doc_id < 50),
+         bsz AS (SELECT bench_id, count(*) AS bench_size FROM bs
+                 GROUP BY 1),
+         inter AS (SELECT cs.corpus_id, bs.bench_id, count(*) AS shared
+                   FROM cs JOIN bs ON cs.shingle = bs.shingle
+                   GROUP BY 1, 2)
+         SELECT corpus_id, bench_id,
+           round(shared::DOUBLE / bench_size, 4) AS containment
+         FROM inter JOIN bsz USING (bench_id)
+         WHERE shared::DOUBLE / bench_size >= 0.8
+         ORDER BY corpus_id, bench_id""",
+    "ds_mix" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE (('0x' || substr(md5('mix:' || doc_id::VARCHAR),1,8))
+                  ::BIGINT % 1000000)
+           < CASE lang WHEN 'en' THEN 1.0 WHEN 'zh' THEN 0.5
+                       WHEN 'de' THEN 0.25 ELSE 0.1 END * 1000000
          ORDER BY doc_id""",
     "sim_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
     "sim_topk_ivf" ->

@@ -187,6 +187,28 @@ class DedupSpec extends SparkTestBase {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("contaminationPairs flags the quoting doc, not the short overlap") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // full quote inside a longer doc -> containment 1.0
+      (100L, "intro text the quick brown fox jumps over the lazy dog outro"),
+      // shares only one 3-gram ("the quick brown") -> containment 1/7
+      (101L, "the quick brown bear sleeps"),
+      (102L, "nothing in common at all here")).toDF("doc_id", "text")
+    val out = Dedup.contaminationPairs(corpus, bench, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((100L, 1L, 1.0)))
+    // asymmetry: at a low threshold the partial overlap appears with
+    // containment |shared| / |bench n-grams| = 1/7
+    val loose = Dedup.contaminationPairs(corpus, bench, "doc_id", "text",
+        n = 3, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(loose.map(_._1) == Seq(100L, 101L))
+    assert(math.abs(loose(1)._3 - 1.0 / 7) < 1e-12)
+  }
+
   test("md5Planes are deterministic and uniform in [-1,1]") {
     val p1 = Dedup.md5Planes(2, 4, 8)
     val p2 = Dedup.md5Planes(2, 4, 8)

@@ -60,6 +60,28 @@ class PrepSpec extends SparkTestBase {
     assert(s1 != s3)
   }
 
+  test("weightedSample keeps ~weight per group, deterministically") {
+    val df = (0L until 3000L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val w = Map("g0" -> 1.0, "g1" -> 0.3, "g2" -> 0.0)
+    val kept = Prep.weightedSample(df, "id", "grp", w)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(kept("g0") == 1000L)                      // weight 1 keeps all
+    assert(!kept.contains("g2"))                     // weight 0 drops all
+    assert(kept("g1") > 200 && kept("g1") < 400)     // ~30% of 1000
+    // deterministic replay
+    val a = Prep.weightedSample(df, "id", "grp", w)
+      .select("id").as[Long].collect().toSeq.sorted
+    val b = Prep.weightedSample(df, "id", "grp", w)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(a == b)
+    // unknown group takes defaultWeight
+    val d2 = Seq((1L, "other")).toDF("id", "grp")
+    assert(Prep.weightedSample(d2, "id", "grp", w, defaultWeight = 1.0)
+      .count() == 1L)
+    assert(Prep.weightedSample(d2, "id", "grp", w, defaultWeight = 0.0)
+      .count() == 0L)
+  }
+
   test("packSequences: bins respect budget except the straddling doc") {
     val df = (0L until 100L).map(i => (i, 100L)).toDF("doc_id", "n_tok")
     val out = Prep.packSequences(df, "doc_id", "n_tok",
