@@ -293,6 +293,35 @@ object Similarity {
     cents
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|v_i| / 127,
+    * q_i = floor(v_i / scale + 0.5) clamped to [-127, 127], stored as
+    * `array<tinyint>` + the double scale — 4x smaller than float32 on
+    * disk and through every shuffle, which at 100 TB of embeddings is
+    * the difference between a cluster that fits and one that doesn't.
+    *
+    * `floor(x + 0.5)` (not round()) on purpose: floor and IEEE division
+    * are bit-exact in every engine, so the quantized vectors — and any
+    * verification downstream — replay identically in the DuckDB oracle;
+    * round()'s half-case convention is not portable. Cosine over
+    * quantized vectors needs NO dequantization: the scales cancel, so
+    * [[bruteForceTopK]]/[[lshTopK]] run directly on the tinyint arrays
+    * (VectorDot reads float, double, or tinyint elements). An all-zero
+    * vector quantizes to zeros with scale 0 (cosine guards that case
+    * already). Output: (idCol, qvecCol array<tinyint>, qscaleCol). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String,
+                   qvecCol: String = "qvec",
+                   qscaleCol: String = "qscale"): DataFrame = {
+    val v = toDouble(col(vecCol))
+    val scale = array_max(transform(v, x => abs(x))) / 127.0
+    df.withColumn(qscaleCol, scale)
+      .withColumn(qvecCol,
+        when(col(qscaleCol) === 0.0,
+          transform(v, _ => lit(0).cast("byte")))
+          .otherwise(transform(v, x =>
+            greatest(lit(-127.0), least(lit(127.0),
+              floor(x / col(qscaleCol) + 0.5))).cast("byte"))))
+  }
+
   /** Clustering quality: sum over vectors of (1 - cosine to the assigned
     * centroid). The scalar the kmeans quality specs assert on — lower is
     * tighter; a correct k-means run never increases it across

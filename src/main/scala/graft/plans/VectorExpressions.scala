@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.SqlBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
 
 /** Codegen'd dot product over two numeric array columns, accumulating in
   * double: `acc += (double) a[i] * (double) b[i]`.
@@ -39,34 +39,42 @@ case class VectorDot(left: Expression, right: Expression,
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(FloatType | DoubleType | ByteType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"vector_dot expects array<float|double> inputs, got " +
+        s"vector_dot expects array<float|double|tinyint> inputs, got " +
           s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  private def getter(e: Expression): String = elemType(e) match {
+    case FloatType => "getFloat"
+    case ByteType  => "getByte"
+    case _         => "getDouble"
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     if (strict && a.numElements() != b.numElements()) return null
     val n = math.min(a.numElements(), b.numElements())
-    val la = elemType(left) == FloatType
-    val lb = elemType(right) == FloatType
+    def read(d: ArrayData, t: DataType, i: Int): Double = t match {
+      case FloatType => d.getFloat(i).toDouble
+      case ByteType  => d.getByte(i).toDouble
+      case _         => d.getDouble(i)
+    }
+    val ta = elemType(left); val tb = elemType(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (!a.isNullAt(i) && !b.isNullAt(i)) {
-        val x = if (la) a.getFloat(i).toDouble else a.getDouble(i)
-        val y = if (lb) b.getFloat(i).toDouble else b.getDouble(i)
-        acc += x * y
+        acc += read(a, ta, i) * read(b, tb, i)
       } else if (strict) {
         return null
       }
@@ -76,8 +84,8 @@ case class VectorDot(left: Expression, right: Expression,
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val getA = if (elemType(left) == FloatType) "getFloat" else "getDouble"
-    val getB = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    val getA = getter(left)
+    val getB = getter(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")

@@ -171,6 +171,40 @@ object Pipeline {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // int8-quantized brute-force ANN: same workload as sim_topk but over
+    // 4x-smaller tinyint vectors — scales cancel in cosine, so no
+    // dequantize step anywhere (oracled: the floor-based quantization
+    // replays exactly in DuckDB)
+    "sim_topk_q8" -> ((s, dir) => {
+      val q8 = Similarity.quantizeInt8(embs(s, dir), "vec_id", "embedding")
+      Similarity.bruteForceTopK(corpusPar(q8),
+          q8.filter(col("vec_id") < 512), "vec_id", "qvec", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // quantization loss, measured: recall@5 of the int8 path against the
+    // float32 exact top-5, banded like sim_recall (oracled)
+    "sim_recall_q8" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 512)
+      val ep = corpusPar(e)
+      val brute = Similarity.bruteForceTopK(ep, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val q8all = Similarity.quantizeInt8(e, "vec_id", "embedding")
+      val q8 = Similarity.bruteForceTopK(corpusPar(q8all),
+          q8all.filter(col("vec_id") < 512), "vec_id", "qvec", k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(q8, Seq("query_id", "neighbor_id"), "left")
+        .groupBy((col("query_id") % 32).as("band"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("k"), 4))
+        .orderBy("band")
+    }),
+
     // label centroids: grouped vector mean (oracled on first components)
     "sim_centroids" -> ((s, dir) => {
       Similarity.labelCentroids(embs(s, dir), "label", "embedding")
@@ -507,6 +541,22 @@ object Pipeline {
         .orderBy("doc_id")
     }),
   )
+
+  /** DuckDB twin of Similarity.quantizeInt8 over the embeddings table:
+    * identical floor-based rule (floor and IEEE division are bit-exact in
+    * both engines), quantized components as exact integers in double
+    * lists. */
+  private val Q8Ctes =
+    """emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       sc AS (SELECT vec_id, e,
+                list_max(list_transform(e, x -> abs(x))) / 127.0 AS s
+              FROM emb),
+       qv AS (SELECT vec_id, e,
+                CASE WHEN s = 0 THEN list_transform(e, x -> 0.0)
+                     ELSE list_transform(e, x ->
+                       greatest(-127.0, least(127.0, floor(x / s + 0.5))))
+                END AS qv
+              FROM sc)"""
 
   private val ShingleSql =
     """SELECT doc_id, unnest(list_distinct(list_transform(
@@ -962,6 +1012,48 @@ object Pipeline {
          FROM v a JOIN v b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.e, b.e) >= 0.45
          ORDER BY id_a, id_b""",
+    "sim_topk_q8" ->
+      s"""WITH $Q8Ctes,
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, c.qv) AS cos
+           FROM qv q JOIN qv c ON c.vec_id != q.vec_id
+           WHERE q.vec_id < 512),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id ASC) AS rn
+           FROM scored)
+         SELECT query_id, neighbor_id, round(cos, 4) AS cosine
+         FROM ranked WHERE rn <= 5 ORDER BY query_id, neighbor_id""",
+    "sim_recall_q8" ->
+      s"""WITH $Q8Ctes,
+         q8s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qv, c.qv) AS cos
+                 FROM qv q JOIN qv c ON c.vec_id != q.vec_id
+                 WHERE q.vec_id < 512),
+         q8r AS (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS rn
+                 FROM q8s),
+         q8 AS (SELECT query_id, neighbor_id FROM q8r WHERE rn <= 5),
+         bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_cosine_similarity(q.e, c.e) AS cos
+                FROM emb q JOIN emb c ON c.vec_id != q.vec_id
+                WHERE q.vec_id < 512),
+         br AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rn
+                FROM bs),
+         brute AS (SELECT query_id, neighbor_id FROM br WHERE rn <= 5)
+         SELECT b.query_id % 32 AS band, count(*) AS k,
+           sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hit,
+           round(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0
+             END)::DOUBLE / count(*), 4) AS recall
+         FROM brute b LEFT JOIN q8 l
+           ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         GROUP BY b.query_id % 32 ORDER BY band""",
     "sim_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          scored AS (

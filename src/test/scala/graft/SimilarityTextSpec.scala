@@ -125,6 +125,31 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(inertia("hash-sample", 3) <= inertia("lowest-id", 3) + 1e-9)
   }
 
+  test("quantizeInt8: tinyint vectors, scale-exact extremes, cosine close") {
+    val data = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f)),
+      (1L, Array(0.9f, -0.4f, 0.2f)),   // near-parallel to 0
+      (2L, Array(-1.0f, 0.5f, -0.25f)), // antipodal to 0
+      (3L, Array(0.0f, 0.0f, 0.0f)))    // all-zero edge
+      .toDF("vec_id", "embedding")
+    val q8 = Similarity.quantizeInt8(data, "vec_id", "embedding")
+    val rows = q8.orderBy("vec_id").collect()
+    // the max-|v| component quantizes to exactly +/-127
+    assert(rows(0).getSeq[Byte](rows(0).fieldIndex("qvec")) ==
+      Seq[Byte](127, -63, 32)) // floor(-63.5+0.5) = -63; floor(31.75+.5)=32
+    assert(rows(3).getSeq[Byte](rows(3).fieldIndex("qvec")) ==
+      Seq[Byte](0, 0, 0))
+    assert(rows(3).getDouble(rows(3).fieldIndex("qscale")) == 0.0)
+    // cosine over quantized vectors (scales cancel) tracks float cosine
+    val topk = Similarity.bruteForceTopK(q8, q8.filter($"vec_id" === 0),
+        "vec_id", "qvec", k = 3)
+      .orderBy(desc("cosine")).collect()
+    assert(topk(0).getLong(1) == 1L)                 // nearest unchanged
+    assert(topk(0).getDouble(2) > 0.99)
+    assert(topk.last.getLong(1) == 2L)               // antipode last
+    assert(topk.last.getDouble(2) < -0.99)
+  }
+
   test("labelCentroids averages per label") {
     val out = Similarity.labelCentroids(vecs, "label", "embedding")
       .orderBy("label").collect()
