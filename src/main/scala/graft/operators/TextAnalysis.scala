@@ -33,6 +33,47 @@ object TextAnalysis {
     greatest(regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")),
       ceil(length(text) / 4).cast("int"))
 
+  /** Word n-grams WITH multiplicity (no dedupe — repetition metrics need
+    * the counts), joined by single spaces; empty for docs shorter than n. */
+  private def ngramsAll(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")),
+      g => length(g) > 0)
+  }
+
+  /** Fraction of n-gram OCCURRENCES that are repeats of an earlier one:
+    * 1 - distinct/total — the Gopher-style intra-document repetition
+    * signal (0 for a doc with no repeated n-gram). Narrow per-row math. */
+  def dupNgramFrac(text: Column, n: Int = 3): Column = {
+    val g = ngramsAll(text, n)
+    when(size(g) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(g)).cast("double") / size(g))
+  }
+
+  /** Fraction of all n-gram occurrences taken by the single most frequent
+    * n-gram — the other standard repetition signal (a doc that is one
+    * phrase over and over scores ~1). Computed per row with NO shuffle:
+    * sort the n-gram array (equal grams become adjacent) and fold once,
+    * tracking the current and maximum run length. */
+  def topNgramFrac(text: Column, n: Int = 2): Column = {
+    val g = ngramsAll(text, n)
+    val sorted = sort_array(g)
+    val mx = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("mx")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("mx"), run).as("mx"))
+      },
+      acc => acc.getField("mx"))
+    when(size(g) === 0, lit(0.0))
+      .otherwise(mx.cast("double") / size(g))
+  }
+
   /** Quality metrics struct: char/token counts, mean token length,
     * stopword ratio, punctuation ratio, alpha ratio. */
   def qualityMetrics(text: Column,

@@ -195,6 +195,30 @@ object Extended {
         .orderBy("o_orderpriority")
     }),
 
+    // native RelationalGroupedDataset.pivot (vs the manual CASE twin
+    // x_pivot_manual): pivoted columns named by value, counts per cell
+    "x_pivot" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("F").as("n_f"),
+          col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // sketched quantiles next to exact ones — same accuracy-claim oracle
+    // pattern as x_approx_distinct: approx_percentile must land within
+    // 2% relative of the exact interpolating median in BOTH engines
+    "x_approx_quantile" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 3).as("p50"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"))
+        .select(col("l_returnflag"), col("p50"),
+          (abs(col("ap") - col("p50")) <= col("p50") * 0.02).as("approx_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     // exact interpolating quartiles per group
     "x_percentiles" -> ((s, dir) => {
       t(s, dir, "lineitem").groupBy("l_returnflag")
@@ -391,6 +415,20 @@ object Extended {
            count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
            count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "x_pivot" ->
+      """SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "x_approx_quantile" ->
+      """WITH e AS (SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 3) AS p50,
+             approx_quantile(l_extendedprice, 0.5) AS ap
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, p50,
+           (abs(ap - p50) <= p50 * 0.02) AS approx_ok
+         FROM e ORDER BY l_returnflag""",
     "x_typed_ds" ->
       """SELECT o_orderkey, o_totalprice * 0.9 AS discounted
          FROM orders

@@ -436,6 +436,21 @@ object Pipeline {
         .orderBy("query_id")
     }),
 
+    // Gopher-style repetition filter: duplicate-3-gram fraction and
+    // top-bigram share per doc, plus the keep verdict at thresholds that
+    // split this corpus ~90/10 (oracled — both metrics are exact
+    // count arithmetic)
+    "txt_repetition" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.round4(TextAnalysis.dupNgramFrac(col("text"), 3))
+            .as("dup3_frac"),
+          TextAnalysis.round4(TextAnalysis.topNgramFrac(col("text"), 2))
+            .as("top2_frac"))
+        .withColumn("keep",
+          col("dup3_frac") <= 0.05 && col("top2_frac") <= 0.07)
+        .orderBy("doc_id")
+    }),
+
     // corpus length histogram: fixed-width buckets over n_chars — the
     // first chart anyone draws over a new corpus (oracled)
     "txt_length_hist" -> ((s, dir) => {
@@ -892,6 +907,33 @@ object Pipeline {
          FROM inter JOIN bsz USING (bench_id)
          WHERE shared::DOUBLE / bench_size >= 0.8
          ORDER BY corpus_id, bench_id""",
+    "txt_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
+             AS tk FROM documents),
+         g3 AS (SELECT doc_id, list_filter(list_transform(
+                  range(1, greatest(len(tk)-2, 1)+1),
+                  i -> array_to_string(tk[i:i+2], ' ')),
+                  g -> len(g) > 0) AS g
+                FROM t),
+         d3 AS (SELECT doc_id, CASE WHEN len(g) = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(g))::DOUBLE / len(g) END
+                  AS dup3 FROM g3),
+         g2 AS (SELECT doc_id, unnest(list_filter(list_transform(
+                  range(1, greatest(len(tk)-1, 1)+1),
+                  i -> array_to_string(tk[i:i+1], ' ')),
+                  g -> len(g) > 0)) AS bg
+                FROM t),
+         bc AS (SELECT doc_id, bg, count(*) AS c FROM g2 GROUP BY 1, 2),
+         t2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top2 FROM bc
+                GROUP BY 1)
+         SELECT d3.doc_id,
+           floor(dup3 * 10000 + 0.5) / 10000 AS dup3_frac,
+           floor(coalesce(top2, 0.0) * 10000 + 0.5) / 10000 AS top2_frac,
+           (floor(dup3 * 10000 + 0.5) / 10000 <= 0.05 AND
+            floor(coalesce(top2, 0.0) * 10000 + 0.5) / 10000 <= 0.07)
+             AS keep
+         FROM d3 LEFT JOIN t2 ON t2.doc_id = d3.doc_id
+         ORDER BY d3.doc_id""",
     "ds_mix" ->
       """SELECT doc_id, lang FROM documents
          WHERE (('0x' || substr(md5('mix:' || doc_id::VARCHAR),1,8))

@@ -209,6 +209,28 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(out == "Real content here\nMore content")
   }
 
+  test("repetition metrics: looping phrase scores high, varied text low") {
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now buy now"),
+      (2L, "each word here appears exactly once in this doc"),
+      (3L, ""), (4L, "one two"))
+      .toDF("id", "text")
+    val out = df.select($"id",
+        TextAnalysis.dupNgramFrac($"text", 3).as("d3"),
+        TextAnalysis.topNgramFrac($"text", 2).as("t2"))
+      .orderBy("id").collect()
+    // doc 1: 10 tokens -> 8 trigrams, only 2 distinct -> dup = 6/8
+    assert(math.abs(out(0).getDouble(1) - 0.75) < 1e-12)
+    // doc 1 bigrams: 9 total, "buy now" x5 -> top share 5/9
+    assert(math.abs(out(0).getDouble(2) - 5.0 / 9) < 1e-12)
+    // varied doc repeats nothing
+    assert(out(1).getDouble(1) == 0.0)
+    assert(math.abs(out(1).getDouble(2) - 1.0 / 8) < 1e-12)
+    // empty / sub-n docs are 0, not NaN
+    assert(out(2).getDouble(1) == 0.0 && out(2).getDouble(2) == 0.0)
+    assert(out(3).getDouble(1) == 0.0)
+  }
+
   test("fingerprint is token-order-insensitive; rollingHash is order-sensitive") {
     val df = Seq(("b a c", "a b c"), ("a b c", "a b c")).toDF("t1", "t2")
     val fp = df.select(TextAnalysis.fingerprint($"t1"),
