@@ -109,6 +109,37 @@ object EventsStreaming {
       }
   }
 
+  /** Watermarked stream-stream interval join: each purchase joins the
+    * same user's view events from the preceding `horizon` — the
+    * attribution join ("which impression led to this purchase"), as a
+    * true stream-stream join rather than a batch as-of.
+    *
+    * Both sides carry watermarks and the join condition bounds view time
+    * to [purchase - horizon, purchase], so Spark can expire buffered
+    * state once the watermark passes (unbounded state otherwise — the
+    * stream-stream-join scale trap). Inner join: purchases with no view
+    * in the horizon drop (use the batch [[graft.operators.AsOfJoin]]
+    * over landed data for left-join attribution). */
+  def purchaseAttribution(events: DataFrame,
+                          horizon: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id"), col("ts").as("p_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("p_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    purchases.join(views,
+      col("user_id") === col("v_user_id") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+      .select("purchase_id", "user_id", "p_ts", "purchase_value",
+        "view_id", "v_ts")
+  }
+
   /** File-source stream over a directory of event parquet files — the
     * production entry point (swap path for kafka, same downstream plan). */
   def fromParquetDir(spark: org.apache.spark.sql.SparkSession, dir: String,

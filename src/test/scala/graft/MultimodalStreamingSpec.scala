@@ -120,6 +120,35 @@ class MultimodalStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream purchase attribution joins views within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val joined = EventsStreaming.purchaseAttribution(events,
+      horizon = "1 hour", watermark = "2 hours")
+    val q = joined.writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      def ts(h: Int, m: Int) =
+        java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      mem.addData(
+        (1L, ts(9, 0), 7L, "view", 0.0),      // in horizon of purchase
+        (2L, ts(8, 0), 7L, "view", 0.0),      // 1h35 before -> outside
+        (3L, ts(9, 30), 8L, "view", 0.0),     // other user
+        (4L, ts(9, 35), 7L, "purchase", 10.0))
+      q.processAllAvailable()
+      // advance watermark far enough to flush and close join state
+      mem.addData((99L, ts(13, 0), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select purchase_id, view_id from attr_test order by view_id")
+        .collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((4L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming sessionize via mapGroupsWithState emits running sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventsStreaming.Event]
