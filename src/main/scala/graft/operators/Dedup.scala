@@ -486,26 +486,26 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // (a) propagate: min over direct neighbors' labels
+      // (a) propagate: min over direct neighbors' labels (old label rides
+      // along so convergence needs no extra compare join)
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
       val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"),
-          coalesce(col("nbr_label"), col("label"))).as("label"))
+        .select(col("id"), col("label").as("__old"),
+          least(col("label"),
+            coalesce(col("nbr_label"), col("label"))).as("label"))
       // (b) shortcut: label <- label(label). Labels only shrink
       // (label(x) <= x), so the parent's label is always <= the current
       // one when present — coalesce suffices, no least() needed.
       val parents = prop.select(col("id").as("label"),
         col("label").as("parent_label"))
       val updated = prop.join(parents, Seq("label"), "left")
-        .select(col("id"),
+        .select(col("id"), col("__old"),
           coalesce(col("parent_label"), col("label")).as("label"))
         .localCheckpoint()
-      converged = updated.alias("n")
-        .join(labels.alias("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).isEmpty
-      labels = updated
+      converged = updated.filter(col("label") =!= col("__old")).isEmpty
+      labels = updated.select("id", "label")
       iter += 1
     }
     if (!converged)
