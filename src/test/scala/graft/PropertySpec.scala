@@ -6,7 +6,8 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
 import graft.core.EngineError.AnalysisError
-import graft.operators.{ColumnAppend, ColumnPack, DataFrameOps}
+import graft.operators.{AsOfJoin, ColumnAppend, ColumnPack, DataFrameOps,
+  Similarity}
 
 /** Generative invariants over the column-engineering core (SURVEY §5
   * bonus: the reference is purely example-based; ScalaCheck hardens the
@@ -73,6 +74,57 @@ class PropertySpec extends SparkTestBase {
       val pks = ColumnAppend.addPk(df, "pk").select("pk").as[Int]
         .collect().sorted.toSeq
       assert(pks == (0 until n))
+    }
+  }
+
+  private val vecsGen: Gen[List[Array[Float]]] =
+    Gen.listOfN(8, Gen.listOfN(6,
+      Gen.chooseNum(-100, 100).map(_ / 10.0f)).map(_.toArray))
+
+  test("quantizeInt8: components bounded, cosine within quantization error") {
+    forAll(vecsGen, n = 8) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val q8 = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      val rows = q8.orderBy("vec_id").collect()
+      rows.foreach { r =>
+        val qv = r.getSeq[Byte](r.fieldIndex("qvec"))
+        assert(qv.forall(b => b >= -127 && b <= 127))
+      }
+      // exact vs quantized cosine of the first pair agree to ~1e-2
+      import graft.functions.VectorFunctions._
+      val exact = df.as("a").crossJoin(df.as("b"))
+        .filter(col("a.vec_id") === 0 && col("b.vec_id") === 1)
+        .select(cosine(col("a.embedding"), col("b.embedding"))).head().getDouble(0)
+      val quant = q8.as("a").crossJoin(q8.as("b"))
+        .filter(col("a.vec_id") === 0 && col("b.vec_id") === 1)
+        .select(cosine(col("a.qvec"), col("b.qvec"))).head().getDouble(0)
+      assert(math.abs(exact - quant) < 0.02,
+        s"cosine drifted: exact $exact vs int8 $quant")
+    }
+  }
+
+  test("asof nearest always picks the minimum |ts diff|, ties backward") {
+    val tsGen = Gen.listOfN(6, Gen.chooseNum(0L, 100L))
+    forAll(Gen.zip(tsGen, tsGen), n = 10) { case (leftTs, rightTs) =>
+      val left = leftTs.distinct.map(t => (1L, t)).toDF("k", "ts")
+      val right = rightTs.distinct.map(t => (1L, t, t * 10.0))
+        .toDF("k", "ts", "v")
+      val out = AsOfJoin.asof(left, right, Seq("k"), "ts", Seq("v"),
+          direction = "nearest")
+        .select("ts", "asof_v")
+        .as[(Long, Option[Double])].collect().toMap
+      for (lt <- leftTs.distinct) {
+        val expected =
+          if (rightTs.isEmpty) None
+          else {
+            val best = rightTs.distinct.minBy(rt =>
+              (math.abs(lt - rt), rt > lt)) // tie -> backward (rt <= lt)
+            Some(best * 10.0)
+          }
+        assert(out(lt) == expected,
+          s"left=$lt right=${rightTs.distinct.sorted} got ${out(lt)}")
+      }
     }
   }
 }
