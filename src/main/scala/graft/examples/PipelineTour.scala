@@ -12,11 +12,12 @@ import graft.sources.Tables
 /** End-to-end training-data pipeline over the documents corpus — the
   * composition every individual operator exists for:
   *
-  *   normalize → quality filter → language id → exact dedup →
-  *   near-dedup (minhash, cluster-exact survivors) → deterministic
+  *   normalize → quality + repetition filters → language id →
+  *   exact dedup → near-dedup (minhash, cluster-exact survivors) →
+  *   benchmark decontamination → weighted dataset mix → deterministic
   *   train/val/test split → chunk to context windows → pack into
   *   sequence bins → partitioned write; plus the embedding side:
-  *   k-means quantizer → IVF top-k neighbors.
+  *   int8 quantization → k-means quantizer → IVF top-k neighbors.
   *
   * Each stage is lazy; the whole pipeline is ONE Catalyst plan per action
   * (dedup's candidate join is the only pair-wise stage). Run:
@@ -37,9 +38,12 @@ object PipelineTour {
       .withColumn("lang_pred", TextAnalysis.langId(col("text")))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
 
-    // 2. quality gate
-    val filtered = normed.filter(col("quality") >= 0.5 && col("n_tokens") >= 10)
-    println(s"after quality gate:  ${filtered.count()}")
+    // 2. quality gate + Gopher-style repetition gate (both narrow)
+    val filtered = normed
+      .filter(col("quality") >= 0.5 && col("n_tokens") >= 10)
+      .filter(TextAnalysis.dupNgramFrac(col("text"), 3) <= 0.05 &&
+        TextAnalysis.topNgramFrac(col("text"), 2) <= 0.07)
+    println(s"after quality gates: ${filtered.count()}")
 
     // 3. exact dedup on normalized content (one shuffle)
     val exactKept = filtered.join(
@@ -55,8 +59,25 @@ object PipelineTour {
     println(s"after near dedup:    ${survivors.count()} " +
       s"(removed ${exactKept.count() - survivors.count()} near-dups)")
 
-    // 5. deterministic split + chunk + pack — the loader-facing steps
-    val split = Prep.hashSplit(survivors, "doc_id", trainPct = 90, valPct = 5)
+    // 5. benchmark decontamination: drop training docs that contain a
+    // held-out "benchmark" doc (here: the first 20 ids stand in for an
+    // eval set) — the corpus side never shuffles
+    val bench = raw.filter(col("doc_id") < 20)
+    val contaminated = Dedup.contaminationPairs(
+        survivors.filter(col("doc_id") >= 20), bench, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .select(col("corpus_id").as("doc_id")).distinct()
+    val clean = survivors.join(contaminated, Seq("doc_id"), "left_anti")
+    println(s"after decontam:      ${clean.count()}")
+
+    // 6. weighted dataset mix (md5-coin, replayable): keep all en, half
+    // zh, a quarter de, 10% of the rest
+    val mixed = Prep.weightedSample(clean, "doc_id", "lang",
+      Map("en" -> 1.0, "zh" -> 0.5, "de" -> 0.25), defaultWeight = 0.1)
+    println(s"after weighted mix:  ${mixed.count()}")
+
+    // 7. deterministic split + chunk + pack — the loader-facing steps
+    val split = Prep.hashSplit(mixed, "doc_id", trainPct = 90, valPct = 5)
     val train = split.filter(col("split") === "train")
     val chunks = Prep.chunk(train, "doc_id", "norm",
       chunkTokens = 128, overlap = 16)
@@ -67,15 +88,20 @@ object PipelineTour {
     println(s"train chunks:        ${chunks.count()} packed into " +
       s"${packed.select("shard", "bin").distinct().count()} sequence bins")
 
-    // 6. embedding side: train the IVF quantizer, probe for neighbors
+    // 8. embedding side: int8-quantize (4x smaller, scales cancel in
+    // cosine), train the IVF quantizer, probe for neighbors
     val embs = Tables.load(spark, dir, "embeddings")
+    val q8 = Similarity.quantizeInt8(embs, "vec_id", "embedding")
+    val q8nn = Similarity.bruteForceTopK(q8, q8.filter(col("vec_id") < 4),
+      "vec_id", "qvec", k = 3)
+    println(s"int8 neighbors (4 queries x 3): ${q8nn.count()}")
     val cents = Similarity.kmeans(embs, "vec_id", "embedding", k = 8,
       iters = 2)
     val nn = Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 4),
       "vec_id", "embedding", cents, k = 3, nProbe = 2)
     println(s"ivf neighbors (4 queries x 3): ${nn.count()}")
 
-    // 7. partitioned write, clustered for downstream range scans
+    // 9. partitioned write, clustered for downstream range scans
     val out = Files.createTempDirectory("graft_pipeline_").resolve("corpus")
     Sinks.writePartitioned(
       split.select("doc_id", "lang_pred", "quality", "n_tokens", "norm",
