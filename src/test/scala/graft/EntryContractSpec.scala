@@ -1,0 +1,45 @@
+package graft
+
+/** Meta-spec for the driver contract: every query the engine claims is
+  * either DuckDB-oracled or on the explicit, documented rows-only list —
+  * so a new query silently missing its oracle (or an oracle whose query
+  * was renamed away) fails CI here instead of surfacing as a weaker
+  * check in the driver's correctness run. */
+class EntryContractSpec extends SparkTestBase {
+
+  // the ONLY queries allowed to lack a value oracle: honestly random by
+  // design (reference-parity random sampling)
+  private val rowsOnly = Set("x_sample", "x_sample_scalable")
+
+  test("every query has an oracle unless explicitly rows-only") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val missing = q -- o -- rowsOnly
+    assert(missing.isEmpty,
+      s"queries without an oracle (add SQL or justify rows-only): $missing")
+  }
+
+  test("no orphan oracles (oracle key without a query)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles with no query: $orphans")
+  }
+
+  test("rows-only list is tight (those queries really have no oracle)") {
+    val stale = rowsOnly.filter(SparkEntry.oracleSql.contains)
+    assert(stale.isEmpty, s"now-oracled queries still listed rows-only: $stale")
+    assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("flagship entry returns rows on the smallest scale factor") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query builds a plan against sf0.001 (no analysis errors)") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      // plan construction + analysis only — execution is Verify's job
+      val schema = fn(spark, dir).schema
+      assert(schema.fields.nonEmpty, s"$name produced an empty schema")
+    }
+  }
+}
