@@ -153,19 +153,19 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     }),
 
-    // brute-force cosine top-k ANN baseline (oracled). The query side is a
-    // 512-vector batch — the workload ANN indexing exists for: per-row
-    // brute cost is |queries| dots, so a bounded-but-batch query set is
-    // where the LSH twin's per-row cost (tables x bits signature dots)
-    // pays off. The corpus is explicitly split LSH_CORPUS_PARTS ways
-    // (single-file local input would otherwise serialize the whole
-    // n x |q| cosine scan in one task; explicit numPartitions exempts the
-    // exchange from AQE's size-based coalescing, which cannot see compute
-    // density).
+    // brute-force cosine top-k ANN baseline (oracled). The workload is
+    // all-pairs corpus self-ANN — neighbors for EVERY vector, the
+    // dedup/diversity primitive — which is also where indexing pays:
+    // per-row brute cost is n dots, the LSH twin's is tables x bits
+    // signature dots plus its candidate share. The corpus is explicitly
+    // split LSH_CORPUS_PARTS ways (single-file local input would
+    // otherwise serialize the whole n^2 cosine scan in one task;
+    // explicit numPartitions exempts the exchange from AQE size-based
+    // coalescing, which cannot see compute density).
     "sim_topk" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.bruteForceTopK(corpusPar(e), e.filter(col("vec_id") < 512),
-          "vec_id", "embedding", k = 5)
+      Similarity.bruteForceTopK(corpusPar(e), e, "vec_id", "embedding",
+          k = 5)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"))
         .orderBy("query_id", "neighbor_id")
@@ -177,8 +177,7 @@ object Pipeline {
     // replays exactly in DuckDB)
     "sim_topk_q8" -> ((s, dir) => {
       val q8 = Similarity.quantizeInt8(embs(s, dir), "vec_id", "embedding")
-      Similarity.bruteForceTopK(corpusPar(q8),
-          q8.filter(col("vec_id") < 512), "vec_id", "qvec", k = 5)
+      Similarity.bruteForceTopK(corpusPar(q8), q8, "vec_id", "qvec", k = 5)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"))
         .orderBy("query_id", "neighbor_id")
@@ -188,13 +187,12 @@ object Pipeline {
     // float32 exact top-5, banded like sim_recall (oracled)
     "sim_recall_q8" -> ((s, dir) => {
       val e = embs(s, dir)
-      val q = e.filter(col("vec_id") < 512)
       val ep = corpusPar(e)
-      val brute = Similarity.bruteForceTopK(ep, q, "vec_id", "embedding", k = 5)
+      val brute = Similarity.bruteForceTopK(ep, e, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val q8all = Similarity.quantizeInt8(e, "vec_id", "embedding")
-      val q8 = Similarity.bruteForceTopK(corpusPar(q8all),
-          q8all.filter(col("vec_id") < 512), "vec_id", "qvec", k = 5)
+      val q8 = Similarity.bruteForceTopK(corpusPar(q8all), q8all,
+          "vec_id", "qvec", k = 5)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       brute.join(q8, Seq("query_id", "neighbor_id"), "left")
         .groupBy((col("query_id") % 32).as("band"))
@@ -358,8 +356,8 @@ object Pipeline {
     // bits from count(*), so the check is sf-agnostic.
     "sim_topk_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.lshTopK(corpusPar(e), e.filter(col("vec_id") < 512),
-          "vec_id", "embedding", k = 5, tables = 8, mode = HashMode.Md5)
+      Similarity.lshTopK(corpusPar(e), e, "vec_id", "embedding", k = 5,
+          tables = 8, mode = HashMode.Md5)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"))
         .orderBy("query_id", "neighbor_id")
@@ -369,15 +367,14 @@ object Pipeline {
     // recovers, per query — the evidence behind "recall tunable via
     // tables x bits" (deterministic given md5-mode planes -> oracled)
     // recall is summarized per query-id band (32 bands) rather than per
-    // query — 512 queries would make the artifact needlessly wide; the
-    // banded means still localize a recall regression
+    // query — per-query rows would make the artifact needlessly wide;
+    // the banded means still localize a recall regression
     "sim_recall" -> ((s, dir) => {
       val e = embs(s, dir)
-      val q = e.filter(col("vec_id") < 512)
       val ep = corpusPar(e)
-      val brute = Similarity.bruteForceTopK(ep, q, "vec_id", "embedding", k = 5)
+      val brute = Similarity.bruteForceTopK(ep, e, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val lsh = Similarity.lshTopK(ep, q, "vec_id", "embedding", k = 5,
+      val lsh = Similarity.lshTopK(ep, e, "vec_id", "embedding", k = 5,
           tables = 8, mode = HashMode.Md5)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
@@ -828,8 +825,7 @@ object Pipeline {
                 CASE WHEN f.f < 0 THEN bucket
                      ELSE xor(bucket, (1::BIGINT << f.f::INT)) END AS bucket
               FROM buckets
-              CROSS JOIN unnest(range(-1, (SELECT bits FROM nb))) AS f(f)
-              WHERE vec_id < 512),
+              CROSS JOIN unnest(range(-1, (SELECT bits FROM nb))) AS f(f)),
        cand AS (SELECT DISTINCT qb.vec_id AS query_id,
                   cb.vec_id AS neighbor_id
                 FROM buckets cb JOIN qb
@@ -981,8 +977,7 @@ object Pipeline {
          lsh AS (SELECT query_id, neighbor_id FROM lsh_ranked WHERE rn <= 5),
          b_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                         list_cosine_similarity(q.e, c.e) AS cos
-                      FROM emb q JOIN emb c ON c.vec_id != q.vec_id
-                      WHERE q.vec_id < 512),
+                      FROM emb q JOIN emb c ON c.vec_id != q.vec_id),
          b_ranked AS (SELECT query_id, neighbor_id,
                         row_number() OVER (PARTITION BY query_id
                           ORDER BY cos DESC, neighbor_id ASC) AS rn
@@ -1059,8 +1054,7 @@ object Pipeline {
          scored AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              list_cosine_similarity(q.qv, c.qv) AS cos
-           FROM qv q JOIN qv c ON c.vec_id != q.vec_id
-           WHERE q.vec_id < 512),
+           FROM qv q JOIN qv c ON c.vec_id != q.vec_id),
          ranked AS (
            SELECT query_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY query_id
@@ -1072,8 +1066,7 @@ object Pipeline {
       s"""WITH $Q8Ctes,
          q8s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    list_cosine_similarity(q.qv, c.qv) AS cos
-                 FROM qv q JOIN qv c ON c.vec_id != q.vec_id
-                 WHERE q.vec_id < 512),
+                 FROM qv q JOIN qv c ON c.vec_id != q.vec_id),
          q8r AS (SELECT query_id, neighbor_id,
                    row_number() OVER (PARTITION BY query_id
                      ORDER BY cos DESC, neighbor_id ASC) AS rn
@@ -1081,8 +1074,7 @@ object Pipeline {
          q8 AS (SELECT query_id, neighbor_id FROM q8r WHERE rn <= 5),
          bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                   list_cosine_similarity(q.e, c.e) AS cos
-                FROM emb q JOIN emb c ON c.vec_id != q.vec_id
-                WHERE q.vec_id < 512),
+                FROM emb q JOIN emb c ON c.vec_id != q.vec_id),
          br AS (SELECT query_id, neighbor_id,
                   row_number() OVER (PARTITION BY query_id
                     ORDER BY cos DESC, neighbor_id ASC) AS rn
@@ -1101,8 +1093,7 @@ object Pipeline {
          scored AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              list_cosine_similarity(q.e, c.e) AS cos
-           FROM v q JOIN v c ON c.vec_id != q.vec_id
-           WHERE q.vec_id < 512),
+           FROM v q JOIN v c ON c.vec_id != q.vec_id),
          ranked AS (
            SELECT query_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY query_id
