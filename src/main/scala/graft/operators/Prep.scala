@@ -31,10 +31,14 @@ object Prep {
             chunkTokens: Int = 512, overlap: Int = 64): DataFrame = {
     require(overlap < chunkTokens, "overlap must be < chunkTokens")
     val stride = chunkTokens - overlap
-    val toks = TextAnalysis.tokens(col(textCol))
+    // token array materialized as a column: a plain expression referenced
+    // inside the interpreted transform lambda would re-tokenize the doc
+    // once per chunk (see Dedup.shingles)
+    val toks = col("__toks")
     val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)),
       lit(stride))
-    df.select(col(idCol), posexplode(
+    df.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol), posexplode(
         transform(starts, s => slice(toks, s + 1, lit(chunkTokens)))))
       .select(col(idCol), col("pos").as("chunk_idx"),
         size(col("col")).cast("long").as("chunk_tokens"),

@@ -34,45 +34,60 @@ object TextAnalysis {
       ceil(length(text) / 4).cast("int"))
 
   /** Word n-grams WITH multiplicity (no dedupe — repetition metrics need
-    * the counts), joined by single spaces; empty for docs shorter than n. */
-  private def ngramsAll(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+    * the counts), joined by single spaces; empty for docs shorter than n.
+    *
+    * Callers should pass an already-materialized token ARRAY column (not
+    * `tokens(text)` inline): expressions referenced inside an interpreted
+    * HOF lambda re-evaluate per element — an inline split would tokenize
+    * the doc once per n-gram (see Dedup.shingles). */
+  private def ngramsOfToks(toks: Column, n: Int): Column =
     filter(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => array_join(slice(toks, i + 1, lit(n)), " ")),
       g => length(g) > 0)
-  }
+
+  /** Evaluate `e` ONCE and hand it to `f` as a bound lambda variable —
+    * the Column-DSL let-binding. Inside interpreted HOF lambdas a plain
+    * subexpression re-evaluates per element; a lambda variable is a slot
+    * lookup. Implemented as a 1-element transform. */
+  private def bindOnce(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), x => f(x)), 1)
 
   /** Fraction of n-gram OCCURRENCES that are repeats of an earlier one:
     * 1 - distinct/total — the Gopher-style intra-document repetition
-    * signal (0 for a doc with no repeated n-gram). Narrow per-row math. */
-  def dupNgramFrac(text: Column, n: Int = 3): Column = {
-    val g = ngramsAll(text, n)
-    when(size(g) === 0, lit(0.0))
-      .otherwise(lit(1.0) -
-        size(array_distinct(g)).cast("double") / size(g))
-  }
+    * signal (0 for a doc with no repeated n-gram). Narrow per-row math;
+    * the token array is let-bound so the doc tokenizes once, not once
+    * per n-gram. */
+  def dupNgramFrac(text: Column, n: Int = 3): Column =
+    bindOnce(tokens(text)) { toks =>
+      val g = ngramsOfToks(toks, n)
+      when(size(g) === 0, lit(0.0))
+        .otherwise(lit(1.0) -
+          size(array_distinct(g)).cast("double") / size(g))
+    }
 
   /** Fraction of all n-gram occurrences taken by the single most frequent
     * n-gram — the other standard repetition signal (a doc that is one
     * phrase over and over scores ~1). Computed per row with NO shuffle:
     * sort the n-gram array (equal grams become adjacent) and fold once,
     * tracking the current and maximum run length. */
-  def topNgramFrac(text: Column, n: Int = 2): Column = {
-    val g = ngramsAll(text, n)
-    val sorted = sort_array(g)
-    val mx = aggregate(sorted,
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("mx")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"),
-          acc.getField("run") + 1).otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("mx"), run).as("mx"))
-      },
-      acc => acc.getField("mx"))
-    when(size(g) === 0, lit(0.0))
-      .otherwise(mx.cast("double") / size(g))
-  }
+  def topNgramFrac(text: Column, n: Int = 2): Column =
+    bindOnce(tokens(text)) { toks =>
+      bindOnce(ngramsOfToks(toks, n)) { g =>
+        val sorted = sort_array(g)
+        val mx = aggregate(sorted,
+          struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("mx")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"),
+              acc.getField("run") + 1).otherwise(lit(1))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("mx"), run).as("mx"))
+          },
+          acc => acc.getField("mx"))
+        when(size(g) === 0, lit(0.0))
+          .otherwise(mx.cast("double") / size(g))
+      }
+    }
 
   /** Quality metrics struct: char/token counts, mean token length,
     * stopword ratio, punctuation ratio, alpha ratio. */
