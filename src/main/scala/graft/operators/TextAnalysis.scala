@@ -89,6 +89,38 @@ object TextAnalysis {
       }
     }
 
+  /** Hashing-trick text featurization: token counts hashed into a dense
+    * `dim`-component double vector per document — the classic
+    * vocabulary-free text→vector bridge (feeds [[Similarity]] ops
+    * directly: text near-dup via cosine, clustering, ANN). Buckets come
+    * from md5 (deterministic AND engine-portable, like [[Dedup]]'s Md5
+    * mode), so the vectors — and anything computed from them — replay
+    * bit-identically in the DuckDB oracle.
+    *
+    * Shape: explode tokens → count per (id, bucket) → assemble the dense
+    * vector from a bucket→count map (two shuffles, both map-side
+    * partial-aggregated; assembly is O(dim × map-lookup) per doc).
+    * Returns (idCol, features). */
+  def hashFeatures(df: DataFrame, idCol: String, textCol: String,
+                   dim: Int = 64, salt: String = "hf:"): DataFrame = {
+    val bucket = pmod(conv(substring(md5(
+      concat(lit(salt), col("__tok")).cast("binary")), 1, 8), 16, 10)
+      .cast("long"), lit(dim))
+    val counts = df
+      .repartition(col(idCol)) // decouple from single-file input layout
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .withColumn("__b", bucket)
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    counts.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__c"))))
+        .as("__m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i.cast("long")), lit(0.0)))
+          .as("features"))
+  }
+
   /** Quality metrics struct: char/token counts, mean token length,
     * stopword ratio, punctuation ratio, alpha ratio. */
   def qualityMetrics(text: Column,

@@ -448,6 +448,18 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // text -> vector bridge: hashing-trick features + cosine top-3
+    // text-neighbors for the first 8 docs — near-dup by CONTENT without
+    // any embedding model (oracled: md5 buckets replay in DuckDB)
+    "txt_hash_topk" -> ((s, dir) => {
+      val fv = TextAnalysis.hashFeatures(docs(s, dir), "doc_id", "text")
+      Similarity.bruteForceTopK(fv, fv.filter(col("doc_id") < 8),
+          "doc_id", "features", k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // corpus length histogram: fixed-width buckets over n_chars — the
     // first chart anyone draws over a new corpus (oracled)
     "txt_length_hist" -> ((s, dir) => {
@@ -930,6 +942,31 @@ object Pipeline {
              AS keep
          FROM d3 LEFT JOIN t2 ON t2.doc_id = d3.doc_id
          ORDER BY d3.doc_id""",
+    "txt_hash_topk" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS t
+           FROM documents),
+         cnt AS (SELECT doc_id,
+                   (('0x' || substr(md5('hf:' || t),1,8))::BIGINT % 64)
+                     AS b,
+                   count(*)::DOUBLE AS c
+                 FROM tok GROUP BY 1, 2),
+         ids AS (SELECT DISTINCT doc_id FROM cnt),
+         fv AS (SELECT ids.doc_id,
+                  list(coalesce(cnt.c, 0.0) ORDER BY i.i) AS v
+                FROM ids CROSS JOIN range(0, 64) i(i)
+                LEFT JOIN cnt ON cnt.doc_id = ids.doc_id AND cnt.b = i.i
+                GROUP BY ids.doc_id),
+         scored AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+                      list_cosine_similarity(q.v, c.v) AS cos
+                    FROM fv q JOIN fv c ON c.doc_id != q.doc_id
+                    WHERE q.doc_id < 8),
+         ranked AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rn
+                    FROM scored)
+         SELECT query_id, neighbor_id, round(cos, 4) AS cosine
+         FROM ranked WHERE rn <= 3 ORDER BY query_id, neighbor_id""",
     "ds_mix" ->
       """SELECT doc_id, lang FROM documents
          WHERE (('0x' || substr(md5('mix:' || doc_id::VARCHAR),1,8))

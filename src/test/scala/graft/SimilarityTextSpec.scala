@@ -209,6 +209,26 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(out == "Real content here\nMore content")
   }
 
+  test("hashFeatures: deterministic, dense, and cosine-faithful to content") {
+    val df = Seq(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "spark shuffles data across the cluster"), // identical content
+      (3L, "completely different words entirely here now"))
+      .toDF("doc_id", "text")
+    val fv = TextAnalysis.hashFeatures(df, "doc_id", "text", dim = 16)
+    val rows = fv.orderBy("doc_id").collect()
+    assert(rows.forall(_.getSeq[Double](1).length == 16))
+    // identical text -> identical vector; token count preserved
+    assert(rows(0).getSeq[Double](1) == rows(1).getSeq[Double](1))
+    assert(rows(0).getSeq[Double](1).sum == 6.0)
+    // identical docs are cosine-1 neighbors; the unrelated doc is not
+    val nn = Similarity.bruteForceTopK(fv, fv.filter($"doc_id" === 1),
+        "doc_id", "features", k = 2)
+      .orderBy(desc("cosine")).collect()
+    assert(nn(0).getLong(1) == 2L && math.abs(nn(0).getDouble(2) - 1.0) < 1e-12)
+    assert(nn(1).getDouble(2) < 0.9)
+  }
+
   test("repetition metrics: looping phrase scores high, varied text low") {
     val df = Seq(
       (1L, "buy now buy now buy now buy now buy now"),
