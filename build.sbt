@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The benchmark/verify mains print machine-read JSON lines; sbt's default
+// LoggedOutput prefixes every forked-stdout line with "[info] ", which the
+// driver's parser chokes on. StdoutOutput passes the child's stdout through
+// verbatim.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

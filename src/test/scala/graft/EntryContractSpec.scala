@@ -34,6 +34,31 @@ class EntryContractSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // BENCH_r01..r03 all came back `parsed: null`: the harness keeps only
+  // the last ~2000 chars of stdout, and the full per-query map overflowed
+  // it. Pin the compact line below the window for the REAL query set (plus
+  // slack for growth) so adding queries can't silently break parsing again.
+  test("bench compact line fits the harness stdout-tail window") {
+    val results = SparkEntry.queries.keySet.toSeq.sorted
+      .map(n => (n, 123.456789, Option.empty[String]))
+    val line = Bench.renderCompact(results, "/root/testdata/sf0.1", "32", 3)
+    assert(line.length < 1800, s"compact bench line too long: ${line.length}")
+    assert(line.startsWith("{") && line.endsWith("}"))
+    assert(line.contains("\"n_err\":0"))
+  }
+
+  test("bench line records a failing query as err, not a fast success") {
+    val results = Seq(
+      ("q_ok", 1.0, None),
+      ("q_bad", 0.001, Some("SparkException: boom")))
+    val compact = Bench.renderCompact(results, "sf", "4", 1)
+    val full = Bench.renderFull(results, "sf", "4", 1)
+    assert(compact.contains("\"n_err\":1"))
+    assert(full.contains("\"q_bad\":\"SparkException: boom\""))
+    // a failed run must not contribute to the headline total
+    assert(full.contains("\"value\":1.0"))
+  }
+
   test("every query builds a plan against sf0.001 (no analysis errors)") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
