@@ -465,24 +465,96 @@ object Dedup {
     * propagated labels.
     *
     * Only ids that appear in `pairs` are returned — callers join back to
-    * the corpus and coalesce singletons to their own id. */
+    * the corpus and coalesce singletons to their own id.
+    *
+    * ADAPTIVE EXECUTION: near-dup EDGES are a tiny fraction of the corpus
+    * (a pair only exists where two documents already collide in an LSH
+    * bucket and pass the similarity threshold), so even a 100 TB corpus
+    * typically yields an edge set in the millions, not the billions. When
+    * the pair count is at or below `smallGraphThreshold` (default 4M
+    * pairs ≈ 64 MB of longs — trivially driver-sized), the component
+    * labels are computed with a single-pass path-compressed union-find on
+    * the driver: ONE action total (a bounded limit-probe that doubles as
+    * the collect) instead of ~log(n) rounds of 2-join-plus-checkpoint,
+    * which at interactive scale is the difference between ~2 s of
+    * per-round scheduling overhead and ~50 ms. Above the threshold the
+    * limit short-circuits and the distributed pointer-doubling path runs
+    * unchanged (one extra bounded pass over the pair stream) — that path has
+    * no driver materialization and is the 1000-executor design. Both
+    * paths compute the same fixpoint (min id per component); the property
+    * spec pins their equality on random graphs. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b",
-                          maxIter: Int = 50): DataFrame =
-    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+                          maxIter: Int = 50,
+                          smallGraphThreshold: Int = 4 * 1000 * 1000): DataFrame = {
+    // bounded probe: ask for threshold+1 pairs. On the small (common)
+    // path this single action IS the union-find input — no edge
+    // symmetrization, no checkpoint, no separate count. On the big path
+    // the limit short-circuits and the distributed rounds recompute the
+    // pair stream once into the materialized edge frame.
+    val probe = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .limit(math.min(smallGraphThreshold.toLong + 1, Int.MaxValue).toInt)
+      .collect()
+    if (probe.length <= smallGraphThreshold)
+      driverUnionFind(pairs.sparkSession,
+        probe.map(r => (r.getLong(0), r.getLong(1))))
+    else connectedComponentsFromEdges(symmetricEdges(pairs, aCol, bCol), maxIter)._1
+  }
+
+  /** Undirected, deduplicated, pre-partitioned, materialized edge frame
+    * (src, dst) — shared by both CC execution paths. Shuffled once here so
+    * the distributed path doesn't re-shuffle per round. */
+  private def symmetricEdges(pairs: DataFrame, aCol: String,
+                             bCol: String): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src")).localCheckpoint()
+  }
+
+  /** Small-graph CC: path-compressed min-label union-find over collected
+    * pairs (direction/duplication irrelevant to union-find). Exact and
+    * deterministic; only reachable behind the size gate above. */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+                              es: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root)
+        root = parent.getOrElse(root, root)
+      // path compression
+      var cur = x
+      while (parent.getOrElse(cur, cur) != root) {
+        val next = parent.getOrElse(cur, cur)
+        parent(cur) = root
+        cur = next
+      }
+      root
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      // min id wins the root so the fixpoint matches the distributed path
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    ids.toSeq.sorted.map(id => (id, find(id))).toDF("id", "cluster")
+  }
 
   /** [[connectedComponents]] plus the number of rounds it took — the
     * round count is what the convergence specs pin. */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-      maxIter: Int = 50): (DataFrame, Int) = {
-    val fwd = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
-    // pre-partition on the per-round join key so the (larger) edge frame
-    // is shuffled once here, not once per round
-    val edges = fwd.union(fwd.select(col("dst").as("src"),
-        col("src").as("dst"))).distinct()
-      .repartition(col("src")).localCheckpoint()
+      maxIter: Int = 50): (DataFrame, Int) =
+    connectedComponentsFromEdges(symmetricEdges(pairs, aCol, bCol), maxIter)
+
+  /** Distributed pointer-doubling CC over a pre-built symmetric edge
+    * frame (see [[symmetricEdges]]) — the above-threshold path. */
+  private def connectedComponentsFromEdges(
+      edges: DataFrame, maxIter: Int): (DataFrame, Int) = {
     // seed with min(self, direct neighbors) — this IS the first
     // propagation round, done as one aggregation without a labels join
     var labels = edges.groupBy(col("src"))

@@ -179,6 +179,21 @@ class DedupSpec extends SparkTestBase {
     assert(rounds <= 2, s"clique took $rounds rounds")
   }
 
+  test("adaptive CC: driver union-find equals distributed pointer doubling") {
+    // same random graph through both execution paths (threshold gates):
+    // labels must be identical — the gate is a perf decision, not a
+    // semantics one
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(150)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2).toDF("id_a", "id_b")
+    val small = Dedup.connectedComponents(edges, smallGraphThreshold = Int.MaxValue)
+      .as[(Long, Long)].collect().toMap
+    val big = Dedup.connectedComponents(edges, smallGraphThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(small == big)
+    assert(small.nonEmpty)
+  }
+
   test("connectedComponents throws instead of returning unconverged labels") {
     val chain = (0L until 400L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
