@@ -97,6 +97,38 @@ object Prep {
     df.filter(coin < w * buckets)
   }
 
+  /** Deterministic global shuffle: assign every row its position in the
+    * md5-permuted training order. Sorting by a hash of the id IS a
+    * uniform pseudo-random permutation, but unlike `orderBy(rand())` it
+    * replays identically across runs, engines, and cluster layouts —
+    * epoch N of a training job is reproducible byte-for-byte (vary
+    * `salt` per epoch).
+    *
+    * The global rank is computed WITHOUT a global single-partition
+    * window: the first two hex chars of the hash are a PREFIX of the
+    * sort key, so ordering by (bucket, hash) equals ordering by hash.
+    * Phase 1 aggregates 256 bucket counts into exclusive offsets (the
+    * only total ordering happens on that 256-row frame); phase 2 is a
+    * partition-parallel row_number within each bucket plus the broadcast
+    * offset. Both phases scale horizontally — the classic distributed
+    * ranking pattern. Output adds (shuffle_pos), 1-based. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+                           salt: String = "shuffle:"): DataFrame = {
+    val h = md5(concat(lit(salt), col(idCol).cast("string")).cast("binary"))
+    val withH = df.withColumn("__h", h)
+      .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val offsets = withH.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(
+          Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__b", "__off")
+    val win = Window.partitionBy("__b")
+      .orderBy(col("__h").asc, col(idCol).asc)
+    withH.join(broadcast(offsets), "__b")
+      .withColumn("shuffle_pos", col("__off") + row_number().over(win))
+      .drop("__h", "__b", "__off")
+  }
+
   /** Sequence packing: assign documents to fixed-budget bins by running
     * token count — the batching step that turns a corpus into
     * max-length training sequences. Documents are sharded by md5(id) so

@@ -219,6 +219,37 @@ object TextAnalysis {
     "(?i)^\\s*(home|about|contact|privacy policy)\\s*$",
     "(?i)subscribe|sign up for our newsletter")
 
+  /** PII patterns shared by [[redactPii]] and [[piiCounts]]. Kept to the
+    * RE2-compatible subset (no lookaround, no backreferences) so the same
+    * pattern strings run identically under Java regex (Spark) and RE2
+    * (DuckDB/Go scanners) — cross-engine parity is what makes redaction
+    * auditable. Replacement order matters: emails first (their local part
+    * may contain digits), then IPs (so a 4-octet address is never
+    * half-eaten by the phone pattern), then phones. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Redact emails, IPv4 addresses, and NANP-style phone numbers with
+    * typed placeholder tags — the minimum-viable PII scrub every public
+    * training corpus goes through. Pure codegen'd regexp_replace chain:
+    * narrow, shuffle-free, scales with the scan. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmail, "<EMAIL>"),
+        PiiIp, "<IP>"),
+      PiiPhone, "<PHONE>")
+
+  /** Occurrence counts per PII class — the audit row that accompanies any
+    * redaction job (how much PII did this corpus contain, per doc?). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_email" -> regexp_count(text, lit(PiiEmail)),
+    "n_ip" -> regexp_count(regexp_replace(text, PiiEmail, "<EMAIL>"), lit(PiiIp)),
+    "n_phone" -> regexp_count(
+      regexp_replace(regexp_replace(text, PiiEmail, "<EMAIL>"), PiiIp, "<IP>"),
+      lit(PiiPhone)))
+
   /** Per-document report over a corpus frame. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),

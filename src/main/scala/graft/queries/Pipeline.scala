@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Prep, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Prep, Search, Similarity, TextAnalysis}
 import graft.operators.Dedup.HashMode
 import graft.sources.Tables
 
@@ -460,6 +460,36 @@ object Pipeline {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // PII redaction audit: deterministic synthetic PII (email/phone/IP
+    // built from doc columns — the corpus itself is PII-free) is injected,
+    // redacted, and counted; the oracle rebuilds the same doctored text
+    // and applies the same RE2-safe patterns (oracled)
+    "txt_redact" -> ((s, dir) => {
+      val doctored = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org"),
+        lit(" or 555-867-"), lpad(pmod(col("doc_id"), lit(10000))
+          .cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit("."), pmod(col("doc_id"), lit(100)).cast("string"))
+      val counts = TextAnalysis.piiCounts(doctored)
+      docs(s, dir).select(
+          Seq(col("doc_id"),
+            TextAnalysis.redactPii(doctored).as("redacted")) ++
+          counts.map { case (n, c) => c.cast("long").as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+
+    // BM25 full-text search: top-10 docs for a 3-term query over the
+    // inverted index — retrieval for decontamination lookups / corpus
+    // slicing (oracled: same idf/tf math, floor-rounded before the cut)
+    "txt_bm25" -> ((s, dir) => {
+      Search.bm25TopK(docs(s, dir), "doc_id", "text",
+          terms = Seq("spark", "join", "shuffle"), k = 10)
+        .select(col("doc").as("doc_id"), col("n_terms_hit"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // corpus length histogram: fixed-width buckets over n_chars — the
     // first chart anyone draws over a new corpus (oracled)
     "txt_length_hist" -> ((s, dir) => {
@@ -510,6 +540,16 @@ object Pipeline {
     "ds_split" -> ((s, dir) => {
       Prep.hashSplit(docs(s, dir), "doc_id", trainPct = 90, valPct = 5)
         .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    }),
+
+    // deterministic global shuffle: every doc's position in the
+    // md5-permuted training order, computed with the two-phase
+    // bucket-prefix rank — no global single-partition window (oracled:
+    // DuckDB's row_number over the same hash ordering)
+    "ds_shuffle" -> ((s, dir) => {
+      Prep.deterministicShuffle(docs(s, dir), "doc_id")
+        .select("doc_id", "shuffle_pos")
         .orderBy("doc_id")
     }),
 
@@ -1050,6 +1090,12 @@ object Pipeline {
                    ::BIGINT % 100) AS bucket
                FROM documents)
          ORDER BY doc_id""",
+    "ds_shuffle" ->
+      """SELECT doc_id,
+           row_number() OVER (
+             ORDER BY md5('shuffle:' || doc_id::VARCHAR) ASC, doc_id ASC
+           )::BIGINT AS shuffle_pos
+         FROM documents ORDER BY doc_id""",
     "ds_group_sample" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,
@@ -1150,6 +1196,62 @@ object Pipeline {
              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')),
              ceil(length(text) / 4)::INT)::BIGINT AS token_estimate
          FROM documents ORDER BY doc_id""",
+    "txt_redact" ->
+      """WITH d AS (
+           SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR
+                  || '@mail.example.org'
+                  || ' or 555-867-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  || ' from 10.0.' || (doc_id % 256)::VARCHAR
+                  || '.' || (doc_id % 100)::VARCHAR AS t
+           FROM documents),
+         s1 AS (SELECT doc_id, t,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1 FROM d),
+         s2 AS (SELECT doc_id, t, t1,
+             regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+               '<IP>', 'g') AS t2 FROM s1)
+         SELECT doc_id,
+           regexp_replace(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')
+             AS redacted,
+           len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+             AS n_email,
+           len(regexp_extract_all(t1,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+           len(regexp_extract_all(t2,
+             '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::BIGINT AS n_phone
+         FROM s2 ORDER BY doc_id""",
+    "txt_bm25" ->
+      """WITH dl AS (
+           SELECT doc_id AS doc,
+             len(string_split_regex(trim(text), '\s+'))::DOUBLE AS dl
+           FROM documents),
+         stats AS (
+           SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+         post AS (
+           SELECT term, doc, count(*)::DOUBLE AS tf FROM (
+             SELECT doc_id AS doc,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+             FROM documents)
+           WHERE term IN ('spark', 'join', 'shuffle')
+           GROUP BY term, doc),
+         dfreq AS (
+           SELECT term, count(DISTINCT doc)::DOUBLE AS df
+           FROM post GROUP BY term),
+         scored AS (
+           SELECT p.doc, count(*)::BIGINT AS n_terms_hit,
+             sum(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                 * p.tf * 2.2
+                 / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+           FROM post p
+           JOIN dfreq f USING (term)
+           JOIN dl d USING (doc)
+           CROSS JOIN stats s
+           GROUP BY p.doc)
+         SELECT doc AS doc_id, n_terms_hit,
+           floor(score * 10000 + 0.5) / 10000 AS score
+         FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
     "txt_quality" ->
       """WITH m AS (
            SELECT doc_id, text,

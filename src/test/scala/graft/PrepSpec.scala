@@ -23,6 +23,30 @@ class PrepSpec extends SparkTestBase {
       (3, 1L, "t10")))
   }
 
+  test("deterministicShuffle is a replayable permutation matching the hash order") {
+    val n = 300
+    val df = (0L until n).toDF("doc_id")
+    val out = Prep.deterministicShuffle(df, "doc_id")
+      .select("doc_id", "shuffle_pos")
+      .as[(Long, Long)].collect()
+    // a permutation of 1..n
+    assert(out.map(_._2).sorted.toSeq == (1L to n).toSeq)
+    // equal to the reference single-partition global ordering
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.digest(s"shuffle:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = (0L until n).sortBy(id => (h(id), id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(out.toMap == expected)
+    // replay: second invocation identical; different salt permutes differently
+    val again = Prep.deterministicShuffle(df, "doc_id")
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(again == expected)
+    val epoch2 = Prep.deterministicShuffle(df, "doc_id", salt = "shuffle2:")
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(epoch2 != expected)
+  }
+
   test("chunk of a short doc is a single chunk") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     val out = Prep.chunk(df, "doc_id", "text", 512, 64).collect()
