@@ -355,11 +355,11 @@ object Dedup {
     * Uniform (vs gaussian) components are an equally valid sign-random-
     * projection family; integer-derived values make the double exact in
     * both engines. */
-  private[graft] def md5Planes(tables: Int, bits: Int,
-                               dim: Int): Seq[Seq[Seq[Double]]] =
+  private[graft] def md5Planes(tables: Int, bits: Int, dim: Int,
+                               saltPrefix: String = "p:"): Seq[Seq[Seq[Double]]] =
     Seq.tabulate(tables)(t => Seq.tabulate(bits)(b => Seq.tabulate(dim) { d =>
       val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"p:$t:$b:$d".getBytes("UTF-8"))
+        .digest(s"$saltPrefix$t:$b:$d".getBytes("UTF-8"))
       val h = ((digest(0) & 0xFFL) << 24) | ((digest(1) & 0xFFL) << 16) |
         ((digest(2) & 0xFFL) << 8) | (digest(3) & 0xFFL)
       (h % 1000001L - 500000L).toDouble / 500000.0

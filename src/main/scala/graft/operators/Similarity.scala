@@ -322,6 +322,36 @@ object Similarity {
               floor(x / col(qscaleCol) + 0.5))).cast("byte"))))
   }
 
+  /** Random-projection (Johnson–Lindenstrauss) dimensionality reduction:
+    * out = (1/sqrt(outDim)) * R v with a deterministic md5-derived
+    * uniform[-1,1] matrix R — the standard cheap 4096-d -> 64-d squeeze
+    * before ANN indexing (pairwise distances preserved within
+    * ~sqrt(ln n / outDim) relative error, per the JL lemma; uniform
+    * entries are a valid sub-gaussian family).
+    *
+    * Entirely narrow (one scan, no shuffle); the matrix is ONE constant
+    * double[] inside a compact codegen'd loop
+    * ([[graft.plans.VectorProject]]) — not outDim separate dot
+    * expressions, which would blow the whole-stage method past the JIT
+    * threshold (the VectorSignBuckets lesson). md5 derivation makes the
+    * output engine-replicable: the DuckDB oracle rebuilds R from the same
+    * salt and matches values bit-for-bit (after the floor-round rule).
+    * Output adds `projCol` (array<double>, length outDim). */
+  def randomProject(df: DataFrame, vecCol: String, outDim: Int,
+                    projCol: String = "projection",
+                    salt: String = "rp:",
+                    scale: Option[Double] = None): DataFrame = {
+    val planes = Dedup.md5Planes(1, outDim, vecDim(df, vecCol), salt).head
+    val s = scale.getOrElse(1.0 / math.sqrt(outDim.toDouble))
+    df.withColumn(projCol,
+      graft.plans.VectorExpressions.vectorProject(col(vecCol), planes, s))
+  }
+
+  /** Vector length read from the first row — projection needs the input
+    * dim to size the constant matrix. */
+  private def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
   /** Clustering quality: sum over vectors of (1 - cosine to the assigned
     * centroid). The scalar the kmeans quality specs assert on — lower is
     * tighter; a correct k-means run never increases it across

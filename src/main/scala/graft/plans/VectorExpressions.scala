@@ -235,6 +235,95 @@ case class VectorSignBuckets(child: Expression, planes: Seq[Seq[Double]],
       newChild: Expression): VectorSignBuckets = copy(child = newChild)
 }
 
+/** Dense matrix-vector product against a CONSTANT row-major matrix in one
+  * compact codegen'd loop: out[j] = scale * dot(planes[j], v), an
+  * `array<double>` of length `planes.length` — the random-projection /
+  * dimensionality-reduction kernel (JL transform with md5-derived planes).
+  *
+  * Same design rationale as [[VectorSignBuckets]]: the matrix is ONE
+  * constant `double[]` reference (`ctx.addReferenceObj`), not `outDim`
+  * separate literal-array dot expressions, so the generated method stays
+  * a few hundred bytecodes and inside the JIT compile threshold. Per-dot
+  * semantics match [[VectorDot]]: sequential double accumulation in
+  * element order, null elements contribute 0, length clamps short. */
+case class VectorProject(child: Expression, planes: Seq[Seq[Double]],
+                         scale: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def dim: Int = if (planes.isEmpty) 0 else planes.head.length
+  private def outDim: Int = planes.length
+
+  @transient private lazy val flat: Array[Double] = planes.flatten.toArray
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vector_project expects array<float|double>, got ${dt.catalogString}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val out = new Array[Double](outDim)
+    val fl = isFloat
+    var j = 0
+    while (j < outDim) {
+      val base = j * dim
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        if (!v.isNullAt(d)) {
+          val x = if (fl) v.getFloat(d).toDouble else v.getDouble(d)
+          acc += flat(base + d) * x
+        }
+        d += 1
+      }
+      out(j) = scale * acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", flat, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val base = ctx.freshName("base")
+      s"""
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |double[] $out = new double[$outDim];
+         |for (int $j = 0; $j < $outDim; $j++) {
+         |  int $base = $j * $dim;
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    if (!$v.isNullAt($d)) {
+         |      $acc += $planesRef[$base + $d] * (double) $v.$get($d);
+         |    }
+         |  }
+         |  $out[$j] = $scale * $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VectorProject = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level dot product backed by [[VectorDot]]. */
   def vectorDot(a: Column, b: Column): Column =
@@ -246,6 +335,12 @@ object VectorExpressions {
   def vectorSignBuckets(v: Column, planes: Seq[Seq[Double]],
                         bits: Int): Column =
     SqlBridge.column(VectorSignBuckets(SqlBridge.expression(v), planes, bits))
+
+  /** Column of the scaled constant-matrix projection (array<double>)
+    * backed by [[VectorProject]]. `planes` is row-major (out-dim rows). */
+  def vectorProject(v: Column, planes: Seq[Seq[Double]],
+                    scale: Double): Column =
+    SqlBridge.column(VectorProject(SqlBridge.expression(v), planes, scale))
 
   /** Register `vector_dot(a, b)` for SQL callers on this session
     * (temp-function registry — the SQL analogue of the Column API above). */

@@ -212,6 +212,17 @@ object Pipeline {
         .orderBy("label")
     }),
 
+    // JL random projection 64d -> 16d with a deterministic md5-derived
+    // matrix — the pre-ANN dimensionality squeeze (oracled bit-for-bit:
+    // DuckDB rebuilds the same matrix from the same salt)
+    "sim_project" -> ((s, dir) => {
+      Similarity.randomProject(embs(s, dir), "embedding", outDim = 16)
+        .select(col("vec_id"),
+          transform(col("projection"),
+            x => TextAnalysis.round4(x)).as("projection"))
+        .orderBy("vec_id")
+    }),
+
     // token counting (oracled)
     "txt_tokens" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -1189,6 +1200,25 @@ object Pipeline {
            round(sum(embedding[1]::DOUBLE) / count(*), 6) AS c1,
            round(sum(embedding[2]::DOUBLE) / count(*), 6) AS c2
          FROM embeddings GROUP BY label ORDER BY label""",
+    "sim_project" ->
+      """WITH pl AS (
+           SELECT jd.j AS j, list(jd.pv ORDER BY jd.d) AS plane
+           FROM (
+             SELECT j.j, d.d,
+               ((('0x' || substr(md5('rp:0:' || j.j::VARCHAR || ':'
+                   || d.d::VARCHAR),1,8))::BIGINT
+                 % 1000001 - 500000) / 500000.0) AS pv
+             FROM unnest(range(0,16)) AS j(j)
+             CROSS JOIN unnest(range(0,64)) AS d(d)) jd
+           GROUP BY jd.j),
+         emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         proj AS (
+           SELECT emb.vec_id, pl.j,
+             floor(list_dot_product(emb.e, pl.plane) * 0.25 * 10000 + 0.5)
+               / 10000 AS pv
+           FROM emb CROSS JOIN pl)
+         SELECT vec_id, list(pv ORDER BY j) AS projection
+         FROM proj GROUP BY vec_id ORDER BY vec_id""",
     "txt_tokens" ->
       """SELECT doc_id, length(text)::BIGINT AS n_chars,
            len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,

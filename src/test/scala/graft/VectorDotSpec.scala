@@ -48,4 +48,40 @@ class VectorDotSpec extends SparkTestBase {
     assert(df.select(VectorFunctions.cosine($"a", $"b"))
       .collect()(0).getDouble(0) == 0.0)
   }
+
+  test("VectorProject equals a per-row scala reference computation") {
+    val planes = Seq(Seq(1.0, 0.0, 0.0), Seq(0.5, -0.5, 2.0))
+    val rows = Seq(Array(1.0f, 2.0f, 3.0f), Array(-1.0f, 0.0f, 4.0f))
+    val out = rows.map(r => Tuple1(r)).toDF("v")
+      .select(VectorExpressions.vectorProject($"v", planes, 0.5))
+      .collect().map(_.getSeq[Double](0).toSeq)
+    val expected = rows.map { r =>
+      planes.map(p => 0.5 * p.zip(r.map(_.toDouble)).map {
+        case (a, b) => a * b }.sum).toSeq
+    }
+    assert(out.toSeq == expected)
+  }
+
+  test("randomProject: deterministic, right shape, replays across calls") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d) % 5 - 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val p1 = graft.operators.Similarity
+      .randomProject(df, "embedding", outDim = 4)
+      .select($"vec_id", $"projection").as[(Long, Seq[Double])]
+      .collect().toMap
+    assert(p1.values.forall(_.length == 4))
+    val p2 = graft.operators.Similarity
+      .randomProject(df, "embedding", outDim = 4)
+      .select($"vec_id", $"projection").as[(Long, Seq[Double])]
+      .collect().toMap
+    assert(p1 == p2)
+    // matches the md5 planes applied by hand (scale 1/sqrt(4) = 0.5)
+    val planes = graft.operators.Dedup.md5Planes(1, 4, 8, "rp:").head
+    val vec0 = Array.tabulate(8)(d => ((d % 5) - 2).toDouble)
+    val exp0 = planes.map(p => 0.5 * p.zip(vec0).map {
+      case (a, b) => a * b }.sum)
+    assert(p1(0L) == exp0)
+  }
 }
