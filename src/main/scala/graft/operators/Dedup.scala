@@ -438,6 +438,47 @@ object Dedup {
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol),
       "left_anti")
 
+  /** Span-level exact-substring duplication: for every document, the
+    * maximal token ranges whose every `n`-gram also appears in at least
+    * `minDocs - 1` OTHER documents — the span analogue of doc-level
+    * near-dup detection (the "dedup the repeated passage, keep the rest
+    * of the doc" policy used for training-corpus substring dedup; same
+    * problem the suffix-array approach solves, expressed as a
+    * distributed inverted index over fixed-width grams).
+    *
+    * Shape: tokenize once (attribute, not re-evaluated per gram),
+    * posexplode the sliding n-grams hashed to md5 BEFORE the shuffle (16
+    * bytes per gram moves, not the n-token text), count distinct docs
+    * per gram hash, keep repeated grams, then merge each doc's flagged
+    * positions into maximal spans with the gaps-and-islands window
+    * (pos - row_number is constant within a consecutive run). Shuffles:
+    * one on gram hash, one on doc — both keyed, no n² anything. Output:
+    * (idCol, span_start, span_end, n_grams), token positions 0-based
+    * inclusive, span_end covering the last gram's tail. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val grams = df
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__toks")) - n), i =>
+          md5(array_join(slice(col("__toks"), i + 1, lit(n)), " ")
+            .cast("binary")))))
+      .select(col(idCol), col("pos"), col("col").as("g"))
+    val rep = grams.groupBy("g")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("g")
+    val hits = grams.join(rep, "g").select(col(idCol), col("pos"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    hits.withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + n - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__grp")
+  }
+
   /** Connected components over a near-dup pair set: (id, cluster) where
     * cluster is the minimum id reachable through pair edges — the
     * union-find alternative to [[keepFirst]], for cluster-exact dedup

@@ -118,6 +118,14 @@ object Pipeline {
         .orderBy("corpus_id", "bench_id")
     }),
 
+    // span-level exact-substring duplication: maximal token ranges whose
+    // every 8-gram appears in >= 2 docs — substring dedup's detection
+    // pass, span-merged via gaps-and-islands (oracled)
+    "dd_spans" -> ((s, dir) => {
+      Dedup.repeatedSpans(docs(s, dir), "doc_id", "text", n = 8, minDocs = 2)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // deterministic weighted dataset mixing: en kept fully, zh halved,
     // de quartered, everything else at 10% — md5-coin per doc, so the
     // mix replays identically on any engine (oracled)
@@ -1018,6 +1026,29 @@ object Pipeline {
                     FROM scored)
          SELECT query_id, neighbor_id, round(cos, 4) AS cosine
          FROM ranked WHERE rn <= 3 ORDER BY query_id, neighbor_id""",
+    "dd_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id, i.i AS pos,
+             md5(array_to_string(tk[(i.i + 1):(i.i + 8)], ' ')) AS g
+           FROM toks
+           CROSS JOIN unnest(range(0, greatest(0, len(tk) - 8 + 1))) AS i(i)),
+         rep AS (
+           SELECT g FROM grams GROUP BY g
+           HAVING count(DISTINCT doc_id) >= 2),
+         hits AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+         isl AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+           FROM hits)
+         SELECT doc_id, min(pos)::BIGINT AS span_start,
+           (max(pos) + 8 - 1)::BIGINT AS span_end,
+           count(*)::BIGINT AS n_grams
+         FROM isl GROUP BY doc_id, grp
+         ORDER BY doc_id, span_start""",
     "ds_mix" ->
       """SELECT doc_id, lang FROM documents
          WHERE (('0x' || substr(md5('mix:' || doc_id::VARCHAR),1,8))

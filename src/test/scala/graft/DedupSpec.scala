@@ -130,6 +130,24 @@ class DedupSpec extends SparkTestBase {
       java.lang.Long.bitCount(fps(0) ^ fps(3)))
   }
 
+  test("repeatedSpans merges consecutive shared grams; splits islands") {
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),
+      (3L, "q w e r t"),
+      (4L, "a b c z1 z2 z3 z4 b c d")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(d, "doc_id", "text", n = 3, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // shared run "a b c d" -> grams "a b c","b c d" flagged in docs 1/2/4
+    assert(spans == Seq(
+      (1L, 0L, 3L, 2L),   // positions 0-1, covering tokens 0..3
+      (2L, 1L, 4L, 2L),
+      (4L, 0L, 2L, 1L),   // "a b c" island
+      (4L, 7L, 9L, 1L)))  // "b c d" island
+    assert(!spans.exists(_._1 == 3L), "non-duplicated doc must be absent")
+  }
+
   test("connectedComponents labels transitive groups with the min id") {
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(pairs).orderBy("id")
