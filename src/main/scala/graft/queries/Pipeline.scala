@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Prep, Search, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Prep, Search, Similarity, Sketches, TextAnalysis}
 import graft.operators.Dedup.HashMode
 import graft.sources.Tables
 
@@ -218,6 +218,35 @@ object Pipeline {
           round(element_at(col("centroid"), 1), 6).as("c1"),
           round(element_at(col("centroid"), 2), 6).as("c2"))
         .orderBy("label")
+    }),
+
+    // count-min sketch: term frequencies estimated from a 3x64 counter
+    // grid vs exact counts — md5 hashes make the sketch itself
+    // bit-replicable, so the oracle checks exact values, not just the
+    // error bound (est >= exact always; overcount = collisions)
+    "sk_cms" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val sketch = Sketches.countMin(toks, "term", width = 64, depth = 3)
+      val exact = toks.groupBy("term").agg(count(lit(1)).as("exact"))
+      Sketches.countMinEstimate(sketch, exact.select("term"), "term",
+          width = 64, depth = 3)
+        .join(exact, "term")
+        .select(col("term"), col("est"), col("exact"),
+          (col("est") - col("exact")).as("overcount"))
+        .orderBy("term")
+    }),
+
+    // Bloom filter semi-join reduction: 512-bit filter over the doc_id<100
+    // member set probed by the whole corpus — no false negatives, a
+    // deterministic (md5) set of false positives the oracle reproduces
+    "sk_bloom" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id")
+      val members = d.filter(col("doc_id") < 100)
+      val bf = Sketches.bloomBuild(members, "doc_id", bits = 512, k = 3)
+      Sketches.bloomMightContain(bf, d, "doc_id", bits = 512, k = 3)
+        .withColumn("in_set", col("doc_id") < 100)
+        .orderBy("doc_id")
     }),
 
     // JL random projection 64d -> 16d with a deterministic md5-derived
@@ -1231,6 +1260,54 @@ object Pipeline {
            round(sum(embedding[1]::DOUBLE) / count(*), 6) AS c1,
            round(sum(embedding[2]::DOUBLE) / count(*), 6) AS c2
          FROM embeddings GROUP BY label ORDER BY label""",
+    "sk_cms" ->
+      """WITH tok AS (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM documents),
+         buckets AS (
+           SELECT term, d.d AS d,
+             ('0x' || substr(md5('cm:' || d.d::VARCHAR || ':' || term),1,8))
+               ::BIGINT % 64 AS bucket
+           FROM tok CROSS JOIN unnest(range(0,3)) AS d(d)),
+         sketch AS (
+           SELECT d, bucket, count(*)::BIGINT AS cnt
+           FROM buckets GROUP BY d, bucket),
+         exact AS (
+           SELECT term, count(*)::BIGINT AS exact FROM tok GROUP BY term),
+         probe AS (
+           SELECT e.term, d.d AS d,
+             ('0x' || substr(md5('cm:' || d.d::VARCHAR || ':' || e.term),1,8))
+               ::BIGINT % 64 AS bucket
+           FROM exact e CROSS JOIN unnest(range(0,3)) AS d(d)),
+         est AS (
+           SELECT p.term, min(coalesce(s.cnt, 0))::BIGINT AS est
+           FROM probe p LEFT JOIN sketch s USING (d, bucket)
+           GROUP BY p.term)
+         SELECT est.term, est, exact, (est - exact)::BIGINT AS overcount
+         FROM est JOIN exact USING (term) ORDER BY term""",
+    "sk_bloom" ->
+      """WITH mem AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+         mpos AS (
+           SELECT ('0x' || substr(md5('bf:' || h.h::VARCHAR || ':'
+               || doc_id::VARCHAR),1,8))::BIGINT % 512 AS pos
+           FROM mem CROSS JOIN unnest(range(0,3)) AS h(h)),
+         filt AS (
+           SELECT pos // 32 AS word,
+             bit_or(1::BIGINT << (pos % 32)::INT) AS mask
+           FROM mpos GROUP BY word),
+         ppos AS (
+           SELECT doc_id,
+             ('0x' || substr(md5('bf:' || h.h::VARCHAR || ':'
+               || doc_id::VARCHAR),1,8))::BIGINT % 512 AS pos
+           FROM documents CROSS JOIN unnest(range(0,3)) AS h(h)),
+         hits AS (
+           SELECT doc_id,
+             (coalesce(f.mask, 0) & (1::BIGINT << (p.pos % 32)::INT)) <> 0
+               AS hit
+           FROM ppos p LEFT JOIN filt f ON f.word = p.pos // 32)
+         SELECT doc_id, bool_and(hit) AS might_contain,
+           doc_id < 100 AS in_set
+         FROM hits GROUP BY doc_id ORDER BY doc_id""",
     "sim_project" ->
       """WITH pl AS (
            SELECT jd.j AS j, list(jd.pv ORDER BY jd.d) AS plane
