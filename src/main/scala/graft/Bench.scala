@@ -41,7 +41,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "dd_clusters", "dd_survivors_exact", "dd_minhash_pairs",
     "dd_ngram_pairs", "dd_simhash_pairs", "dd_embed_lsh", "dd_embed_pairs",
-    "dd_exact",
+    "dd_exact", "dd_spans",
     "ds_pack", "ds_mix",
     "ev_asof", "ev_sessionize",
     "mm_features",

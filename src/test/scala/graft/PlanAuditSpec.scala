@@ -97,4 +97,39 @@ class PlanAuditSpec extends SparkTestBase {
       "probe join must broadcast the query-bucket side")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("ds_shuffle ranks inside hash buckets, never one global window") {
+    val p = plan("ds_shuffle")
+    // the data-side window must be partitioned (partition-parallel
+    // row_number per bucket); only the 256-row offsets frame may carry a
+    // single-partition window
+    val unpartitioned = "Window .*\\[__b ASC".r
+    assert(p.contains("Window"), p)
+    assert("Window \\[[^\\]]*row_number"
+      .r.findAllMatchIn(p).forall(m => p.substring(m.start)
+        .takeWhile(_ != '\n').contains("windowspecdefinition(__b")),
+      "the row_number window must be partitioned by bucket:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must join broadcast")
+  }
+
+  test("dd_spans builds spans from equi-joins, no cross-pairing") {
+    val p = plan("dd_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "repeated-gram detection must equi-join on the gram hash")
+  }
+
+  test("sk_bloom probes a broadcast filter (the semi-join reduction shape)") {
+    val p = plan("sk_bloom")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bloom filter frame must be broadcast to the probe side")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("sim_project is a narrow scan (no exchange except the final sort)") {
+    val p = plan("sim_project")
+    assert("Exchange".r.findAllMatchIn(p).length <= 1,
+      "projection is per-row; only the orderBy may exchange:\n" + p)
+  }
 }
