@@ -206,6 +206,81 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  // --------------------------------------------------------- incremental
+
+  /** Incremental dedup: survivors of a NEW batch against an
+    * already-landed corpus — the daily-ingest shape, where re-running
+    * full-corpus dedup per batch would be O(corpus) every day. A batch
+    * doc is dropped iff
+    *  (a) its exact content hash appears in the corpus or on a
+    *      smaller-id batch doc, or
+    *  (b) it minhash-near-dups ANY corpus doc, or a smaller-id batch doc
+    *      that survived stage (a) (greedy keep-first within the batch —
+    *      same semantics as [[keepFirst]]).
+    * The corpus is never re-paired against itself (it is already clean).
+    *
+    * Scale shape: the corpus contributes only content hashes and LSH
+    * bucket rows; at 100 TB both are MATERIALIZED artifacts (write the
+    * corpus signature/bucket frame once when the corpus lands, probe it
+    * per batch), making the daily cost O(batch + collisions), not
+    * O(corpus). Here they are recomputed inline for self-containment —
+    * the plan shape downstream of those frames is identical. */
+  def incrementalSurvivors(batch: DataFrame, corpus: DataFrame,
+                           idCol: String, textCol: String,
+                           threshold: Double = 0.8, numHashes: Int = 64,
+                           bands: Int = 16, shingleSize: Int = 3,
+                           seed: Long = 42L,
+                           mode: HashMode = HashMode.Xx): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val h = md5(col(textCol).cast("binary"))
+    // (a) exact: any corpus twin, or a smaller-id batch twin
+    val bh = batch.withColumn("__h", h)
+    val corpusHashes = corpus.select(h.as("__h")).distinct()
+    val minPerHash = bh.groupBy(col("__h")).agg(min(col(idCol)).as("__keep"))
+    val exactKept = bh
+      .join(corpusHashes, Seq("__h"), "left_anti")
+      .join(minPerHash, Seq("__h"))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__h", "__keep")
+    // (b) near: one signature pass per side (cached: each feeds a bucket
+    // join and a verify join), candidates only inside colliding buckets
+    val sigB = minhashSignatures(exactKept, idCol, textCol, numHashes,
+      shingleSize, seed, mode).cache()
+    val sigC = minhashSignatures(corpus, idCol, textCol, numHashes,
+      shingleSize, seed, mode).cache()
+    val rpb = numHashes / bands
+    val bb = minhashBuckets(sigB, idCol, bands, rpb, mode)
+    val cb = minhashBuckets(sigC, idCol, bands, rpb, mode)
+    def est(sa: Column, sb: Column): Column =
+      aggregate(zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).cast("double") / numHashes
+    val dropVsCorpus = bb
+      .select(col("band"), col("bucket"), col(idCol).as("__b"))
+      .join(cb.select(col("band"), col("bucket"), col(idCol).as("__c")),
+        Seq("band", "bucket"))
+      .select("__b", "__c").distinct()
+      .join(sigB.select(col(idCol).as("__b"), col("signature").as("sig_b")),
+        "__b")
+      .join(sigC.select(col(idCol).as("__c"), col("signature").as("sig_c")),
+        "__c")
+      .filter(est(col("sig_b"), col("sig_c")) >= threshold)
+      .select(col("__b").as(idCol))
+    val dropVsBatch = bb
+      .select(col("band"), col("bucket"), col(idCol).as("id_a"))
+      .join(bb.select(col("band"), col("bucket"), col(idCol).as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(sigB.select(col(idCol).as("id_a"), col("signature").as("sig_a")),
+        "id_a")
+      .join(sigB.select(col(idCol).as("id_b"), col("signature").as("sig_b")),
+        "id_b")
+      .filter(est(col("sig_a"), col("sig_b")) >= threshold)
+      .select(col("id_b").as(idCol))
+    exactKept.join(dropVsCorpus.union(dropVsBatch).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash fingerprints from token xxhash64 values: for each bit,

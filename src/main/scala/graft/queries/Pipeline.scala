@@ -118,6 +118,17 @@ object Pipeline {
         .orderBy("corpus_id", "bench_id")
     }),
 
+    // incremental dedup: new-batch docs (id >= 400) surviving exact +
+    // minhash near-dup checks against the landed corpus (id < 400) and
+    // earlier batch docs — the daily-ingest shape (oracled in md5 mode)
+    "dd_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalSurvivors(
+          d.filter(col("doc_id") >= 400), d.filter(col("doc_id") < 400),
+          "doc_id", "text", threshold = 0.8, mode = HashMode.Md5)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // span-level exact-substring duplication: maximal token ranges whose
     // every 8-gram appears in >= 2 docs — substring dedup's detection
     // pass, span-merged via gaps-and-islands (oracled)
@@ -783,6 +794,70 @@ object Pipeline {
        FROM est WHERE ej >= $threshold ORDER BY id_a, id_b"""
   }
 
+  /** Incremental-dedup oracle: the batch (doc_id >= splitId) against the
+    * corpus (doc_id < splitId). Same signature/band CTEs as
+    * [[minhashOracleSql]]; exact stage by content md5, near stage by
+    * bucket-collision candidates vs corpus (any) and vs smaller-id
+    * exact-surviving batch docs (greedy keep-first). */
+  private def incrementalOracleSql(numHashes: Int, bands: Int, seed: Long,
+                                   threshold: Double, splitId: Long): String = {
+    val coeffs = Dedup.hashCoeffs(numHashes, seed)
+    val aList = coeffs.map(_._1).mkString("[", ",", "]")
+    val bList = coeffs.map(_._2).mkString("[", ",", "]")
+    val rpb = numHashes / bands
+    s"""WITH sh AS ($ShingleSql),
+       hs AS (SELECT doc_id, ${hash31Sql("shingle")} AS h FROM sh),
+       m AS (SELECT doc_id, i.i AS i,
+               min(($aList[i.i+1] * h + $bList[i.i+1]) % 2147483647) AS mv
+             FROM hs CROSS JOIN unnest(range(0,$numHashes)) AS i(i)
+             GROUP BY doc_id, i.i),
+       sig AS (SELECT doc_id, list(mv ORDER BY i) AS sig FROM m
+               GROUP BY doc_id),
+       bands AS (SELECT doc_id, b.b AS band,
+                   md5(array_to_string(sig[b.b*$rpb+1 : b.b*$rpb+$rpb], ','))
+                     AS bucket
+                 FROM sig CROSS JOIN unnest(range(0,$bands)) AS b(b)),
+       bexact AS (
+         SELECT d.doc_id FROM documents d
+         WHERE d.doc_id >= $splitId
+           AND NOT EXISTS (SELECT 1 FROM documents c
+             WHERE c.doc_id < $splitId AND md5(c.text) = md5(d.text))
+           AND NOT EXISTS (SELECT 1 FROM documents b2
+             WHERE b2.doc_id >= $splitId AND b2.doc_id < d.doc_id
+               AND md5(b2.text) = md5(d.text))),
+       candc AS (
+         SELECT DISTINCT l.doc_id AS id_b, r.doc_id AS id_c
+         FROM bands l
+         JOIN bexact be ON be.doc_id = l.doc_id
+         JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+         WHERE r.doc_id < $splitId),
+       dropc AS (
+         SELECT DISTINCT id_b AS doc_id FROM candc
+         JOIN sig sa ON sa.doc_id = candc.id_b
+         JOIN sig sb ON sb.doc_id = candc.id_c
+         WHERE len(list_filter(range(0,$numHashes),
+           i -> sa.sig[i+1] = sb.sig[i+1]))::DOUBLE / $numHashes
+             >= $threshold),
+       candb AS (
+         SELECT DISTINCT l.doc_id AS id_b, r.doc_id AS id_a
+         FROM bands l
+         JOIN bexact bl ON bl.doc_id = l.doc_id
+         JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+         JOIN bexact br ON br.doc_id = r.doc_id
+         WHERE r.doc_id < l.doc_id),
+       dropb AS (
+         SELECT DISTINCT id_b AS doc_id FROM candb
+         JOIN sig sa ON sa.doc_id = candb.id_b
+         JOIN sig sb ON sb.doc_id = candb.id_a
+         WHERE len(list_filter(range(0,$numHashes),
+           i -> sa.sig[i+1] = sb.sig[i+1]))::DOUBLE / $numHashes
+             >= $threshold)
+       SELECT doc_id FROM bexact
+       WHERE doc_id NOT IN (SELECT doc_id FROM dropc)
+         AND doc_id NOT IN (SELECT doc_id FROM dropb)
+       ORDER BY doc_id"""
+  }
+
   /** Simhash oracle: per-token 64-bit md5 hash (two 32-bit halves), bit
     * majority vote, 16-bit chunk pigeonhole join, hamming <= max. */
   private def simhashOracleSql(maxHamming: Int): String = {
@@ -1113,6 +1188,9 @@ object Pipeline {
     "dd_minhash_pairs" ->
       minhashOracleSql(numHashes = 64, bands = 16, seed = 42L,
         threshold = 0.7),
+    "dd_incremental" ->
+      incrementalOracleSql(numHashes = 64, bands = 16, seed = 42L,
+        threshold = 0.8, splitId = 400L),
     "dd_simhash_pairs" -> simhashOracleSql(maxHamming = 3),
     "dd_embed_lsh" ->
       embedLshOracleSql(tables = 8, bits = 8, threshold = 0.3),

@@ -130,6 +130,25 @@ class DedupSpec extends SparkTestBase {
       java.lang.Long.bitCount(fps(0) ^ fps(3)))
   }
 
+  test("incrementalSurvivors drops exact/near dups vs corpus and earlier batch") {
+    val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val B = "one two three four five six seven eight nine ten eleven twelve"
+    val B2 = B.replace("twelve", "zz") // near-dup of corpus B
+    val C = "red orange yellow green blue indigo violet cyan magenta teal pink grey"
+    val C2 = C.replace("grey", "zz")   // near-dup of earlier batch doc
+    val D = "north south east west up down left right front back over under"
+    val E = "solo unique text that matches absolutely nothing else in this corpus today"
+    val corpus = Seq((1L, A), (2L, B)).toDF("doc_id", "text")
+    val batch = Seq((10L, A), (11L, B2), (20L, C), (21L, C2),
+      (30L, D), (31L, D), (40L, E)).toDF("doc_id", "text")
+    val kept = Dedup.incrementalSurvivors(batch, corpus, "doc_id", "text",
+        threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(20L, 30L, 40L),
+      s"10 exact-vs-corpus, 11 near-vs-corpus, 21 near-vs-batch, " +
+        s"31 exact-vs-batch should drop; got $kept")
+  }
+
   test("repeatedSpans merges consecutive shared grams; splits islands") {
     val d = Seq(
       (1L, "a b c d e f"),
