@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.core.Sessions
-import graft.operators.{Dedup, Prep, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Prep, Search, Similarity, Sketches, TextAnalysis}
 import graft.sinks.Sinks
 import graft.sources.Tables
 
@@ -14,10 +14,12 @@ import graft.sources.Tables
   *
   *   normalize → quality + repetition filters → language id →
   *   exact dedup → near-dedup (minhash, cluster-exact survivors) →
-  *   benchmark decontamination → weighted dataset mix → deterministic
+  *   benchmark decontamination → weighted dataset mix → PII scrub →
+  *   substring-span report → BM25 retrieval → epoch shuffle → bloom
+  *   eval-set prefilter → incremental day-2 dedup → deterministic
   *   train/val/test split → chunk to context windows → pack into
   *   sequence bins → partitioned write; plus the embedding side:
-  *   int8 quantization → k-means quantizer → IVF top-k neighbors.
+  *   int8 quantization → JL projection → k-means quantizer → IVF top-k.
   *
   * Each stage is lazy; the whole pipeline is ONE Catalyst plan per action
   * (dedup's candidate join is the only pair-wise stage). Run:
@@ -101,7 +103,40 @@ object PipelineTour {
       "vec_id", "embedding", cents, k = 3, nProbe = 2)
     println(s"ivf neighbors (4 queries x 3): ${nn.count()}")
 
-    // 9. partitioned write, clustered for downstream range scans
+    // 9. round-4 stages: PII scrub + span-level substring dedup report +
+    // BM25 retrieval + epoch shuffle + bloom prefilter + JL projection
+    val scrubbed = mixed.withColumn("norm",
+      TextAnalysis.redactPii(col("norm")))
+    // span report runs PRE-dedup (on `filtered`): that is where repeated
+    // passages still exist to find
+    val spans = Dedup.repeatedSpans(filtered, "doc_id", "norm",
+      n = 8, minDocs = 2)
+    println(s"repeated spans (pre-dedup): ${spans.count()} across " +
+      s"${spans.select("doc_id").distinct().count()} docs")
+    val hits = Search.bm25TopK(scrubbed, "doc_id", "norm",
+      terms = Seq("data", "query"), k = 5)
+    println(s"bm25 top-5 for [data, query]: ${hits.count()} hits")
+    val epoch1 = Prep.deterministicShuffle(scrubbed, "doc_id",
+      salt = "epoch1:")
+    println(s"epoch order head:    " +
+      epoch1.orderBy("shuffle_pos").select("doc_id").limit(3)
+        .collect().map(_.getLong(0)).mkString(","))
+    // bloom prefilter: which mixed docs are (probably) in the eval set —
+    // broadcastable bits instead of a join against the full eval table
+    val bloom = Sketches.bloomBuild(bench.select("doc_id"), "doc_id",
+      bits = 1024, k = 3)
+    val flagged = Sketches.bloomMightContain(bloom, scrubbed, "doc_id",
+      bits = 1024, k = 3).filter(col("might_contain"))
+    println(s"bloom-flagged for eval recheck: ${flagged.count()}")
+    val projected = Similarity.randomProject(embs, "embedding", outDim = 16)
+    println(s"projected 64d->16d:  ${projected.count()} vectors")
+    // incremental day-2: pretend ids >= 450 arrive tomorrow
+    val day2 = Dedup.incrementalSurvivors(
+      raw.filter(col("doc_id") >= 450), clean.filter(col("doc_id") < 450),
+      "doc_id", "text", threshold = 0.7)
+    println(s"day-2 batch survivors: ${day2.count()}")
+
+    // 10. partitioned write, clustered for downstream range scans
     val out = Files.createTempDirectory("graft_pipeline_").resolve("corpus")
     Sinks.writePartitioned(
       split.select("doc_id", "lang_pred", "quality", "n_tokens", "norm",

@@ -519,6 +519,24 @@ object Pipeline {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // composite C4/Gopher-style filter report: per-doc keep/drop with
+    // per-reason flags — the audit table every corpus filter job emits
+    // (reasons are individually oracled via txt_quality/txt_repetition;
+    // this query oracles the COMPOSITION and the final keep decision)
+    "txt_filter" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.round4(TextAnalysis.dupNgramFrac(col("text"), 3))
+            .as("dup3_frac"))
+        .withColumn("too_short", col("n_tokens") < 20)
+        .withColumn("low_quality", col("quality") < 0.5)
+        .withColumn("too_repetitive", col("dup3_frac") > 0.05)
+        .withColumn("keep",
+          !col("too_short") && !col("low_quality") && !col("too_repetitive"))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction audit: deterministic synthetic PII (email/phone/IP
     // built from doc columns — the corpus itself is PII-free) is injected,
     // redacted, and counted; the oracle rebuilds the same doctored text
@@ -1412,6 +1430,46 @@ object Pipeline {
              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')),
              ceil(length(text) / 4)::INT)::BIGINT AS token_estimate
          FROM documents ORDER BY doc_id""",
+    "txt_filter" ->
+      """WITH m AS (
+           SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS toks,
+             length(text) AS len
+           FROM documents),
+         base AS (
+           SELECT doc_id,
+             len(toks)::BIGINT AS n_tokens,
+             round(len(list_filter(toks, x -> list_contains(
+                 ['the','a','an','and','or','of','to','in','is','it','that',
+                  'for','on','with','as','at','by','this'], lower(x))))::DOUBLE /
+               greatest(len(toks), 1), 4) AS stopword_ratio,
+             round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE /
+               greatest(len, 1), 4) AS alpha_ratio,
+             (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END)
+               AS length_ok
+           FROM m),
+         q AS (
+           SELECT doc_id, n_tokens,
+             floor((length_ok * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.3
+               + alpha_ratio * 0.3) * 10000 + 0.5) / 10000 AS quality
+           FROM base),
+         g3 AS (SELECT doc_id, list_filter(list_transform(
+                  range(1, greatest(len(toks)-2, 1)+1),
+                  i -> array_to_string(toks[i:i+2], ' ')),
+                  g -> len(g) > 0) AS g
+                FROM m),
+         d3 AS (SELECT doc_id,
+                  floor((CASE WHEN len(g) = 0 THEN 0.0
+                    ELSE 1.0 - len(list_distinct(g))::DOUBLE / len(g) END)
+                    * 10000 + 0.5) / 10000 AS dup3_frac
+                FROM g3)
+         SELECT q.doc_id, q.n_tokens, q.quality, d3.dup3_frac,
+           q.n_tokens < 20 AS too_short,
+           q.quality < 0.5 AS low_quality,
+           d3.dup3_frac > 0.05 AS too_repetitive,
+           NOT (q.n_tokens < 20 OR q.quality < 0.5 OR d3.dup3_frac > 0.05)
+             AS keep
+         FROM q JOIN d3 USING (doc_id) ORDER BY q.doc_id""",
     "txt_redact" ->
       """WITH d AS (
            SELECT doc_id,
