@@ -118,13 +118,16 @@ object Pipeline {
         .orderBy("corpus_id", "bench_id")
     }),
 
-    // incremental dedup: new-batch docs (id >= 400) surviving exact +
-    // minhash near-dup checks against the landed corpus (id < 400) and
-    // earlier batch docs — the daily-ingest shape (oracled in md5 mode)
+    // incremental dedup: the newest 1/5 of docs (by id) surviving exact +
+    // minhash near-dup checks against the landed corpus (older 4/5) and
+    // earlier batch docs — the daily-ingest shape (oracled in md5 mode).
+    // The split is proportional, not a fixed id, so batch << corpus at
+    // every scale factor; the cut is one parquet-footer max() scalar.
     "dd_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
+      val cut = (d.agg(max(col("doc_id"))).head.getLong(0) + 1) * 4 / 5
       Dedup.incrementalSurvivors(
-          d.filter(col("doc_id") >= 400), d.filter(col("doc_id") < 400),
+          d.filter(col("doc_id") >= cut), d.filter(col("doc_id") < cut),
           "doc_id", "text", threshold = 0.8, mode = HashMode.Md5)
         .select("doc_id").orderBy("doc_id")
     }),
@@ -812,13 +815,17 @@ object Pipeline {
        FROM est WHERE ej >= $threshold ORDER BY id_a, id_b"""
   }
 
-  /** Incremental-dedup oracle: the batch (doc_id >= splitId) against the
-    * corpus (doc_id < splitId). Same signature/band CTEs as
-    * [[minhashOracleSql]]; exact stage by content md5, near stage by
-    * bucket-collision candidates vs corpus (any) and vs smaller-id
+  /** Incremental-dedup oracle: the batch (top 1/5 of doc_ids) against the
+    * corpus (bottom 4/5). The split point is PROPORTIONAL —
+    * (max(doc_id)+1)*4/5 — so the daily-ingest shape (small batch, large
+    * landed corpus) holds at every scale factor; a fixed id cut would
+    * invert it at sf0.1 (batch 4600 vs corpus 400). Same signature/band
+    * CTEs as [[minhashOracleSql]]; exact stage by content md5, near stage
+    * by bucket-collision candidates vs corpus (any) and vs smaller-id
     * exact-surviving batch docs (greedy keep-first). */
   private def incrementalOracleSql(numHashes: Int, bands: Int, seed: Long,
-                                   threshold: Double, splitId: Long): String = {
+                                   threshold: Double): String = {
+    val splitId = "(SELECT (max(doc_id)+1)*4//5 FROM documents)"
     val coeffs = Dedup.hashCoeffs(numHashes, seed)
     val aList = coeffs.map(_._1).mkString("[", ",", "]")
     val bList = coeffs.map(_._2).mkString("[", ",", "]")
@@ -1208,7 +1215,7 @@ object Pipeline {
         threshold = 0.7),
     "dd_incremental" ->
       incrementalOracleSql(numHashes = 64, bands = 16, seed = 42L,
-        threshold = 0.8, splitId = 400L),
+        threshold = 0.8),
     "dd_simhash_pairs" -> simhashOracleSql(maxHamming = 3),
     "dd_embed_lsh" ->
       embedLshOracleSql(tables = 8, bits = 8, threshold = 0.3),
