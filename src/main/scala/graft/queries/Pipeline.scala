@@ -265,13 +265,16 @@ object Pipeline {
 
     // JL random projection 64d -> 16d with a deterministic md5-derived
     // matrix — the pre-ANN dimensionality squeeze (oracled bit-for-bit:
-    // DuckDB rebuilds the same matrix from the same salt)
+    // DuckDB rebuilds the same matrix from the same salt). Result is
+    // exploded to one scalar row per (vec_id, j) — the driver compare
+    // hashes pandas cells, and array cells are unhashable there.
     "sim_project" -> ((s, dir) => {
       Similarity.randomProject(embs(s, dir), "embedding", outDim = 16)
         .select(col("vec_id"),
-          transform(col("projection"),
-            x => TextAnalysis.round4(x)).as("projection"))
-        .orderBy("vec_id")
+          posexplode(col("projection")).as(Seq("j", "v")))
+        .select(col("vec_id"), col("j").cast("long").as("j"),
+          TextAnalysis.round4(col("v")).as("value"))
+        .orderBy("vec_id", "j")
     }),
 
     // token counting (oracled)
@@ -1428,8 +1431,8 @@ object Pipeline {
              floor(list_dot_product(emb.e, pl.plane) * 0.25 * 10000 + 0.5)
                / 10000 AS pv
            FROM emb CROSS JOIN pl)
-         SELECT vec_id, list(pv ORDER BY j) AS projection
-         FROM proj GROUP BY vec_id ORDER BY vec_id""",
+         SELECT vec_id, j::BIGINT AS j, pv AS value
+         FROM proj ORDER BY vec_id, j""",
     "txt_tokens" ->
       """SELECT doc_id, length(text)::BIGINT AS n_chars,
            len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
