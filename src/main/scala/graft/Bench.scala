@@ -1,35 +1,52 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.TimeUnit
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Driver-run benchmark: times every SparkEntry query at the configured
   * scale factor and prints ONE JSON line.
   *
-  * Hygiene rules (without which per-query numbers are meaningless):
-  *  - a warm-up pass touches every table and the codegen/JIT machinery so
-  *    the first measured query doesn't absorb one-time session cost;
-  *  - `spark.catalog.clearCache()` runs between queries — several dedup
-  *    operators cache intermediate frames (signatures, shingles) for the
-  *    duration of their own plan, and leaked cache blocks otherwise evict
-  *    each other and inflate later queries 10-40x;
-  *  - each query is timed min-of-N (N=3 by default, SPARK_GRAFT_BENCH_RUNS
-  *    to override): min filters out GC/compile noise, which at sub-second
-  *    query times is the dominant variance source (observed ±2x run-to-run
-  *    on multi-stage queries at N=1);
-  *  - the JSON line records cpus + sf so a number is never quoted without
-  *    the environment that produced it;
-  *  - a query that throws is recorded as `"err"` (message, not a time) —
-  *    a silent catch would report a failure as a fast success and corrupt
-  *    the perf signal.
+  * EXECUTION MODEL — one JVM per query family (round-5 lesson): running
+  * all 100+ queries in a single JVM lets JIT/GC/codegen-cache state leak
+  * across queries, and the official numbers swung 10x round-over-round on
+  * UNTOUCHED code (dd_spans 22.3->2.13 s, sim_topk_lsh 0.96->9.15 s,
+  * while single-family isolated reruns measured 2.46/0.885 s). So the
+  * default path now groups queries by name prefix (dd, sim, txt, q, x,
+  * ...), forks one child JVM per family (same classpath, same --add-opens,
+  * sequential so children never contend for cores), and merges the
+  * children's results. A child reports back over a flat TSV file —
+  * deliberately not JSON, so the parent needs no parser and a partially
+  * written file fails loudly. Any child that dies (or an unforkable
+  * environment — classpath not reconstructible) falls back to the old
+  * shared-session path for the affected families: numbers degrade to
+  * round-5 quality instead of disappearing.
+  *
+  * Hygiene rules carried from the shared-session design (still applied
+  * inside each child):
+  *  - a warm-up pass touches every table and the codegen/JIT machinery;
+  *  - `spark.catalog.clearCache()` runs between queries and runs;
+  *  - each query is timed min-of-N (N=3 default, SPARK_GRAFT_BENCH_RUNS);
+  *  - the JSON line records cpus + sf;
+  *  - a query that throws is recorded as `"err"` (message, not a time).
   *
   * Output contract (learned the hard way — BENCH_r01..r03 all came back
   * `parsed: null`): the harness that invokes this main captures only the
   * LAST ~2000 characters of stdout and parses the JSON line it finds
-  * there. A full 94-query map at nanosecond precision is ~3 kB and
-  * overflows that window, so the printed line is COMPACT: millisecond
-  * precision, a curated headline-query map, family totals for the rest.
-  * [[renderCompact]] is unit-tested to stay under the window. The full
-  * map at full precision is always written to `bench_out.json`.
+  * there. The printed line is COMPACT (millisecond precision, curated
+  * headline queries, family rollups); [[renderCompact]] is unit-tested to
+  * stay under the window. The full map at full precision is written to
+  * `bench_out.json` — overridable via SPARK_GRAFT_BENCH_OUT so judge-side
+  * reruns can't clobber a round artifact (which happened twice).
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_BENCH_RUNS, SPARK_GRAFT_BENCH_ONLY (comma-separated query
+  * filter; implies in-process), SPARK_GRAFT_BENCH_FORK=0 (force the
+  * shared-session path), SPARK_GRAFT_BENCH_OUT (full-JSON path),
+  * SPARK_GRAFT_BENCH_EXTRAS=0 (skip the synthetic-corpus crossover
+  * entries), SPARK_GRAFT_BENCH_RESULT_TSV (internal — marks a child).
   */
 object Bench {
 
@@ -39,6 +56,7 @@ object Bench {
     * the line) and fully itemised in bench_out.json.
     */
   val headline: Seq[String] = Seq(
+    "bench_lsh50k_brute", "bench_lsh50k_lsh",
     "dd_clusters", "dd_survivors_exact", "dd_minhash_pairs",
     "dd_ngram_pairs", "dd_simhash_pairs", "dd_embed_lsh", "dd_embed_pairs",
     "dd_exact", "dd_spans",
@@ -53,18 +71,96 @@ object Bench {
     "x_cte_exists", "x_cube", "x_intersect", "x_rank_window",
   )
 
+  // ---------------------------------------------------------------------
+  // Bench-only extra measurements (not part of the SparkEntry/Verify
+  // contract): the LSH-vs-brute crossover demo. The sf0.1 embeddings
+  // table (2,000 vectors) is BELOW lshTopK's own cost-model crossover, so
+  // these run both paths on a 50k-vector deterministic synthetic
+  // clustered corpus where bucketing must win — the "would this still be
+  // the right plan at 100 TB" claim, measured instead of asserted.
+  // ---------------------------------------------------------------------
+
+  private val SynthN = 50000L
+  private val SynthQueryStride = 100 // 500 queries: id % stride == 0
+
+  // one materialized corpus per JVM: generation (O(n x dim) md5) is setup,
+  // not signal, and both contenders must read the same bytes
+  private var synthCache: Option[(SparkSession, DataFrame)] = None
+  private def synth50k(s: SparkSession): DataFrame = synchronized {
+    synthCache match {
+      case Some((sess, df)) if sess eq s => df
+      case _ =>
+        val df = graft.operators.Similarity
+          .syntheticClusteredCorpus(s, SynthN).localCheckpoint()
+        synthCache = Some((s, df)); df
+    }
+  }
+  private def synthQueries(s: SparkSession): DataFrame =
+    synth50k(s).filter(col("vec_id") % SynthQueryStride === 0)
+
+  /** Extra bench-only entries, timed exactly like SparkEntry queries.
+    * `bench_lsh50k_recall` is a measured GUARD, not a timing: it computes
+    * recall@10 of the LSH path against the exact path and THROWS below
+    * 0.8, so a recall collapse surfaces as n_err in the bench artifact —
+    * "lsh is faster" is only meaningful at stated recall. */
+  private[graft] val extraQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bench_lsh50k_brute" -> ((s, _) =>
+      graft.operators.Similarity.bruteForceTopK(
+        synth50k(s), synthQueries(s), "vec_id", "embedding", k = 10)),
+    "bench_lsh50k_lsh" -> ((s, _) =>
+      graft.operators.Similarity.lshTopK(
+        synth50k(s), synthQueries(s), "vec_id", "embedding", k = 10)),
+    "bench_lsh50k_recall" -> ((s, _) => {
+      val brute = graft.operators.Similarity.bruteForceTopK(
+        synth50k(s), synthQueries(s), "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = graft.operators.Similarity.lshTopK(
+        synth50k(s), synthQueries(s), "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val r = brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0L))) /
+          count(lit(1))).as("recall"))
+        .head().getDouble(0)
+      System.err.println(s"bench_lsh50k_recall@10 = $r")
+      if (r < 0.8) throw new IllegalStateException(
+        f"lsh50k recall@10 $r%.4f below the 0.8 floor the crossover claim requires")
+      s.range(1).select(lit(r).as("recall_at_10"))
+    }),
+  )
+
+  private def extrasEnabled: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRAS", "1") != "0"
+
+  /** Everything this bench can time: the driver-contract queries plus the
+    * bench-only extras. */
+  private[graft] def allBenchQueries
+      : Map[String, (SparkSession, String) => DataFrame] =
+    if (extrasEnabled) SparkEntry.queries ++ extraQueries
+    else SparkEntry.queries
+
+  // ---------------------------------------------------------------------
+  // JSON rendering
+  // ---------------------------------------------------------------------
+
   private def jstr(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   } + "\""
 
-  private def f3(d: Double): String = f"$d%.3f"
+  // Locale.ROOT, NOT the f"" interpolator: f"$d%.3f" uses the default
+  // locale, and a comma-decimal locale (fr_FR, de_DE, ...) would emit
+  // `1,234` inside the JSON line and break the harness parse
+  private def f3(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
   /** The compact line printed to stdout. Pure function of the results so a
     * spec can pin its length below the harness's stdout-tail window.
     */
   def renderCompact(results: Seq[(String, Double, Option[String])],
-                    sfDir: String, cpus: String, runs: Int): String = {
+                    sfDir: String, cpus: String, runs: Int,
+                    mode: String = "fork_per_family",
+                    outPath: String = "bench_out.json"): String = {
     val byName = results.map(r => r._1 -> r).toMap
     val shown = headline.filter(byName.contains)
     val shownSet = shown.toSet
@@ -80,26 +176,50 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count(_._3.isDefined)
     val total = results.collect { case (_, t, None) => t }.sum
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"timing":"min_of_runs","n_err":$nErr,"full":"bench_out.json"}"""
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"timing":"min_of_runs","mode":${jstr(mode)},"n_err":$nErr,"full":${jstr(outPath)}}"""
   }
 
   /** Full-precision, every-query line written to bench_out.json. */
   def renderFull(results: Seq[(String, Double, Option[String])],
-                 sfDir: String, cpus: String, runs: Int): String = {
+                 sfDir: String, cpus: String, runs: Int,
+                 mode: String = "fork_per_family"): String = {
     val qs = results.map { case (name, t, err) =>
       jstr(name) + ":" + err.fold(t.toString)(m => jstr(m))
     }.mkString("{", ",", "}")
     val nErr = results.count(_._3.isDefined)
     val total = results.collect { case (_, t, None) => t }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"runs":$runs,"timing":"min_of_runs","n_err":$nErr}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"runs":$runs,"timing":"min_of_runs","mode":${jstr(mode)},"n_err":$nErr}"""
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    // local-dev focus filter: comma-separated query names; unset = all
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+  // ---------------------------------------------------------------------
+  // Child result protocol: name \t seconds \t sanitized-error (optional).
+  // Flat on purpose — no parser on the parent side, and a torn write
+  // (missing column) fails loudly instead of merging garbage.
+  // ---------------------------------------------------------------------
+
+  private[graft] def renderTsv(
+      results: Seq[(String, Double, Option[String])]): String =
+    results.map { case (n, t, err) =>
+      val e = err.map(_.replaceAll("[\\t\\n\\r]", " ")).getOrElse("")
+      s"$n\t$t\t$e"
+    }.mkString("", "\n", "\n")
+
+  private[graft] def parseTsv(
+      text: String): Seq[(String, Double, Option[String])] =
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val parts = line.split("\t", -1)
+      require(parts.length == 3, s"malformed bench TSV line: $line")
+      (parts(0), parts(1).toDouble,
+        if (parts(2).isEmpty) None else Some(parts(2)))
+    }.toSeq
+
+  // ---------------------------------------------------------------------
+  // In-process runner (child mode, SPARK_GRAFT_BENCH_ONLY dev mode, and
+  // the fallback when forking is unavailable)
+  // ---------------------------------------------------------------------
+
+  private def runInProcess(sfDir: String, cpus: String, runs: Int,
+      only: Option[Set[String]]): Seq[(String, Double, Option[String])] = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -117,10 +237,16 @@ object Bench {
       }
       SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("q_join_inner").foreach(_(spark, sfDir).count())
+      // materialize the synthetic crossover corpus BEFORE timing starts:
+      // generation is setup, not signal, and must not land inside
+      // whichever extra happens to run first
+      if (extrasEnabled &&
+          only.forall(_.exists(_.startsWith("bench_lsh50k"))))
+        synth50k(spark).count()
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = allBenchQueries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         var err: Option[String] = None
@@ -138,10 +264,169 @@ object Bench {
         }
         (name, times.min, err)
       }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"),
-      renderFull(results, sfDir, cpus, runs) + "\n")
-    // printed LAST so it lands inside the harness's stdout-tail window
-    println(renderCompact(results, sfDir, cpus, runs))
     spark.stop()
+    results
+  }
+
+  // ---------------------------------------------------------------------
+  // Fork orchestration
+  // ---------------------------------------------------------------------
+
+  /** Classpath for a child JVM: file URLs off the classloader chain
+    * (covers sbt's layered loaders and spark-submit's mutable app loader)
+    * unioned with java.class.path (covers plain `java -cp`). Empty when
+    * nothing file-based is visible — the caller then falls back. */
+  private[graft] def forkClasspath(): String = {
+    def urlsOf(cl: ClassLoader): Seq[String] = cl match {
+      case u: java.net.URLClassLoader =>
+        u.getURLs.toSeq.filter(_.getProtocol == "file")
+          .flatMap(x => scala.util.Try(
+            Paths.get(x.toURI).toString).toOption)
+      case _ => Nil
+    }
+    val chain = Iterator.iterate(getClass.getClassLoader)(_.getParent)
+      .takeWhile(_ != null).flatMap(urlsOf).toSeq
+    val sysCp = System.getProperty("java.class.path", "")
+      .split(java.io.File.pathSeparator).toSeq
+    (chain ++ sysCp).filter(_.nonEmpty).distinct
+      .mkString(java.io.File.pathSeparator)
+  }
+
+  /** The JDK-17+ module opens Spark needs (its documented launcher set);
+    * a bare `java -cp` child gets none of the parent's flags, so these are
+    * always passed, merged with whatever --add-opens/-Xmx the parent JVM
+    * itself received. */
+  private val sparkModuleOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio", "java.base/java.util",
+    "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic", "java.base/jdk.internal.ref",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(m => s"--add-opens=$m=ALL-UNNAMED")
+
+  /** Flags whose value may arrive as a SEPARATE argv entry (sbt's
+    * `javaOptions` style: `--add-opens`, `m=ALL-UNNAMED`) — keeping the
+    * flag but dropping its value would hand the child a dangling option. */
+  private val pairFlags = Set("--add-opens", "--add-exports",
+    "--add-modules", "--enable-native-access")
+
+  private[graft] def childJvmArgs(
+      inherited: Seq[String]): Seq[String] = {
+    val keep = Seq.newBuilder[String]
+    var i = 0
+    while (i < inherited.length) {
+      val a = inherited(i)
+      if (pairFlags.contains(a) && i + 1 < inherited.length) {
+        keep += a += inherited(i + 1); i += 2
+      } else {
+        if (pairFlags.exists(f => a.startsWith(f + "=")) ||
+            a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+            a.startsWith("-Xss"))
+          keep += a
+        i += 1
+      }
+    }
+    (keep.result() ++ sparkModuleOpens).distinct
+  }
+
+  private def childJvmArgs(): Seq[String] = childJvmArgs(
+    java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray(Array.empty[String]).toSeq)
+
+  /** Run one family in a child JVM; None = the child failed (bad exit,
+    * timeout, unreadable TSV) and the family must be re-run in-process. */
+  private def runChild(javaBin: String, jvmArgs: Seq[String], cp: String,
+      fam: String, names: Seq[String], sfDir: String, cpus: String,
+      runs: Int, logDir: Path): Option[Seq[(String, Double, Option[String])]] = {
+    val tsv = logDir.resolve(s"bench_$fam.tsv")
+    val log = logDir.resolve(s"bench_$fam.log")
+    Files.deleteIfExists(tsv)
+    val cmd = (Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", cp, "graft.Bench")).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_BENCH_RESULT_TSV", tsv.toString)
+    pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
+    pb.environment().put("SPARK_GRAFT_BENCH_FORK", "0")
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+    pb.environment().put("SPARK_GRAFT_BENCH_RUNS", runs.toString)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log.toFile)
+    try {
+      val p = pb.start()
+      val done = p.waitFor(45, TimeUnit.MINUTES)
+      if (!done) { p.destroyForcibly(); return None }
+      if (p.exitValue() != 0) return None
+      val parsed = parseTsv(Files.readString(tsv))
+      // a child that silently timed nothing is a failure, not an answer
+      if (parsed.map(_._1).toSet == names.toSet) Some(parsed) else None
+    } catch { case _: Throwable => None }
+  }
+
+  private def runForked(sfDir: String, cpus: String,
+      runs: Int): Seq[(String, Double, Option[String])] = {
+    val names = allBenchQueries.keys.toSeq.sorted
+    val fams = names.groupBy(_.takeWhile(_ != '_')).toSeq.sortBy(_._1)
+    val cp = forkClasspath()
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
+    if (cp.isEmpty || !Files.isExecutable(javaBin)) {
+      System.err.println("bench: fork unavailable, falling back in-process")
+      return runInProcess(sfDir, cpus, runs, None)
+    }
+    val logDir = Paths.get("target", "bench-fork")
+    Files.createDirectories(logDir)
+    val jvmArgs = childJvmArgs()
+    val buf = Seq.newBuilder[(String, Double, Option[String])]
+    val failed = Seq.newBuilder[String]
+    for ((fam, qs) <- fams) {
+      val t0 = System.nanoTime()
+      runChild(javaBin.toString, jvmArgs, cp, fam, qs, sfDir, cpus, runs,
+          logDir) match {
+        case Some(rs) =>
+          buf ++= rs
+          System.err.println(f"bench: family $fam (${qs.size} queries) " +
+            f"done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        case None =>
+          failed ++= qs
+          System.err.println(s"bench: family $fam child FAILED " +
+            s"(see $logDir/bench_$fam.log), will re-run in-process")
+      }
+    }
+    val leftover = failed.result()
+    if (leftover.nonEmpty)
+      buf ++= runInProcess(sfDir, cpus, runs, Some(leftover.toSet))
+    buf.result().sortBy(_._1)
+  }
+
+  // ---------------------------------------------------------------------
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // local-dev focus filter: comma-separated query names; unset = all
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val tsvOut = sys.env.get("SPARK_GRAFT_BENCH_RESULT_TSV")
+    val forkWanted = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
+
+    if (tsvOut.isDefined) {
+      // child mode: run the assigned slice, report TSV, print nothing
+      val results = runInProcess(sfDir, cpus, runs, only)
+      Files.writeString(Paths.get(tsvOut.get), renderTsv(results))
+      return
+    }
+
+    val fork = forkWanted && only.isEmpty
+    val mode = if (fork) "fork_per_family" else "shared_session"
+    val results =
+      if (fork) runForked(sfDir, cpus, runs)
+      else runInProcess(sfDir, cpus, runs, only)
+    Files.writeString(Paths.get(outPath),
+      renderFull(results, sfDir, cpus, runs, mode) + "\n")
+    // printed LAST so it lands inside the harness's stdout-tail window
+    println(renderCompact(results, sfDir, cpus, runs, mode, outPath))
   }
 }

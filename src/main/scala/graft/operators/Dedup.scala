@@ -587,36 +587,48 @@ object Dedup {
     * (a pair only exists where two documents already collide in an LSH
     * bucket and pass the similarity threshold), so even a 100 TB corpus
     * typically yields an edge set in the millions, not the billions. When
-    * the pair count is at or below `smallGraphThreshold` (default 4M
-    * pairs ≈ 64 MB of longs — trivially driver-sized), the component
-    * labels are computed with a single-pass path-compressed union-find on
-    * the driver: ONE action total (a bounded limit-probe that doubles as
-    * the collect) instead of ~log(n) rounds of 2-join-plus-checkpoint,
-    * which at interactive scale is the difference between ~2 s of
-    * per-round scheduling overhead and ~50 ms. Above the threshold the
-    * limit short-circuits and the distributed pointer-doubling path runs
-    * unchanged (one extra bounded pass over the pair stream) — that path has
-    * no driver materialization and is the 1000-executor design. Both
-    * paths compute the same fixpoint (min id per component); the property
-    * spec pins their equality on random graphs. */
+    * the pair count is at or below `smallGraphThreshold` (default 500k
+    * pairs, collected as specialized long tuples ≈ ~20 MB transient on
+    * the driver — NOT boxed Rows), the component labels are computed with
+    * a single-pass path-compressed union-find on the driver: ONE action
+    * total (a bounded limit-probe that doubles as the collect) instead of
+    * ~log(n) rounds of 2-join-plus-checkpoint, which at interactive scale
+    * is the difference between ~2 s of per-round scheduling overhead and
+    * ~50 ms. Above the threshold the limit short-circuits and the
+    * distributed pointer-doubling path runs unchanged (one extra bounded
+    * pass over the pair stream) — that path has no driver materialization
+    * and is the 1000-executor design. Both paths compute the same
+    * fixpoint (min id per component); the property spec pins their
+    * equality on random graphs. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b",
                           maxIter: Int = 50,
-                          smallGraphThreshold: Int = 4 * 1000 * 1000): DataFrame = {
+                          smallGraphThreshold: Int = DefaultSmallGraphThreshold): DataFrame = {
     // bounded probe: ask for threshold+1 pairs. On the small (common)
     // path this single action IS the union-find input — no edge
     // symmetrization, no checkpoint, no separate count. On the big path
     // the limit short-circuits and the distributed rounds recompute the
-    // pair stream once into the materialized edge frame.
+    // pair stream once into the materialized edge frame. The collect is a
+    // TYPED Dataset[(Long, Long)] — the tuple encoder materializes
+    // Tuple2 cells, not GenericRow wrappers over boxed Longs, keeping the
+    // transient probe an order of magnitude under the old Row-based form.
+    import pairs.sparkSession.implicits._
     val probe = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .limit(math.min(smallGraphThreshold.toLong + 1, Int.MaxValue).toInt)
+      .as[(Long, Long)]
       .collect()
     if (probe.length <= smallGraphThreshold)
-      driverUnionFind(pairs.sparkSession,
-        probe.map(r => (r.getLong(0), r.getLong(1))))
+      driverUnionFind(pairs.sparkSession, probe)
     else connectedComponentsFromEdges(symmetricEdges(pairs, aCol, bCol), maxIter)._1
   }
+
+  /** Driver-probe ceiling for the adaptive CC small path: 500k pairs.
+    * Sized so the collected tuple array plus the union-find hash map stay
+    * in the tens of MB on the driver — far below any sane driver heap —
+    * while still covering the "millions of near-dup edges from a huge
+    * corpus" regime via the distributed path. */
+  val DefaultSmallGraphThreshold: Int = 500 * 1000
 
   /** Undirected, deduplicated, pre-partitioned, materialized edge frame
     * (src, dst) — shared by both CC execution paths. Shuffled once here so

@@ -18,15 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
-  /** Posting list (term, doc, tf): explode + count. `minTf`/`maxDocFreq`
-    * mirror the standard index-pruning knobs (rare-typo floor, stopword
-    * ceiling as a fraction of the corpus). */
+  /** Posting list (term, doc, tf): explode + count. `minTf` and
+    * `maxDocFreqFrac` mirror the standard index-pruning knobs: `minTf`
+    * drops (term, doc) postings below a per-document frequency floor (a
+    * rare-typo filter — map-side, free), `maxDocFreqFrac` drops terms
+    * appearing in more than that fraction of the corpus (a stopword
+    * ceiling — costs one extra aggregate over the postings). */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
-                    maxDocFreqFrac: Double = 1.0): DataFrame = {
-    val post = df
+                    maxDocFreqFrac: Double = 1.0,
+                    minTf: Int = 1): DataFrame = {
+    val post0 = df
       .select(col(idCol).as("doc"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
+    val post = if (minTf <= 1) post0 else post0.filter(col("tf") >= minTf)
     if (maxDocFreqFrac >= 1.0) post
     else {
       val n = df.count().toDouble

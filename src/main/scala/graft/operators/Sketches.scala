@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
 
 /** Distributed probabilistic sketches with DETERMINISTIC md5-derived
   * hashes: count-min (approximate frequencies over an unbounded key
@@ -15,12 +16,53 @@ import org.apache.spark.sql.functions._
   * SAME sketch bit-for-bit and the oracle checks exact values — the
   * sketch structure itself is under test, not just its error bound.
   *
+  * PARAMETER BINDING: a sketch is only meaningful together with the
+  * parameters it was built with — probing a width-512 count-min as if it
+  * were width-256 silently returns garbage, and probing a Bloom filter
+  * with the wrong bits/k can return FALSE NEGATIVES, violating its one
+  * hard contract. The build functions therefore stamp their parameters
+  * into the sketch frame's column METADATA (rides the schema through
+  * projections, broadcasts, and parquet round-trips without changing the
+  * row shape), and the probe functions READ them: a probe with no
+  * explicit parameters uses the stamped ones; a probe whose explicit
+  * parameters contradict the stamp THROWS. Explicit parameters are only
+  * required for a frame that lost its metadata (hand-built sketches).
+  *
   * Scale shape: both builds are one explode (x depth or x k hashes) and
   * one groupBy on (row-of-sketch) keys with map-side partial aggregation;
   * sketch frames are tiny (width x depth counters / bits/64 words) and
   * meant to be broadcast at probe time.
   */
 object Sketches {
+
+  private def stamp(kv: (String, Int)*): Metadata = {
+    val b = new MetadataBuilder()
+    kv.foreach { case (k, v) => b.putLong(k, v.toLong) }
+    b.build()
+  }
+
+  private def stamped(df: DataFrame, colName: String,
+                      key: String): Option[Int] = {
+    val f = df.schema.fields.find(_.name == colName)
+    f.filter(_.metadata.contains(key)).map(_.metadata.getLong(key).toInt)
+  }
+
+  /** Resolve a probe parameter against the build-time stamp: stamped and
+    * unspecified -> stamped; stamped and matching -> fine; stamped and
+    * contradicting -> throw; unstamped -> the explicit value is required. */
+  private def resolve(stampVal: Option[Int], explicit: Int,
+                      what: String): Int = stampVal match {
+    case Some(s) =>
+      require(explicit <= 0 || explicit == s,
+        s"sketch was built with $what=$s but probed with $what=$explicit — " +
+          "mismatched parameters silently corrupt estimates, so this throws")
+      s
+    case None =>
+      require(explicit > 0,
+        s"sketch frame carries no $what metadata (built outside " +
+          s"Sketches, or stripped); pass $what explicitly")
+      explicit
+  }
 
   /** Row hash d of `key` in [0, width): deterministic, engine-portable
     * (DuckDB twin: `('0x'||substr(md5('cm:'||d||':'||key),1,8))::BIGINT
@@ -30,9 +72,10 @@ object Sketches {
       .cast("binary")), 1, 8), 16, 10).cast("long") % width
 
   /** Count-min sketch over a key column: (d, bucket, cnt) — depth rows of
-    * width counters. Point estimate = min over d of the bucket count
-    * (never under-counts; over-counts by collisions, bounded by
-    * eps = e/width with prob 1 - e^-depth). */
+    * width counters, with (width, depth) stamped into the `cnt` column
+    * metadata for probe-time validation. Point estimate = min over d of
+    * the bucket count (never under-counts; over-counts by collisions,
+    * bounded by eps = e/width with prob 1 - e^-depth). */
   def countMin(df: DataFrame, keyCol: String, width: Int = 256,
                depth: Int = 3): DataFrame = {
     val rows = (0 until depth).map(d =>
@@ -40,18 +83,24 @@ object Sketches {
     df.select(explode(array(rows: _*)).as("h"))
       .groupBy(col("h.d").as("d"), col("h.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      .select(col("d"), col("bucket"),
+        col("cnt").as("cnt", stamp("cm_width" -> width, "cm_depth" -> depth)))
   }
 
   /** Point-estimate the frequency of each distinct key in `probes`
     * against a count-min sketch: joins each (key, d, bucket) to the
     * sketch (broadcast — it is at most width x depth rows) and takes the
     * min across rows. Keys hashing to never-incremented buckets estimate
-    * 0. Output: (key, est). */
+    * 0. width/depth default to the values stamped by [[countMin]];
+    * passing explicit values that contradict the stamp throws (see the
+    * object doc). Output: (key, est). */
   def countMinEstimate(sketch: DataFrame, probes: DataFrame,
-                       keyCol: String, width: Int = 256,
-                       depth: Int = 3): DataFrame = {
-    val rows = (0 until depth).map(d =>
-      struct(lit(d).as("d"), cmBucket(col(keyCol), d, width).as("bucket")))
+                       keyCol: String, width: Int = 0,
+                       depth: Int = 0): DataFrame = {
+    val w = resolve(stamped(sketch, "cnt", "cm_width"), width, "width")
+    val dep = resolve(stamped(sketch, "cnt", "cm_depth"), depth, "depth")
+    val rows = (0 until dep).map(d =>
+      struct(lit(d).as("d"), cmBucket(col(keyCol), d, w).as("bucket")))
     probes.select(col(keyCol), explode(array(rows: _*)).as("h"))
       .join(broadcast(sketch),
         col("h.d") === sketch("d") && col("h.bucket") === sketch("bucket"),
@@ -69,8 +118,9 @@ object Sketches {
     * pos / 32, mask = OR of 1L << (pos % 32) — 32-bit words in long
     * cells (shift stays <= 31, which every engine's checked left-shift
     * accepts; 1L << 63 overflows DuckDB's BIGINT), built with one
-    * explode (x k hashes) and one bit_or groupBy. The frame IS the
-    * filter; broadcast it to prefilter a probe side. */
+    * explode (x k hashes) and one bit_or groupBy. (bits, k) are stamped
+    * into the `mask` column metadata for probe-time validation. The
+    * frame IS the filter; broadcast it to prefilter a probe side. */
   def bloomBuild(df: DataFrame, keyCol: String, bits: Int = 4096,
                  k: Int = 3): DataFrame = {
     val pos = (0 until k).map(h => bloomPos(col(keyCol), h, bits))
@@ -78,16 +128,24 @@ object Sketches {
       .select(floor(col("pos") / 32).cast("long").as("word"),
         expr("shiftleft(1L, cast(pos % 32 as int))").as("m"))
       .groupBy("word").agg(expr("bit_or(m)").as("mask"))
+      .select(col("word"),
+        col("mask").as("mask", stamp("bf_bits" -> bits, "bf_k" -> k)))
   }
 
-  /** Membership probe: true iff all k bits are set — no false negatives,
+  /** Membership probe: true iff all k bits are set — no false negatives
+    * (PROTECTED by the parameter stamp: probing with the wrong bits/k is
+    * the one way to manufacture a false negative, and it now throws),
     * false positives at ~(1 - e^{-kn/bits})^k. The filter joins
     * broadcast on word; a probe whose word is absent fails immediately.
-    * Output: probes plus (might_contain). */
+    * bits/k default to the values stamped by [[bloomBuild]].
+    * Output: one row per distinct key — (keyCol, might_contain); callers
+    * needing the full probe rows join this back on keyCol. */
   def bloomMightContain(filter: DataFrame, probes: DataFrame,
-                        keyCol: String, bits: Int = 4096,
-                        k: Int = 3): DataFrame = {
-    val pos = (0 until k).map(h => bloomPos(col(keyCol), h, bits))
+                        keyCol: String, bits: Int = 0,
+                        k: Int = 0): DataFrame = {
+    val b = resolve(stamped(filter, "mask", "bf_bits"), bits, "bits")
+    val kk = resolve(stamped(filter, "mask", "bf_k"), k, "k")
+    val pos = (0 until kk).map(h => bloomPos(col(keyCol), h, b))
     probes.select(col(keyCol), explode(array(pos: _*)).as("pos"))
       .select(col(keyCol), floor(col("pos") / 32).cast("long").as("word"),
         (col("pos") % 32).cast("int").as("bit"))

@@ -263,24 +263,42 @@ object Extended {
         .orderBy("l_returnflag")
     }),
 
-    // O6: random sampling — nondeterministic by design (rows-only check,
-    // like the reference's shape-only tests for random ops).
-    // PARITY form: ORDER BY random() LIMIT 1 — a full global sort to pick
-    // one row. Fine on a 5-row dim; a scale-killer on a 100 TB fact (total
-    // shuffle sort of the corpus). The scale-safe twin is below.
+    // O6: random sampling. PARITY form: ORDER BY random() LIMIT 1 — a
+    // full global sort to pick one row. Fine on a 5-row dim; a
+    // scale-killer on a 100 TB fact (total shuffle sort of the corpus).
+    // The scale-safe twin is below.
+    //
+    // The sample itself is nondeterministic by design, so the ORACLED
+    // output is its INVARIANTS (the x_approx_distinct trick): row count
+    // equals the requested sample size and every sampled row is a member
+    // of the source table — DuckDB draws its own random sample and
+    // verifies the same two booleans, so the row fully value-checks.
     "x_sample" -> ((s, dir) => {
-      t(s, dir, "region").orderBy(rand()).limit(1)
-        .select("r_regionkey", "r_name")
+      val tbl = t(s, dir, "region").select("r_regionkey", "r_name")
+      val samp = tbl.orderBy(rand()).limit(1)
+      samp.join(tbl.withColumn("hit", lit(1)),
+          Seq("r_regionkey", "r_name"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(expr("bool_and(hit IS NOT NULL)"), lit(true))
+            .as("all_in_table"))
     }),
 
     // O6 scale twin: rand() < p filter + limit — a narrow scan-side filter
     // (no shuffle, no sort; each partition drops ~(1-p) of its rows and
     // the limit short-circuits the scan). This is the form that survives
     // 100 TB; size p so the expected survivor count safely exceeds the
-    // limit. Nondeterministic -> rows-only check, like x_sample.
+    // limit (1% of lineitem >> 5 at every sf). Same invariant-oracle
+    // wrapping as x_sample; the membership side is DISTINCT because the
+    // synthetic lineitem duplicates (l_orderkey, l_linenumber) pairs and
+    // a raw join would inflate n_rows.
     "x_sample_scalable" -> ((s, dir) => {
-      t(s, dir, "lineitem").filter(rand() < 0.01).limit(5)
-        .select("l_orderkey", "l_linenumber")
+      val tbl = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+      val samp = tbl.filter(rand() < 0.01).limit(5)
+      samp.join(tbl.distinct().withColumn("hit", lit(1)),
+          Seq("l_orderkey", "l_linenumber"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(expr("bool_and(hit IS NOT NULL)"), lit(true))
+            .as("all_in_table"))
     }),
 
     // typed Dataset[T] pipeline: case-class filter/map with Encoders.
@@ -309,6 +327,27 @@ object Extended {
   )
 
   val oracle: Map[String, String] = Map(
+    // the samplers verify INVARIANTS of an engine-local random draw —
+    // each engine samples independently, both must see (n_rows = sample
+    // size, all rows members of the source)
+    "x_sample" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+           coalesce(bool_and(r.r_regionkey IS NOT NULL), true)
+             AS all_in_table
+         FROM (SELECT r_regionkey, r_name FROM region
+               ORDER BY random() LIMIT 1) s
+         LEFT JOIN region r
+           ON s.r_regionkey = r.r_regionkey AND s.r_name = r.r_name""",
+    "x_sample_scalable" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+           coalesce(bool_and(r.l_orderkey IS NOT NULL), true)
+             AS all_in_table
+         FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+               WHERE random() < 0.01 LIMIT 5) s
+         LEFT JOIN (SELECT DISTINCT l_orderkey, l_linenumber
+                    FROM lineitem) r
+           ON s.l_orderkey = r.l_orderkey
+          AND s.l_linenumber = r.l_linenumber""",
     "x_approx_distinct" ->
       """SELECT l_returnflag,
            count(DISTINCT l_partkey)::BIGINT AS exact_parts,

@@ -125,7 +125,7 @@ object Pipeline {
     // every scale factor; the cut is one parquet-footer max() scalar.
     "dd_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
-      val cut = (d.agg(max(col("doc_id"))).head.getLong(0) + 1) * 4 / 5
+      val cut = (d.agg(max(col("doc_id"))).head().getLong(0) + 1) * 4 / 5
       Dedup.incrementalSurvivors(
           d.filter(col("doc_id") >= cut), d.filter(col("doc_id") < cut),
           "doc_id", "text", threshold = 0.8, mode = HashMode.Md5)
@@ -268,10 +268,14 @@ object Pipeline {
     // DuckDB rebuilds the same matrix from the same salt). Result is
     // exploded to one scalar row per (vec_id, j) — the driver compare
     // hashes pandas cells, and array cells are unhashable there.
+    // posexplode_OUTER on purpose: a null/empty embedding must still
+    // surface as a (vec_id, null, null) row, mirroring the oracle's
+    // CROSS JOIN (which emits NULL-valued rows for a NULL vector) —
+    // plain posexplode would silently drop the document instead.
     "sim_project" -> ((s, dir) => {
       Similarity.randomProject(embs(s, dir), "embedding", outDim = 16)
         .select(col("vec_id"),
-          posexplode(col("projection")).as(Seq("j", "v")))
+          posexplode_outer(col("projection")).as(Seq("j", "v")))
         .select(col("vec_id"), col("j").cast("long").as("j"),
           TextAnalysis.round4(col("v")).as("value"))
         .orderBy("vec_id", "j")
@@ -496,6 +500,29 @@ object Pipeline {
         .withColumn("recall",
           round(col("n_hit").cast("double") / col("k"), 4))
         .orderBy("query_id")
+    }),
+
+    // IVF recall sweep: the knob a 100 TB user actually turns — mean
+    // recall@5 at nProbe 1 / 2 / 4 in one artifact, verifying the
+    // probes/recall tradeoff is monotone (more lists probed can only add
+    // candidates, so recall never drops; its cost grows linearly). One
+    // brute pass shared across the sweep; each nProbe is one
+    // broadcast-probe candidate pass (oracled).
+    "sim_recall_sweep" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      Seq(1, 2, 4).map { np =>
+        val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+            ivfCentroids(e), k = 5, nProbe = np)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("k"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(lit(np.toLong).as("n_probe"), col("k"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("k"), 4).as("recall"))
+      }.reduce(_ union _).orderBy("n_probe")
     }),
 
     // Gopher-style repetition filter: duplicate-3-gram fraction and
@@ -748,11 +775,11 @@ object Pipeline {
        labels AS (SELECT a AS doc_id, min(b) AS cluster FROM reach
                   GROUP BY a)"""
 
-  /** CTE chain: IVF over label centroids (rounded 6dp), nearest-centroid
-    * assignment, nProbe probes, exact cosine re-rank — the oracle twin of
-    * Similarity.ivfTopK over Pipeline.ivfCentroids. */
-  private def ivfCtes(nProbe: Int): String =
-    s"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  /** Shared IVF CTE base: label centroids (rounded 6dp), nearest-centroid
+    * assignment, and the RANKED probe list (rn kept so callers can slice
+    * any nProbe out of one chain — the recall sweep uses that). */
+  private def ivfBaseCtes: String =
+    """emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        sums AS (SELECT label, d.d AS pos,
                   sum(embedding[d.d+1]::DOUBLE) AS s, count(*) AS n
                 FROM embeddings CROSS JOIN unnest(range(0,64)) AS d(d)
@@ -764,12 +791,19 @@ object Pipeline {
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY list_cosine_similarity(e.e, c.c) DESC, c.cid) AS rn
            FROM emb e CROSS JOIN cent c) WHERE rn = 1),
-       probes AS (SELECT vec_id AS query_id, cid FROM (
+       probes_ranked AS (SELECT vec_id AS query_id, cid, rn FROM (
            SELECT e.vec_id, c.cid,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY list_cosine_similarity(e.e, c.c) DESC, c.cid) AS rn
-           FROM emb e CROSS JOIN cent c WHERE e.vec_id < 8)
-         WHERE rn <= $nProbe),
+           FROM emb e CROSS JOIN cent c WHERE e.vec_id < 8))"""
+
+  /** CTE chain: IVF over label centroids (rounded 6dp), nearest-centroid
+    * assignment, nProbe probes, exact cosine re-rank — the oracle twin of
+    * Similarity.ivfTopK over Pipeline.ivfCentroids. */
+  private def ivfCtes(nProbe: Int): String =
+    s"""$ivfBaseCtes,
+       probes AS (SELECT query_id, cid FROM probes_ranked
+                  WHERE rn <= $nProbe),
        ivf_cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
                     FROM probes p JOIN assign a ON a.cid = p.cid
                     WHERE a.vec_id != p.query_id),
@@ -1213,6 +1247,42 @@ object Pipeline {
          FROM brute b LEFT JOIN ivf l
            ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
          GROUP BY b.query_id ORDER BY b.query_id""",
+    "sim_recall_sweep" ->
+      s"""WITH $ivfBaseCtes,
+         sweep AS (SELECT unnest([1, 2, 4]) AS n_probe),
+         cand AS (SELECT DISTINCT s.n_probe, p.query_id,
+                    a.vec_id AS neighbor_id
+                  FROM sweep s JOIN probes_ranked p ON p.rn <= s.n_probe
+                  JOIN assign a ON a.cid = p.cid
+                  WHERE a.vec_id != p.query_id),
+         sc AS (SELECT n_probe, query_id, neighbor_id,
+                  list_cosine_similarity(eq.e, ec.e) AS cos
+                FROM cand JOIN emb eq ON eq.vec_id = cand.query_id
+                          JOIN emb ec ON ec.vec_id = cand.neighbor_id),
+         rk AS (SELECT n_probe, query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY n_probe, query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rn
+                FROM sc),
+         ivf AS (SELECT n_probe, query_id, neighbor_id FROM rk
+                 WHERE rn <= 5),
+         b_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        list_cosine_similarity(q.e, c.e) AS cos
+                      FROM emb q JOIN emb c ON c.vec_id != q.vec_id
+                      WHERE q.vec_id < 8),
+         b_ranked AS (SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rn
+                      FROM b_scored),
+         brute AS (SELECT query_id, neighbor_id FROM b_ranked WHERE rn <= 5)
+         SELECT s.n_probe::BIGINT AS n_probe, count(*)::BIGINT AS k,
+           sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hit,
+           round(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0
+             END)::DOUBLE / count(*), 4) AS recall
+         FROM sweep s CROSS JOIN brute b
+         LEFT JOIN ivf l ON l.n_probe = s.n_probe
+           AND l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         GROUP BY s.n_probe ORDER BY n_probe""",
     "dd_minhash_pairs" ->
       minhashOracleSql(numHashes = 64, bands = 16, seed = 42L,
         threshold = 0.7),
@@ -1430,9 +1500,15 @@ object Pipeline {
            SELECT emb.vec_id, pl.j,
              floor(list_dot_product(emb.e, pl.plane) * 0.25 * 10000 + 0.5)
                / 10000 AS pv
-           FROM emb CROSS JOIN pl)
-         SELECT vec_id, j::BIGINT AS j, pv AS value
-         FROM proj ORDER BY vec_id, j""",
+           FROM emb CROSS JOIN pl
+           WHERE emb.e IS NOT NULL)
+         SELECT vec_id, j::BIGINT AS j, pv AS value FROM proj
+         UNION ALL
+         -- posexplode_outer mirror: a NULL embedding is ONE
+         -- (vec_id, NULL, NULL) row, not 16 NULL-valued ones
+         SELECT vec_id, NULL::BIGINT AS j, NULL::DOUBLE AS value
+         FROM emb WHERE e IS NULL
+         ORDER BY vec_id, j""",
     "txt_tokens" ->
       """SELECT doc_id, length(text)::BIGINT AS n_chars,
            len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,

@@ -1,0 +1,105 @@
+package graft
+
+import java.util.Locale
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench harness plumbing: JSON rendering that survives hostile locales,
+  * the child-JVM TSV result protocol, and fork preconditions. The round-5
+  * verdict showed the bench ARTIFACT can invalidate a whole round of perf
+  * conclusions, so its machinery is spec'd like an operator. */
+class BenchSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  test("compact line is locale-proof: comma-decimal locale still emits JSON") {
+    val dflt = Locale.getDefault
+    try {
+      Locale.setDefault(Locale.FRANCE) // 1,235 instead of 1.235 if naive
+      val line = Bench.renderCompact(
+        Seq(("q1_agg", 1.23456, None), ("zz_other", 2.0, None)),
+        "sf", "4", 1)
+      val tree = mapper.readTree(line) // throws on 1,235
+      assert(math.abs(tree.get("value").asDouble() - 3.235) < 1e-9)
+      assert(math.abs(tree.get("queries").get("q1_agg").asDouble()
+        - 1.235) < 1e-9)
+    } finally Locale.setDefault(dflt)
+  }
+
+  test("full line is locale-proof and parseable too") {
+    val dflt = Locale.getDefault
+    try {
+      Locale.setDefault(Locale.GERMANY)
+      val line = Bench.renderFull(
+        Seq(("a_q", 0.123456789, None), ("b_q", 1.0, Some("boom"))),
+        "sf", "32", 3)
+      val tree = mapper.readTree(line)
+      assert(tree.get("queries").get("a_q").asDouble() > 0.123)
+      assert(tree.get("queries").get("b_q").asText() == "boom")
+      assert(tree.get("n_err").asInt() == 1)
+    } finally Locale.setDefault(dflt)
+  }
+
+  test("compact line records the execution mode and the full-dump path") {
+    val line = Bench.renderCompact(Seq(("q1_agg", 1.0, None)), "sf", "4",
+      1, mode = "fork_per_family", outPath = "custom_out.json")
+    val tree = mapper.readTree(line)
+    assert(tree.get("mode").asText() == "fork_per_family")
+    assert(tree.get("full").asText() == "custom_out.json")
+  }
+
+  test("TSV child protocol round-trips, sanitizing tabs/newlines in errors") {
+    val results = Seq(
+      ("q_ok", 1.5, None),
+      ("q_err", 0.25, Some("Spark\tException:\nline1\rline2")))
+    val parsed = Bench.parseTsv(Bench.renderTsv(results))
+    assert(parsed.map(r => (r._1, r._2)) == Seq(("q_ok", 1.5), ("q_err", 0.25)))
+    assert(parsed(0)._3.isEmpty)
+    assert(parsed(1)._3.contains("Spark Exception: line1 line2"))
+  }
+
+  test("malformed TSV fails loudly instead of merging garbage") {
+    intercept[IllegalArgumentException] {
+      Bench.parseTsv("q_torn\t1.5\n") // missing error column
+    }
+  }
+
+  test("fork classpath is reconstructible in this environment") {
+    // the forked-bench design depends on rebuilding a child classpath
+    // from the classloader chain / java.class.path; if this ever comes
+    // back empty the bench silently degrades to shared-session numbers —
+    // surface that here instead
+    val cp = Bench.forkClasspath()
+    assert(cp.nonEmpty)
+    val entries = cp.split(java.io.File.pathSeparator)
+    assert(entries.exists(e => e.contains("classes") || e.endsWith(".jar")),
+      s"suspicious classpath: ${entries.take(5).mkString(";")}")
+  }
+
+  test("childJvmArgs keeps pair-style --add-opens values and heap flags") {
+    val args = Bench.childJvmArgs(Seq(
+      "--add-opens", "java.base/java.lang=ALL-UNNAMED", // sbt pair style
+      "--add-opens=java.base/java.nio=ALL-UNNAMED",     // = style
+      "-Xmx8g", "-Dspark.ui.enabled=false", "-javaagent:x.jar"))
+    // pair form preserved IN ORDER (a dangling --add-opens kills the JVM)
+    val i = args.indexOf("--add-opens")
+    assert(i >= 0 && args(i + 1) == "java.base/java.lang=ALL-UNNAMED")
+    assert(args.contains("--add-opens=java.base/java.nio=ALL-UNNAMED"))
+    assert(args.contains("-Xmx8g"))
+    // unrelated -D / agent flags are not propagated
+    assert(!args.exists(_.startsWith("-D")))
+    assert(!args.exists(_.startsWith("-javaagent")))
+    // the Spark JDK-17 module set is always present
+    assert(args.exists(_.contains("sun.nio.ch=ALL-UNNAMED")))
+  }
+
+  test("bench-only extras exist and are disjoint from the driver contract") {
+    val extras = Bench.extraQueries.keySet
+    assert(extras == Set("bench_lsh50k_brute", "bench_lsh50k_lsh",
+      "bench_lsh50k_recall"))
+    assert(extras.intersect(SparkEntry.queries.keySet).isEmpty)
+    // extras must NOT leak into Verify/oracle accounting
+    assert(extras.intersect(SparkEntry.oracleSql.keySet).isEmpty)
+  }
+}

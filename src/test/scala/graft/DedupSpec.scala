@@ -216,6 +216,13 @@ class DedupSpec extends SparkTestBase {
     assert(rounds <= 2, s"clique took $rounds rounds")
   }
 
+  test("CC driver-probe ceiling stays driver-sized (500k pairs)") {
+    // the probe collects at most threshold+1 specialized long tuples —
+    // ~tens of MB transient. 4M (the old default) was a driver-OOM trap;
+    // pin the new ceiling so it can't silently creep back up
+    assert(Dedup.DefaultSmallGraphThreshold == 500 * 1000)
+  }
+
   test("adaptive CC: driver union-find equals distributed pointer doubling") {
     // same random graph through both execution paths (threshold gates):
     // labels must be identical — the gate is a perf decision, not a

@@ -7,9 +7,10 @@ package graft
   * check in the driver's correctness run. */
 class EntryContractSpec extends SparkTestBase {
 
-  // the ONLY queries allowed to lack a value oracle: honestly random by
-  // design (reference-parity random sampling)
-  private val rowsOnly = Set("x_sample", "x_sample_scalable")
+  // queries allowed to lack a value oracle: none — as of round 6 even the
+  // random samplers oracle their invariants (count + membership), the
+  // x_approx_distinct trick
+  private val rowsOnly = Set.empty[String]
 
   test("every query has an oracle unless explicitly rows-only") {
     val q = SparkEntry.queries.keySet
@@ -39,7 +40,9 @@ class EntryContractSpec extends SparkTestBase {
   // it. Pin the compact line below the window for the REAL query set (plus
   // slack for growth) so adding queries can't silently break parsing again.
   test("bench compact line fits the harness stdout-tail window") {
-    val results = SparkEntry.queries.keySet.toSeq.sorted
+    // allBenchQueries = contract queries + bench-only extras: the line
+    // must fit with EVERYTHING the bench can emit
+    val results = Bench.allBenchQueries.keySet.toSeq.sorted
       .map(n => (n, 123.456789, Option.empty[String]))
     val line = Bench.renderCompact(results, "/root/testdata/sf0.1", "32", 3)
     assert(line.length < 1800, s"compact bench line too long: ${line.length}")

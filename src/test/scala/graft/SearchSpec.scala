@@ -29,6 +29,13 @@ class SearchSpec extends SparkTestBase {
     assert(!idx.contains("the") && idx == Set("a", "b", "c", "d"))
   }
 
+  test("invertedIndex minTf floors per-doc term frequency") {
+    // doc 1 has spark x2; every other (term, doc) posting is tf=1
+    val idx = Search.invertedIndex(corpus, "doc_id", "text", minTf = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(idx == Set(("spark", 1L, 2L), ("scan", 4L, 6L)))
+  }
+
   test("bm25 matches the formula computed by hand") {
     val out = Search.bm25(corpus, "doc_id", "text", Seq("spark", "join"))
       .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap

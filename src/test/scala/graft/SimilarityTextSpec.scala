@@ -74,6 +74,57 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(out.forall(_.getLong(1) != 0L))
   }
 
+  test("syntheticClusteredCorpus: deterministic, clustered, replayable") {
+    val a = Similarity.syntheticClusteredCorpus(spark, n = 200,
+      dim = 16, clusters = 10)
+    val b = Similarity.syntheticClusteredCorpus(spark, n = 200,
+      dim = 16, clusters = 10)
+    // md5-derived, not rand(): two independent builds are identical
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // planted structure: mean same-cluster cosine far above cross-cluster
+    val pairs = a.select($"vec_id".as("ia"), $"embedding".as("va"))
+      .crossJoin(a.select($"vec_id".as("ib"), $"embedding".as("vb")))
+      .filter($"ia" < $"ib")
+      .select((($"ia" % 10) === ($"ib" % 10)).as("same"),
+        VectorFunctions.cosine($"va", $"vb").as("cos"))
+      .groupBy("same").agg(avg("cos").as("m"))
+      .as[(Boolean, Double)].collect().toMap
+    assert(pairs(true) > 0.8, s"same-cluster mean ${pairs(true)}")
+    assert(pairs(true) - pairs(false) > 0.5,
+      s"separation ${pairs(true)} vs ${pairs(false)}")
+  }
+
+  test("lshTopK recall >= 0.8 on a planted clustered corpus (autoBits)") {
+    // the small-scale twin of the bench_lsh50k crossover guard: on a
+    // corpus whose true neighbors are high-cosine cluster-mates, the
+    // auto-sized bucketed probe must recover >= 80% of the exact top-5
+    val corpus = Similarity.syntheticClusteredCorpus(spark, n = 1000,
+      dim = 32, clusters = 25).localCheckpoint()
+    val queries = corpus.filter($"vec_id" % 50 === 0)
+    val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+        "embedding", k = 5)
+      .select($"query_id", $"neighbor_id")
+    val lsh = Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+        k = 5, dim = 32)
+      .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+    val recall = brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .agg((sum(coalesce($"hit", lit(0L))) / count(lit(1))).as("r"))
+      .head().getDouble(0)
+    assert(recall >= 0.8, s"recall@5 $recall below the crossover floor")
+  }
+
+  test("sim_recall_sweep: IVF recall is monotone in nProbe") {
+    val out = SparkEntry.queries("sim_recall_sweep")(
+        spark, "/root/testdata/sf0.001")
+      .orderBy("n_probe")
+      .select("n_probe", "recall").as[(Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 4L))
+    // probing more lists only ADDS candidates — recall can never drop
+    assert(out.sliding(2).forall { case Seq(a, b) => b._2 >= a._2 },
+      s"recall not monotone: $out")
+    assert(out.last._2 > 0.0)
+  }
+
   test("kmeans separates well-separated groups deterministically") {
     val data = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),

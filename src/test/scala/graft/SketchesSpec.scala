@@ -59,4 +59,75 @@ class SketchesSpec extends SparkTestBase {
       .as[(String, Boolean)].collect().toMap
     assert(run() == run())
   }
+
+  // --- parameter binding: a sketch travels with the params that built it
+
+  test("probe params default to the values stamped by the build") {
+    val sketch = Sketches.countMin(stream, "k", width = 4, depth = 3)
+    val exact = stream.groupBy("k").agg(count(lit(1)).as("exact"))
+    // no width/depth passed — must come from the stamp and match the
+    // explicit-parameter path exactly
+    val fromStamp = Sketches.countMinEstimate(sketch, exact.select("k"), "k")
+      .as[(String, Long)].collect().toMap
+    val explicit = Sketches.countMinEstimate(sketch, exact.select("k"), "k",
+        width = 4, depth = 3)
+      .as[(String, Long)].collect().toMap
+    assert(fromStamp == explicit)
+
+    val bf = Sketches.bloomBuild(stream, "k", bits = 256, k = 3)
+    val stamped = Sketches.bloomMightContain(bf, stream, "k")
+      .as[(String, Boolean)].collect().toMap
+    assert(stamped.keySet == Set("a", "b", "c", "d"))
+    assert(stamped.values.forall(identity)) // members: no false negatives
+  }
+
+  test("mismatched probe params throw instead of silently corrupting") {
+    val sketch = Sketches.countMin(stream, "k", width = 64, depth = 3)
+    val e1 = intercept[IllegalArgumentException] {
+      Sketches.countMinEstimate(sketch, stream, "k", width = 256, depth = 3)
+    }
+    assert(e1.getMessage.contains("width"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.countMinEstimate(sketch, stream, "k", width = 64, depth = 2)
+    }
+    assert(e2.getMessage.contains("depth"))
+
+    // Bloom: the wrong bits/k is the one way to manufacture a false
+    // negative — the documented contract this binding protects
+    val bf = Sketches.bloomBuild(stream, "k", bits = 512, k = 3)
+    val e3 = intercept[IllegalArgumentException] {
+      Sketches.bloomMightContain(bf, stream, "k", bits = 4096, k = 3)
+    }
+    assert(e3.getMessage.contains("bits"))
+    val e4 = intercept[IllegalArgumentException] {
+      Sketches.bloomMightContain(bf, stream, "k", bits = 512, k = 4)
+    }
+    assert(e4.getMessage.contains("k="))
+  }
+
+  test("a sketch frame stripped of metadata requires explicit params") {
+    val sketch = Sketches.countMin(stream, "k", width = 4, depth = 3)
+    // selectExpr rebuilds attributes without the stamp
+    val stripped = sketch.selectExpr("d", "bucket", "cnt + 0 AS cnt")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.countMinEstimate(stripped, stream, "k")
+    }
+    assert(e.getMessage.contains("no width metadata"))
+    // ...but works when the caller states them
+    val est = Sketches.countMinEstimate(stripped, stream.select("k"), "k",
+        width = 4, depth = 3)
+      .as[(String, Long)].collect().toMap
+    assert(est("a") >= 3L)
+  }
+
+  test("the stamp survives a parquet round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("bfstamp").toString
+    Sketches.bloomBuild(stream, "k", bits = 256, k = 3)
+      .write.mode("overwrite").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    // no explicit params: only possible if (bits, k) rode the schema
+    val out = Sketches.bloomMightContain(reread, stream, "k")
+      .as[(String, Boolean)].collect().toMap
+    assert(out.values.forall(identity))
+  }
 }
