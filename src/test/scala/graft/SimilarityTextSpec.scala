@@ -113,6 +113,20 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(recall >= 0.8, s"recall@5 $recall below the crossover floor")
   }
 
+  test("randomProject + posexplode_outer keeps null-embedding rows visible") {
+    // the sim_project query shape: a null vector must surface as ONE
+    // (id, null, null) row — plain posexplode would drop the document
+    val df = Seq((0L, Array.fill(8)(1.0f)),
+      (1L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(df, "embedding", outDim = 4)
+      .select($"vec_id", posexplode_outer($"projection").as(Seq("j", "v")))
+      .collect()
+    assert(out.count(_.getLong(0) == 0L) == 4)
+    val nullRows = out.filter(_.getLong(0) == 1L)
+    assert(nullRows.length == 1)
+    assert(nullRows.head.isNullAt(1) && nullRows.head.isNullAt(2))
+  }
+
   test("sim_recall_sweep: IVF recall is monotone in nProbe") {
     val out = SparkEntry.queries("sim_recall_sweep")(
         spark, "/root/testdata/sf0.001")
