@@ -532,6 +532,14 @@ object Dedup {
     * inclusive, span_end covering the last gram's tail. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 8, minDocs: Int = 2): DataFrame = {
+    // the gram frame fans out into two consumers (the doc-frequency
+    // aggregate and the join probe) — cache it so the corpus is scanned
+    // and tokenized ONCE, not re-derived per consumer. At 100 TB the
+    // cached (id, pos, 16-byte hash) projection is a fraction of the
+    // corpus and spills to disk; the recompute is a second full
+    // tokenization pass. Same plan-lifetime cache convention as
+    // minhashPairs/ngramJaccardPairs (Bench clearCache()s between
+    // queries). The single-scan property is pinned in PlanAuditSpec.
     val grams = df
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .filter(size(col("__toks")) >= n)
@@ -540,6 +548,7 @@ object Dedup {
           md5(array_join(slice(col("__toks"), i + 1, lit(n)), " ")
             .cast("binary")))))
       .select(col(idCol), col("pos"), col("col").as("g"))
+      .cache()
     val rep = grams.groupBy("g")
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs)

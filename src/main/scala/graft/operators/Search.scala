@@ -21,7 +21,8 @@ object Search {
   /** Posting list (term, doc, tf): explode + count. `minTf` and
     * `maxDocFreqFrac` mirror the standard index-pruning knobs: `minTf`
     * drops (term, doc) postings below a per-document frequency floor (a
-    * rare-typo filter — map-side, free), `maxDocFreqFrac` drops terms
+    * rare-typo filter — applied to the post-aggregation tf, so it prunes
+    * the posting output without an extra pass), `maxDocFreqFrac` drops terms
     * appearing in more than that fraction of the corpus (a stopword
     * ceiling — costs one extra aggregate over the postings). */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,

@@ -12,6 +12,19 @@ class EntryContractSpec extends SparkTestBase {
   // x_approx_distinct trick
   private val rowsOnly = Set.empty[String]
 
+  // the one-orphan / one-missing checks below catch a HALF-dropped pair;
+  // pin the exact count so an accidental deletion of a whole query+oracle
+  // PAIR can't shrink the contract silently. Update alongside intentional
+  // additions.
+  private val ContractSize = 104
+
+  test("the contract holds exactly the expected number of queries") {
+    assert(SparkEntry.queries.size == ContractSize,
+      s"query count drifted from $ContractSize — if intentional, " +
+        "update ContractSize; if not, a query+oracle pair was dropped")
+    assert(SparkEntry.oracleSql.size == ContractSize)
+  }
+
   test("every query has an oracle unless explicitly rows-only") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet

@@ -120,6 +120,24 @@ class PlanAuditSpec extends SparkTestBase {
       "repeated-gram detection must equi-join on the gram hash")
   }
 
+  test("dd_spans scans + tokenizes the corpus once (cached gram frame)") {
+    val p = plan("dd_spans")
+    // the gram frame feeds both the doc-frequency aggregate and the join
+    // probe: both consumers must read the cached frame, not re-derive it
+    // from a second parquet scan — at 100 TB the recompute is a full
+    // second tokenization pass over the corpus
+    // both consumers must read the cached frame: 2 InMemoryTableScans
+    // over ONE InMemoryRelation. The plan STRING re-renders the cached
+    // subtree (with its FileScan) under each consumer, so the honest
+    // textual check is "no FileScan outside a cached-plan render":
+    // every FileScan occurrence pairs with an InMemoryRelation render.
+    val consumers = "InMemoryTableScan".r.findAllMatchIn(p).length
+    assert(consumers == 2, s"expected both consumers cached, got $consumers:\n" + p)
+    assert("FileScan parquet".r.findAllMatchIn(p).length ==
+      "InMemoryRelation".r.findAllMatchIn(p).length,
+      "a FileScan outside the cached gram frame means a second corpus scan:\n" + p)
+  }
+
   test("sk_bloom probes a broadcast filter (the semi-join reduction shape)") {
     val p = plan("sk_bloom")
     assert(p.contains("BroadcastHashJoin"),
