@@ -58,7 +58,10 @@ object Bench {
     * the line) and fully itemised in bench_out.json.
     */
   val headline: Seq[String] = Seq(
-    "bench_lsh50k_brute", "bench_lsh50k_lsh",
+    "bench_lsh50k_brute", "bench_lsh50k_lsh", "bench_lsh50k_ivf",
+    "bench_lsh50k_q8",
+    "bench_cc450k_driver", "bench_cc450k_dist", "bench_cc2m_dist",
+    "bench_dd50k_ngram", "bench_dd50k_ngram_pruned", "bench_dd50k_minhash",
     "dd_clusters", "dd_survivors_exact", "dd_minhash_pairs",
     "dd_ngram_pairs", "dd_simhash_pairs", "dd_embed_lsh", "dd_embed_pairs",
     "dd_exact", "dd_spans",
@@ -75,59 +78,244 @@ object Bench {
 
   // ---------------------------------------------------------------------
   // Bench-only extra measurements (not part of the SparkEntry/Verify
-  // contract): the LSH-vs-brute crossover demo. The sf0.1 embeddings
-  // table (2,000 vectors) is BELOW lshTopK's own cost-model crossover, so
-  // these run both paths on a 50k-vector deterministic synthetic
-  // clustered corpus where bucketing must win — the "would this still be
-  // the right plan at 100 TB" claim, measured instead of asserted.
+  // contract): the crossover demos. The sf0.1 tables are BELOW the
+  // crossover points the scale designs claim (2,000 embeddings, ~500
+  // near-dup pairs), so these run BOTH contenders of each tradeoff on
+  // deterministic synthetic rigs big enough for the claimed winner to
+  // have to win — "would this still be the right plan at 100 TB",
+  // measured instead of asserted:
+  //  - bench_lsh50k_*: ANN over a 50k-vector clustered corpus — brute
+  //    vs hyperplane-LSH vs IVF (prebuilt index) vs int8-quantized.
+  //  - bench_cc*: connected components over planted worst-case chain
+  //    graphs — driver union-find at 450k edges (under the adaptive
+  //    gate) vs the distributed star-contraction path on the same graph,
+  //    plus the distributed path alone at 2M edges (over the gate).
+  //  - bench_dd50k_*: near-dup pair detection over a 50k-doc planted
+  //    near-dup corpus with 20% template-boilerplate contamination —
+  //    naive exact inverted-index Jaccard vs stop-shingle-pruned exact
+  //    vs banded minhash.
+  // Every family carries a measured GUARD entry that THROWS (→ n_err)
+  // when the quality side of its claim fails: ANN recall@10 >= 0.8 per
+  // path, CC label equality across paths + the log-round bound, dedup
+  // pair recall >= 0.8 vs the exact pair set. "X is faster" is only
+  // meaningful at stated quality.
   // ---------------------------------------------------------------------
 
   private val SynthN = 50000L
   private val SynthQueryStride = 100 // 500 queries: id % stride == 0
+  private val SynthClusters = 500    // syntheticClusteredCorpus default
+  private val IvfProbes = 2
+  private val Cc450kNodes = 460000L  // chain components of 46 -> 450k edges
+  private val Cc450kSize = 46
+  private val Cc2mNodes = 2050000L   // chain components of 41 -> 2M edges
+  private val Cc2mSize = 41
+  private val Dd50kDocs = 50000L
+  private val Dd50kFamily = 100
+  // In-family shingle fan-out alone does NOT sink the exact join at this
+  // scale (measured: familySize 20 → ngram 9.5 s vs minhash 19.4 s;
+  // familySize 100 → 8.0 vs 13.5 — Spark chews through 10^8 cheap join
+  // rows faster than minhash computes 64 hash-mins per shingle). What
+  // sinks it is CROSS-FAMILY boilerplate: template shingles with doc
+  // frequency ~frac·nDocs whose df² pair fan-out is all thrown away
+  // (the pairs aren't near-dups). 20% of docs sharing a 13-token block
+  // adds ~11 shingles × (10k choose 2) ≈ 5.5×10^8 wasted join rows —
+  // the regime a web-crawl dedup actually lives in, and the one banded
+  // minhash (and the maxDocFreq stop-shingle prune) exist for.
+  private val Dd50kBoilerFrac = 0.2
+  private val Dd50kPruneCap = 1000   // df cap: keeps family shingles (100)
+  private val DdThreshold = 0.7
 
-  // one materialized corpus per JVM: generation (O(n x dim) md5) is setup,
-  // not signal, and both contenders must read the same bytes
-  private var synthCache: Option[(SparkSession, DataFrame)] = None
-  private def synth50k(s: SparkSession): DataFrame = synchronized {
-    synthCache match {
-      case Some((sess, df)) if sess eq s => df
-      case _ =>
-        val df = graft.operators.Similarity
-          .syntheticClusteredCorpus(s, SynthN).localCheckpoint()
-        synthCache = Some((s, df)); df
-    }
+  // Per-JVM memo for setup artifacts (synthetic corpora, the IVF index,
+  // the quantized corpus) and for guard computations: generation/index
+  // build is setup, not signal, and both contenders of a crossover must
+  // read the same materialized bytes. Guards memoize too — their work
+  // (running every contender once more) must not be re-paid min-of-N
+  // times. localCheckpoint survives the per-query clearCache().
+  private val setupMemo =
+    scala.collection.mutable.HashMap.empty[String, DataFrame]
+  private var setupSession: SparkSession = null
+  private def setup(s: SparkSession, key: String)
+                   (build: => DataFrame): DataFrame = synchronized {
+    if (setupSession ne s) { setupMemo.clear(); setupSession = s }
+    setupMemo.getOrElseUpdate(key, build.localCheckpoint())
   }
+
+  private def synth50k(s: SparkSession): DataFrame =
+    setup(s, "ann_corpus")(
+      graft.operators.Similarity.syntheticClusteredCorpus(s, SynthN))
   private def synthQueries(s: SparkSession): DataFrame =
     synth50k(s).filter(col("vec_id") % SynthQueryStride === 0)
 
+  /** IVF coarse quantizer for the 50k rig: centroids of the PLANTED
+    * clusters (vec_id % 500 — the rig generates them; a production
+    * deployment would train them once with [[graft.operators.Similarity.kmeans]]),
+    * built once per JVM as index-build setup. */
+  private def synthCentroids(s: SparkSession): DataFrame =
+    setup(s, "ann_cents")(
+      graft.operators.Similarity.labelCentroids(
+        synth50k(s).withColumn("label", col("vec_id") % SynthClusters),
+        "label", "embedding")
+        .select(col("label").as("cid"), col("centroid")))
+
+  /** IVF inverted lists (corpus → nearest centroid), the materialized
+    * index artifact a production IVF deployment builds when the corpus
+    * lands — bench_lsh50k_ivf times QUERY cost against it. */
+  private def synthIvfLists(s: SparkSession): DataFrame =
+    setup(s, "ann_lists")(
+      graft.operators.Similarity.ivfAssign(
+        synth50k(s), "vec_id", "embedding", synthCentroids(s)))
+
+  /** Int8-quantized corpus (4x smaller vectors; scales cancel in cosine),
+    * quantized once as setup — the storage format a 100 TB deployment
+    * would keep on disk. */
+  private def synthQ8(s: SparkSession): DataFrame =
+    setup(s, "ann_q8")(
+      graft.operators.Similarity.quantizeInt8(
+        synth50k(s), "vec_id", "embedding").select("vec_id", "qvec"))
+  private def synthQ8Queries(s: SparkSession): DataFrame =
+    synthQ8(s).filter(col("vec_id") % SynthQueryStride === 0)
+
+  private def cc450k(s: SparkSession): DataFrame =
+    setup(s, "cc450k")(graft.operators.Dedup
+      .syntheticComponentEdges(s, Cc450kNodes, Cc450kSize))
+  private def cc2m(s: SparkSession): DataFrame =
+    setup(s, "cc2m")(graft.operators.Dedup
+      .syntheticComponentEdges(s, Cc2mNodes, Cc2mSize))
+
+  private def dd50k(s: SparkSession): DataFrame =
+    setup(s, "dd50k")(graft.operators.Dedup
+      .syntheticNearDupCorpus(s, Dd50kDocs, Dd50kFamily,
+        boilerplateFrac = Dd50kBoilerFrac))
+
+  /** recall@10 of `approx` against `exact` over (query_id, neighbor_id). */
+  private def annRecall(exact: DataFrame, approx: DataFrame): Double =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+      .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1)))
+        .as("recall"))
+      .head().getDouble(0)
+
   /** Extra bench-only entries, timed exactly like SparkEntry queries.
-    * `bench_lsh50k_recall` is a measured GUARD, not a timing: it computes
-    * recall@10 of the LSH path against the exact path and THROWS below
-    * 0.8, so a recall collapse surfaces as n_err in the bench artifact —
-    * "lsh is faster" is only meaningful at stated recall. */
+    * `*_recall` / `*_guard` entries are measured GUARDS, not timings:
+    * they re-run the contenders, compare quality, and THROW below the
+    * floor so a quality collapse surfaces as n_err in the bench
+    * artifact. Guard results are memoized per JVM (see [[setup]]). */
   private[graft] val extraQueries
       : Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- ANN: brute vs LSH vs IVF(prebuilt) vs int8, same 50k corpus
     "bench_lsh50k_brute" -> ((s, _) =>
       graft.operators.Similarity.bruteForceTopK(
         synth50k(s), synthQueries(s), "vec_id", "embedding", k = 10)),
     "bench_lsh50k_lsh" -> ((s, _) =>
       graft.operators.Similarity.lshTopK(
         synth50k(s), synthQueries(s), "vec_id", "embedding", k = 10)),
-    "bench_lsh50k_recall" -> ((s, _) => {
+    "bench_lsh50k_ivf" -> ((s, _) =>
+      graft.operators.Similarity.ivfTopK(
+        synth50k(s), synthQueries(s), "vec_id", "embedding",
+        synthCentroids(s), k = 10, nProbe = IvfProbes,
+        prebuiltLists = Some(synthIvfLists(s)))),
+    "bench_lsh50k_q8" -> ((s, _) =>
+      graft.operators.Similarity.bruteForceTopK(
+        synthQ8(s), synthQ8Queries(s), "vec_id", "qvec", k = 10)),
+    "bench_lsh50k_recall" -> ((s, _) => setup(s, "guard_ann") {
       val brute = graft.operators.Similarity.bruteForceTopK(
         synth50k(s), synthQueries(s), "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("neighbor_id"))
-      val lsh = graft.operators.Similarity.lshTopK(
-        synth50k(s), synthQueries(s), "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      val r = brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
-        .agg((sum(coalesce(col("hit"), lit(0L))) /
-          count(lit(1))).as("recall"))
-        .head().getDouble(0)
-      System.err.println(s"bench_lsh50k_recall@10 = $r")
-      if (r < 0.8) throw new IllegalStateException(
-        f"lsh50k recall@10 $r%.4f below the 0.8 floor the crossover claim requires")
-      s.range(1).select(lit(r).as("recall_at_10"))
+        .localCheckpoint()
+      val paths = Seq(
+        "lsh" -> graft.operators.Similarity.lshTopK(
+          synth50k(s), synthQueries(s), "vec_id", "embedding", k = 10),
+        "ivf" -> graft.operators.Similarity.ivfTopK(
+          synth50k(s), synthQueries(s), "vec_id", "embedding",
+          synthCentroids(s), k = 10, nProbe = IvfProbes,
+          prebuiltLists = Some(synthIvfLists(s))),
+        "q8" -> graft.operators.Similarity.bruteForceTopK(
+          synthQ8(s), synthQ8Queries(s), "vec_id", "qvec", k = 10))
+      val recalls = paths.map { case (name, df) =>
+        val r = annRecall(brute, df)
+        System.err.println(s"bench_lsh50k_recall@10[$name] = $r")
+        if (r < 0.8) throw new IllegalStateException(
+          f"$name 50k recall@10 $r%.4f below the 0.8 floor " +
+            "the crossover claim requires")
+        name -> r
+      }
+      s.range(1).select(recalls.map { case (n, r) =>
+        lit(r).as(s"recall_$n") }: _*)
+    }),
+    // ---- CC: driver union-find vs distributed star contraction
+    "bench_cc450k_driver" -> ((s, _) =>
+      // 450k edges < the 500k adaptive gate -> driver union-find path
+      graft.operators.Dedup.connectedComponents(cc450k(s))),
+    "bench_cc450k_dist" -> ((s, _) =>
+      // same graph, gate forced off -> distributed star contraction
+      graft.operators.Dedup.connectedComponents(cc450k(s),
+        smallGraphThreshold = 0)),
+    "bench_cc2m_dist" -> ((s, _) =>
+      // 2M edges: the probe short-circuits past the gate and the
+      // distributed path runs as it would on a 1000-executor cluster
+      graft.operators.Dedup.connectedComponents(cc2m(s))),
+    "bench_cc_guard" -> ((s, _) => setup(s, "guard_cc") {
+      // (a) both paths compute the same fixpoint on the 450k graph
+      val drv = graft.operators.Dedup.connectedComponents(cc450k(s))
+      val dst = graft.operators.Dedup.connectedComponents(cc450k(s),
+          smallGraphThreshold = 0)
+        .withColumnRenamed("cluster", "cluster_dist")
+      val mismatches = drv.join(dst, "id")
+        .filter(col("cluster") =!= col("cluster_dist")).count()
+      if (mismatches > 0) throw new IllegalStateException(
+        s"driver and distributed CC disagree on $mismatches labels")
+      // (b) star contraction earns its log bound on the 2M chain graph
+      val (_, rounds) = graft.operators.Dedup
+        .connectedComponentsWithRounds(cc2m(s))
+      // ceil(log2(diameter)) + 3: seed round + convergence-detection
+      // round on top of the doubling (the constant the chain specs pin)
+      val diameter = Cc2mSize - 1
+      val bound = (64 - java.lang.Long
+        .numberOfLeadingZeros(diameter.toLong - 1)) + 3
+      System.err.println(
+        s"bench_cc_guard: rounds=$rounds bound=$bound mismatches=0")
+      if (rounds > bound) throw new IllegalStateException(
+        s"distributed CC took $rounds rounds on a diameter-$diameter " +
+          s"graph — above the ceil(log2)+3 bound of $bound")
+      s.range(1).select(lit(mismatches).as("label_mismatches"),
+        lit(rounds).as("dist_rounds"), lit(bound).as("round_bound"))
+    }),
+    // ---- dedup: exact inverted-index Jaccard (naive + stop-shingle
+    // pruned) vs banded minhash LSH, on a boilerplate-contaminated corpus
+    "bench_dd50k_ngram" -> ((s, _) =>
+      graft.operators.Dedup.ngramJaccardPairs(
+        dd50k(s), "doc_id", "text", threshold = DdThreshold, n = 3)),
+    "bench_dd50k_ngram_pruned" -> ((s, _) =>
+      graft.operators.Dedup.ngramJaccardPairs(
+        dd50k(s), "doc_id", "text", threshold = DdThreshold, n = 3,
+        maxDocFreq = Some(Dd50kPruneCap))),
+    "bench_dd50k_minhash" -> ((s, _) =>
+      graft.operators.Dedup.minhashPairs(
+        dd50k(s), "doc_id", "text", threshold = DdThreshold)),
+    "bench_dd50k_recall" -> ((s, _) => setup(s, "guard_dd") {
+      val exact = graft.operators.Dedup.ngramJaccardPairs(
+          dd50k(s), "doc_id", "text", threshold = DdThreshold, n = 3)
+        .select("id_a", "id_b").localCheckpoint()
+      def pairRecall(name: String, approx: DataFrame): Double = {
+        val r = exact.join(
+            approx.select(col("id_a"), col("id_b"), lit(1L).as("hit")),
+            Seq("id_a", "id_b"), "left")
+          .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1)))
+            .as("recall")).head().getDouble(0)
+        System.err.println(s"bench_dd50k_recall[$name] vs exact = $r")
+        if (r < 0.8) throw new IllegalStateException(
+          f"$name pair recall $r%.4f below the 0.8 floor " +
+            "the dedup crossover claim requires")
+        r
+      }
+      val rMh = pairRecall("minhash", graft.operators.Dedup.minhashPairs(
+        dd50k(s), "doc_id", "text", threshold = DdThreshold))
+      val rPr = pairRecall("ngram_pruned", graft.operators.Dedup
+        .ngramJaccardPairs(dd50k(s), "doc_id", "text",
+          threshold = DdThreshold, n = 3,
+          maxDocFreq = Some(Dd50kPruneCap)))
+      s.range(1).select(lit(rMh).as("recall_minhash"),
+        lit(rPr).as("recall_ngram_pruned"))
     }),
   )
 
@@ -242,12 +430,17 @@ object Bench {
       }
       SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("q_join_inner").foreach(_(spark, sfDir).count())
-      // materialize the synthetic crossover corpus BEFORE timing starts:
-      // generation is setup, not signal, and must not land inside
-      // whichever extra happens to run first
-      if (extrasEnabled &&
-          only.forall(_.exists(_.startsWith("bench_lsh50k"))))
-        synth50k(spark).count()
+      // materialize the synthetic rigs + index artifacts BEFORE timing
+      // starts: generation/index build is setup, not signal, and must
+      // not land inside whichever contender happens to run first
+      def inScope(prefix: String): Boolean =
+        extrasEnabled && only.forall(_.exists(_.startsWith(prefix)))
+      if (inScope("bench_lsh50k")) {
+        synth50k(spark); synthCentroids(spark)
+        synthIvfLists(spark); synthQ8(spark)
+      }
+      if (inScope("bench_cc")) { cc450k(spark); cc2m(spark) }
+      if (inScope("bench_dd50k")) dd50k(spark)
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 

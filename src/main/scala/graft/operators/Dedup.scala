@@ -568,26 +568,23 @@ object Dedup {
     * union-find alternative to [[keepFirst]], for cluster-exact dedup
     * (one survivor per transitive duplicate group).
     *
-    * Algorithm: min-label propagation with POINTER DOUBLING. Each round
-    * (a) every node takes the min of its own label and its neighbors'
-    * labels (one edge join), then (b) every node shortcuts to its
-    * label's label (one self-join on the labels frame) — the classic
-    * path-halving step, same league as the large-star/small-star
-    * rewrite. Propagation alone converges in O(component diameter)
-    * rounds; the shortcut makes label chains collapse geometrically, so
-    * even an adversarial n-node CHAIN converges in O(log n) rounds (the
-    * long-chain property spec pins a 1023-node chain at <= 12 rounds;
-    * dense dup cliques converge in 1). Each round is a bounded number of
-    * shuffles; every frame is `localCheckpoint`ed to truncate lineage
-    * (without it the plan doubles every round and the job dies on
-    * planning, not data). The convergence check rides on the same
-    * materialized result.
+    * Algorithm (distributed path): ALTERNATING LARGE-STAR / SMALL-STAR
+    * contraction — see [[connectedComponentsFromEdges]] for the full
+    * shape, round structure, convergence behavior (log-like on ARBITRARY
+    * id layouts, pinned by the permuted-chain specs) and why the earlier
+    * label-propagation-plus-shortcut formulation was replaced (it was
+    * O(diameter) on permuted-id chains; the synthetic rig measured it).
+    * Each round is a bounded number of keyed shuffles; every frame is
+    * checkpointed with LINEAGE AND STATISTICS truncation (see
+    * [[checkpointTruncated]] — without lineage truncation the plan
+    * doubles every round and the job dies on planning; without stats
+    * truncation Spark 4's localCheckpoint carries compounding size
+    * estimates that overflow BigInteger around round 13).
     *
-    * Labels only ever shrink and always stay within the component
-    * (label(x) is reachable from x), so the fixpoint is exactly
-    * min-of-component for every node. If `maxIter` rounds pass without a
-    * fixpoint the call THROWS rather than silently returning partially
-    * propagated labels.
+    * Star edges only ever re-point at smaller ids within the component,
+    * so the fixpoint is exactly min-of-component for every node. If
+    * `maxIter` rounds pass without a fixpoint the call THROWS rather
+    * than silently returning partially contracted stars.
     *
     * Only ids that appear in `pairs` are returned — callers join back to
     * the corpus and coalesce singletons to their own id.
@@ -604,7 +601,7 @@ object Dedup {
     * ~log(n) rounds of 2-join-plus-checkpoint, which at interactive scale
     * is the difference between ~2 s of per-round scheduling overhead and
     * ~50 ms. Above the threshold the limit short-circuits and the
-    * distributed pointer-doubling path runs unchanged (one extra bounded
+    * distributed star-contraction path runs unchanged (one extra bounded
     * pass over the pair stream) — that path has no driver materialization
     * and is the 1000-executor design. Both paths compute the same
     * fixpoint (min id per component); the property spec pins their
@@ -639,6 +636,29 @@ object Dedup {
     * corpus" regime via the distributed path. */
   val DefaultSmallGraphThreshold: Int = 500 * 1000
 
+  /** Materialize `df` and return a frame whose logical plan, RDD lineage
+    * AND plan statistics are all truncated — the checkpoint the CC round
+    * loop needs. `Dataset.localCheckpoint` truncates the first two but
+    * (Spark 4, `LogicalRDD.rewriteStatsAndConstraints`) CARRIES the
+    * optimized plan's estimated statistics onto the checkpoint leaf. In
+    * an iterative algorithm those carried estimates COMPOUND: each
+    * round's join-stat products are computed from the previous round's
+    * carried BigInts, so the size estimate's BIT COUNT grows ~4x per
+    * round (updated = prop² and prop = edges x labels², all
+    * stat-multiplied). By round ~10 the optimizer burns minutes
+    * multiplying million-digit numbers inside SizeInBytesOnlyStats, and
+    * near round 13 `java.math.BigInteger` overflows its 2^31-bit limit
+    * ("BigInteger would overflow supported range") — diagnosed live on a
+    * 50k-node rig, where the old form hung in ToomCook3 multiplication.
+    * The RDD round-trip costs one row-conversion pass over materialized
+    * data but gives the new leaf constant, round-independent default
+    * stats. */
+  private def checkpointTruncated(df: DataFrame): DataFrame = {
+    val rdd = df.rdd.localCheckpoint()
+    rdd.count() // materialize NOW: failures and timing surface here
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
+
   /** Undirected, deduplicated, pre-partitioned, materialized edge frame
     * (src, dst) — shared by both CC execution paths. Shuffled once here so
     * the distributed path doesn't re-shuffle per round. */
@@ -646,9 +666,10 @@ object Dedup {
                              bCol: String): DataFrame = {
     val fwd = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
-    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .repartition(col("src")).localCheckpoint()
+    checkpointTruncated(
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .repartition(col("src")))
   }
 
   /** Small-graph CC: path-compressed min-label union-find over collected
@@ -688,47 +709,84 @@ object Dedup {
       maxIter: Int = 50): (DataFrame, Int) =
     connectedComponentsFromEdges(symmetricEdges(pairs, aCol, bCol), maxIter)
 
-  /** Distributed pointer-doubling CC over a pre-built symmetric edge
-    * frame (see [[symmetricEdges]]) — the above-threshold path. */
+  /** Distributed CC over a pre-built symmetric edge frame (see
+    * [[symmetricEdges]]) — the above-threshold path: ALTERNATING
+    * LARGE-STAR / SMALL-STAR contraction (the Kiveris/Lattanzi/Mirrokni/
+    * Rastogi/Vassilvitskii "Connected Components in MapReduce and
+    * Beyond" algorithm, the standard shared-nothing CC).
+    *
+    * Each round rewires the EDGE SET toward component minima:
+    *  - large-star: every node u computes m = min(Γ(u) ∪ {u}) and
+    *    re-points its strictly-larger neighbors at m;
+    *  - small-star: every node u computes m over its ≤-neighbors and
+    *    itself, and re-points those neighbors (and itself) at m.
+    * The fixpoint is a forest of stars centered on each component's
+    * minimum id. Convergence is O(log² n) rounds worst-case and
+    * ~log-like in practice — crucially on ARBITRARY id layouts. (The
+    * previous formulation here — min-label propagation plus one
+    * label(label) shortcut — hit its log bound only on monotone-id
+    * chains, where label(x) happens to sit 2^k hops away; on the
+    * permuted-id chain rig it degraded to ~1.5 hops/round, i.e.
+    * O(diameter). Measured, not asserted: the rig caught it.)
+    *
+    * Every round is a bounded number of keyed shuffles (2 groupBy-mins,
+    * 2 equi-joins, 2 distincts, plus the anti-join convergence check);
+    * skew at a star center (the component min of a huge component
+    * accumulates degree ~component size) is the documented hot spot of
+    * the algorithm — AQE skew-join handling splits those reducers, and
+    * the groupBy side is safe (map-side partial min). Frames are
+    * checkpointed with [[checkpointTruncated]] (lineage AND stats). */
   private def connectedComponentsFromEdges(
       edges: DataFrame, maxIter: Int): (DataFrame, Int) = {
-    // seed with min(self, direct neighbors) — this IS the first
-    // propagation round, done as one aggregation without a labels join
-    var labels = edges.groupBy(col("src"))
-      .agg(min(col("dst")).as("m"))
-      .select(col("src").as("id"),
-        least(col("src"), col("m")).as("label"))
-      .localCheckpoint()
+    // every endpoint (symmetric input: src covers all); singletons and
+    // self-loop-only nodes coalesce to themselves at the end
+    val allIds = edges.select(col("src").as("id")).distinct()
+    // canonical (u > v) undirected edge list, self-loops dropped
+    var cur = checkpointTruncated(
+      edges.filter(col("src") > col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+        .distinct())
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // (a) propagate: min over direct neighbors' labels (old label rides
-      // along so convergence needs no extra compare join)
-      val nbrMin = edges
-        .join(labels.select(col("id").as("src"), col("label")), "src")
-        .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
-      val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("__old"),
-          least(col("label"),
-            coalesce(col("nbr_label"), col("label"))).as("label"))
-      // (b) shortcut: label <- label(label). Labels only shrink
-      // (label(x) <= x), so the parent's label is always <= the current
-      // one when present — coalesce suffices, no least() needed.
-      val parents = prop.select(col("id").as("label"),
-        col("label").as("parent_label"))
-      val updated = prop.join(parents, Seq("label"), "left")
-        .select(col("id"), col("__old"),
-          coalesce(col("parent_label"), col("label")).as("label"))
-        .localCheckpoint()
-      converged = updated.filter(col("label") =!= col("__old")).isEmpty
-      labels = updated.select("id", "label")
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      // large-star: m(u) = min(Γ(u) ∪ {u}); re-point neighbors v > u.
+      // Every canonical edge (a < b) is emitted exactly once, from its
+      // smaller endpoint's star, and v > u >= m keeps (u, v) canonical.
+      val mL = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(mL, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: m(u) = min over {v ∈ Γ(u): v <= u} (all ≤ u by
+      // construction); re-point those neighbors and u itself at m
+      val sym2 = large.union(large.select(col("v").as("u"), col("u").as("v")))
+      val below = sym2.filter(col("v") <= col("u"))
+      val mS = below.groupBy("u").agg(min("v").as("m"))
+      val small = below.join(mS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mS.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val next = checkpointTruncated(small)
+      // fixpoint = identical edge set (both sides deduped, so two
+      // anti-joins; isEmpty short-circuits the second)
+      converged =
+        next.join(cur, Seq("u", "v"), "left_anti").isEmpty &&
+        cur.join(next, Seq("u", "v"), "left_anti").isEmpty
+      cur = next
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds — " +
           "raise maxIter for extreme-diameter graphs")
-    (labels.withColumnRenamed("label", "cluster"), iter)
+    // fixpoint stars: (u -> component min); roots/singletons map to self
+    val stars = cur.select(col("u").as("id"), col("v").as("cluster"))
+    val labels = allIds.join(stars, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    (labels, iter)
   }
 
   /** Cluster-exact survivors: keep exactly one doc (the min id) per
@@ -740,5 +798,117 @@ object Dedup {
     val dropped = cc.filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  // ------------------------------------------------- synthetic scale rigs
+
+  /** Deterministic synthetic edge set with planted worst-case components —
+    * the scale rig for measuring the adaptive-CC crossover (driver
+    * union-find below [[DefaultSmallGraphThreshold]] vs distributed
+    * star contraction above it) at edge counts the sf0.1 contract data
+    * can't reach (~500 pairs there).
+    *
+    * Structure: the contiguous id block [c*size, (c+1)*size) forms
+    * component c as a CHAIN — edges link consecutive block members — so
+    * every component is a worst-case path of diameter `componentSize - 1`
+    * (dense dup cliques converge in 1 round; chains are what the
+    * star-contraction log-round bound actually has to earn). Node ids are
+    * scattered through [0, nNodes) by an odd-multiplier bijection
+    * (`i * m % n` with gcd(m, n) = 1) so neither execution path sees
+    * artificially presorted, block-contiguous input. Fully deterministic:
+    * same (nNodes, componentSize) → identical edges, any session.
+    *
+    * Entirely narrow (spark.range → project/filter, no shuffle);
+    * generation is setup, not signal — bench callers `localCheckpoint()`
+    * before timing. nNodes is bounded by m * n < 2^63 (n < ~9·10^12 at
+    * the default multiplier) — far above any bench size.
+    * Output: (id_a long, id_b long), nNodes - ceil(nNodes/size) edges. */
+  def syntheticComponentEdges(spark: org.apache.spark.sql.SparkSession,
+                              nNodes: Long,
+                              componentSize: Int): DataFrame = {
+    require(componentSize >= 2, "componentSize must be at least 2")
+    require(nNodes >= componentSize, "need at least one full component")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    // first odd candidate >= 1e6 coprime with n: a fixed, reproducible rule
+    val m = Iterator.iterate(1000003L)(_ + 2)
+      .find(c => gcd(c, nNodes) == 1).get
+    def perm(c: Column): Column = pmod(c * m, lit(nNodes))
+    spark.range(nNodes - 1)
+      .filter((col("id") + 1) % componentSize =!= 0)
+      .select(perm(col("id")).as("id_a"), perm(col("id") + 1).as("id_b"))
+  }
+
+  /** Deterministic synthetic near-duplicate text corpus — the scale rig
+    * for measuring the minhash-banded-LSH vs inverted-index-exact-Jaccard
+    * dedup crossover on a corpus far larger than sf0.1's 500 docs.
+    *
+    * Docs come in families of `familySize` (family f = doc_id /
+    * familySize); every family member is the family's base token sequence
+    * (docLen tokens, token (f, j) an md5-derived 7-hex-char word — ~10^8
+    * vocabulary, so cross-family shingle collisions are negligible) with
+    * each position independently replaced by a doc-unique mutation token
+    * with probability `mutationRate` (an md5 coin on (doc, j) — fully
+    * replayable). With the defaults (docLen 60, rate 0.01) same-family
+    * 3-gram Jaccard lands around 0.85-0.9, the near-dup regime, and the
+    * doc-frequency of every surviving base shingle ≈ familySize.
+    *
+    * `boilerplateFrac` > 0 additionally prepends a SHARED token block
+    * (`boilerplateLen` tokens, identical across the whole corpus) to
+    * that fraction of docs (md5 coin on the doc id) — modelling the
+    * template headers/footers of a web crawl. Boilerplate shingles have
+    * doc-frequency ≈ frac·nDocs while connecting docs that are NOT
+    * near-dups (the block is far too short to push cross-family Jaccard
+    * over any sane threshold): exactly the skew that makes the exact
+    * inverted-index pair join pay O(df²) rows for pairs it will throw
+    * away, the regime where banded minhash (signatures absorb common
+    * shingles; buckets only collide for truly similar docs) and the
+    * stop-shingle `maxDocFreq` prune earn their keep.
+    *
+    * Entirely narrow (spark.range → transform over a sequence, md5
+    * builtins only, no shuffle, no UDF); generation is setup — bench
+    * callers `localCheckpoint()` before timing.
+    * Output: (doc_id long, text string). */
+  def syntheticNearDupCorpus(spark: org.apache.spark.sql.SparkSession,
+                             nDocs: Long, familySize: Int = 20,
+                             docLen: Int = 60,
+                             mutationRate: Double = 0.01,
+                             boilerplateFrac: Double = 0.0,
+                             boilerplateLen: Int = 13,
+                             salt: String = "nd:"): DataFrame = {
+    require(familySize >= 2 && docLen >= 1)
+    val fam = floor(col("id") / familySize).cast("long")
+    // md5-prefix coin in [0,1): same conv-of-8-hex-chars derivation rule
+    // as the LSH planes / clustered-corpus rig — engine-portable
+    def coin(j: Column): Column =
+      conv(substring(md5(concat(lit(salt + "c:"), col("id").cast("string"),
+        lit(":"), j.cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("double") / 4294967296.0
+    def baseTok(j: Column): Column =
+      substring(md5(concat(lit(salt + "w:"), fam.cast("string"), lit(":"),
+        j.cast("string")).cast("binary")), 1, 7)
+    def mutTok(j: Column): Column =
+      substring(md5(concat(lit(salt + "m:"), col("id").cast("string"),
+        lit(":"), j.cast("string")).cast("binary")), 1, 7)
+    val body = array_join(transform(sequence(lit(0), lit(docLen - 1)), j =>
+      when(coin(j) < mutationRate, mutTok(j)).otherwise(baseTok(j))), " ")
+    val withBp =
+      if (boilerplateFrac <= 0.0) body
+      else {
+        // the block is corpus-wide constant: derive it driver-side with
+        // the same md5-prefix rule and splice it in as one literal
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val bpText = Seq.tabulate(boilerplateLen) { j =>
+          md.digest(s"${salt}b:$j".getBytes("UTF-8"))
+            .take(4).map(b => f"$b%02x").mkString.take(7)
+        }.mkString(" ")
+        val bpCoin =
+          conv(substring(md5(concat(lit(salt + "bc:"),
+            col("id").cast("string")).cast("binary")), 1, 8), 16, 10)
+            .cast("double") / 4294967296.0
+        when(bpCoin < boilerplateFrac,
+          concat(lit(bpText + " "), body)).otherwise(body)
+      }
+    spark.range(nDocs).select(col("id").as("doc_id"), withBp.as("text"))
   }
 }

@@ -77,14 +77,15 @@ class BenchSpec extends AnyFunSuite {
       s"suspicious classpath: ${entries.take(5).mkString(";")}")
   }
 
-  test("childJvmArgs keeps pair-style --add-opens values and heap flags") {
+  test("childJvmArgs normalizes pair-style --add-opens and keeps heap flags") {
     val args = Bench.childJvmArgs(Seq(
       "--add-opens", "java.base/java.lang=ALL-UNNAMED", // sbt pair style
       "--add-opens=java.base/java.nio=ALL-UNNAMED",     // = style
       "-Xmx8g", "-Dspark.ui.enabled=false", "-javaagent:x.jar"))
-    // pair form preserved IN ORDER (a dangling --add-opens kills the JVM)
-    val i = args.indexOf("--add-opens")
-    assert(i >= 0 && args(i + 1) == "java.base/java.lang=ALL-UNNAMED")
+    // pair form is normalized to one flag=value token (a dangling
+    // --add-opens kills the JVM; a separate-token pair is distinct-fragile)
+    assert(args.contains("--add-opens=java.base/java.lang=ALL-UNNAMED"))
+    assert(!args.contains("--add-opens"))
     assert(args.contains("--add-opens=java.base/java.nio=ALL-UNNAMED"))
     assert(args.contains("-Xmx8g"))
     // unrelated -D / agent flags are not propagated
@@ -94,10 +95,32 @@ class BenchSpec extends AnyFunSuite {
     assert(args.exists(_.contains("sun.nio.ch=ALL-UNNAMED")))
   }
 
+  test("two separate-token --add-opens pairs both survive the dedup") {
+    // regression: distinct on the flat argv used to collapse the repeated
+    // `--add-opens` token, leaving the second module value as a bare arg
+    // the child java launcher parsed as the MAIN CLASS — every child died
+    // and the bench silently fell back to shared-session numbers
+    val args = Bench.childJvmArgs(Seq(
+      "--add-opens", "java.base/java.lang=ALL-UNNAMED",
+      "--add-opens", "java.base/java.util=ALL-UNNAMED"))
+    assert(args.contains("--add-opens=java.base/java.lang=ALL-UNNAMED"))
+    assert(args.contains("--add-opens=java.base/java.util=ALL-UNNAMED"))
+    // nothing dangling: every surviving token is flag-shaped
+    assert(args.forall(a => a.startsWith("-")))
+  }
+
   test("bench-only extras exist and are disjoint from the driver contract") {
     val extras = Bench.extraQueries.keySet
-    assert(extras == Set("bench_lsh50k_brute", "bench_lsh50k_lsh",
-      "bench_lsh50k_recall"))
+    assert(extras == Set(
+      // ANN crossover rig: 4 contenders + recall guard
+      "bench_lsh50k_brute", "bench_lsh50k_lsh", "bench_lsh50k_ivf",
+      "bench_lsh50k_q8", "bench_lsh50k_recall",
+      // CC crossover rig: driver vs distributed + equality/round guard
+      "bench_cc450k_driver", "bench_cc450k_dist", "bench_cc2m_dist",
+      "bench_cc_guard",
+      // dedup crossover rig: naive/pruned exact vs minhash + recall guard
+      "bench_dd50k_ngram", "bench_dd50k_ngram_pruned",
+      "bench_dd50k_minhash", "bench_dd50k_recall"))
     assert(extras.intersect(SparkEntry.queries.keySet).isEmpty)
     // extras must NOT leak into Verify/oracle accounting
     assert(extras.intersect(SparkEntry.oracleSql.keySet).isEmpty)

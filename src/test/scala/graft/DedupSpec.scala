@@ -198,7 +198,7 @@ class DedupSpec extends SparkTestBase {
 
   test("connectedComponents: 1023-node chain converges in O(log n) rounds") {
     // worst-case diameter graph — plain min-label propagation would need
-    // ~1023 rounds; pointer doubling must collapse it logarithmically
+    // ~1023 rounds; star contraction must collapse it logarithmically
     val chain = (0L until 1022L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val (cc, rounds) = Dedup.connectedComponentsWithRounds(chain)
     val labels = cc.as[(Long, Long)].collect()
@@ -223,7 +223,7 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.DefaultSmallGraphThreshold == 500 * 1000)
   }
 
-  test("adaptive CC: driver union-find equals distributed pointer doubling") {
+  test("adaptive CC: driver union-find equals distributed star contraction") {
     // same random graph through both execution paths (threshold gates):
     // labels must be identical — the gate is a perf decision, not a
     // semantics one
@@ -236,6 +236,53 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(small == big)
     assert(small.nonEmpty)
+  }
+
+  test("syntheticComponentEdges plants worst-case chains of the stated size") {
+    val g = Dedup.syntheticComponentEdges(spark, nNodes = 100, componentSize = 10)
+    // 100 nodes in 10 chains of 10: 90 edges, every node exactly once
+    val edges = g.as[(Long, Long)].collect()
+    assert(edges.length == 90)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(nodes == (0L until 100L).toSet,
+      "the permutation must be a bijection over the node space")
+    // CC over the rig finds exactly 10 components of 10 nodes
+    val cc = Dedup.connectedComponents(g)
+    val sizes = cc.groupBy("cluster").count()
+      .as[(Long, Long)].collect()
+    assert(sizes.length == 10 && sizes.forall(_._2 == 10L))
+    // deterministic: a second build is bit-identical
+    val again = Dedup.syntheticComponentEdges(spark, 100, 10)
+      .as[(Long, Long)].collect()
+    assert(edges.toSet == again.toSet)
+    // the distributed path earns its log bound on the planted chains
+    // ceil(log2(9)) + 3: the same +C fuzz the 1023-chain bound carries
+    // (seed round + convergence-detection round on top of the doubling)
+    val (_, rounds) = Dedup.connectedComponentsWithRounds(g)
+    assert(rounds <= 7, s"diameter-9 chains took $rounds rounds")
+  }
+
+  test("syntheticNearDupCorpus plants near-dup families at the stated rate") {
+    val c = Dedup.syntheticNearDupCorpus(spark, nDocs = 40, familySize = 4,
+      docLen = 60, mutationRate = 0.01)
+    val rows = c.as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.length == 40)
+    assert(rows.forall(_._2.split(" ").length == 60))
+    // deterministic: a second build is bit-identical
+    val again = Dedup.syntheticNearDupCorpus(spark, 40, 4, 60, 0.01)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == again.toSeq)
+    // same-family docs are near-dups; cross-family docs share nothing
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def jac(a: String, b: String): Double = {
+      val (sa, sb) = (shingles(a), shingles(b))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    val sameFam = jac(rows(0)._2, rows(1)._2)
+    assert(sameFam >= 0.7, s"within-family jaccard $sameFam not near-dup")
+    val crossFam = jac(rows(0)._2, rows(4)._2)
+    assert(crossFam < 0.05, s"cross-family jaccard $crossFam not disjoint")
   }
 
   test("connectedComponents throws instead of returning unconverged labels") {
