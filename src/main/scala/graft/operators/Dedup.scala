@@ -653,10 +653,16 @@ object Dedup {
     * The RDD round-trip costs one row-conversion pass over materialized
     * data but gives the new leaf constant, round-independent default
     * stats. */
-  private def checkpointTruncated(df: DataFrame): DataFrame = {
+  private def checkpointTruncated(df: DataFrame): DataFrame =
+    checkpointTruncatedWithCount(df)._1
+
+  /** [[checkpointTruncated]] plus the materialized row count — the count
+    * action is what forces materialization anyway, so callers that need
+    * cardinality (the CC convergence check) get it for free. */
+  private def checkpointTruncatedWithCount(df: DataFrame): (DataFrame, Long) = {
     val rdd = df.rdd.localCheckpoint()
-    rdd.count() // materialize NOW: failures and timing surface here
-    df.sparkSession.createDataFrame(rdd, df.schema)
+    val n = rdd.count() // materialize NOW: failures and timing surface here
+    (df.sparkSession.createDataFrame(rdd, df.schema), n)
   }
 
   /** Undirected, deduplicated, pre-partitioned, materialized edge frame
@@ -742,40 +748,44 @@ object Dedup {
     // self-loop-only nodes coalesce to themselves at the end
     val allIds = edges.select(col("src").as("id")).distinct()
     // canonical (u > v) undirected edge list, self-loops dropped
-    var cur = checkpointTruncated(
+    var (cur, curCount) = checkpointTruncatedWithCount(
       edges.filter(col("src") > col("dst"))
         .select(col("src").as("u"), col("dst").as("v"))
         .distinct())
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
       // large-star: m(u) = min(Γ(u) ∪ {u}); re-point neighbors v > u.
+      // Γ(u) needs the symmetric view, but the >-neighbor rows are
+      // EXACTLY the swapped copy of the canonical list — no filter.
       // Every canonical edge (a < b) is emitted exactly once, from its
       // smaller endpoint's star, and v > u >= m keeps (u, v) canonical.
-      val mL = sym.groupBy("u").agg(min("v").as("mn"))
+      val swapped = cur.select(col("v").as("u"), col("u").as("v"))
+      val mL = cur.union(swapped).groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val large = sym.filter(col("v") > col("u"))
+      val large = swapped
         .join(mL, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
-      // small-star: m(u) = min over {v ∈ Γ(u): v <= u} (all ≤ u by
-      // construction); re-point those neighbors and u itself at m
-      val sym2 = large.union(large.select(col("v").as("u"), col("u").as("v")))
-      val below = sym2.filter(col("v") <= col("u"))
-      val mS = below.groupBy("u").agg(min("v").as("m"))
-      val small = below.join(mS, "u")
+      // small-star: m(u) = min over {v ∈ Γ(u): v <= u}. On the canonical
+      // (u > v) list those below-neighbor rows are exactly `large`
+      // itself — no resymmetrize+filter. Re-point them and u at m; both
+      // outputs stay canonical (m <= every below neighbor < u).
+      val mS = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(mS, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .union(mS.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-      val next = checkpointTruncated(small)
-      // fixpoint = identical edge set (both sides deduped, so two
-      // anti-joins; isEmpty short-circuits the second)
-      converged =
-        next.join(cur, Seq("u", "v"), "left_anti").isEmpty &&
-        cur.join(next, Seq("u", "v"), "left_anti").isEmpty
+      val (next, nextCount) = checkpointTruncatedWithCount(small)
+      // fixpoint = identical edge set. Both sides are deduped, so equal
+      // cardinality + (next \ cur) empty ⟹ set equality — the count is
+      // free (it materialized the checkpoint), leaving ONE anti-join,
+      // skipped entirely when the counts already differ.
+      converged = nextCount == curCount &&
+        next.join(cur, Seq("u", "v"), "left_anti").isEmpty
       cur = next
+      curCount = nextCount
       iter += 1
     }
     if (!converged)
