@@ -626,7 +626,7 @@ object Dedup {
       .collect()
     if (probe.length <= smallGraphThreshold)
       driverUnionFind(pairs.sparkSession, probe)
-    else connectedComponentsFromEdges(symmetricEdges(pairs, aCol, bCol), maxIter)._1
+    else connectedComponentsFromEdges(canonicalEdges(pairs, aCol, bCol), maxIter)._1
   }
 
   /** Driver-probe ceiling for the adaptive CC small path: 500k pairs.
@@ -665,17 +665,17 @@ object Dedup {
     (df.sparkSession.createDataFrame(rdd, df.schema), n)
   }
 
-  /** Undirected, deduplicated, pre-partitioned, materialized edge frame
-    * (src, dst) — shared by both CC execution paths. Shuffled once here so
-    * the distributed path doesn't re-shuffle per round. */
-  private def symmetricEdges(pairs: DataFrame, aCol: String,
+  /** Orientation-normalized edge frame (u >= v), one row per input pair,
+    * self-loops preserved (they matter for the id universe, not the
+    * contraction) — the distributed path's input. NOT symmetrized: the
+    * star rounds derive the symmetric view per round from the canonical
+    * half, so doubling + distincting the frame up front would shuffle 2x
+    * the bytes only to throw half away. */
+  private def canonicalEdges(pairs: DataFrame, aCol: String,
                              bCol: String): DataFrame = {
-    val fwd = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
-    checkpointTruncated(
-      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-        .repartition(col("src")))
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    pairs.select(greatest(a, b).as("u"), least(a, b).as("v"))
   }
 
   /** Small-graph CC: path-compressed min-label union-find over collected
@@ -713,10 +713,10 @@ object Dedup {
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
       maxIter: Int = 50): (DataFrame, Int) =
-    connectedComponentsFromEdges(symmetricEdges(pairs, aCol, bCol), maxIter)
+    connectedComponentsFromEdges(canonicalEdges(pairs, aCol, bCol), maxIter)
 
-  /** Distributed CC over a pre-built symmetric edge frame (see
-    * [[symmetricEdges]]) — the above-threshold path: ALTERNATING
+  /** Distributed CC over an orientation-normalized edge frame (see
+    * [[canonicalEdges]]) — the above-threshold path: ALTERNATING
     * LARGE-STAR / SMALL-STAR contraction (the Kiveris/Lattanzi/Mirrokni/
     * Rastogi/Vassilvitskii "Connected Components in MapReduce and
     * Beyond" algorithm, the standard shared-nothing CC).
@@ -744,14 +744,13 @@ object Dedup {
     * checkpointed with [[checkpointTruncated]] (lineage AND stats). */
   private def connectedComponentsFromEdges(
       edges: DataFrame, maxIter: Int): (DataFrame, Int) = {
-    // every endpoint (symmetric input: src covers all); singletons and
-    // self-loop-only nodes coalesce to themselves at the end
-    val allIds = edges.select(col("src").as("id")).distinct()
-    // canonical (u > v) undirected edge list, self-loops dropped
+    // every endpoint (from the canonical frame, so self-loop-only nodes
+    // are covered too); they coalesce to themselves at the end
+    val allIds = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct()
+    // strict canonical (u > v) edge list for the rounds: self-loops out
     var (cur, curCount) = checkpointTruncatedWithCount(
-      edges.filter(col("src") > col("dst"))
-        .select(col("src").as("u"), col("dst").as("v"))
-        .distinct())
+      edges.filter(col("u") =!= col("v")).distinct())
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
