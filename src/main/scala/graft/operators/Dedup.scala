@@ -743,7 +743,12 @@ object Dedup {
     * the groupBy side is safe (map-side partial min). Frames are
     * checkpointed with [[checkpointTruncated]] (lineage AND stats). */
   private def connectedComponentsFromEdges(
-      edges: DataFrame, maxIter: Int): (DataFrame, Int) = {
+      edges0: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    // materialize the pair stream ONCE: the id-universe scan and the
+    // loop-init both derive from this checkpoint — without it an
+    // expensive upstream pair pipeline (the LSH dedup query feeding
+    // dd_clusters) would be re-executed three times
+    val edges = checkpointTruncated(edges0)
     // every endpoint (from the canonical frame, so self-loop-only nodes
     // are covered too); they coalesce to themselves at the end
     val allIds = edges.select(col("u").as("id"))
