@@ -653,7 +653,7 @@ object Dedup {
     * The RDD round-trip costs one row-conversion pass over materialized
     * data but gives the new leaf constant, round-independent default
     * stats. */
-  private def checkpointTruncated(df: DataFrame): DataFrame =
+  private[graft] def checkpointTruncated(df: DataFrame): DataFrame =
     checkpointTruncatedWithCount(df)._1
 
   /** [[checkpointTruncated]] plus the materialized row count — the count

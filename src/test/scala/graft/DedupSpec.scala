@@ -285,6 +285,26 @@ class DedupSpec extends SparkTestBase {
     assert(crossFam < 0.05, s"cross-family jaccard $crossFam not disjoint")
   }
 
+  test("checkpointTruncated keeps plan statistics bounded across rounds") {
+    // regression for the round-7 BigInteger blowup: Dataset.localCheckpoint
+    // CARRIES estimated stats onto the checkpoint leaf, and iterative
+    // self-joins compound them (~2x BIT COUNT per round with this shape) —
+    // by round ~13 of the CC loop the optimizer overflowed BigInteger.
+    // The RDD round-trip must keep the estimate's size round-independent.
+    var frame = (1L to 50L).map(i => (i, i + 1)).toDF("u", "v")
+    var maxBits = 0
+    for (_ <- 1 to 12) {
+      val joined = frame.join(frame.withColumnRenamed("v", "w"), "u")
+        .select(col("u"), col("w").as("v"))
+      frame = Dedup.checkpointTruncated(joined)
+      val bits = frame.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+      maxBits = math.max(maxBits, bits)
+    }
+    assert(maxBits < 128,
+      s"plan-stat estimate grew to $maxBits bits — stats are compounding " +
+        "across checkpoints again")
+  }
+
   test("connectedComponents throws instead of returning unconverged labels") {
     val chain = (0L until 400L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
