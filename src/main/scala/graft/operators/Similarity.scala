@@ -262,8 +262,9 @@ object Similarity {
     * components round to 6dp per iteration so independent runs — and
     * independent ENGINES — walk bit-identical trajectories (the
     * `sim_kmeans` query is value-verified against a DuckDB unrolling of
-    * the same iterations). Per-iteration `localCheckpoint` truncates the
-    * growing lineage. A cluster left empty by an iteration drops out
+    * the same iterations). Per-iteration stats-truncating checkpoints
+    * ([[Dedup.checkpointTruncated]]) bound both the growing lineage and
+    * the compounding plan-size estimates (the CC-loop lesson). A cluster left empty by an iteration drops out
     * (standard k-means behavior; k shrinks). */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
              iters: Int = 5, init: String = "lowest-id"): DataFrame = {
@@ -281,13 +282,13 @@ object Similarity {
       case other =>
         throw new IllegalArgumentException(s"unknown kmeans init '$other'")
     }
-    var cents = df.orderBy(ordering: _*).limit(k)
+    val cents0 = df.orderBy(ordering: _*).limit(k)
       .select(col(idCol), toDouble(col(vecCol)).as("centroid"))
       .withColumn("cid",
         row_number().over(Window.orderBy(ordering: _*)) - 1)
       .select(col("cid"),
         transform(col("centroid"), x => round(x, 6)).as("centroid"))
-      .localCheckpoint()
+    var cents = Dedup.checkpointTruncated(cents0)
     for (_ <- 1 to iters) {
       val assigned = ivfAssign(df, idCol, vecCol, cents)
       val members = df.join(assigned, idCol)
@@ -295,11 +296,11 @@ object Similarity {
         .select(col("cid"), posexplode(toDouble(col(vecCol))))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-      cents = sums.groupBy(col("cid")).agg(
-        transform(array_sort(collect_list(struct(col("pos"),
-            round(col("s") / col("n"), 6).as("m")))),
-          x => x.getField("m")).as("centroid"))
-        .localCheckpoint()
+      cents = Dedup.checkpointTruncated(
+        sums.groupBy(col("cid")).agg(
+          transform(array_sort(collect_list(struct(col("pos"),
+              round(col("s") / col("n"), 6).as("m")))),
+            x => x.getField("m")).as("centroid")))
     }
     cents
   }
