@@ -62,6 +62,7 @@ object Bench {
     "bench_lsh50k_q8",
     "bench_cc450k_driver", "bench_cc450k_dist", "bench_cc2m_dist",
     "bench_dd50k_ngram", "bench_dd50k_ngram_pruned", "bench_dd50k_minhash",
+    "bench_dd12k_ngram", "bench_dd12k_minhash",
     "dd_clusters", "dd_survivors_exact", "dd_minhash_pairs",
     "dd_ngram_pairs", "dd_simhash_pairs", "dd_embed_lsh", "dd_embed_pairs",
     "dd_exact", "dd_spans",
@@ -110,6 +111,11 @@ object Bench {
   private val Cc2mNodes = 2050000L   // chain components of 41 -> 2M edges
   private val Cc2mSize = 41
   private val Dd50kDocs = 50000L
+  // quarter-size twin corpus: timing both contenders at 12.5k AND 50k
+  // docs turns the "boilerplate df² is quadratic, minhash is linear"
+  // claim into a measured scaling RATIO (4x docs -> boilerplate pair
+  // rows x16, shingle rows x4), not a single-point assertion
+  private val Dd12kDocs = 12500L
   private val Dd50kFamily = 100
   // In-family shingle fan-out alone does NOT sink the exact join at this
   // scale (measured: familySize 20 → ngram 9.5 s vs minhash 19.4 s;
@@ -185,6 +191,10 @@ object Bench {
   private def dd50k(s: SparkSession): DataFrame =
     setup(s, "dd50k")(graft.operators.Dedup
       .syntheticNearDupCorpus(s, Dd50kDocs, Dd50kFamily,
+        boilerplateFrac = Dd50kBoilerFrac))
+  private def dd12k(s: SparkSession): DataFrame =
+    setup(s, "dd12k")(graft.operators.Dedup
+      .syntheticNearDupCorpus(s, Dd12kDocs, Dd50kFamily,
         boilerplateFrac = Dd50kBoilerFrac))
 
   /** recall@10 of `approx` against `exact` over (query_id, neighbor_id). */
@@ -292,6 +302,14 @@ object Bench {
     "bench_dd50k_minhash" -> ((s, _) =>
       graft.operators.Dedup.minhashPairs(
         dd50k(s), "doc_id", "text", threshold = DdThreshold)),
+    // quarter-size twins: the 12.5k->50k time ratios measure the scaling
+    // exponents (quadratic boilerplate join vs linear signatures)
+    "bench_dd12k_ngram" -> ((s, _) =>
+      graft.operators.Dedup.ngramJaccardPairs(
+        dd12k(s), "doc_id", "text", threshold = DdThreshold, n = 3)),
+    "bench_dd12k_minhash" -> ((s, _) =>
+      graft.operators.Dedup.minhashPairs(
+        dd12k(s), "doc_id", "text", threshold = DdThreshold)),
     "bench_dd50k_recall" -> ((s, _) => setup(s, "guard_dd") {
       val exact = graft.operators.Dedup.ngramJaccardPairs(
           dd50k(s), "doc_id", "text", threshold = DdThreshold, n = 3)
@@ -440,7 +458,7 @@ object Bench {
         synthIvfLists(spark); synthQ8(spark)
       }
       if (inScope("bench_cc")) { cc450k(spark); cc2m(spark) }
-      if (inScope("bench_dd50k")) dd50k(spark)
+      if (inScope("bench_dd")) { dd50k(spark); dd12k(spark) }
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 

@@ -118,9 +118,11 @@ class BenchSpec extends AnyFunSuite {
       // CC crossover rig: driver vs distributed + equality/round guard
       "bench_cc450k_driver", "bench_cc450k_dist", "bench_cc2m_dist",
       "bench_cc_guard",
-      // dedup crossover rig: naive/pruned exact vs minhash + recall guard
+      // dedup crossover rig: naive/pruned exact vs minhash + recall
+      // guard, plus quarter-size twins for the scaling-exponent ratio
       "bench_dd50k_ngram", "bench_dd50k_ngram_pruned",
-      "bench_dd50k_minhash", "bench_dd50k_recall"))
+      "bench_dd50k_minhash", "bench_dd50k_recall",
+      "bench_dd12k_ngram", "bench_dd12k_minhash"))
     assert(extras.intersect(SparkEntry.queries.keySet).isEmpty)
     // extras must NOT leak into Verify/oracle accounting
     assert(extras.intersect(SparkEntry.oracleSql.keySet).isEmpty)
