@@ -197,11 +197,13 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val sa = sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a"))
     val sb = sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b"))
+    // signature agreement via the codegen'd VectorEqCount kernel — the
+    // HOF form (aggregate over zip_with) interprets its lambda per lane
+    // per candidate pair, the same tax VectorDot removes for cosine
     cand.join(sa, "id_a").join(sb, "id_b")
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+        graft.plans.VectorExpressions.vectorEqCount(
+          col("sig_a"), col("sig_b")).cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
   }
@@ -252,8 +254,8 @@ object Dedup {
     val bb = minhashBuckets(sigB, idCol, bands, rpb, mode)
     val cb = minhashBuckets(sigC, idCol, bands, rpb, mode)
     def est(sa: Column, sb: Column): Column =
-      aggregate(zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, x) => acc + x).cast("double") / numHashes
+      graft.plans.VectorExpressions.vectorEqCount(sa, sb)
+        .cast("double") / numHashes
     val dropVsCorpus = bb
       .select(col("band"), col("bucket"), col(idCol).as("__b"))
       .join(cb.select(col("band"), col("bucket"), col(idCol).as("__c")),

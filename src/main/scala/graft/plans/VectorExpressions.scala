@@ -324,10 +324,85 @@ case class VectorProject(child: Expression, planes: Seq[Seq[Double]],
       newChild: Expression): VectorProject = copy(child = newChild)
 }
 
+/** Codegen'd positional-equality count over two `array<long>` columns:
+  * the number of positions (up to the shorter length) where both
+  * elements are non-null and equal — the MinHash signature-agreement
+  * kernel (`est_jaccard = eq_count / numHashes`).
+  *
+  * Why a custom expression: the HOF form
+  * `aggregate(zip_with(a, b, (x,y) -> IF(x=y,1,0)), 0, +)` interprets
+  * its lambdas per element outside whole-stage codegen, and the
+  * candidate-verify join evaluates it once per candidate pair × 64
+  * lanes — the same interpretation tax [[VectorDot]] removes for
+  * cosine. Semantics are identical to that HOF form: positions past the
+  * shorter array contribute 0 (zip_with's null padding fails the IF),
+  * as do null elements. */
+case class VectorEqCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vector_eq_count expects array<bigint> inputs, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $cnt = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) {
+         |    $cnt++;
+         |  }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorEqCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column-level dot product backed by [[VectorDot]]. */
   def vectorDot(a: Column, b: Column): Column =
     SqlBridge.column(VectorDot(
+      SqlBridge.expression(a), SqlBridge.expression(b)))
+
+  /** Column-level signature-agreement count backed by [[VectorEqCount]]. */
+  def vectorEqCount(a: Column, b: Column): Column =
+    SqlBridge.column(VectorEqCount(
       SqlBridge.expression(a), SqlBridge.expression(b)))
 
   /** Column of all LSH table buckets (array<long>, one per table) backed

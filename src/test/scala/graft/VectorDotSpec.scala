@@ -84,4 +84,27 @@ class VectorDotSpec extends SparkTestBase {
       case (a, b) => a * b }.sum)
     assert(p1(0L) == exp0)
   }
+
+  test("VectorEqCount matches the zip_with/aggregate HOF form exactly") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),   // 3 agree
+      (Seq(5L, 5L), Seq(5L, 5L)),                   // all agree
+      (Seq(1L, 2L, 3L), Seq(1L)),                   // length mismatch: 1
+      (Seq.empty[Long], Seq(7L)))                   // empty side: 0
+      .toDF("a", "b")
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).as("c")).as[Int].collect().toSeq
+    val fast = df.select(graft.plans.VectorExpressions
+      .vectorEqCount(col("a"), col("b")).as("c")).as[Int].collect().toSeq
+    assert(fast == hof)
+    assert(fast == Seq(3, 2, 1, 0))
+    // null input array -> null, mirroring the HOF
+    val withNull = Seq((Some(Seq(1L)), Option.empty[Seq[Long]]))
+      .toDF("a", "b")
+      .select(graft.plans.VectorExpressions.vectorEqCount(col("a"), col("b")))
+      .collect()
+    assert(withNull.head.isNullAt(0))
+  }
 }
