@@ -417,9 +417,14 @@ object VectorExpressions {
                     scale: Double): Column =
     SqlBridge.column(VectorProject(SqlBridge.expression(v), planes, scale))
 
-  /** Register `vector_dot(a, b)` for SQL callers on this session
-    * (temp-function registry — the SQL analogue of the Column API above). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register `vector_dot(a, b)` / `vector_eq_count(a, b)` for SQL
+    * callers on this session (temp-function registry — the SQL analogue
+    * of the Column API above). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_eq_count", exprs => VectorEqCount(exprs(0), exprs(1)),
+      "built-in")
+  }
 }

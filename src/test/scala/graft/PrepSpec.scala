@@ -126,6 +126,10 @@ class PrepSpec extends SparkTestBase {
         "SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
         .collect()(0).getDouble(0)
       assert(v == 11.0)
+      val c = s.sql(
+        "SELECT vector_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS c")
+        .collect()(0).getInt(0)
+      assert(c == 2)
     }
   }
 

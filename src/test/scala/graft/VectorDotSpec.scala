@@ -41,6 +41,9 @@ class VectorDotSpec extends SparkTestBase {
       .createOrReplaceTempView("vecs")
     assert(spark.sql("select vector_dot(a, b) from vecs")
       .collect()(0).getDouble(0) == 11.0)
+    assert(spark.sql(
+      "select vector_eq_count(array(1L,2L), array(1L,3L)) c")
+      .collect()(0).getInt(0) == 1)
   }
 
   test("cosine built on VectorDot stays exact for unit cases") {
