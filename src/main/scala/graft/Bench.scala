@@ -265,12 +265,21 @@ object Bench {
       // distributed path runs as it would on a 1000-executor cluster
       graft.operators.Dedup.connectedComponents(cc2m(s))),
     "bench_cc_guard" -> ((s, _) => setup(s, "guard_cc") {
-      // (a) both paths compute the same fixpoint on the 450k graph
+      // (a) both paths compute the same fixpoint on the 450k graph.
+      // Coverage first: an inner join alone would silently SKIP ids one
+      // path dropped (or double-count duplicated labels), so pin the
+      // cardinalities — distinct id sets of equal size whose join is
+      // the same size means identical id universes with unique labels.
       val drv = graft.operators.Dedup.connectedComponents(cc450k(s))
       val dst = graft.operators.Dedup.connectedComponents(cc450k(s),
           smallGraphThreshold = 0)
         .withColumnRenamed("cluster", "cluster_dist")
-      val mismatches = drv.join(dst, "id")
+      val joined = drv.join(dst, "id").localCheckpoint()
+      val (drvN, dstN, jN) = (drv.count(), dst.count(), joined.count())
+      if (drvN != dstN || jN != drvN) throw new IllegalStateException(
+        s"CC id coverage mismatch: driver=$drvN dist=$dstN joined=$jN — " +
+          "the two paths disagree on which nodes exist")
+      val mismatches = joined
         .filter(col("cluster") =!= col("cluster_dist")).count()
       if (mismatches > 0) throw new IllegalStateException(
         s"driver and distributed CC disagree on $mismatches labels")
@@ -384,8 +393,14 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count(_._3.isDefined)
     val total = results.collect { case (_, t, None) => t }.sum
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,"timing":"min_of_runs","mode":${jstr(mode)},"n_err":$nErr,"full":${jstr(outPath)}}"""
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,$fastRunsFields"timing":"min_of_runs","mode":${jstr(mode)},"n_err":$nErr,"full":${jstr(outPath)}}"""
   }
+
+  // the artifact must describe its own methodology: queries whose min is
+  // under StableMinSeconds are topped up to min-of-5, and a reader
+  // comparing round-over-round minima needs to know which regime applied
+  private def fastRunsFields: String =
+    s""""runs_fast":5,"fast_cutoff_s":$StableMinSeconds,"""
 
   /** Full-precision, every-query line written to bench_out.json. */
   def renderFull(results: Seq[(String, Double, Option[String])],
@@ -396,7 +411,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val nErr = results.count(_._3.isDefined)
     val total = results.collect { case (_, t, None) => t }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"runs":$runs,"timing":"min_of_runs","mode":${jstr(mode)},"n_err":$nErr}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"runs":$runs,$fastRunsFields"timing":"min_of_runs","mode":${jstr(mode)},"n_err":$nErr}"""
   }
 
   // ---------------------------------------------------------------------

@@ -578,7 +578,7 @@ object Dedup {
     * O(diameter) on permuted-id chains; the synthetic rig measured it).
     * Each round is a bounded number of keyed shuffles; every frame is
     * checkpointed with LINEAGE AND STATISTICS truncation (see
-    * [[checkpointTruncated]] — without lineage truncation the plan
+    * [[graft.plans.Checkpoints]] — without lineage truncation the plan
     * doubles every round and the job dies on planning; without stats
     * truncation Spark 4's localCheckpoint carries compounding size
     * estimates that overflow BigInteger around round 13).
@@ -637,35 +637,6 @@ object Dedup {
     * while still covering the "millions of near-dup edges from a huge
     * corpus" regime via the distributed path. */
   val DefaultSmallGraphThreshold: Int = 500 * 1000
-
-  /** Materialize `df` and return a frame whose logical plan, RDD lineage
-    * AND plan statistics are all truncated — the checkpoint the CC round
-    * loop needs. `Dataset.localCheckpoint` truncates the first two but
-    * (Spark 4, `LogicalRDD.rewriteStatsAndConstraints`) CARRIES the
-    * optimized plan's estimated statistics onto the checkpoint leaf. In
-    * an iterative algorithm those carried estimates COMPOUND: each
-    * round's join-stat products are computed from the previous round's
-    * carried BigInts, so the size estimate's BIT COUNT grows ~4x per
-    * round (updated = prop² and prop = edges x labels², all
-    * stat-multiplied). By round ~10 the optimizer burns minutes
-    * multiplying million-digit numbers inside SizeInBytesOnlyStats, and
-    * near round 13 `java.math.BigInteger` overflows its 2^31-bit limit
-    * ("BigInteger would overflow supported range") — diagnosed live on a
-    * 50k-node rig, where the old form hung in ToomCook3 multiplication.
-    * The RDD round-trip costs one row-conversion pass over materialized
-    * data but gives the new leaf constant, round-independent default
-    * stats. */
-  private[graft] def checkpointTruncated(df: DataFrame): DataFrame =
-    checkpointTruncatedWithCount(df)._1
-
-  /** [[checkpointTruncated]] plus the materialized row count — the count
-    * action is what forces materialization anyway, so callers that need
-    * cardinality (the CC convergence check) get it for free. */
-  private def checkpointTruncatedWithCount(df: DataFrame): (DataFrame, Long) = {
-    val rdd = df.rdd.localCheckpoint()
-    val n = rdd.count() // materialize NOW: failures and timing surface here
-    (df.sparkSession.createDataFrame(rdd, df.schema), n)
-  }
 
   /** Orientation-normalized edge frame (u >= v), one row per input pair,
     * self-loops preserved (they matter for the id universe, not the
@@ -743,20 +714,20 @@ object Dedup {
     * accumulates degree ~component size) is the documented hot spot of
     * the algorithm — AQE skew-join handling splits those reducers, and
     * the groupBy side is safe (map-side partial min). Frames are
-    * checkpointed with [[checkpointTruncated]] (lineage AND stats). */
+    * checkpointed with [[graft.plans.Checkpoints]] (lineage AND stats). */
   private def connectedComponentsFromEdges(
       edges0: DataFrame, maxIter: Int): (DataFrame, Int) = {
     // materialize the pair stream ONCE: the id-universe scan and the
     // loop-init both derive from this checkpoint — without it an
     // expensive upstream pair pipeline (the LSH dedup query feeding
     // dd_clusters) would be re-executed three times
-    val edges = checkpointTruncated(edges0)
+    val edges = graft.plans.Checkpoints.truncated(edges0)
     // every endpoint (from the canonical frame, so self-loop-only nodes
     // are covered too); they coalesce to themselves at the end
     val allIds = edges.select(col("u").as("id"))
       .union(edges.select(col("v").as("id"))).distinct()
     // strict canonical (u > v) edge list for the rounds: self-loops out
-    var (cur, curCount) = checkpointTruncatedWithCount(
+    var (cur, curCount) = graft.plans.Checkpoints.truncatedWithCount(
       edges.filter(col("u") =!= col("v")).distinct())
     var iter = 0
     var converged = false
@@ -783,7 +754,7 @@ object Dedup {
         .union(mS.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-      val (next, nextCount) = checkpointTruncatedWithCount(small)
+      val (next, nextCount) = graft.plans.Checkpoints.truncatedWithCount(small)
       // fixpoint = identical edge set. Both sides are deduped, so equal
       // cardinality + (next \ cur) empty ⟹ set equality — the count is
       // free (it materialized the checkpoint), leaving ONE anti-join,

@@ -263,7 +263,7 @@ object Similarity {
     * independent ENGINES — walk bit-identical trajectories (the
     * `sim_kmeans` query is value-verified against a DuckDB unrolling of
     * the same iterations). Per-iteration stats-truncating checkpoints
-    * ([[Dedup.checkpointTruncated]]) bound both the growing lineage and
+    * ([[graft.plans.Checkpoints]]) bound both the growing lineage and
     * the compounding plan-size estimates (the CC-loop lesson). A cluster left empty by an iteration drops out
     * (standard k-means behavior; k shrinks). */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
@@ -288,7 +288,7 @@ object Similarity {
         row_number().over(Window.orderBy(ordering: _*)) - 1)
       .select(col("cid"),
         transform(col("centroid"), x => round(x, 6)).as("centroid"))
-    var cents = Dedup.checkpointTruncated(cents0)
+    var cents = graft.plans.Checkpoints.truncated(cents0)
     for (_ <- 1 to iters) {
       val assigned = ivfAssign(df, idCol, vecCol, cents)
       val members = df.join(assigned, idCol)
@@ -296,7 +296,7 @@ object Similarity {
         .select(col("cid"), posexplode(toDouble(col(vecCol))))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-      cents = Dedup.checkpointTruncated(
+      cents = graft.plans.Checkpoints.truncated(
         sums.groupBy(col("cid")).agg(
           transform(array_sort(collect_list(struct(col("pos"),
               round(col("s") / col("n"), 6).as("m")))),

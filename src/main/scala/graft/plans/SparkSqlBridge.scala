@@ -12,4 +12,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object SqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `SparkSession.internalCreateDataFrame` passthrough: build a frame
+    * directly over an `InternalRow` RDD with NO Row round-trip — the
+    * conversion-free half of the iterative-checkpoint pattern
+    * ([[graft.plans.Checkpoints]]). */
+  def internalCreateDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

@@ -285,7 +285,38 @@ class DedupSpec extends SparkTestBase {
     assert(crossFam < 0.05, s"cross-family jaccard $crossFam not disjoint")
   }
 
-  test("checkpointTruncated keeps plan statistics bounded across rounds") {
+  test("syntheticNearDupCorpus boilerplate: constant shared block at the stated rate") {
+    // the dd50k crossover numbers rest on this path: the block must be
+    // corpus-wide CONSTANT (so its shingles reach df ≈ frac·nDocs) and
+    // hit ~frac of docs, while non-boilerplate docs are byte-identical
+    // to the frac=0 corpus
+    val n = 400
+    val bp = Dedup.syntheticNearDupCorpus(spark, n, familySize = 4,
+        docLen = 20, mutationRate = 0.01,
+        boilerplateFrac = 0.5, boilerplateLen = 5)
+      .as[(Long, String)].collect().toMap
+    val plain = Dedup.syntheticNearDupCorpus(spark, n, familySize = 4,
+        docLen = 20, mutationRate = 0.01)
+      .as[(Long, String)].collect().toMap
+    val prefixed = bp.filter { case (id, t) => t != plain(id) }
+    // ~50% of docs get the block (md5 coin; generous band)
+    assert(prefixed.size > n * 35 / 100 && prefixed.size < n * 65 / 100,
+      s"boilerplate hit ${prefixed.size} of $n docs at frac 0.5")
+    // every prefixed doc = ONE corpus-wide constant 5-token block + body
+    val blocks = prefixed.map { case (id, t) =>
+      val toks = t.split(" ")
+      assert(toks.length == 25, s"doc $id: ${toks.length} tokens")
+      assert(t.endsWith(plain(id)), s"doc $id body diverged from frac=0")
+      toks.take(5).mkString(" ")
+    }.toSet
+    assert(blocks.size == 1, s"block not corpus-wide constant: $blocks")
+    // deterministic: a rebuild is bit-identical
+    val again = Dedup.syntheticNearDupCorpus(spark, n, 4, 20, 0.01, 0.5, 5)
+      .as[(Long, String)].collect().toMap
+    assert(bp == again)
+  }
+
+  test("Checkpoints.truncated keeps plan statistics bounded across rounds") {
     // regression for the round-7 BigInteger blowup: Dataset.localCheckpoint
     // CARRIES estimated stats onto the checkpoint leaf, and iterative
     // self-joins compound them (~2x BIT COUNT per round with this shape) —
@@ -296,7 +327,7 @@ class DedupSpec extends SparkTestBase {
     for (_ <- 1 to 12) {
       val joined = frame.join(frame.withColumnRenamed("v", "w"), "u")
         .select(col("u"), col("w").as("v"))
-      frame = Dedup.checkpointTruncated(joined)
+      frame = graft.plans.Checkpoints.truncated(joined)
       val bits = frame.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
       maxBits = math.max(maxBits, bits)
     }
