@@ -565,6 +565,48 @@ object Dedup {
       .drop("__grp")
   }
 
+  /** Cut token ranges out of documents — the REMOVAL half of substring
+    * dedup ([[repeatedSpans]] is the detection half): given a span frame
+    * `(idCol, span_start, span_end)` (token positions, 0-based
+    * inclusive), rebuild each document's text without the tokens covered
+    * by any of its spans. Pass [[repeatedSpans]] output directly for the
+    * boilerplate-strip policy (remove every repeated passage everywhere);
+    * for keep-one-copy semantics, drop the occurrence to preserve from
+    * the span frame before cutting (it is just a DataFrame — e.g.
+    * anti-join the min-(id, span_start) row per repeated passage).
+    *
+    * Output text is canonical whitespace (tokens re-joined with single
+    * spaces) for EVERY doc, spanned or not — so the transform is
+    * idempotent and engine-replicable. A fully-covered doc keeps an
+    * empty string (the row is not dropped — downstream length filters
+    * decide its fate, not a silent disappearance).
+    *
+    * Scale shape: one groupBy of the span frame (tiny — spans, not
+    * tokens), one equi-join on the doc id, then a narrow per-row rebuild
+    * (filter positions against the doc's own span array; spans per doc
+    * are few, so the per-token `exists` probe is O(spans) against a
+    * row-local array — no token-level shuffle, no range join). */
+  def cutSpans(df: DataFrame, idCol: String, textCol: String,
+               spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col(idCol)).agg(
+      collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    val covered: Column => Column = i =>
+      exists(coalesce(col("__spans"),
+          array().cast("array<struct<span_start:long,span_end:long>>")),
+        s => i >= s.getField("span_start") && i <= s.getField("span_end"))
+    val rebuilt = when(size(col("__toks")) === 0, lit(""))
+      .otherwise(array_join(
+        transform(
+          filter(sequence(lit(0), size(col("__toks")) - 1),
+            i => !covered(i)),
+          i => element_at(col("__toks"), (i + 1).cast("int"))), " "))
+    df.join(sp, Seq(idCol), "left")
+      .withColumn("__toks", toks)
+      .withColumn(textCol, rebuilt)
+      .drop("__spans", "__toks")
+  }
+
   /** Connected components over a near-dup pair set: (id, cluster) where
     * cluster is the minimum id reachable through pair edges — the
     * union-find alternative to [[keepFirst]], for cluster-exact dedup

@@ -140,6 +140,16 @@ object Pipeline {
         .orderBy("doc_id", "span_start")
     }),
 
+    // substring dedup's REMOVAL pass: rebuild every doc without its
+    // repeated-span tokens (boilerplate-strip policy; canonical
+    // whitespace; fully-covered docs keep an empty-string row) (oracled)
+    "dd_spans_cut" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val spans = Dedup.repeatedSpans(d, "doc_id", "text", n = 8, minDocs = 2)
+      Dedup.cutSpans(d, "doc_id", "text", spans)
+        .select("doc_id", "text").orderBy("doc_id")
+    }),
+
     // deterministic weighted dataset mixing: en kept fully, zh halved,
     // de quartered, everything else at 10% — md5-coin per doc, so the
     // mix replays identically on any engine (oracled)
@@ -1215,6 +1225,40 @@ object Pipeline {
            count(*)::BIGINT AS n_grams
          FROM isl GROUP BY doc_id, grp
          ORDER BY doc_id, span_start""",
+    "dd_spans_cut" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id, i.i AS pos,
+             md5(array_to_string(tk[(i.i + 1):(i.i + 8)], ' ')) AS g
+           FROM toks
+           CROSS JOIN unnest(range(0, greatest(0, len(tk) - 8 + 1))) AS i(i)),
+         rep AS (
+           SELECT g FROM grams GROUP BY g
+           HAVING count(DISTINCT doc_id) >= 2),
+         hits AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+         isl AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+           FROM hits),
+         sp AS (
+           SELECT doc_id, min(pos) AS span_start, max(pos) + 8 - 1 AS span_end
+           FROM isl GROUP BY doc_id, grp),
+         kept AS (
+           SELECT t.doc_id, i.i AS pos, t.tk[i.i + 1] AS tok
+           FROM toks t
+           CROSS JOIN unnest(range(0, len(t.tk))) AS i(i)
+           WHERE NOT EXISTS (SELECT 1 FROM sp
+             WHERE sp.doc_id = t.doc_id
+               AND i.i BETWEEN sp.span_start AND sp.span_end)),
+         rebuilt AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(r.text, '') AS text
+         FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+         ORDER BY d.doc_id""",
     "ds_mix" ->
       """SELECT doc_id, lang FROM documents
          WHERE (('0x' || substr(md5('mix:' || doc_id::VARCHAR),1,8))

@@ -238,6 +238,31 @@ class DedupSpec extends SparkTestBase {
     assert(small.nonEmpty)
   }
 
+  test("cutSpans removes flagged token ranges; keep-one-copy by filtering") {
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),
+      (3L, "q w e r t"),
+      (4L, "a b c z1 z2 z3 z4 b c d")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(d, "doc_id", "text", n = 3, minDocs = 2)
+    val cut = Dedup.cutSpans(d, "doc_id", "text", spans)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // every repeated passage removed everywhere; untouched doc canonical
+    assert(cut == Seq(
+      (1L, "e f"), (2L, "x y"), (3L, "q w e r t"), (4L, "z1 z2 z3 z4")))
+    // keep-one-copy composition: the span frame is just a DataFrame —
+    // drop doc 1's occurrence before cutting and doc 1 keeps its text
+    val keepDoc1 = spans.filter(col("doc_id") =!= 1L)
+    val cut2 = Dedup.cutSpans(d, "doc_id", "text", keepDoc1)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(cut2.head == (1L, "a b c d e f"))
+    // fully-covered doc keeps an empty-string row, not a dropped row
+    val full = Seq((9L, "p q r")).toDF("doc_id", "text")
+    val allSpan = Seq((9L, 0L, 2L)).toDF("doc_id", "span_start", "span_end")
+    val out = Dedup.cutSpans(full, "doc_id", "text", allSpan).collect()
+    assert(out.length == 1 && out.head.getString(1) == "")
+  }
+
   test("syntheticComponentEdges plants worst-case chains of the stated size") {
     val g = Dedup.syntheticComponentEdges(spark, nNodes = 100, componentSize = 10)
     // 100 nodes in 10 chains of 10: 90 edges, every node exactly once
