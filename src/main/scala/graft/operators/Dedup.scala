@@ -223,36 +223,61 @@ object Dedup {
     *
     * Scale shape: the corpus contributes only content hashes and LSH
     * bucket rows; at 100 TB both are MATERIALIZED artifacts (write the
-    * corpus signature/bucket frame once when the corpus lands, probe it
-    * per batch), making the daily cost O(batch + collisions), not
-    * O(corpus). Here they are recomputed inline for self-containment —
-    * the plan shape downstream of those frames is identical. */
+    * corpus signature/bucket frame once when the corpus lands with
+    * [[writeMinhashIndex]], probe it per batch), making the daily cost
+    * O(batch + collisions), not O(corpus). This overload builds the
+    * index inline for self-containment and delegates to the
+    * index-probing overload — the plan shape downstream of the index
+    * frames is identical. */
   def incrementalSurvivors(batch: DataFrame, corpus: DataFrame,
                            idCol: String, textCol: String,
                            threshold: Double = 0.8, numHashes: Int = 64,
                            bands: Int = 16, shingleSize: Int = 3,
                            seed: Long = 42L,
-                           mode: HashMode = HashMode.Xx): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
+                           mode: HashMode = HashMode.Xx): DataFrame =
+    incrementalSurvivors(batch,
+      buildMinhashIndex(corpus, idCol, textCol, numHashes, bands,
+        shingleSize, seed, mode),
+      idCol, textCol, threshold)
+
+  /** [[incrementalSurvivors]] probing a PREBUILT corpus index — the
+    * 100 TB shape: the corpus hash/signature/bucket frames are
+    * materialized once when the corpus lands ([[writeMinhashIndex]]) and
+    * every batch probes that artifact ([[readMinhashIndex]]), so the
+    * per-batch cost is O(batch + collisions) and the corpus text is
+    * never re-read, let alone re-shingled (pinned by spec: the probe
+    * plan scans only the three index frames). Probe hyperparameters
+    * (hash count, banding, shingle width, seed, hash mode) come FROM the
+    * index, so a mismatched probe is impossible by construction — the
+    * same params-travel-with-the-artifact convention as
+    * [[Sketches]]. `idCol`/`textCol` must name the batch's columns; the
+    * index frames carry the id column name they were built with. */
+  def incrementalSurvivors(batch: DataFrame, index: MinhashIndex,
+                           idCol: String, textCol: String,
+                           threshold: Double): DataFrame = {
     val h = md5(col(textCol).cast("binary"))
     // (a) exact: any corpus twin, or a smaller-id batch twin
     val bh = batch.withColumn("__h", h)
-    val corpusHashes = corpus.select(h.as("__h")).distinct()
+    val corpusHashes = index.hashes
+      .select(col("content_hash").as("__h")).distinct()
     val minPerHash = bh.groupBy(col("__h")).agg(min(col(idCol)).as("__keep"))
     val exactKept = bh
       .join(corpusHashes, Seq("__h"), "left_anti")
       .join(minPerHash, Seq("__h"))
       .filter(col(idCol) === col("__keep"))
       .drop("__h", "__keep")
-    // (b) near: one signature pass per side (cached: each feeds a bucket
-    // join and a verify join), candidates only inside colliding buckets
-    val sigB = minhashSignatures(exactKept, idCol, textCol, numHashes,
-      shingleSize, seed, mode).cache()
-    val sigC = minhashSignatures(corpus, idCol, textCol, numHashes,
-      shingleSize, seed, mode).cache()
-    val rpb = numHashes / bands
-    val bb = minhashBuckets(sigB, idCol, bands, rpb, mode)
-    val cb = minhashBuckets(sigC, idCol, bands, rpb, mode)
+    // (b) near: one BATCH signature pass (cached — it feeds the batch
+    // bucket join, the batch-vs-batch join, and two verify joins); the
+    // CORPUS side comes straight from the index frames, each a
+    // single-consumer scan of the materialized artifact — no cache, no
+    // recompute, candidates only inside colliding buckets
+    val sigB = minhashSignatures(exactKept, idCol, textCol,
+      index.numHashes, index.shingleSize, index.seed, index.mode).cache()
+    val sigC = index.signatures
+    val rpb = index.numHashes / index.bands
+    val bb = minhashBuckets(sigB, idCol, index.bands, rpb, index.mode)
+    val cb = index.buckets
+    val numHashes = index.numHashes
     def est(sa: Column, sb: Column): Column =
       graft.plans.VectorExpressions.vectorEqCount(sa, sb)
         .cast("double") / numHashes
@@ -281,6 +306,89 @@ object Dedup {
       .select(col("id_b").as(idCol))
     exactKept.join(dropVsCorpus.union(dropVsBatch).distinct(),
       Seq(idCol), "left_anti")
+  }
+
+  // ----------------------------------------- materialized corpus index
+
+  /** Materialized minhash corpus index — the frames the incremental
+    * probe consumes, built once when the corpus lands:
+    *  - `hashes`     (id, content_hash)  — the exact-dedup stage
+    *  - `signatures` (id, signature)     — the near-dup verify stage
+    *  - `buckets`    (id, band, bucket)  — the LSH candidate stage
+    * plus the build hyperparameters, so a probe can never run with
+    * mismatched banding/seeds (they travel WITH the artifact, stamped in
+    * the signature column's metadata on disk — the [[Sketches]]
+    * convention). */
+  final case class MinhashIndex(hashes: DataFrame, signatures: DataFrame,
+                                buckets: DataFrame, numHashes: Int,
+                                bands: Int, shingleSize: Int, seed: Long,
+                                mode: HashMode)
+
+  /** Build the index frames in one corpus pass (signatures are cached —
+    * they feed both the bucket derivation and the verify join; same
+    * plan-lifetime cache convention as [[minhashPairs]]). */
+  def buildMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 16,
+                        shingleSize: Int = 3, seed: Long = 42L,
+                        mode: HashMode = HashMode.Xx): MinhashIndex = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val hashes = corpus.select(col(idCol),
+      md5(col(textCol).cast("binary")).as("content_hash"))
+    val sigs = minhashSignatures(corpus, idCol, textCol, numHashes,
+      shingleSize, seed, mode).cache()
+    MinhashIndex(hashes, sigs,
+      minhashBuckets(sigs, idCol, bands, numHashes / bands, mode),
+      numHashes, bands, shingleSize, seed, mode)
+  }
+
+  private def modeName(m: HashMode): String = m match {
+    case HashMode.Xx => "xx"
+    case HashMode.Md5 => "md5"
+  }
+
+  /** Write the corpus index as three parquet dirs (`hashes/`,
+    * `signatures/`, `buckets/`) under `path` — the write-once half of
+    * the write-once / probe-per-batch split. The build hyperparameters
+    * are stamped into the signature column's metadata so
+    * [[readMinhashIndex]] reconstructs them from the artifact itself. */
+  def writeMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        path: String, numHashes: Int = 64, bands: Int = 16,
+                        shingleSize: Int = 3, seed: Long = 42L,
+                        mode: HashMode = HashMode.Xx): Unit = {
+    val idx = buildMinhashIndex(corpus, idCol, textCol, numHashes, bands,
+      shingleSize, seed, mode)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("numHashes", numHashes).putLong("bands", bands)
+      .putLong("shingleSize", shingleSize).putLong("seed", seed)
+      .putString("hashMode", modeName(mode)).build()
+    idx.hashes.write.mode("overwrite").parquet(s"$path/hashes")
+    idx.signatures.select(col(idCol), col("signature").as("signature", meta))
+      .write.mode("overwrite").parquet(s"$path/signatures")
+    idx.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    idx.signatures.unpersist()
+  }
+
+  /** Read a [[writeMinhashIndex]] artifact back as probe-ready frames.
+    * Hyperparameters come from the stamped signature metadata; a path
+    * that is not a minhash index fails loudly here, not as a silent
+    * recall collapse in the probe. */
+  def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): MinhashIndex = {
+    val sigs = spark.read.parquet(s"$path/signatures")
+    val m = sigs.schema("signature").metadata
+    require(m.contains("numHashes") && m.contains("hashMode"),
+      s"$path/signatures carries no minhash-index metadata — " +
+        "was it written by writeMinhashIndex?")
+    val mode = m.getString("hashMode") match {
+      case "xx" => HashMode.Xx
+      case "md5" => HashMode.Md5
+      case other => throw new IllegalArgumentException(
+        s"unknown hashMode '$other' in index metadata at $path")
+    }
+    MinhashIndex(spark.read.parquet(s"$path/hashes"), sigs,
+      spark.read.parquet(s"$path/buckets"),
+      m.getLong("numHashes").toInt, m.getLong("bands").toInt,
+      m.getLong("shingleSize").toInt, m.getLong("seed"), mode)
   }
 
   // -------------------------------------------------------------- simhash
@@ -364,9 +472,16 @@ object Dedup {
     val sh = shingles(df, idCol, textCol, n).cache()
     val pruned = maxDocFreq match {
       case Some(cap) =>
-        val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df_count"))
-          .filter(col("df_count") <= cap).select("shingle")
-        sh.join(broadcast(freq), "shingle")
+        // broadcast the STOP set (df > cap) and anti-join — NOT the keep
+        // set: the keep set is nearly the whole shingle vocabulary
+        // (unbroadcastable at scale, and BENCH_r07 measured the
+        // multi-million-row broadcast hash relation costing more than the
+        // df² rows it saves), while the stop set is bounded by
+        // totalShingleRows / cap regardless of corpus size — only
+        // boilerplate/ubiquitous shingles ever exceed the cap
+        val stop = sh.groupBy("shingle").agg(count(lit(1)).as("df_count"))
+          .filter(col("df_count") > cap).select("shingle")
+        sh.join(broadcast(stop), Seq("shingle"), "left_anti")
       case None => sh
     }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
@@ -531,7 +646,12 @@ object Dedup {
     * (pos - row_number is constant within a consecutive run). Shuffles:
     * one on gram hash, one on doc — both keyed, no n² anything. Output:
     * (idCol, span_start, span_end, n_grams), token positions 0-based
-    * inclusive, span_end covering the last gram's tail. */
+    * inclusive, span_end covering the last gram's tail.
+    *
+    * CACHE LIFECYCLE: the intermediate gram frame is `cache()`d for the
+    * plan's lifetime (same convention as [[minhashPairs]]) — callers
+    * running many such queries in one session should
+    * `spark.catalog.clearCache()` between them (Bench/Verify do). */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 8, minDocs: Int = 2): DataFrame = {
     // the gram frame fans out into two consumers (the doc-frequency
@@ -571,9 +691,9 @@ object Dedup {
     * inclusive), rebuild each document's text without the tokens covered
     * by any of its spans. Pass [[repeatedSpans]] output directly for the
     * boilerplate-strip policy (remove every repeated passage everywhere);
-    * for keep-one-copy semantics, drop the occurrence to preserve from
-    * the span frame before cutting (it is just a DataFrame — e.g.
-    * anti-join the min-(id, span_start) row per repeated passage).
+    * for keep-one-copy semantics, pass the span frame through
+    * [[dropKeptOccurrence]] first (it anti-joins away the
+    * min-(id, span_start) occurrence per repeated passage).
     *
     * Output text is canonical whitespace (tokens re-joined with single
     * spaces) for EVERY doc, spanned or not — so the transform is
@@ -605,6 +725,41 @@ object Dedup {
       .withColumn("__toks", toks)
       .withColumn(textCol, rebuilt)
       .drop("__spans", "__toks")
+  }
+
+  /** Keep-one-copy span policy: drop, from a [[repeatedSpans]]-shaped
+    * span frame, the single occurrence to PRESERVE per repeated passage —
+    * the lexicographically first `(idCol, span_start)` among all spans
+    * covering identical token text — so that [[cutSpans]] on the result
+    * removes every repeat while one copy of each passage survives in the
+    * corpus. This is the policy training pipelines actually run
+    * (strip-everywhere, the [[cutSpans]]-on-raw-spans default, deletes
+    * the passage from the dataset entirely; keep-first preserves its
+    * content exactly once).
+    *
+    * Passage identity is the covered token text itself: two spans are
+    * occurrences of the same passage iff tokens
+    * `[span_start..span_end]` re-join to the same string. Scale shape:
+    * every step is span-frame-sized (span rows, not token rows — spans
+    * are a tiny fraction of the corpus by construction): one equi-join
+    * back to the docs to slice out each span's passage, one groupBy-min
+    * of `struct(id, span_start)` per passage, one anti-join. No windows,
+    * no n², nothing corpus-sized shuffles. */
+  def dropKeptOccurrence(df: DataFrame, idCol: String, textCol: String,
+                         spans: DataFrame): DataFrame = {
+    val withTxt = spans
+      .join(df.select(col(idCol), col(textCol)), Seq(idCol))
+      .withColumn("__passage", array_join(
+        slice(TextAnalysis.tokens(col(textCol)),
+          (col("span_start") + 1).cast("int"),
+          (col("span_end") - col("span_start") + 1).cast("int")), " "))
+      .drop(textCol)
+    val keep = withTxt.groupBy("__passage")
+      .agg(min(struct(col(idCol), col("span_start"))).as("__k"))
+      .select(col("__passage"), col("__k").getField(idCol).as(idCol),
+        col("__k").getField("span_start").as("span_start"))
+    withTxt.join(keep, Seq("__passage", idCol, "span_start"), "left_anti")
+      .drop("__passage")
   }
 
   /** Connected components over a near-dup pair set: (id, cluster) where

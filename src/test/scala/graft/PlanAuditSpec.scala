@@ -138,6 +138,22 @@ class PlanAuditSpec extends SparkTestBase {
       "a FileScan outside the cached gram frame means a second corpus scan:\n" + p)
   }
 
+  test("ngram stop-shingle prune anti-joins a BROADCAST stop set") {
+    // the prune's broadcast side must be the bounded STOP set (df > cap,
+    // at most totalShingleRows/cap entries), never the keep set — the
+    // keep set is nearly the whole shingle vocabulary and cannot be
+    // broadcast at 100 TB (and BENCH_r07 measured the keep-set broadcast
+    // losing to the unpruned join it exists to beat)
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+    val p = graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        threshold = 0.8, n = 3, maxDocFreq = Some(50))
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin [^\\n]*LeftAnti".r.findFirstIn(p).isDefined,
+      "expected a broadcast LeftAnti join against the stop set:\n" + p)
+    assert("SortMergeJoin [^\\n]*LeftAnti".r.findFirstIn(p).isEmpty,
+      "the stop-set anti-join must not shuffle the shingle frame:\n" + p)
+  }
+
   test("sk_bloom probes a broadcast filter (the semi-join reduction shape)") {
     val p = plan("sk_bloom")
     assert(p.contains("BroadcastHashJoin"),
