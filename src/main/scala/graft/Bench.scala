@@ -31,6 +31,10 @@ import org.apache.spark.sql.functions._
   *  - each query is timed min-of-N (N=3 default, SPARK_GRAFT_BENCH_RUNS;
   *    queries whose min lands under 0.5 s are topped up to min-of-5 —
   *    the sub-second noise floor needs more samples than the 1 s+ ones);
+  *  - crossover-rig contenders run INTERLEAVED ([[crossoverCohorts]]:
+  *    A,B,A,B,… in the same child) so JVM-lifetime drift hits every
+  *    contender equally, and every entry's [min, max] spread lands in
+  *    bench_out.json — a ratio is only as good as its error bars;
   *  - the JSON line records cpus + sf;
   *  - a query that throws is recorded as `"err"` (message, not a time).
   *
@@ -61,6 +65,7 @@ object Bench {
     "bench_lsh50k_brute", "bench_lsh50k_lsh", "bench_lsh50k_ivf",
     "bench_lsh50k_q8",
     "bench_cc450k_driver", "bench_cc450k_dist", "bench_cc2m_dist",
+    "bench_cc2m_skew",
     "bench_dd50k_ngram", "bench_dd50k_ngram_pruned", "bench_dd50k_minhash",
     "bench_dd12k_ngram", "bench_dd12k_minhash",
     "dd_clusters", "dd_survivors_exact", "dd_minhash_pairs",
@@ -110,6 +115,11 @@ object Bench {
   private val Cc450kSize = 46
   private val Cc2mNodes = 2050000L   // chain components of 41 -> 2M edges
   private val Cc2mSize = 41
+  // skew twin of cc2m: same node count and ~same edge count, but 80% of
+  // the space is ONE hub-and-spoke component — the star-center skew hot
+  // spot the contraction docs flag, measured against the uniform-chain
+  // control (bench_cc2m_dist)
+  private val CcSkewFrac = 0.8
   private val Dd50kDocs = 50000L
   // quarter-size twin corpus: timing both contenders at 12.5k AND 50k
   // docs turns the "boilerplate df² is quadratic, minhash is linear"
@@ -187,6 +197,9 @@ object Bench {
   private def cc2m(s: SparkSession): DataFrame =
     setup(s, "cc2m")(graft.operators.Dedup
       .syntheticComponentEdges(s, Cc2mNodes, Cc2mSize))
+  private def ccSkew(s: SparkSession): DataFrame =
+    setup(s, "ccskew")(graft.operators.Dedup
+      .syntheticSkewedEdges(s, Cc2mNodes, CcSkewFrac, Cc2mSize))
 
   private def dd50k(s: SparkSession): DataFrame =
     setup(s, "dd50k")(graft.operators.Dedup
@@ -264,6 +277,11 @@ object Bench {
       // 2M edges: the probe short-circuits past the gate and the
       // distributed path runs as it would on a 1000-executor cluster
       graft.operators.Dedup.connectedComponents(cc2m(s))),
+    "bench_cc2m_skew" -> ((s, _) =>
+      // same scale, one giant star-heavy component: the rounds funnel
+      // 1.6M edges through the component-min key — the skew hot spot,
+      // timed against the uniform-chain control above
+      graft.operators.Dedup.connectedComponents(ccSkew(s))),
     "bench_cc_guard" -> ((s, _) => setup(s, "guard_cc") {
       // (a) both paths compute the same fixpoint on the 450k graph.
       // Coverage first: an inner join alone would silently SKIP ids one
@@ -296,8 +314,18 @@ object Bench {
       if (rounds > bound) throw new IllegalStateException(
         s"distributed CC took $rounds rounds on a diameter-$diameter " +
           s"graph — above the ceil(log2)+3 bound of $bound")
+      // (c) the skew rig contracts to the planted structure: one giant
+      // star component + exactly the chain components of the remainder
+      // (a skew-mangled contraction would split or merge components)
+      val nStar = (Cc2mNodes * CcSkewFrac).toLong
+      val expectedComps = 1 + (Cc2mNodes - nStar + Cc2mSize - 1) / Cc2mSize
+      val skewComps = graft.operators.Dedup.connectedComponents(ccSkew(s))
+        .agg(countDistinct(col("cluster"))).head().getLong(0)
+      if (skewComps != expectedComps) throw new IllegalStateException(
+        s"skew rig produced $skewComps components, expected $expectedComps")
       s.range(1).select(lit(mismatches).as("label_mismatches"),
-        lit(rounds).as("dist_rounds"), lit(bound).as("round_bound"))
+        lit(rounds).as("dist_rounds"), lit(bound).as("round_bound"),
+        lit(skewComps).as("skew_components"))
     }),
     // ---- dedup: exact inverted-index Jaccard (naive + stop-shingle
     // pruned) vs banded minhash LSH, on a boilerplate-contaminated corpus
@@ -346,6 +374,29 @@ object Bench {
     }),
   )
 
+  /** One timed entry: minimum (the reported number) plus the maximum
+    * across runs — the spread. Round-7 lesson: untouched >1 s queries
+    * swung ±50% between rounds in supposedly isolated children, so a
+    * single min with no stated spread over-promises precision; the full
+    * artifact now carries [min, max] per entry. */
+  final case class QTime(name: String, secs: Double, maxSecs: Double,
+                         err: Option[String])
+
+  /** Crossover cohorts: the contenders of one rig, timed INTERLEAVED —
+    * A,B,A,B,… in the same child JVM, min (and max) per contender —
+    * instead of sequential min-of-N blocks. JVM-lifetime drift (JIT
+    * recompilation tiers, heap growth, GC mode shifts) then lands on
+    * every contender equally rather than biasing whichever block ran
+    * later, which is what puts error bars on a crossover RATIO. */
+  private[graft] val crossoverCohorts: Seq[Seq[String]] = Seq(
+    Seq("bench_lsh50k_brute", "bench_lsh50k_lsh", "bench_lsh50k_ivf",
+      "bench_lsh50k_q8"),
+    Seq("bench_cc450k_driver", "bench_cc450k_dist"),
+    Seq("bench_cc2m_dist", "bench_cc2m_skew"),
+    Seq("bench_dd50k_ngram", "bench_dd50k_ngram_pruned",
+      "bench_dd50k_minhash"),
+    Seq("bench_dd12k_ngram", "bench_dd12k_minhash"))
+
   private def extrasEnabled: Boolean =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRAS", "1") != "0"
 
@@ -374,66 +425,73 @@ object Bench {
   /** The compact line printed to stdout. Pure function of the results so a
     * spec can pin its length below the harness's stdout-tail window.
     */
-  def renderCompact(results: Seq[(String, Double, Option[String])],
+  def renderCompact(results: Seq[QTime],
                     sfDir: String, cpus: String, runs: Int,
                     mode: String = "fork_per_family",
                     outPath: String = "bench_out.json"): String = {
-    val byName = results.map(r => r._1 -> r).toMap
+    val byName = results.map(r => r.name -> r).toMap
     val shown = headline.filter(byName.contains)
     val shownSet = shown.toSet
     val qs = shown.map { name =>
-      val (_, t, err) = byName(name)
-      jstr(name) + ":" + err.fold(f3(t))(m => jstr(m.take(60)))
+      val r = byName(name)
+      jstr(name) + ":" + r.err.fold(f3(r.secs))(m => jstr(m.take(60)))
     }.mkString("{", ",", "}")
     // family rollup over the non-headline remainder, keyed by name prefix
-    val fams = results.filterNot(r => shownSet.contains(r._1))
-      .groupBy(_._1.takeWhile(_ != '_'))
+    val fams = results.filterNot(r => shownSet.contains(r.name))
+      .groupBy(_.name.takeWhile(_ != '_'))
       .toSeq.sortBy(_._1)
-      .map { case (fam, rs) => jstr(fam) + ":" + f3(rs.map(_._2).sum) }
+      .map { case (fam, rs) => jstr(fam) + ":" + f3(rs.map(_.secs).sum) }
       .mkString("{", ",", "}")
-    val nErr = results.count(_._3.isDefined)
-    val total = results.collect { case (_, t, None) => t }.sum
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,$fastRunsFields"timing":"min_of_runs","mode":${jstr(mode)},"n_err":$nErr,"full":${jstr(outPath)}}"""
+    val nErr = results.count(_.err.isDefined)
+    val total = results.collect { case QTime(_, t, _, None) => t }.sum
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs)}"timing":"min_of_runs","crossovers":"interleaved","mode":${jstr(mode)},"n_err":$nErr,"full":${jstr(outPath)}}"""
   }
 
   // the artifact must describe its own methodology: queries whose min is
   // under StableMinSeconds are topped up to min-of-5, and a reader
-  // comparing round-over-round minima needs to know which regime applied
-  private def fastRunsFields: String =
-    s""""runs_fast":5,"fast_cutoff_s":$StableMinSeconds,"""
+  // comparing round-over-round minima needs to know which regime
+  // applied. With runs >= 5 the top-up never fires — emitting the
+  // fields then would describe a methodology that never ran
+  private def fastRunsFields(runs: Int): String =
+    if (runs < 5) s""""runs_fast":5,"fast_cutoff_s":$StableMinSeconds,"""
+    else ""
 
-  /** Full-precision, every-query line written to bench_out.json. */
-  def renderFull(results: Seq[(String, Double, Option[String])],
+  /** Full-precision, every-query line written to bench_out.json — the
+    * committed artifact. `spread` carries [min, max] seconds per entry
+    * so a reader can see each number's run-to-run stability instead of
+    * trusting a bare minimum. */
+  def renderFull(results: Seq[QTime],
                  sfDir: String, cpus: String, runs: Int,
                  mode: String = "fork_per_family"): String = {
-    val qs = results.map { case (name, t, err) =>
-      jstr(name) + ":" + err.fold(t.toString)(m => jstr(m))
+    val qs = results.map { r =>
+      jstr(r.name) + ":" + r.err.fold(r.secs.toString)(m => jstr(m))
     }.mkString("{", ",", "}")
-    val nErr = results.count(_._3.isDefined)
-    val total = results.collect { case (_, t, None) => t }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"runs":$runs,$fastRunsFields"timing":"min_of_runs","mode":${jstr(mode)},"n_err":$nErr}"""
+    val spread = results.filter(_.err.isEmpty)
+      .map(r => jstr(r.name) + s":[${r.secs},${r.maxSecs}]")
+      .mkString("{", ",", "}")
+    val nErr = results.count(_.err.isDefined)
+    val total = results.collect { case QTime(_, t, _, None) => t }.sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs)}"timing":"min_of_runs","crossovers":"interleaved","mode":${jstr(mode)},"n_err":$nErr}"""
   }
 
   // ---------------------------------------------------------------------
-  // Child result protocol: name \t seconds \t sanitized-error (optional).
-  // Flat on purpose — no parser on the parent side, and a torn write
-  // (missing column) fails loudly instead of merging garbage.
+  // Child result protocol: name \t min-sec \t max-sec \t sanitized-error
+  // (optional). Flat on purpose — no parser on the parent side, and a
+  // torn write (missing column) fails loudly instead of merging garbage.
   // ---------------------------------------------------------------------
 
-  private[graft] def renderTsv(
-      results: Seq[(String, Double, Option[String])]): String =
-    results.map { case (n, t, err) =>
-      val e = err.map(_.replaceAll("[\\t\\n\\r]", " ")).getOrElse("")
-      s"$n\t$t\t$e"
+  private[graft] def renderTsv(results: Seq[QTime]): String =
+    results.map { r =>
+      val e = r.err.map(_.replaceAll("[\\t\\n\\r]", " ")).getOrElse("")
+      s"${r.name}\t${r.secs}\t${r.maxSecs}\t$e"
     }.mkString("", "\n", "\n")
 
-  private[graft] def parseTsv(
-      text: String): Seq[(String, Double, Option[String])] =
+  private[graft] def parseTsv(text: String): Seq[QTime] =
     text.linesIterator.filter(_.nonEmpty).map { line =>
       val parts = line.split("\t", -1)
-      require(parts.length == 3, s"malformed bench TSV line: $line")
-      (parts(0), parts(1).toDouble,
-        if (parts(2).isEmpty) None else Some(parts(2)))
+      require(parts.length == 4, s"malformed bench TSV line: $line")
+      QTime(parts(0), parts(1).toDouble, parts(2).toDouble,
+        if (parts(3).isEmpty) None else Some(parts(3)))
     }.toSeq
 
   // ---------------------------------------------------------------------
@@ -445,7 +503,7 @@ object Bench {
   private val StableMinSeconds = 0.5
 
   private def runInProcess(sfDir: String, cpus: String, runs: Int,
-      only: Option[Set[String]]): Seq[(String, Double, Option[String])] = {
+      only: Option[Set[String]]): Seq[QTime] = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -472,39 +530,61 @@ object Bench {
         synth50k(spark); synthCentroids(spark)
         synthIvfLists(spark); synthQ8(spark)
       }
-      if (inScope("bench_cc")) { cc450k(spark); cc2m(spark) }
+      if (inScope("bench_cc")) { cc450k(spark); cc2m(spark); ccSkew(spark) }
       if (inScope("bench_dd")) { dd50k(spark); dd12k(spark) }
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 
-    val results = allBenchQueries.toSeq.sortBy(_._1)
+    val selected = allBenchQueries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        var err: Option[String] = None
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch {
-            case e: Throwable =>
-              err = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
-          }
-          val dt = (System.nanoTime() - t0) / 1e9
-          // drop any cache an operator built for this plan before the next
-          // query (or the next run) is timed
-          spark.catalog.clearCache()
-          dt
+    val byName = selected.toMap
+    // group the selected queries into timing units: a crossover cohort
+    // (intersected with the selection) is one unit — its members run
+    // round-robin so every contender samples the same JVM lifetime —
+    // and every other query is its own single-member unit. Units keep
+    // the alphabetical anchor position of their first member.
+    val inCohort = crossoverCohorts.flatten.toSet
+    val seen = scala.collection.mutable.Set.empty[String]
+    val units: Seq[Seq[String]] = selected.map(_._1).flatMap { name =>
+      if (seen(name)) None
+      else if (inCohort(name)) {
+        val unit = crossoverCohorts.find(_.contains(name)).get
+          .filter(byName.contains)
+        unit.foreach(seen += _)
+        Some(unit)
+      } else { seen += name; Some(Seq(name)) }
+    }
+    val results = units.flatMap { unit =>
+      val errs = scala.collection.mutable.Map.empty[String, String]
+      val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+        .withDefaultValue(Vector.empty)
+      def once(name: String): Unit = {
+        val t0 = System.nanoTime()
+        try { byName(name)(spark, sfDir).count() } catch {
+          case e: Throwable => errs.getOrElseUpdate(name,
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
         }
-        val base = (1 to runs).map(_ => once())
-        // sub-0.5 s minimums sit at the fresh-JVM noise floor (round-6
-        // lesson: untouched ~200 ms queries swung ±0.2 s round-over-
-        // round under min-of-3) — top those up to min-of-5 so the extra
-        // samples absorb scheduler/JIT jitter. Costs at most 1 s per
-        // fast query; slow queries keep the configured run count.
-        val times =
-          if (err.isEmpty && base.min < StableMinSeconds && runs < 5)
-            base ++ (1 to (5 - runs)).map(_ => once())
-          else base
-        (name, times.min, err)
+        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        // drop any cache an operator built for this plan before the next
+        // query (or the next run) is timed
+        spark.catalog.clearCache()
       }
+      // interleave: run index outermost, so cohort contenders alternate
+      for (_ <- 1 to runs; name <- unit) once(name)
+      // sub-0.5 s minimums sit at the fresh-JVM noise floor (round-6
+      // lesson: untouched ~200 ms queries swung ±0.2 s round-over-
+      // round under min-of-3) — top those up to min-of-5 so the extra
+      // samples absorb scheduler/JIT jitter. Per-name, so one fast
+      // member never forces extra runs of a cohort's expensive
+      // contenders (cohort entries are seconds-scale by design and
+      // stay at the configured count).
+      for (name <- unit
+           if !errs.contains(name) && runs < 5 &&
+             times(name).min < StableMinSeconds;
+           _ <- 1 to (5 - runs)) once(name)
+      unit.map(name => QTime(name, times(name).min, times(name).max,
+        errs.get(name)))
+    }
     spark.stop()
     results
   }
@@ -589,7 +669,7 @@ object Bench {
     * timeout, unreadable TSV) and the family must be re-run in-process. */
   private def runChild(javaBin: String, jvmArgs: Seq[String], cp: String,
       fam: String, names: Seq[String], sfDir: String, cpus: String,
-      runs: Int, logDir: Path): Option[Seq[(String, Double, Option[String])]] = {
+      runs: Int, logDir: Path): Option[Seq[QTime]] = {
     val tsv = logDir.resolve(s"bench_$fam.tsv")
     val log = logDir.resolve(s"bench_$fam.log")
     Files.deleteIfExists(tsv)
@@ -611,7 +691,7 @@ object Bench {
       if (p.exitValue() != 0) return None
       val parsed = parseTsv(Files.readString(tsv))
       // a child that silently timed nothing is a failure, not an answer
-      if (parsed.map(_._1).toSet == names.toSet) Some(parsed) else None
+      if (parsed.map(_.name).toSet == names.toSet) Some(parsed) else None
     } catch { case _: Throwable => None }
   }
 
@@ -622,7 +702,7 @@ object Bench {
     * promises — the artifact must say so), "shared_session" when forking
     * was unavailable entirely. */
   private def runForked(sfDir: String, cpus: String,
-      runs: Int): (Seq[(String, Double, Option[String])], String) = {
+      runs: Int): (Seq[QTime], String) = {
     val names = allBenchQueries.keys.toSeq.sorted
     val fams = names.groupBy(_.takeWhile(_ != '_')).toSeq.sortBy(_._1)
     val cp = forkClasspath()
@@ -634,7 +714,7 @@ object Bench {
     val logDir = Paths.get("target", "bench-fork")
     Files.createDirectories(logDir)
     val jvmArgs = childJvmArgs()
-    val buf = Seq.newBuilder[(String, Double, Option[String])]
+    val buf = Seq.newBuilder[QTime]
     val failed = Seq.newBuilder[String]
     for ((fam, qs) <- fams) {
       val t0 = System.nanoTime()
@@ -655,7 +735,7 @@ object Bench {
       buf ++= runInProcess(sfDir, cpus, runs, Some(leftover.toSet))
     val mode =
       if (leftover.isEmpty) "fork_per_family" else "fork_per_family_partial"
-    (buf.result().sortBy(_._1), mode)
+    (buf.result().sortBy(_.name), mode)
   }
 
   // ---------------------------------------------------------------------

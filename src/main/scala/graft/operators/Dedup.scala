@@ -1023,6 +1023,50 @@ object Dedup {
       .select(perm(col("id")).as("id_a"), perm(col("id") + 1).as("id_b"))
   }
 
+  /** Deterministic synthetic edge set with ONE giant star-heavy
+    * component — the skew rig for star contraction's documented hot
+    * spot: a huge component's minimum accumulates degree ~ component
+    * size as the rounds re-point edges at it, concentrating one join
+    * key's rows on one reducer (see the AQE note in
+    * [[connectedComponentsFromEdges]]).
+    *
+    * Structure: `starFrac` of the node space forms a single
+    * hub-and-spoke star. The hub is the permuted image of the MIDDLE
+    * star index — not index 0, whose image is always node 0 (the global
+    * minimum): a star already centered on its component min is the
+    * contraction's fixpoint and would exercise nothing. With a
+    * mid-index hub the min is almost surely some spoke, so the rounds
+    * must re-point every spoke edge across the skewed key. The rest of
+    * the node space forms worst-case chains of `componentSize`, exactly
+    * as [[syntheticComponentEdges]] — so a uniform-chain graph of the
+    * same edge count is the natural control.
+    *
+    * Entirely narrow (spark.range → project/filter, no shuffle); bench
+    * callers `localCheckpoint()` before timing. Output: (id_a, id_b),
+    * `nStar - 1` star edges + the chain edges over the remainder. */
+  def syntheticSkewedEdges(spark: org.apache.spark.sql.SparkSession,
+                           nNodes: Long, starFrac: Double = 0.8,
+                           componentSize: Int = 41): DataFrame = {
+    require(starFrac > 0.0 && starFrac < 1.0, "starFrac must be in (0,1)")
+    require(componentSize >= 2, "componentSize must be at least 2")
+    val nStar = (nNodes * starFrac).toLong
+    require(nStar >= 2 && nNodes - nStar >= componentSize,
+      "need a non-trivial star AND at least one full chain")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val m = Iterator.iterate(1000003L)(_ + 2)
+      .find(c => gcd(c, nNodes) == 1).get
+    def perm(c: Column): Column = pmod(c * m, lit(nNodes))
+    val hubIdx = nStar / 2
+    val hubId = java.lang.Math.floorMod(hubIdx * m, nNodes)
+    val star = spark.range(nStar).filter(col("id") =!= hubIdx)
+      .select(lit(hubId).as("id_a"), perm(col("id")).as("id_b"))
+    val chains = spark.range(nStar, nNodes - 1)
+      .filter((col("id") - nStar + 1) % componentSize =!= 0)
+      .select(perm(col("id")).as("id_a"), perm(col("id") + 1).as("id_b"))
+    star.union(chains)
+  }
+
   /** Deterministic synthetic near-duplicate text corpus — the scale rig
     * for measuring the minhash-banded-LSH vs inverted-index-exact-Jaccard
     * dedup crossover on a corpus far larger than sf0.1's 500 docs.

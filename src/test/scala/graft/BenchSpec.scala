@@ -18,7 +18,8 @@ class BenchSpec extends AnyFunSuite {
     try {
       Locale.setDefault(Locale.FRANCE) // 1,235 instead of 1.235 if naive
       val line = Bench.renderCompact(
-        Seq(("q1_agg", 1.23456, None), ("zz_other", 2.0, None)),
+        Seq(Bench.QTime("q1_agg", 1.23456, 1.3, None),
+          Bench.QTime("zz_other", 2.0, 2.0, None)),
         "sf", "4", 1)
       val tree = mapper.readTree(line) // throws on 1,235
       assert(math.abs(tree.get("value").asDouble() - 3.235) < 1e-9)
@@ -32,7 +33,8 @@ class BenchSpec extends AnyFunSuite {
     try {
       Locale.setDefault(Locale.GERMANY)
       val line = Bench.renderFull(
-        Seq(("a_q", 0.123456789, None), ("b_q", 1.0, Some("boom"))),
+        Seq(Bench.QTime("a_q", 0.123456789, 0.2, None),
+          Bench.QTime("b_q", 1.0, 1.0, Some("boom"))),
         "sf", "32", 3)
       val tree = mapper.readTree(line)
       assert(tree.get("queries").get("a_q").asDouble() > 0.123)
@@ -42,7 +44,8 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("compact line records the execution mode and the full-dump path") {
-    val line = Bench.renderCompact(Seq(("q1_agg", 1.0, None)), "sf", "4",
+    val line = Bench.renderCompact(
+      Seq(Bench.QTime("q1_agg", 1.0, 1.0, None)), "sf", "4",
       1, mode = "fork_per_family", outPath = "custom_out.json")
     val tree = mapper.readTree(line)
     assert(tree.get("mode").asText() == "fork_per_family")
@@ -51,17 +54,19 @@ class BenchSpec extends AnyFunSuite {
 
   test("TSV child protocol round-trips, sanitizing tabs/newlines in errors") {
     val results = Seq(
-      ("q_ok", 1.5, None),
-      ("q_err", 0.25, Some("Spark\tException:\nline1\rline2")))
+      Bench.QTime("q_ok", 1.5, 1.8, None),
+      Bench.QTime("q_err", 0.25, 0.25,
+        Some("Spark\tException:\nline1\rline2")))
     val parsed = Bench.parseTsv(Bench.renderTsv(results))
-    assert(parsed.map(r => (r._1, r._2)) == Seq(("q_ok", 1.5), ("q_err", 0.25)))
-    assert(parsed(0)._3.isEmpty)
-    assert(parsed(1)._3.contains("Spark Exception: line1 line2"))
+    assert(parsed.map(r => (r.name, r.secs, r.maxSecs)) ==
+      Seq(("q_ok", 1.5, 1.8), ("q_err", 0.25, 0.25)))
+    assert(parsed(0).err.isEmpty)
+    assert(parsed(1).err.contains("Spark Exception: line1 line2"))
   }
 
   test("malformed TSV fails loudly instead of merging garbage") {
     intercept[IllegalArgumentException] {
-      Bench.parseTsv("q_torn\t1.5\n") // missing error column
+      Bench.parseTsv("q_torn\t1.5\t1.6\n") // missing error column
     }
   }
 
@@ -109,15 +114,52 @@ class BenchSpec extends AnyFunSuite {
     assert(args.forall(a => a.startsWith("-")))
   }
 
+  test("full render carries the [min,max] spread per successful entry") {
+    val line = Bench.renderFull(
+      Seq(Bench.QTime("a_q", 1.5, 1.9, None),
+        Bench.QTime("b_q", 1.0, 1.0, Some("boom"))),
+      "sf", "32", 3)
+    val tree = mapper.readTree(line)
+    val sp = tree.get("spread")
+    assert(sp.get("a_q").get(0).asDouble() == 1.5)
+    assert(sp.get("a_q").get(1).asDouble() == 1.9)
+    // an errored entry has no meaningful spread
+    assert(sp.get("b_q") == null)
+    assert(tree.get("crossovers").asText() == "interleaved")
+  }
+
+  test("fast-runs fields describe only a methodology that actually ran") {
+    // the sub-0.5s top-up to min-of-5 fires only when runs < 5: with
+    // runs >= 5 the fields would describe a regime that never applied
+    val topped = Bench.renderCompact(
+      Seq(Bench.QTime("q1_agg", 1.0, 1.0, None)), "sf", "4", 3)
+    assert(topped.contains("\"runs_fast\":5"))
+    val flat = Bench.renderCompact(
+      Seq(Bench.QTime("q1_agg", 1.0, 1.0, None)), "sf", "4", 5)
+    assert(!flat.contains("runs_fast"))
+    assert(mapper.readTree(flat).get("runs").asInt() == 5)
+  }
+
+  test("crossover cohorts name real bench entries, each in one cohort") {
+    val all = Bench.crossoverCohorts.flatten
+    assert(all.distinct == all, "a query may belong to only one cohort")
+    assert(all.toSet.subsetOf(Bench.allBenchQueries.keySet),
+      "cohorts must reference existing queries — a rename here silently " +
+        "de-interleaves the rig")
+    // every cohort is a real A/B comparison
+    assert(Bench.crossoverCohorts.forall(_.size >= 2))
+  }
+
   test("bench-only extras exist and are disjoint from the driver contract") {
     val extras = Bench.extraQueries.keySet
     assert(extras == Set(
       // ANN crossover rig: 4 contenders + recall guard
       "bench_lsh50k_brute", "bench_lsh50k_lsh", "bench_lsh50k_ivf",
       "bench_lsh50k_q8", "bench_lsh50k_recall",
-      // CC crossover rig: driver vs distributed + equality/round guard
+      // CC crossover rig: driver vs distributed + equality/round guard,
+      // plus the star-heavy skew twin of the 2M-edge graph
       "bench_cc450k_driver", "bench_cc450k_dist", "bench_cc2m_dist",
-      "bench_cc_guard",
+      "bench_cc2m_skew", "bench_cc_guard",
       // dedup crossover rig: naive/pruned exact vs minhash + recall
       // guard, plus quarter-size twins for the scaling-exponent ratio
       "bench_dd50k_ngram", "bench_dd50k_ngram_pruned",

@@ -349,6 +349,32 @@ class DedupSpec extends SparkTestBase {
     assert(rounds <= 7, s"diameter-9 chains took $rounds rounds")
   }
 
+  test("syntheticSkewedEdges plants one giant star component plus chains") {
+    val g = Dedup.syntheticSkewedEdges(spark, nNodes = 100,
+      starFrac = 0.8, componentSize = 10)
+    val edges = g.as[(Long, Long)].collect()
+    // 79 star edges + 2 chains of 10 over the remaining 20 nodes
+    assert(edges.length == 79 + 18)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(nodes == (0L until 100L).toSet,
+      "the permutation must cover the node space exactly")
+    // the hub carries star-wide degree and must NOT be the component
+    // minimum (a star already centered on its min is the fixpoint and
+    // would exercise no skewed re-pointing)
+    val hub = edges.groupBy(_._1).maxBy(_._2.length)._1
+    assert(edges.count(_._1 == hub) == 79)
+    assert(hub != 0L)
+    // both CC paths agree and find {star 80, chain 10, chain 10}
+    val drv = Dedup.connectedComponents(g).as[(Long, Long)].collect()
+    val dst = Dedup.connectedComponents(g, smallGraphThreshold = 0)
+      .as[(Long, Long)].collect()
+    assert(drv.toMap == dst.toMap)
+    val sizes = drv.groupBy(_._2).map(_._2.length).toSeq.sorted
+    assert(sizes == Seq(10, 10, 80))
+    // the star's label is its min member (node 0 is a spoke), not the hub
+    assert(drv.toMap.apply(hub) == 0L)
+  }
+
   test("syntheticNearDupCorpus plants near-dup families at the stated rate") {
     val c = Dedup.syntheticNearDupCorpus(spark, nDocs = 40, familySize = 4,
       docLen = 60, mutationRate = 0.01)

@@ -56,7 +56,7 @@ class EntryContractSpec extends SparkTestBase {
     // allBenchQueries = contract queries + bench-only extras: the line
     // must fit with EVERYTHING the bench can emit
     val results = Bench.allBenchQueries.keySet.toSeq.sorted
-      .map(n => (n, 123.456789, Option.empty[String]))
+      .map(n => Bench.QTime(n, 123.456789, 123.456789, None))
     val line = Bench.renderCompact(results, "/root/testdata/sf0.1", "32", 3)
     assert(line.length < 1800, s"compact bench line too long: ${line.length}")
     assert(line.startsWith("{") && line.endsWith("}"))
@@ -65,8 +65,8 @@ class EntryContractSpec extends SparkTestBase {
 
   test("bench line records a failing query as err, not a fast success") {
     val results = Seq(
-      ("q_ok", 1.0, None),
-      ("q_bad", 0.001, Some("SparkException: boom")))
+      Bench.QTime("q_ok", 1.0, 1.0, None),
+      Bench.QTime("q_bad", 0.001, 0.001, Some("SparkException: boom")))
     val compact = Bench.renderCompact(results, "sf", "4", 1)
     val full = Bench.renderFull(results, "sf", "4", 1)
     assert(compact.contains("\"n_err\":1"))
