@@ -317,8 +317,13 @@ object Bench {
       // (c) the skew rig contracts to the planted structure: one giant
       // star component + exactly the chain components of the remainder
       // (a skew-mangled contraction would split or merge components)
+      // expected = the star + one component per chain block holding at
+      // least 2 nodes (a remainder-1 block is a single edgeless node,
+      // which never appears in the pair frame and so never gets a label)
       val nStar = (Cc2mNodes * CcSkewFrac).toLong
-      val expectedComps = 1 + (Cc2mNodes - nStar + Cc2mSize - 1) / Cc2mSize
+      val rest = Cc2mNodes - nStar
+      val expectedComps =
+        1 + rest / Cc2mSize + (if (rest % Cc2mSize >= 2) 1 else 0)
       val skewComps = graft.operators.Dedup.connectedComponents(ccSkew(s))
         .agg(countDistinct(col("cluster"))).head().getLong(0)
       if (skewComps != expectedComps) throw new IllegalStateException(
@@ -444,7 +449,18 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count(_.err.isDefined)
     val total = results.collect { case QTime(_, t, _, None) => t }.sum
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs)}"timing":"min_of_runs","crossovers":"interleaved","mode":${jstr(mode)},"n_err":$nErr,"full":${jstr(outPath)}}"""
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs)}"timing":"min_of_runs",${crossoverField(results)}"mode":${jstr(mode)},"n_err":$nErr,"full":${jstr(outPath)}}"""
+  }
+
+  // same artifact-honesty rule as fastRunsFields: stamp the interleaved-
+  // crossover methodology only when at least one cohort actually ran
+  // with 2+ contenders in this result set (a BENCH_ONLY slice or an
+  // extras-off run times plain sequential min-of-N)
+  private def crossoverField(results: Seq[QTime]): String = {
+    val names = results.map(_.name).toSet
+    if (crossoverCohorts.exists(_.count(names) >= 2))
+      """"crossovers":"interleaved","""
+    else ""
   }
 
   // the artifact must describe its own methodology: queries whose min is
@@ -471,7 +487,7 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count(_.err.isDefined)
     val total = results.collect { case QTime(_, t, _, None) => t }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs)}"timing":"min_of_runs","crossovers":"interleaved","mode":${jstr(mode)},"n_err":$nErr}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs)}"timing":"min_of_runs",${crossoverField(results)}"mode":${jstr(mode)},"n_err":$nErr}"""
   }
 
   // ---------------------------------------------------------------------

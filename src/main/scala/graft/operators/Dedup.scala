@@ -255,6 +255,19 @@ object Dedup {
   def incrementalSurvivors(batch: DataFrame, index: MinhashIndex,
                            idCol: String, textCol: String,
                            threshold: Double): DataFrame = {
+    require(index.numHashes % index.bands == 0,
+      "bands must divide numHashes — a hand-built MinhashIndex with " +
+        "mismatched banding would silently drop signature lanes")
+    // the index frames carry the id column name THEY were built with —
+    // resolve it from the frames so a batch with a different id column
+    // name probes cleanly
+    val idxSigId = index.signatures.columns.find(_ != "signature")
+      .getOrElse(throw new IllegalArgumentException(
+        "index signatures frame has no id column"))
+    val idxBktId = index.buckets.columns
+      .find(c => c != "band" && c != "bucket")
+      .getOrElse(throw new IllegalArgumentException(
+        "index buckets frame has no id column"))
     val h = md5(col(textCol).cast("binary"))
     // (a) exact: any corpus twin, or a smaller-id batch twin
     val bh = batch.withColumn("__h", h)
@@ -283,13 +296,13 @@ object Dedup {
         .cast("double") / numHashes
     val dropVsCorpus = bb
       .select(col("band"), col("bucket"), col(idCol).as("__b"))
-      .join(cb.select(col("band"), col("bucket"), col(idCol).as("__c")),
+      .join(cb.select(col("band"), col("bucket"), col(idxBktId).as("__c")),
         Seq("band", "bucket"))
       .select("__b", "__c").distinct()
       .join(sigB.select(col(idCol).as("__b"), col("signature").as("sig_b")),
         "__b")
-      .join(sigC.select(col(idCol).as("__c"), col("signature").as("sig_c")),
-        "__c")
+      .join(sigC.select(col(idxSigId).as("__c"),
+        col("signature").as("sig_c")), "__c")
       .filter(est(col("sig_b"), col("sig_c")) >= threshold)
       .select(col("__b").as(idCol))
     val dropVsBatch = bb
@@ -376,9 +389,11 @@ object Dedup {
                        path: String): MinhashIndex = {
     val sigs = spark.read.parquet(s"$path/signatures")
     val m = sigs.schema("signature").metadata
-    require(m.contains("numHashes") && m.contains("hashMode"),
-      s"$path/signatures carries no minhash-index metadata — " +
-        "was it written by writeMinhashIndex?")
+    val needed = Seq("numHashes", "bands", "shingleSize", "seed", "hashMode")
+    val missing = needed.filterNot(m.contains)
+    require(missing.isEmpty,
+      s"$path/signatures is missing minhash-index metadata " +
+        s"${missing.mkString(", ")} — was it written by writeMinhashIndex?")
     val mode = m.getString("hashMode") match {
       case "xx" => HashMode.Xx
       case "md5" => HashMode.Md5
@@ -731,29 +746,39 @@ object Dedup {
     * span frame, the single occurrence to PRESERVE per repeated passage —
     * the lexicographically first `(idCol, span_start)` among all spans
     * covering identical token text — so that [[cutSpans]] on the result
-    * removes every repeat while one copy of each passage survives in the
-    * corpus. This is the policy training pipelines actually run
+    * keeps one copy of each distinct covered passage in the corpus.
+    * This is the policy training pipelines actually run
     * (strip-everywhere, the [[cutSpans]]-on-raw-spans default, deletes
     * the passage from the dataset entirely; keep-first preserves its
     * content exactly once).
     *
     * Passage identity is the covered token text itself: two spans are
     * occurrences of the same passage iff tokens
-    * `[span_start..span_end]` re-join to the same string. Scale shape:
-    * every step is span-frame-sized (span rows, not token rows — spans
-    * are a tiny fraction of the corpus by construction): one equi-join
-    * back to the docs to slice out each span's passage, one groupBy-min
-    * of `struct(id, span_start)` per passage, one anti-join. No windows,
-    * no n², nothing corpus-sized shuffles. */
+    * `[span_start..span_end]` re-join to the same string. Because
+    * [[repeatedSpans]] merges adjacent repeats into MAXIMAL spans per
+    * doc, a short repeat absorbed into a longer span in one doc but
+    * standing alone in another covers different text in the two docs —
+    * each is then its own passage group and both survive. That is the
+    * deliberate granularity choice: dedup at the level the span frame
+    * detected, not re-derived sub-passage matching.
+    *
+    * Scale shape: every step is span-frame-sized (span rows, not token
+    * rows — spans are a tiny fraction of the corpus by construction):
+    * one equi-join of the span frame against the docs' token arrays
+    * (tokenized ONCE per doc, before the fan-out to span rows), one
+    * groupBy-min of `struct(id, span_start)` per passage, one
+    * anti-join. No windows, no n², nothing corpus-sized shuffles. */
   def dropKeptOccurrence(df: DataFrame, idCol: String, textCol: String,
                          spans: DataFrame): DataFrame = {
+    val docToks = df.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__tk"))
     val withTxt = spans
-      .join(df.select(col(idCol), col(textCol)), Seq(idCol))
+      .join(docToks, Seq(idCol))
       .withColumn("__passage", array_join(
-        slice(TextAnalysis.tokens(col(textCol)),
+        slice(col("__tk"),
           (col("span_start") + 1).cast("int"),
           (col("span_end") - col("span_start") + 1).cast("int")), " "))
-      .drop(textCol)
+      .drop("__tk")
     val keep = withTxt.groupBy("__passage")
       .agg(min(struct(col(idCol), col("span_start"))).as("__k"))
       .select(col("__passage"), col("__k").getField(idCol).as(idCol),
@@ -1007,16 +1032,22 @@ object Dedup {
     * before timing. nNodes is bounded by m * n < 2^63 (n < ~9·10^12 at
     * the default multiplier) — far above any bench size.
     * Output: (id_a long, id_b long), nNodes - ceil(nNodes/size) edges. */
+  /** The odd multiplier of the rigs' id-scattering bijection
+    * `i -> i * m mod n`: first odd candidate >= 1e6 coprime with n — a
+    * fixed, reproducible rule shared by every synthetic rig so their id
+    * layouts stay comparable. Bounded by m * n < 2^63 (n < ~9·10^12). */
+  private def permMultiplier(nNodes: Long): Long = {
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    Iterator.iterate(1000003L)(_ + 2).find(c => gcd(c, nNodes) == 1).get
+  }
+
   def syntheticComponentEdges(spark: org.apache.spark.sql.SparkSession,
                               nNodes: Long,
                               componentSize: Int): DataFrame = {
     require(componentSize >= 2, "componentSize must be at least 2")
     require(nNodes >= componentSize, "need at least one full component")
-    @annotation.tailrec
-    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    // first odd candidate >= 1e6 coprime with n: a fixed, reproducible rule
-    val m = Iterator.iterate(1000003L)(_ + 2)
-      .find(c => gcd(c, nNodes) == 1).get
+    val m = permMultiplier(nNodes)
     def perm(c: Column): Column = pmod(c * m, lit(nNodes))
     spark.range(nNodes - 1)
       .filter((col("id") + 1) % componentSize =!= 0)
@@ -1052,10 +1083,7 @@ object Dedup {
     val nStar = (nNodes * starFrac).toLong
     require(nStar >= 2 && nNodes - nStar >= componentSize,
       "need a non-trivial star AND at least one full chain")
-    @annotation.tailrec
-    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    val m = Iterator.iterate(1000003L)(_ + 2)
-      .find(c => gcd(c, nNodes) == 1).get
+    val m = permMultiplier(nNodes)
     def perm(c: Column): Column = pmod(c * m, lit(nNodes))
     val hubIdx = nStar / 2
     val hubId = java.lang.Math.floorMod(hubIdx * m, nNodes)

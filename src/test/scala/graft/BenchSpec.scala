@@ -125,7 +125,25 @@ class BenchSpec extends AnyFunSuite {
     assert(sp.get("a_q").get(1).asDouble() == 1.9)
     // an errored entry has no meaningful spread
     assert(sp.get("b_q") == null)
-    assert(tree.get("crossovers").asText() == "interleaved")
+  }
+
+  test("crossovers field is stamped only when a cohort actually ran") {
+    // two contenders of one cohort present -> the interleaved
+    // methodology ran and the artifact says so
+    val cohortRun = Bench.renderFull(
+      Seq(Bench.QTime("bench_dd12k_ngram", 3.0, 3.2, None),
+        Bench.QTime("bench_dd12k_minhash", 2.8, 2.9, None)),
+      "sf", "32", 3)
+    assert(mapper.readTree(cohortRun)
+      .get("crossovers").asText() == "interleaved")
+    // a lone cohort member (BENCH_ONLY slice) or non-cohort queries ran
+    // plain sequential min-of-N — stamping "interleaved" would describe
+    // a methodology that never ran
+    val solo = Bench.renderFull(
+      Seq(Bench.QTime("bench_dd12k_ngram", 3.0, 3.2, None),
+        Bench.QTime("q1_agg", 1.0, 1.0, None)),
+      "sf", "32", 3)
+    assert(mapper.readTree(solo).get("crossovers") == null)
   }
 
   test("fast-runs fields describe only a methodology that actually ran") {
