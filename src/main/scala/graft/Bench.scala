@@ -400,7 +400,12 @@ object Bench {
     Seq("bench_cc2m_dist", "bench_cc2m_skew"),
     Seq("bench_dd50k_ngram", "bench_dd50k_ngram_pruned",
       "bench_dd50k_minhash"),
-    Seq("bench_dd12k_ngram", "bench_dd12k_minhash"))
+    Seq("bench_dd12k_ngram", "bench_dd12k_minhash"),
+    // contract-query twins the docs compare head-to-head: round 7's
+    // sim_topk 0.53->0.84 swing on untouched code is exactly the drift
+    // interleaving absorbs (members must share a fork family — spec'd)
+    Seq("sim_topk", "sim_topk_lsh", "sim_topk_q8"),
+    Seq("dd_embed_pairs", "dd_embed_lsh"))
 
   private def extrasEnabled: Boolean =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRAS", "1") != "0"

@@ -166,6 +166,12 @@ class BenchSpec extends AnyFunSuite {
         "de-interleaves the rig")
     // every cohort is a real A/B comparison
     assert(Bench.crossoverCohorts.forall(_.size >= 2))
+    // interleaving happens inside ONE child JVM, and children are cut by
+    // name-prefix family — a cohort spanning families would silently run
+    // its members in different processes, never interleaved
+    assert(Bench.crossoverCohorts.forall(c =>
+      c.map(_.takeWhile(_ != '_')).distinct.size == 1),
+      "cohort members must share a fork family")
   }
 
   test("bench-only extras exist and are disjoint from the driver contract") {
