@@ -359,6 +359,16 @@ object Dedup {
     case HashMode.Md5 => "md5"
   }
 
+  /** The stamped hyperparameter metadata (see [[writeMinhashIndex]]) —
+    * shared by the initial write and every append, so parquet schema
+    * resolution can read ANY file's footer and find the contract. */
+  private def indexMeta(numHashes: Int, bands: Int, shingleSize: Int,
+                        seed: Long, mode: HashMode) =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("numHashes", numHashes).putLong("bands", bands)
+      .putLong("shingleSize", shingleSize).putLong("seed", seed)
+      .putString("hashMode", modeName(mode)).build()
+
   /** Write the corpus index as three parquet dirs (`hashes/`,
     * `signatures/`, `buckets/`) under `path` — the write-once half of
     * the write-once / probe-per-batch split. The build hyperparameters
@@ -370,10 +380,7 @@ object Dedup {
                         mode: HashMode = HashMode.Xx): Unit = {
     val idx = buildMinhashIndex(corpus, idCol, textCol, numHashes, bands,
       shingleSize, seed, mode)
-    val meta = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong("numHashes", numHashes).putLong("bands", bands)
-      .putLong("shingleSize", shingleSize).putLong("seed", seed)
-      .putString("hashMode", modeName(mode)).build()
+    val meta = indexMeta(numHashes, bands, shingleSize, seed, mode)
     idx.hashes.write.mode("overwrite").parquet(s"$path/hashes")
     idx.signatures.select(col(idCol), col("signature").as("signature", meta))
       .write.mode("overwrite").parquet(s"$path/signatures")
@@ -405,6 +412,79 @@ object Dedup {
       m.getLong("numHashes").toInt, m.getLong("bands").toInt,
       m.getLong("shingleSize").toInt, m.getLong("seed"), mode)
   }
+
+  /** Append a probed batch's SURVIVORS to a written index — the third
+    * leg of the incremental cycle: [[writeMinhashIndex]] once when the
+    * corpus lands, [[incrementalSurvivors]] per batch, then this, so
+    * the NEXT batch dedups against the grown corpus (without it, every
+    * later batch would re-admit duplicates of earlier survivors). Only
+    * the survivors' own hash/signature/bucket rows are computed and
+    * appended as new parquet files — O(batch) work, the corpus-sized
+    * artifact is never rewritten. Hyperparameters come from the index
+    * metadata (appended rows are derived exactly like the originals),
+    * the SAME metadata is stamped onto the appended signature files
+    * (schema resolution may read any one file's footer), and id
+    * columns are renamed to the index's own id column name. */
+  def appendToMinhashIndex(survivors: DataFrame, idCol: String,
+                           textCol: String, path: String): Unit = {
+    val idx = readMinhashIndex(survivors.sparkSession, path)
+    val add = buildMinhashIndex(survivors, idCol, textCol, idx.numHashes,
+      idx.bands, idx.shingleSize, idx.seed, idx.mode)
+    val meta = indexMeta(idx.numHashes, idx.bands, idx.shingleSize,
+      idx.seed, idx.mode)
+    val sigId = idx.signatures.columns.find(_ != "signature").get
+    val bktId = idx.buckets.columns
+      .find(c => c != "band" && c != "bucket").get
+    val hashId = idx.hashes.columns.find(_ != "content_hash").get
+    add.hashes.withColumnRenamed(idCol, hashId)
+      .write.mode("append").parquet(s"$path/hashes")
+    add.signatures
+      .select(col(idCol).as(sigId), col("signature").as("signature", meta))
+      .write.mode("append").parquet(s"$path/signatures")
+    add.buckets.withColumnRenamed(idCol, bktId)
+      .write.mode("append").parquet(s"$path/buckets")
+    add.signatures.unpersist()
+  }
+
+  /** Continuous-ingest dedup: the probe-then-append cycle as a
+    * Structured Streaming sink. Each micro-batch is probed against the
+    * index AS OF that batch ([[incrementalSurvivors]]), the survivors
+    * are appended to the index ([[appendToMinhashIndex]]) and handed to
+    * `sink` — so every later micro-batch dedups against everything
+    * admitted before it. Call `.start()` (after setting a
+    * checkpointLocation) on the returned writer.
+    *
+    * ORDERING SUBTLETY — the reason this helper exists rather than
+    * three obvious lines in user code: the survivor frame is
+    * MATERIALIZED (`localCheckpoint`) BEFORE the append. A lazy
+    * survivor plan re-executed after the append would re-probe the
+    * GROWN index and drop the batch's own documents as duplicates of
+    * themselves (every batch would come back empty). The checkpoint
+    * pins the probe's answer to the index-as-of-batch-start.
+    *
+    * State lives in the index parquet dirs, not in Spark streaming
+    * state — restart-safe, shared with batch jobs, unbounded-horizon
+    * (contrast `dropDuplicatesWithinWatermark`, whose state is bounded
+    * by the watermark). On a micro-batch REPLAY (failure after append,
+    * before the sink commit) the re-run probes an index that already
+    * contains the batch's survivors, so their content hashes drop them:
+    * the replayed batch yields no new appends (content-level idempotent)
+    * but `sink` then sees an empty frame for that batch — downstream
+    * must tolerate at-least-once delivery, as with any foreachBatch
+    * side effect. */
+  def streamingDedup(stream: DataFrame, idCol: String, textCol: String,
+                     indexPath: String, threshold: Double = 0.8)
+                    (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       _: Long) =>
+        val idx = readMinhashIndex(batch.sparkSession, indexPath)
+        val survivors = incrementalSurvivors(batch.toDF(), idx, idCol,
+          textCol, threshold).localCheckpoint()
+        appendToMinhashIndex(survivors, idCol, textCol, indexPath)
+        sink(survivors)
+    }
 
   // -------------------------------------------------------------- simhash
 

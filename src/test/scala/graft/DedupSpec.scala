@@ -349,6 +349,68 @@ class DedupSpec extends SparkTestBase {
     assert(rounds <= 7, s"diameter-9 chains took $rounds rounds")
   }
 
+  test("appendToMinhashIndex: later batches dedup against earlier survivors") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mh-append")
+    val path = tmp.resolve("index").toString
+    val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val C = "red orange yellow green blue indigo violet cyan magenta teal pink grey"
+    val D = "north south east west up down left right front back over under"
+    Dedup.writeMinhashIndex(Seq((1L, A)).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    // batch 1: a dup of corpus A and a new doc C -> only C survives
+    val b1 = Dedup.incrementalSurvivors(
+      Seq((10L, A), (11L, C)).toDF("doc_id", "text"),
+      Dedup.readMinhashIndex(spark, path), "doc_id", "text",
+      threshold = 0.3).localCheckpoint()
+    assert(b1.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    Dedup.appendToMinhashIndex(b1, "doc_id", "text", path)
+    // the grown index still reads back with intact hyperparameters
+    val idx2 = Dedup.readMinhashIndex(spark, path)
+    assert((idx2.numHashes, idx2.bands, idx2.mode) ==
+      ((64, 16, Dedup.HashMode.Xx)))
+    assert(idx2.hashes.count() == 2)
+    // batch 2: near-dup of batch-1 survivor C (dropped only because the
+    // append landed), plus a fresh doc D
+    val b2 = Dedup.incrementalSurvivors(
+      Seq((20L, C.replace("grey", "zz")), (21L, D))
+        .toDF("doc_id", "text"),
+      idx2, "doc_id", "text", threshold = 0.3)
+    assert(b2.select("doc_id").as[Long].collect().toSeq == Seq(21L))
+  }
+
+  test("streamingDedup: micro-batches dedup against everything admitted") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mh-stream")
+    val path = tmp.resolve("index").toString
+    val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val C = "red orange yellow green blue indigo violet cyan magenta teal pink grey"
+    val D = "north south east west up down left right front back over under"
+    Dedup.writeMinhashIndex(Seq((1L, A)).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    val mem = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Dedup.streamingDedup(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path,
+        threshold = 0.3) { surv =>
+        admitted ++= surv.select("doc_id").as[Long].collect()
+      }
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .start()
+    try {
+      // batch 1: corpus dup A dropped, C admitted (and appended)
+      mem.addData((10L, A), (11L, C))
+      q.processAllAvailable()
+      // batch 2: near-dup of the batch-1 survivor dropped, D admitted —
+      // proving batch 2 probed the index GROWN by batch 1, while batch 1
+      // itself was not emptied by its own append (the localCheckpoint
+      // ordering the scaladoc documents)
+      mem.addData((20L, C.replace("grey", "zz")), (21L, D))
+      q.processAllAvailable()
+      assert(admitted.toSeq == Seq(11L, 21L))
+    } finally q.stop()
+  }
+
   test("syntheticSkewedEdges plants one giant star component plus chains") {
     val g = Dedup.syntheticSkewedEdges(spark, nNodes = 100,
       starFrac = 0.8, componentSize = 10)
