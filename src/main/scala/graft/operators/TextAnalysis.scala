@@ -20,6 +20,9 @@ object TextAnalysis {
     */
   def round4(x: Column): Column = floor(x * 10000 + 0.5) / 10000
 
+  /** Driver-side mirror of [[round4]] (spec expectations). */
+  def round4Value(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+
   /** Whitespace tokens (the corpus-standard cheap tokenizer). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Prep, Search, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Dedup, LanguageModel, Multimodal, Prep, Search, Similarity, Sketches, TextAnalysis}
 import graft.operators.Dedup.HashMode
 import graft.sources.Tables
 
@@ -346,6 +346,14 @@ object Pipeline {
           col("m.stopword_ratio").as("stopword_ratio"),
           col("m.alpha_ratio").as("alpha_ratio"),
           col("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus-relative quality: mean add-k-smoothed bigram
+    // log-probability per doc (the CCNet-style LM filter), self-trained
+    // on the documents table; <2-token docs carry a NULL score (oracled)
+    "txt_lm_score" -> ((s, dir) => {
+      LanguageModel.selfScore(docs(s, dir), "doc_id", "text", k = 0.5)
         .orderBy("doc_id")
     }),
 
@@ -1764,6 +1772,33 @@ object Pipeline {
            floor((length_ok * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.3
              + alpha_ratio * 0.3) * 10000 + 0.5) / 10000 AS quality
          FROM base ORDER BY doc_id""",
+    "txt_lm_score" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+           FROM documents),
+         bg AS (
+           SELECT doc_id, tk[i.i + 1] AS w1, tk[i.i + 2] AS w2
+           FROM tok
+           CROSS JOIN unnest(range(0, greatest(len(tk) - 1, 0))) AS i(i)
+           WHERE len(tk) >= 2),
+         bc AS (SELECT w1, w2, count(*)::DOUBLE AS c
+                FROM bg GROUP BY 1, 2),
+         cc AS (SELECT w1, count(*)::DOUBLE AS c_ctx FROM bg GROUP BY 1),
+         v AS (SELECT count(DISTINCT u.w)::DOUBLE AS v
+               FROM (SELECT unnest(tk) AS w FROM tok) u),
+         sc AS (
+           SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+             avg(ln((coalesce(bc.c, 0) + 0.5)
+               / (coalesce(cc.c_ctx, 0) + 0.5 * v.v))) AS raw
+           FROM bg
+           LEFT JOIN bc USING (w1, w2)
+           LEFT JOIN cc USING (w1)
+           CROSS JOIN v
+           GROUP BY bg.doc_id)
+         SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+           floor(sc.raw * 10000 + 0.5) / 10000 AS lm_score
+         FROM documents d LEFT JOIN sc USING (doc_id)
+         ORDER BY d.doc_id""",
     "txt_langid" ->
       """WITH t AS (
            SELECT doc_id, lang,

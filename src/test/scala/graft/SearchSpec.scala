@@ -88,4 +88,36 @@ class SearchSpec extends SparkTestBase {
       .select(counts.map { case (n, c) => c.as(n) }: _*).head()
     assert(clean.getInt(0) == 0 && clean.getInt(1) == 0 && clean.getInt(2) == 0)
   }
+
+  test("bigram LM: in-domain text outscores OOV text; unseen falls back " +
+    "to smoothing mass; short docs carry NULL") {
+    import graft.operators.LanguageModel
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran on the mat")).toDF("doc_id", "text")
+    val model = LanguageModel.trainBigram(ref, "doc_id", "text")
+    val docs = Seq(
+      (10L, "the cat sat"),          // every bigram seen in the model
+      (11L, "zz qq ww"),             // fully OOV: pure smoothing mass
+      (12L, "one")).toDF("doc_id", "text") // no bigram -> NULL score
+    val out = LanguageModel
+      .scoreBigram(docs, "doc_id", "text", model, k = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) ==
+      Seq((10L, 2L), (11L, 2L), (12L, 0L)))
+    assert(out(0)._3.get > out(1)._3.get,
+      "in-domain text must outscore out-of-vocabulary text")
+    assert(out(2)._3.isEmpty, "a doc with no bigram has no evidence")
+    // OOV bigram with OOV context = ln(k / (k*V)) = -ln V exactly
+    val v = model.vocab.as[Long].head().toDouble
+    assert(math.abs(out(1)._3.get - TextAnalysis.round4Value(
+      -math.log(v))) < 1e-9)
+    // broadcast-model mode is a plan choice, not a semantics choice
+    val bc = LanguageModel
+      .scoreBigram(docs, "doc_id", "text", model, k = 0.5,
+        broadcastModel = true)
+      .orderBy("doc_id").as[(Long, Long, Option[Double])].collect().toSeq
+    assert(bc == out)
+  }
 }
