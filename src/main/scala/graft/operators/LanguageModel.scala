@@ -55,31 +55,31 @@ object LanguageModel {
       .select(col(idCol), col("col.w1").as("w1"), col("col.w2").as("w2"))
   }
 
-  /** Train the smoothed-bigram model on `corpus`: two keyed count
-    * shuffles and a distinct for the vocabulary — nothing else. */
-  def trainBigram(corpus: DataFrame, idCol: String,
-                  textCol: String): BigramModel = {
-    val bg = bigramStream(corpus, idCol, textCol)
+  /** Model frames from a pre-built bigram stream: two keyed count
+    * shuffles plus a distinct-count for the vocabulary. */
+  private def modelFromStream(bg: DataFrame, corpus: DataFrame,
+                              textCol: String): BigramModel = {
     val bigrams = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     val contexts = bg.groupBy("w1").agg(count(lit(1)).as("c_ctx"))
     // vocabulary over ALL tokens (not just contexts): the last token of
-    // a doc is a word too
+    // a doc is a word too, and so are single-token docs
     val vocab = corpus
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     BigramModel(bigrams, contexts, vocab)
   }
 
-  /** Score `docs` against a trained model: (id, n_bigrams, lm_score)
-    * with `lm_score` = mean ln P(w2|w1) over the doc's bigrams
-    * (NULL when the doc has no bigram). An unseen bigram or context
-    * falls back to the smoothing mass — never a null probability. */
-  def scoreBigram(docs: DataFrame, idCol: String, textCol: String,
-                  model: BigramModel, k: Double = 0.5,
-                  broadcastModel: Boolean = false): DataFrame = {
+  /** Train the smoothed-bigram model on `corpus`. */
+  def trainBigram(corpus: DataFrame, idCol: String,
+                  textCol: String): BigramModel =
+    modelFromStream(bigramStream(corpus, idCol, textCol), corpus, textCol)
+
+  private def scoreFromStream(bg: DataFrame, docs: DataFrame,
+                              idCol: String, model: BigramModel,
+                              k: Double,
+                              broadcastModel: Boolean): DataFrame = {
     val maybeBc: DataFrame => DataFrame =
       if (broadcastModel) broadcast else identity
-    val bg = bigramStream(docs, idCol, textCol)
     val logP: Column =
       log((coalesce(col("c"), lit(0L)) + lit(k)) /
         (coalesce(col("c_ctx"), lit(0L)) + lit(k) * col("v")))
@@ -96,12 +96,29 @@ object LanguageModel {
         col("lm_score"))
   }
 
+  /** Score `docs` against a trained model: (id, n_bigrams, lm_score)
+    * with `lm_score` = mean ln P(w2|w1) over the doc's bigrams
+    * (NULL when the doc has no bigram). An unseen bigram or context
+    * falls back to the smoothing mass — never a null probability. */
+  def scoreBigram(docs: DataFrame, idCol: String, textCol: String,
+                  model: BigramModel, k: Double = 0.5,
+                  broadcastModel: Boolean = false): DataFrame =
+    scoreFromStream(bigramStream(docs, idCol, textCol), docs, idCol,
+      model, k, broadcastModel)
+
   /** Self-scoring convenience: train on `corpus` and score its own
     * documents — the shape the `txt_lm_score` contract query runs
     * (production trains on a clean reference corpus and scores the
-    * crawl; the frames API above is that split). */
+    * crawl; the frames API above is that split). The bigram stream
+    * feeds both the model counts and the scoring probe, so it is
+    * computed once and `cache()`d (plan-lifetime convention as
+    * [[Dedup.minhashPairs]] — callers running many queries per session
+    * should `clearCache()` between them): the corpus is tokenized
+    * twice in total (bigrams + vocabulary), not three times. */
   def selfScore(corpus: DataFrame, idCol: String, textCol: String,
-                k: Double = 0.5): DataFrame =
-    scoreBigram(corpus, idCol, textCol,
-      trainBigram(corpus, idCol, textCol), k)
+                k: Double = 0.5): DataFrame = {
+    val bg = bigramStream(corpus, idCol, textCol).cache()
+    scoreFromStream(bg, corpus, idCol,
+      modelFromStream(bg, corpus, textCol), k, broadcastModel = false)
+  }
 }

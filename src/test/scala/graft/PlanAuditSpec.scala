@@ -154,6 +154,16 @@ class PlanAuditSpec extends SparkTestBase {
       "the stop-set anti-join must not shuffle the shingle frame:\n" + p)
   }
 
+  test("txt_lm_score computes the bigram stream once (three cached reads)") {
+    val p = plan("txt_lm_score")
+    // bigram counts, context counts, and the scoring probe must all read
+    // the CACHED stream — an extra non-cached consumer would be a whole
+    // re-tokenization pass over the corpus (the dd_spans lesson)
+    val consumers = "InMemoryTableScan".r.findAllMatchIn(p).length
+    assert(consumers == 3,
+      s"expected 3 cached bigram-stream consumers, got $consumers:\n" + p)
+  }
+
   test("sk_bloom probes a broadcast filter (the semi-join reduction shape)") {
     val p = plan("sk_bloom")
     assert(p.contains("BroadcastHashJoin"),
