@@ -78,7 +78,7 @@ object Bench {
     "q_star_join", "q_salted_join", "q_range_join", "q_events_hourly",
     "sim_kmeans", "sim_recall", "sim_topk", "sim_topk_ivf", "sim_topk_lsh",
     "sim_topk_q8",
-    "txt_hash_topk", "txt_tfidf", "txt_bm25", "txt_tokens",
+    "txt_hash_topk", "txt_tfidf", "txt_bm25", "txt_tokens", "txt_lm_score",
     "x_cte_exists", "x_cube", "x_intersect", "x_rank_window",
   )
 
