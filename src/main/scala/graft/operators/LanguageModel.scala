@@ -106,6 +106,48 @@ object LanguageModel {
     scoreFromStream(bigramStream(docs, idCol, textCol), docs, idCol,
       model, k, broadcastModel)
 
+  /** Corpus drift: add-k smoothed unigram KL and Jensen–Shannon
+    * divergence between two corpora's token distributions — the
+    * batch-vs-reference monitor next to per-doc [[scoreBigram]] (a
+    * batch can score fine doc-by-doc while its MIX drifts: topic
+    * collapse, language shift, template flooding all move JS before
+    * they move per-doc quality).
+    *
+    * Both distributions are smoothed over the UNION vocabulary
+    * (`P(w) = (c_P(w) + k) / (N_P + k·V)`), so no zero-probability
+    * terms exist and both KL directions are finite. Output is one row:
+    * `(vocab, kl_pq, kl_qp, js)`, divergences in nats, rounded with
+    * the engine-portable [[TextAnalysis.round4]]. JS is computed from
+    * the same smoothed P/Q (`M = (P+Q)/2`), bounded by ln 2.
+    *
+    * Scale shape: two token-count shuffles (map-side partials) and one
+    * full-outer join on the token — every frame after the counts is
+    * VOCABULARY-shaped, not corpus-shaped; the totals are broadcast
+    * one-row frames. Nothing here pairs documents or materializes
+    * anything larger than the vocabulary. */
+  def unigramDivergence(p: DataFrame, q: DataFrame, textCol: String,
+                        k: Double = 0.5): DataFrame = {
+    def counts(df: DataFrame): DataFrame = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val cp = counts(p).withColumnRenamed("c", "c_p")
+    val cq = counts(q).withColumnRenamed("c", "c_q")
+    val joined = cp.join(cq, Seq("w"), "full_outer")
+      .select(col("w"), coalesce(col("c_p"), lit(0L)).as("c_p"),
+        coalesce(col("c_q"), lit(0L)).as("c_q"))
+    val totals = joined.agg(sum(col("c_p")).as("n_p"),
+      sum(col("c_q")).as("n_q"), count(lit(1)).as("v"))
+    val pw = (col("c_p") + lit(k)) / (col("n_p") + lit(k) * col("v"))
+    val qw = (col("c_q") + lit(k)) / (col("n_q") + lit(k) * col("v"))
+    val mw = (pw + qw) / 2
+    joined.crossJoin(broadcast(totals))
+      .agg(max(col("v")).as("vocab"),
+        TextAnalysis.round4(sum(pw * log(pw / qw))).as("kl_pq"),
+        TextAnalysis.round4(sum(qw * log(qw / pw))).as("kl_qp"),
+        TextAnalysis.round4(
+          sum(pw * log(pw / mw) + qw * log(qw / mw)) / 2).as("js"))
+  }
+
   /** Self-scoring convenience: train on `corpus` and score its own
     * documents — the shape the `txt_lm_score` contract query runs
     * (production trains on a clean reference corpus and scores the

@@ -357,6 +357,17 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // corpus drift: smoothed unigram KL / Jensen-Shannon divergence
+    // between the first and second half of the corpus (by doc_id) —
+    // the batch-vs-reference distribution monitor (oracled)
+    "txt_divergence" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cut = (d.agg(max(col("doc_id"))).head().getLong(0) + 1) / 2
+      LanguageModel.unigramDivergence(
+        d.filter(col("doc_id") < cut), d.filter(col("doc_id") >= cut),
+        "text")
+    }),
+
     // language id vs the labeled lang column (oracled)
     "txt_langid" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"), col("lang"),
@@ -1772,6 +1783,30 @@ object Pipeline {
            floor((length_ok * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.3
              + alpha_ratio * 0.3) * 10000 + 0.5) / 10000 AS quality
          FROM base ORDER BY doc_id""",
+    "txt_divergence" ->
+      """WITH cut AS (SELECT (max(doc_id) + 1) // 2 AS c FROM documents),
+         tp AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+                FROM documents, cut WHERE doc_id < cut.c),
+         tq AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+                FROM documents, cut WHERE doc_id >= cut.c),
+         cp AS (SELECT w, count(*) AS c_p FROM tp GROUP BY 1),
+         cq AS (SELECT w, count(*) AS c_q FROM tq GROUP BY 1),
+         j AS (SELECT coalesce(cp.w, cq.w) AS w,
+                 coalesce(c_p, 0) AS c_p, coalesce(c_q, 0) AS c_q
+               FROM cp FULL OUTER JOIN cq ON cp.w = cq.w),
+         t AS (SELECT sum(c_p)::DOUBLE AS n_p, sum(c_q)::DOUBLE AS n_q,
+                 count(*)::DOUBLE AS v FROM j),
+         probs AS (SELECT
+             (c_p + 0.5) / (t.n_p + 0.5 * t.v) AS pw,
+             (c_q + 0.5) / (t.n_q + 0.5 * t.v) AS qw, t.v AS v
+           FROM j CROSS JOIN t)
+         SELECT max(v)::BIGINT AS vocab,
+           floor(sum(pw * ln(pw / qw)) * 10000 + 0.5) / 10000 AS kl_pq,
+           floor(sum(qw * ln(qw / pw)) * 10000 + 0.5) / 10000 AS kl_qp,
+           floor(sum(pw * ln(pw / ((pw + qw) / 2))
+             + qw * ln(qw / ((pw + qw) / 2))) / 2 * 10000 + 0.5) / 10000
+             AS js
+         FROM probs""",
     "txt_lm_score" ->
       """WITH tok AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk

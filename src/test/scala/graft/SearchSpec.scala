@@ -120,4 +120,22 @@ class SearchSpec extends SparkTestBase {
       .orderBy("doc_id").as[(Long, Long, Option[Double])].collect().toSeq
     assert(bc == out)
   }
+
+  test("unigramDivergence: zero on identical corpora, positive and " +
+    "direction-consistent on drifted ones") {
+    import graft.operators.LanguageModel
+    val a = Seq((1L, "the cat sat"), (2L, "the dog ran")).toDF("doc_id", "text")
+    val same = LanguageModel.unigramDivergence(a, a, "text")
+      .as[(Long, Double, Double, Double)].head()
+    // identical smoothed distributions: every ln ratio is exactly 0
+    assert(same == ((5L, 0.0, 0.0, 0.0)))
+    val b = Seq((3L, "quantum flux torsion"), (4L, "lattice spin glass"))
+      .toDF("doc_id", "text")
+    val drift = LanguageModel.unigramDivergence(a, b, "text")
+      .as[(Long, Double, Double, Double)].head()
+    assert(drift._1 == 11L, "union vocabulary of two disjoint corpora")
+    assert(drift._2 > 0 && drift._3 > 0, "both KL directions positive")
+    assert(drift._4 > 0 && drift._4 <= math.log(2) + 1e-9,
+      "JS positive and bounded by ln 2")
+  }
 }
