@@ -454,7 +454,7 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count(_.err.isDefined)
     val total = results.collect { case QTime(_, t, _, None) => t }.sum
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs)}"timing":"min_of_runs",${crossoverField(results)}"mode":${jstr(mode)},"n_err":$nErr,"full":${jstr(outPath)}}"""
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs)}"timing":"min_of_runs",${crossoverField(results)}${claimsFields(results)}"mode":${jstr(mode)},"n_err":$nErr,"full":${jstr(outPath)}}"""
   }
 
   // same artifact-honesty rule as fastRunsFields: stamp the interleaved-
@@ -477,6 +477,48 @@ object Bench {
     if (runs < 5) s""""runs_fast":5,"fast_cutoff_s":$StableMinSeconds,"""
     else ""
 
+  /** The crossover CONCLUSIONS the docs state, computed INTO the
+    * artifact each run: claim holds when min(lhs) < factor × min(rhs).
+    * Three rounds running, a doc-quoted number went stale against the
+    * final artifact; raw seconds drift with JVM noise, but these are
+    * the statements whose flip would invalidate prose — so the artifact
+    * now states them itself and `n_claims_failed` makes a flip
+    * impossible to miss. Deliberately NOT n_err: a marginal timing
+    * inversion is a doc-sync signal, not a broken bench (the quality
+    * guards — recall, label equality, round bounds — stay on n_err). */
+  private[graft] val claimSpecs: Seq[(String, String, String, Double)] =
+    Seq(
+      ("prune_beats_naive_dd50k",
+        "bench_dd50k_ngram_pruned", "bench_dd50k_ngram", 1.0),
+      ("minhash_beats_naive_dd50k",
+        "bench_dd50k_minhash", "bench_dd50k_ngram", 1.0),
+      ("dd12k_near_parity",
+        "bench_dd12k_minhash", "bench_dd12k_ngram", 1.25),
+      ("lsh_beats_brute_50k",
+        "bench_lsh50k_lsh", "bench_lsh50k_brute", 1.0),
+      ("ivf_beats_brute_50k",
+        "bench_lsh50k_ivf", "bench_lsh50k_brute", 1.0),
+      ("driver_beats_dist_cc450k",
+        "bench_cc450k_driver", "bench_cc450k_dist", 1.0),
+      ("cc_skew_within_2x",
+        "bench_cc2m_skew", "bench_cc2m_dist", 2.0),
+      ("embed_lsh_beats_brute", "dd_embed_lsh", "dd_embed_pairs", 1.0))
+
+  // claims whose operands are missing (extras-off / sliced run) or
+  // errored are omitted rather than guessed
+  private[graft] def claimsFields(results: Seq[QTime]): String = {
+    val ok = results.collect { case QTime(n, t, _, None) => n -> t }.toMap
+    val eval = claimSpecs.flatMap { case (name, lhs, rhs, factor) =>
+      for (l <- ok.get(lhs); r <- ok.get(rhs)) yield name -> (l < factor * r)
+    }
+    if (eval.isEmpty) ""
+    else {
+      val body = eval.map { case (n, v) => jstr(n) + ":" + v }
+        .mkString("{", ",", "}")
+      s""""claims":$body,"n_claims_failed":${eval.count(!_._2)},"""
+    }
+  }
+
   /** Full-precision, every-query line written to bench_out.json — the
     * committed artifact. `spread` carries [min, max] seconds per entry
     * so a reader can see each number's run-to-run stability instead of
@@ -492,7 +534,7 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count(_.err.isDefined)
     val total = results.collect { case QTime(_, t, _, None) => t }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs)}"timing":"min_of_runs",${crossoverField(results)}"mode":${jstr(mode)},"n_err":$nErr}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs)}"timing":"min_of_runs",${crossoverField(results)}${claimsFields(results)}"mode":${jstr(mode)},"n_err":$nErr}"""
   }
 
   // ---------------------------------------------------------------------

@@ -174,6 +174,37 @@ class BenchSpec extends AnyFunSuite {
       "cohort members must share a fork family")
   }
 
+  test("claims: computed conclusions land in the artifact, flips counted") {
+    // every claim operand is a real timeable entry — a rename here would
+    // silently drop the claim from the artifact (omitted, not false)
+    val ops = Bench.claimSpecs.flatMap { case (_, l, r, _) => Seq(l, r) }
+    assert(ops.toSet.subsetOf(Bench.allBenchQueries.keySet))
+    val names = Bench.claimSpecs.map(_._1)
+    assert(names.distinct == names)
+
+    def qt(n: String, s: Double) = Bench.QTime(n, s, s, None)
+    // a holding claim and a flipped one
+    val r = Seq(qt("bench_dd50k_ngram_pruned", 10.0),
+      qt("bench_dd50k_ngram", 20.0),
+      qt("bench_lsh50k_lsh", 2.0), qt("bench_lsh50k_brute", 1.0))
+    val json = mapper.readTree(
+      Bench.renderCompact(r, "sf", "4", 3))
+    assert(json.get("claims").get("prune_beats_naive_dd50k").asBoolean())
+    assert(!json.get("claims").get("lsh_beats_brute_50k").asBoolean())
+    assert(json.get("n_claims_failed").asInt() == 1)
+    // factor-based claim: skew within 2x of uniform
+    val skew = mapper.readTree(Bench.renderFull(
+      Seq(qt("bench_cc2m_skew", 30.7), qt("bench_cc2m_dist", 22.7)),
+      "sf", "4", 3))
+    assert(skew.get("claims").get("cc_skew_within_2x").asBoolean())
+    assert(skew.get("n_claims_failed").asInt() == 0)
+    // missing or errored operands: claim omitted entirely, never guessed
+    val errd = Seq(qt("bench_dd50k_ngram_pruned", 10.0),
+      Bench.QTime("bench_dd50k_ngram", 0.0, 0.0, Some("boom")))
+    val gone = mapper.readTree(Bench.renderCompact(errd, "sf", "4", 3))
+    assert(gone.get("claims") == null && gone.get("n_claims_failed") == null)
+  }
+
   test("bench-only extras exist and are disjoint from the driver contract") {
     val extras = Bench.extraQueries.keySet
     assert(extras == Set(
