@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Prep, Similarity}
+
+/** The distributed-correctness property the whole 100 TB design rests
+  * on: results must not depend on HOW the data happens to be laid out —
+  * not on the input's partition count, not on
+  * `spark.sql.shuffle.partitions`. On a 1000-executor cluster both vary
+  * run to run (AQE coalescing, dynamic allocation, upstream file
+  * splits); an operator whose output shifts with them is only
+  * accidentally correct on local[4]. Every md5-deterministic operator
+  * advertises layout-independence in its scaladoc — this spec is that
+  * claim, executed.
+  *
+  * Ids are PERMUTED, never 0..n in storage order (the CC round-5
+  * lesson: monotone-id inputs hide order-dependence bugs the same way
+  * they hid O(diameter) propagation).
+  */
+class PartitionInvarianceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** (input-layout, shuffle-partition-count) grid: single partition,
+    * the default, round-robin across a prime count, and hash-partitioned
+    * by a non-id column — with shuffle.partitions swept 1/4/13. */
+  private val layouts: Seq[(String, DataFrame => DataFrame, Int)] = Seq(
+    ("coalesced-1/sp1", df => df.repartition(1), 1),
+    ("default/sp4", identity[DataFrame] _, 4),
+    ("roundrobin-7/sp13", df => df.repartition(7), 13),
+    ("bygroup-3/sp13", df => df.repartition(3, col("grp")), 13))
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** Run `op` under every layout and assert the canonical result set is
+    * identical everywhere. */
+  private def assertInvariant(input: DataFrame, tag: String)(
+      op: DataFrame => DataFrame): Unit = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val results =
+      try layouts.map { case (name, relayout, sp) =>
+        spark.conf.set("spark.sql.shuffle.partitions", sp.toString)
+        name -> canon(op(relayout(input)))
+      }
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val (refName, ref) = results.head
+    for ((name, got) <- results.tail)
+      assert(got == ref,
+        s"$tag: result under layout '$name' differs from '$refName'")
+    assert(ref.nonEmpty, s"$tag: vacuous — operator returned no rows")
+  }
+
+  // 120 docs in 30 near-dup families of 4, permuted ids, 3 groups.
+  // Family members share a base text with one trailing mutation token so
+  // minhash banding finds them at threshold 0.5.
+  private lazy val docs: DataFrame = {
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    (0 until 120).map { i =>
+      val id = (i * 77L + 13L) % 997L  // permutation: gcd(77, 997) = 1
+      val fam = i / 4
+      val base = (0 until 24)
+        .map(j => words((fam * 5 + j * 7) % words.length)).mkString(" ")
+      (id, s"g${i % 3}", s"$base tail${i % 4}", 10L + i % 23)
+    }.toDF("id", "grp", "text", "toks")
+  }
+
+  test("hashSplit: (id -> bucket, split) survives any layout") {
+    assertInvariant(docs.select("id", "grp"), "hashSplit")(
+      Prep.hashSplit(_, "id"))
+  }
+
+  test("groupSample: the selected id set survives any layout") {
+    assertInvariant(docs, "groupSample")(df =>
+      Prep.groupSample(df, "id", "grp", perGroup = 7).select("id", "grp"))
+  }
+
+  test("weightedSample: the kept id set survives any layout") {
+    assertInvariant(docs, "weightedSample")(df =>
+      Prep.weightedSample(df, "id", "grp",
+        Map("g0" -> 0.4, "g1" -> 0.9), defaultWeight = 0.7).select("id"))
+  }
+
+  test("deterministicShuffle: id -> shuffle_pos mapping survives any layout") {
+    assertInvariant(docs, "deterministicShuffle")(df =>
+      Prep.deterministicShuffle(df, "id").select("id", "shuffle_pos"))
+  }
+
+  test("packSequences: id -> (shard, bin) survives any layout") {
+    assertInvariant(docs, "packSequences")(df =>
+      Prep.packSequences(df, "id", "toks", maxTokens = 64, shards = 8)
+        .select("id", "shard", "bin"))
+  }
+
+  test("minhashPairs: the near-dup pair set survives any layout") {
+    assertInvariant(docs, "minhashPairs") { df =>
+      val out = Dedup.minhashPairs(df, "id", "text", threshold = 0.5)
+        .select("id_a", "id_b")
+      val materialized = out.collect()
+      spark.sharedState.cacheManager.clearCache() // plan-lifetime cache convention
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(materialized.toIndexedSeq), out.schema)
+    }
+  }
+
+  test("connectedComponents (distributed path): labels survive any layout") {
+    // permuted-id chains of length 6 — worst case for order assumptions
+    val edges = (0 until 180).flatMap { i =>
+      val chain = i / 6
+      if (i % 6 == 5) Nil
+      else {
+        def pid(k: Int) = (k * 131L + 29L) % 1021L
+        Seq((pid(chain * 6 + i % 6), pid(chain * 6 + i % 6 + 1)))
+      }
+    }.toDF("id_a", "id_b").withColumn("grp", col("id_a") % 3)
+    assertInvariant(edges, "connectedComponents")(df =>
+      Dedup.connectedComponents(df.select("id_a", "id_b"),
+        smallGraphThreshold = 0))
+  }
+
+  test("kmeans: centroids and assignments survive any layout") {
+    // 3 well-separated clusters so the 6dp rounding kmeans applies
+    // per-iteration (its own fp-portability defense against
+    // non-associative partition-order sums) can never flip an
+    // assignment at a decision boundary
+    val vecs = (0 until 60).map { i =>
+      val id = (i * 53L + 7L) % 499L
+      val c = i % 3
+      (id, s"g$c", Array(c * 10.0f + (i % 5) * 0.01f,
+        c * -6.0f + (i % 7) * 0.01f))
+    }.toDF("id", "grp", "vec")
+    assertInvariant(vecs, "kmeans") { df =>
+      val cents = Similarity.kmeans(df, "id", "vec", k = 3, iters = 3)
+      Similarity.ivfAssign(df, "id", "vec", cents).join(cents, "cid")
+    }
+  }
+}
