@@ -53,17 +53,19 @@ class PartitionInvarianceSpec extends SparkTestBase {
   }
 
   // 120 docs in 30 near-dup families of 4, permuted ids, 3 groups.
-  // Family members share a base text with one trailing mutation token so
-  // minhash banding finds them at threshold 0.5.
+  // Family members share a family-distinct base (words drawn mod a
+  // prime, so families don't alias into rotations of one sequence) plus
+  // one trailing mutation token; every doc also carries a shared
+  // boilerplate prefix so the ubiquitous-shingle prune path has real
+  // stop shingles to remove without erasing the family signal.
   private lazy val docs: DataFrame = {
-    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
-      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val boiler = (0 until 10).map(j => s"b$j").mkString(" ")
     (0 until 120).map { i =>
       val id = (i * 77L + 13L) % 997L  // permutation: gcd(77, 997) = 1
       val fam = i / 4
       val base = (0 until 24)
-        .map(j => words((fam * 5 + j * 7) % words.length)).mkString(" ")
-      (id, s"g${i % 3}", s"$base tail${i % 4}", 10L + i % 23)
+        .map(j => "w" + ((fam * 29 + j * 7) % 211)).mkString(" ")
+      (id, s"g${i % 3}", s"$boiler $base tail${i % 4}", 10L + i % 23)
     }.toDF("id", "grp", "text", "toks")
   }
 
@@ -94,14 +96,44 @@ class PartitionInvarianceSpec extends SparkTestBase {
         .select("id", "shard", "bin"))
   }
 
+  /** Collect-and-rewrap for operators using the plan-lifetime cache
+    * convention, so each layout's run drops its cached frames instead of
+    * the next layout silently reading the previous layout's cache (which
+    * would make this spec vacuously pass). */
+  private def rematerialize(out: DataFrame): DataFrame = {
+    val rows = out.collect()
+    spark.sharedState.cacheManager.clearCache()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
+  }
+
   test("minhashPairs: the near-dup pair set survives any layout") {
     assertInvariant(docs, "minhashPairs") { df =>
-      val out = Dedup.minhashPairs(df, "id", "text", threshold = 0.5)
+      rematerialize(Dedup.minhashPairs(df, "id", "text", threshold = 0.5)
+        .select("id_a", "id_b"))
+    }
+  }
+
+  test("simhashPairs: the near-dup pair set survives any layout") {
+    assertInvariant(docs, "simhashPairs") { df =>
+      val out = Dedup.simhashPairs(df, "id", "text", maxHamming = 8)
         .select("id_a", "id_b")
-      val materialized = out.collect()
-      spark.sharedState.cacheManager.clearCache() // plan-lifetime cache convention
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(materialized.toIndexedSeq), out.schema)
+      rematerialize(out)
+    }
+  }
+
+  test("ngramJaccardPairs (pruned): the pair set survives any layout") {
+    // cap 60 < 120 docs sharing the boilerplate prefix: the stop set is
+    // genuinely nonempty here, so the anti-join path is what's tested
+    assertInvariant(docs, "ngramJaccardPairs")(df =>
+      Dedup.ngramJaccardPairs(df, "id", "text", threshold = 0.4,
+        maxDocFreq = Some(60)).select("id_a", "id_b"))
+  }
+
+  test("keepFirst survivors: the kept id set survives any layout") {
+    assertInvariant(docs, "keepFirst") { df =>
+      val pairs = Dedup.minhashPairs(df, "id", "text", threshold = 0.5)
+      rematerialize(Dedup.keepFirst(df, "id", pairs).select("id"))
     }
   }
 
