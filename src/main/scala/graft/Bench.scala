@@ -454,7 +454,7 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count(_.err.isDefined)
     val total = results.collect { case QTime(_, t, _, None) => t }.sum
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs)}"timing":"min_of_runs",${crossoverField(results)}${claimsFields(results)}"mode":${jstr(mode)},"n_err":$nErr,"full":${jstr(outPath)}}"""
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs)}"timing":"min_of_runs",${crossoverField(results)}${claimsFields(results, compact = true)}"mode":${jstr(mode)},"n_err":$nErr,"full":${jstr(outPath)}}"""
   }
 
   // same artifact-honesty rule as fastRunsFields: stamp the interleaved-
@@ -505,14 +505,24 @@ object Bench {
       ("embed_lsh_beats_brute", "dd_embed_lsh", "dd_embed_pairs", 1.0))
 
   // claims whose operands are missing (extras-off / sliced run) or
-  // errored are omitted rather than guessed
-  private[graft] def claimsFields(results: Seq[QTime]): String = {
+  // errored are omitted rather than guessed. The compact form carries
+  // only the evaluated count plus the NAMES of failed claims — the
+  // stdout-tail window is ~2000 chars and the full 8-claim map was the
+  // margin that pushed the line over it; a flip is still impossible to
+  // miss (its name lands on the line) and the full map is in
+  // bench_out.json.
+  private[graft] def claimsFields(results: Seq[QTime],
+                                  compact: Boolean = false): String = {
     val ok = results.collect { case QTime(n, t, _, None) => n -> t }.toMap
     val eval = claimSpecs.flatMap { case (name, lhs, rhs, factor) =>
       for (l <- ok.get(lhs); r <- ok.get(rhs)) yield name -> (l < factor * r)
     }
     if (eval.isEmpty) ""
-    else {
+    else if (compact) {
+      val failed = eval.collect { case (n, false) => jstr(n) }
+        .mkString("[", ",", "]")
+      s""""n_claims":${eval.size},"claims_failed":$failed,"""
+    } else {
       val body = eval.map { case (n, v) => jstr(n) + ":" + v }
         .mkString("{", ",", "}")
       s""""claims":$body,"n_claims_failed":${eval.count(!_._2)},"""

@@ -1089,6 +1089,32 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Cluster-exact BEST-copy survivors: keep exactly one doc per
+    * connected near-dup component — the one maximising `score` (ties
+    * broken by min id, so the result is deterministic for any score).
+    * The policy real training pipelines run when copies differ in
+    * quality: near-dup web pages keep the longest / highest-quality
+    * extraction, not whichever crawled first ([[keepFirstExact]] is the
+    * min-id special case).
+    *
+    * Scale shape: the component labels come from the same adaptive
+    * [[connectedComponents]]; picking the winner is one
+    * `row_number` window partitioned BY CLUSTER (a normal hash shuffle
+    * on the cluster key — never a global single-partition window), so
+    * the whole op is CC + one shuffle regardless of corpus size. */
+  def keepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+               score: Column): DataFrame = {
+    val cc = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val labeled = df.join(cc, Seq(idCol), "left")
+      .withColumn("__kb_cluster", coalesce(col("cluster"), col(idCol)))
+      .drop("cluster")
+    val w = Window.partitionBy(col("__kb_cluster"))
+      .orderBy(score.desc, col(idCol).asc)
+    labeled.withColumn("__kb_rn", row_number().over(w))
+      .filter(col("__kb_rn") === 1)
+      .drop("__kb_rn", "__kb_cluster")
+  }
+
   // ------------------------------------------------- synthetic scale rigs
 
   /** Deterministic synthetic edge set with planted worst-case components —

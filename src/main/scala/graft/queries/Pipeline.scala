@@ -105,6 +105,16 @@ object Pipeline {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // best-copy survivors: one doc per transitive component, keeping the
+    // LONGEST copy (id tiebreak) — the keep-the-best-extraction policy,
+    // vs dd_survivors_exact's keep-first (min id)
+    "dd_survivors_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.8, 3)
+      Dedup.keepBest(d, "doc_id", pairs, length(col("text")))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // benchmark decontamination: corpus docs (id >= 50) whose word-3-gram
     // containment of a "benchmark" doc (id < 50) reaches 0.8 — the
     // train/test-leak detector (oracled)
@@ -1187,6 +1197,15 @@ object Pipeline {
          WHERE doc_id NOT IN
            (SELECT doc_id FROM labels WHERE doc_id != cluster)
          ORDER BY doc_id""",
+    "dd_survivors_best" ->
+      s"""WITH RECURSIVE $CcCtes
+         SELECT doc_id FROM (
+           SELECT d.doc_id,
+             row_number() OVER (
+               PARTITION BY coalesce(l.cluster, d.doc_id)
+               ORDER BY length(d.text) DESC, d.doc_id) AS rn
+           FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+         WHERE rn = 1 ORDER BY doc_id""",
     "dd_contam" ->
       s"""WITH sh AS ($ShingleSql),
          cs AS (SELECT doc_id AS corpus_id, shingle FROM sh

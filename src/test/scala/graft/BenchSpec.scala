@@ -187,11 +187,17 @@ class BenchSpec extends AnyFunSuite {
     val r = Seq(qt("bench_dd50k_ngram_pruned", 10.0),
       qt("bench_dd50k_ngram", 20.0),
       qt("bench_lsh50k_lsh", 2.0), qt("bench_lsh50k_brute", 1.0))
+    // compact line: evaluated count + failed names only (stdout-tail
+    // budget); the boolean-per-claim map is the full render's job
     val json = mapper.readTree(
       Bench.renderCompact(r, "sf", "4", 3))
-    assert(json.get("claims").get("prune_beats_naive_dd50k").asBoolean())
-    assert(!json.get("claims").get("lsh_beats_brute_50k").asBoolean())
-    assert(json.get("n_claims_failed").asInt() == 1)
+    assert(json.get("n_claims").asInt() == 2)
+    assert(json.get("claims_failed").size() == 1)
+    assert(json.get("claims_failed").get(0).asText() == "lsh_beats_brute_50k")
+    val full = mapper.readTree(Bench.renderFull(r, "sf", "4", 3))
+    assert(full.get("claims").get("prune_beats_naive_dd50k").asBoolean())
+    assert(!full.get("claims").get("lsh_beats_brute_50k").asBoolean())
+    assert(full.get("n_claims_failed").asInt() == 1)
     // factor-based claim: skew within 2x of uniform
     val skew = mapper.readTree(Bench.renderFull(
       Seq(qt("bench_cc2m_skew", 30.7), qt("bench_cc2m_dist", 22.7)),
@@ -202,7 +208,10 @@ class BenchSpec extends AnyFunSuite {
     val errd = Seq(qt("bench_dd50k_ngram_pruned", 10.0),
       Bench.QTime("bench_dd50k_ngram", 0.0, 0.0, Some("boom")))
     val gone = mapper.readTree(Bench.renderCompact(errd, "sf", "4", 3))
-    assert(gone.get("claims") == null && gone.get("n_claims_failed") == null)
+    assert(gone.get("n_claims") == null && gone.get("claims_failed") == null)
+    val goneFull = mapper.readTree(Bench.renderFull(errd, "sf", "4", 3))
+    assert(goneFull.get("claims") == null &&
+      goneFull.get("n_claims_failed") == null)
   }
 
   test("bench-only extras exist and are disjoint from the driver contract") {

@@ -188,6 +188,21 @@ class DedupSpec extends SparkTestBase {
     assert(exact == Set(1L, 9L))
   }
 
+  test("keepBest keeps the max-score copy per component, min-id on ties") {
+    // component {1,2,3}: 2 has the highest score -> keepBest keeps 2
+    // where keepFirstExact would keep 1; component {7,8} ties on score
+    // -> min id 7; singleton 9 always survives
+    val d = Seq((1L, 10), (2L, 50), (3L, 20), (7L, 5), (8L, 5), (9L, 1))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 3L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val best = Dedup.keepBest(d, "doc_id", pairs, col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(best == Set(2L, 7L, 9L))
+    // schema passes through untouched (no helper columns leak)
+    assert(Dedup.keepBest(d, "doc_id", pairs, col("score")).columns.toSeq
+      == Seq("doc_id", "score"))
+  }
+
   test("connectedComponents converges on a long chain (diameter rounds)") {
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(chain)
