@@ -154,6 +154,19 @@ class PlanAuditSpec extends SparkTestBase {
       "the stop-set anti-join must not shuffle the shingle frame:\n" + p)
   }
 
+  test("dd_survivors_best ranks inside clusters, never one global window") {
+    val p = plan("dd_survivors_best")
+    // keepBest's winner pick is a row_number window partitioned BY
+    // CLUSTER — a normal hash shuffle on the cluster key. An
+    // unpartitioned window spec here would funnel the whole corpus
+    // through one partition at 100 TB
+    assert(p.contains("Window"), p)
+    assert("Window \\[[^\\]]*row_number".r.findAllMatchIn(p).forall(m =>
+      p.substring(m.start).takeWhile(_ != '\n')
+        .contains("windowspecdefinition(__kb_cluster")),
+      "the winner-pick window must be partitioned by cluster:\n" + p)
+  }
+
   test("txt_lm_score computes the bigram stream once (three cached reads)") {
     val p = plan("txt_lm_score")
     // bigram counts, context counts, and the scoring probe must all read
