@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation: the standard pre-training data
+  * pass — quality gate, language gate, exact dedup, near-dup dedup,
+  * benchmark decontamination, train/val/test split — composed as ONE
+  * declarative decision table over the corpus. Every stage reuses the
+  * already-oracled building block ([[TextAnalysis.qualityScore]],
+  * [[TextAnalysis.langId]], [[Dedup.ngramJaccardPairs]],
+  * [[Dedup.contaminationPairs]], [[Prep.hashSplit]]'s bucket rule), so
+  * the composition inherits each stage's cross-engine verification.
+  *
+  * Stages run in the conventional (and cheapest) order: the narrow
+  * per-row gates first, so the join-bearing dedup stages only see docs
+  * that survived them; each later stage's flag is NULL for docs dropped
+  * earlier (the stage never evaluated them) — the decision table is an
+  * audit log, not just a filter.
+  *
+  * Scale shape: quality/langid/split are narrow per-row expressions
+  * (zero shuffle); exact dedup is one window over md5(content) (one
+  * shuffle, no join-back); near-dup is the inverted-index equi-join of
+  * [[Dedup.ngramJaccardPairs]]; decontamination broadcasts the (small
+  * by construction) benchmark side. Flag join-backs are equi-joins on
+  * the id — hash-partitioned, never broadcast (the flag frames are
+  * corpus-sized).
+  */
+object Curate {
+
+  /** Per-document curation decision table. Output columns:
+    * (idCol, quality, lang_pred, q_ok, lang_ok, exact_dup, near_dup,
+    * contaminated, kept, bucket, split). Flags are int 1/0, NULL when
+    * the doc never reached that stage; bucket/split only for kept docs.
+    */
+  def decisionTable(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, minQuality: Double = 0.5,
+                    keepLangs: Seq[String] = Seq("en"),
+                    jaccardThreshold: Double = 0.8, n: Int = 3,
+                    contamThreshold: Double = 0.8,
+                    trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val id = col(idCol)
+    val scored = corpus.select(id, col(textCol),
+        TextAnalysis.qualityScore(col(textCol)).as("quality"),
+        TextAnalysis.langId(col(textCol)).as("lang_pred"))
+      .withColumn("q_ok", (col("quality") >= minQuality).cast("int"))
+      .withColumn("lang_ok",
+        col("lang_pred").isInCollection(keepLangs).cast("int"))
+
+    val g1 = scored.filter(col("q_ok") === 1 && col("lang_ok") === 1)
+      .select(id, col(textCol))
+    // exact stage: survivor = min id per identical content — one window
+    // over the content hash ([[Dedup.exactByContent]] semantics without
+    // the join-back)
+    val exWin = Window.partitionBy(md5(col(textCol).cast("binary")))
+    val exFlagged = g1.withColumn("exact_dup",
+      (id =!= min(id).over(exWin)).cast("int"))
+    val exDocs = exFlagged.filter(col("exact_dup") === 0)
+      .select(id, col(textCol))
+
+    // near-dup stage among exact survivors: keep-first over jaccard pairs
+    val pairs = Dedup.ngramJaccardPairs(exDocs, idCol, textCol,
+      jaccardThreshold, n)
+    val dupIds = pairs.select(col("id_b").as(idCol)).distinct()
+      .withColumn("__nd", lit(1))
+    val ndFlagged = exDocs.join(dupIds, Seq(idCol), "left")
+      .withColumn("near_dup", coalesce(col("__nd"), lit(0)))
+    val ndDocs = ndFlagged.filter(col("near_dup") === 0)
+      .select(id, col(textCol))
+
+    // decontamination among near-dup survivors: n-gram containment of
+    // any benchmark doc
+    val contamIds = Dedup.contaminationPairs(ndDocs, bench, idCol, textCol,
+        n, contamThreshold)
+      .select(col("corpus_id").as(idCol)).distinct()
+      .withColumn("__ct", lit(1))
+    val ctFlagged = ndDocs.select(id).join(contamIds, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("__ct"), lit(0)))
+
+    val dec = scored.drop(textCol)
+      .join(exFlagged.select(id, col("exact_dup")), Seq(idCol), "left")
+      .join(ndFlagged.select(id, col("near_dup")), Seq(idCol), "left")
+      .join(ctFlagged.select(id, col("contaminated")), Seq(idCol), "left")
+      .withColumn("kept",
+        (col("q_ok") === 1 && col("lang_ok") === 1 &&
+          coalesce(col("exact_dup"), lit(1)) === 0 &&
+          coalesce(col("near_dup"), lit(1)) === 0 &&
+          coalesce(col("contaminated"), lit(1)) === 0).cast("int"))
+    // deterministic split for the kept docs — Prep.hashSplit's exact
+    // bucket rule so a doc lands in the same split here and there
+    dec.withColumn("bucket",
+        when(col("kept") === 1, Prep.md5Bucket(id, 100, "split:")))
+      .withColumn("split",
+        when(col("kept") === 1,
+          when(col("bucket") < trainPct, "train")
+            .when(col("bucket") < trainPct + valPct, "val")
+            .otherwise("test")))
+  }
+
+  /** The curated corpus: original columns of the kept docs plus their
+    * (bucket, split) assignment — [[decisionTable]] applied as a filter.
+    */
+  def curate(corpus: DataFrame, bench: DataFrame, idCol: String,
+             textCol: String, minQuality: Double = 0.5,
+             keepLangs: Seq[String] = Seq("en"),
+             jaccardThreshold: Double = 0.8, n: Int = 3,
+             contamThreshold: Double = 0.8,
+             trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val kept = decisionTable(corpus, bench, idCol, textCol, minQuality,
+        keepLangs, jaccardThreshold, n, contamThreshold, trainPct, valPct)
+      .filter(col("kept") === 1)
+      .select(col(idCol), col("bucket"), col("split"))
+    corpus.join(kept, Seq(idCol))
+  }
+}

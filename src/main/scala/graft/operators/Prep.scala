@@ -18,7 +18,7 @@ object Prep {
   /** md5-derived bucket in [0, buckets): deterministic, engine-portable
     * (DuckDB twin: `('0x'||substr(md5(salt||id),1,8))::BIGINT % buckets`).
     * Salt lets several independent splits coexist over one id space. */
-  private def md5Bucket(id: Column, buckets: Int, salt: String): Column =
+  private[operators] def md5Bucket(id: Column, buckets: Int, salt: String): Column =
     pmod(conv(substring(md5(concat(lit(salt), id.cast("string"))
       .cast("binary")), 1, 8), 16, 10).cast("long"), lit(buckets))
 

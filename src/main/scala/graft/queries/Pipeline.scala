@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, LanguageModel, Multimodal, Prep, Search, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Curate, Dedup, LanguageModel, Multimodal, Prep, Search, Similarity, Sketches, TextAnalysis}
 import graft.operators.Dedup.HashMode
 import graft.sources.Tables
 
@@ -753,6 +753,19 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // end-to-end curation decision table: quality gate -> language gate ->
+    // exact dedup -> near-dup keep-first -> benchmark decontamination ->
+    // split assignment, composed as ONE plan; corpus = doc_id >= 50 vs
+    // bench = doc_id < 50 (the dd_contam convention). Every stage flag
+    // lands in the output, NULL when the doc never reached the stage
+    // (oracled)
+    "ds_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curate.decisionTable(d.filter(col("doc_id") >= 50),
+          d.filter(col("doc_id") < 50), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // multimodal metadata plumbing (oracled: byte length + checksum)
     "mm_meta" -> ((s, dir) => {
       Multimodal.attachPayload(docs(s, dir), "text", "image/png")
@@ -805,12 +818,16 @@ object Pipeline {
                 END AS qv
               FROM sc)"""
 
-  private val ShingleSql =
+  // word-3-gram shingle fragment over an arbitrary (doc_id, text)
+  // relation — the one tokenization rule every dedup oracle shares
+  private def shingleSqlFrom(rel: String): String =
     """SELECT doc_id, unnest(list_distinct(list_transform(
          range(1, greatest(len(t)-2, 1)+1),
          i -> array_to_string(t[i:i+2], ' ')))) AS shingle
        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-             FROM documents)"""
+             FROM """ + rel + ")"
+
+  private val ShingleSql = shingleSqlFrom("documents")
 
   // ------------------------------------------------------- oracle builders
   // DuckDB twins of the Md5 hash mode (Dedup.hash31/hash64/md5Planes):
@@ -1529,6 +1546,136 @@ object Pipeline {
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              / 512)::BIGINT AS bin
          FROM d ORDER BY doc_id""",
+    // the curation decision table composes the per-stage oracles above
+    // (txt_quality, txt_langid, dd_exact, dd_survivors, dd_contam,
+    // ds_split) into one sequential-gate pipeline; each stage's formula
+    // is byte-identical to its standalone oracle, re-scoped to the docs
+    // that survived the previous gate
+    "ds_curate" ->
+      ("""WITH corpus AS (SELECT doc_id, text FROM documents
+           WHERE doc_id >= 50),
+         m AS (SELECT doc_id, text,
+                 string_split_regex(trim(text), '\s+') AS toks,
+                 length(text) AS len
+               FROM corpus),
+         qual AS (
+           SELECT doc_id,
+             floor(((CASE WHEN len(toks) BETWEEN 10 AND 10000
+                 THEN 1.0 ELSE 0.3 END) * 0.4
+               + least(round(len(list_filter(toks, x -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','it','that',
+                    'for','on','with','as','at','by','this'], lower(x))))::DOUBLE /
+                 greatest(len(toks), 1), 4) * 5.0, 1.0) * 0.3
+               + round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE /
+                 greatest(len, 1), 4) * 0.3) * 10000 + 0.5) / 10000 AS quality
+           FROM m),
+         lt AS (SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '\s+') AS ltoks
+                FROM corpus),
+         ls AS (
+           SELECT doc_id,
+             len(list_filter(ltoks, x -> list_contains(
+               ['der','die','das','und','ist','nicht','mit','ein'], x)))::DOUBLE
+               / greatest(len(ltoks), 1) AS s_de,
+             len(list_filter(ltoks, x -> list_contains(
+               ['the','and','of','to','in','is','that','with'], x)))::DOUBLE
+               / greatest(len(ltoks), 1) AS s_en,
+             len(list_filter(ltoks, x -> list_contains(
+               ['el','la','los','y','es','no','con','una'], x)))::DOUBLE
+               / greatest(len(ltoks), 1) AS s_es,
+             len(list_filter(ltoks, x -> list_contains(
+               ['le','la','les','et','est','pas','avec','une'], x)))::DOUBLE
+               / greatest(len(ltoks), 1) AS s_fr,
+             len(list_filter(ltoks, x -> list_contains(
+               ['的','是','不','了','在','和','有','我'], x)))::DOUBLE
+               / greatest(len(ltoks), 1) AS s_zh
+           FROM lt),
+         lang AS (
+           SELECT doc_id,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                  WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+                  WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+                  WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS lang_pred
+           FROM ls),
+         scored AS (
+           SELECT c.doc_id, q.quality, l.lang_pred,
+             CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS q_ok,
+             CASE WHEN l.lang_pred = 'en' THEN 1 ELSE 0 END AS lang_ok
+           FROM corpus c
+           JOIN qual q USING (doc_id) JOIN lang l USING (doc_id)),
+         g1 AS (SELECT s.doc_id, c.text FROM scored s
+                JOIN corpus c USING (doc_id)
+                WHERE s.q_ok = 1 AND s.lang_ok = 1),
+         exf AS (SELECT doc_id,
+                   CASE WHEN doc_id = min(doc_id)
+                     OVER (PARTITION BY md5(text)) THEN 0 ELSE 1 END
+                     AS exact_dup
+                 FROM g1),
+         ex AS (SELECT g1.doc_id, g1.text FROM g1
+                JOIN exf USING (doc_id) WHERE exact_dup = 0),
+         sh AS (""" + shingleSqlFrom("ex") + """),
+         sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         dups AS (
+           SELECT DISTINCT id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE i::DOUBLE / (sa.set_size + sb.set_size - i) >= 0.8),
+         ndf AS (SELECT doc_id,
+                   CASE WHEN doc_id IN (SELECT id_b FROM dups)
+                     THEN 1 ELSE 0 END AS near_dup
+                 FROM ex),
+         nd AS (SELECT ex.doc_id, ex.text FROM ex
+                JOIN ndf USING (doc_id) WHERE near_dup = 0),
+         nsh AS (""" + shingleSqlFrom("nd") + """),
+         bsh AS (""" +
+           shingleSqlFrom(
+             "(SELECT doc_id, text FROM documents WHERE doc_id < 50) b") +
+         """),
+         bsz AS (SELECT doc_id AS bench_id, count(*) AS bench_size
+                 FROM bsh GROUP BY 1),
+         cinter AS (SELECT n.doc_id, b.doc_id AS bench_id,
+                      count(*) AS shared
+                    FROM nsh n JOIN bsh b ON n.shingle = b.shingle
+                    GROUP BY 1, 2),
+         contam_ids AS (
+           SELECT DISTINCT doc_id FROM cinter
+           JOIN bsz USING (bench_id)
+           WHERE shared::DOUBLE / bench_size >= 0.8),
+         ctf AS (SELECT doc_id,
+                   CASE WHEN doc_id IN (SELECT doc_id FROM contam_ids)
+                     THEN 1 ELSE 0 END AS contaminated
+                 FROM nd),
+         dec AS (
+           SELECT s.doc_id, s.quality, s.lang_pred, s.q_ok, s.lang_ok,
+             e.exact_dup, n.near_dup, ct.contaminated,
+             CASE WHEN s.q_ok = 1 AND s.lang_ok = 1
+               AND coalesce(e.exact_dup, 1) = 0
+               AND coalesce(n.near_dup, 1) = 0
+               AND coalesce(ct.contaminated, 1) = 0
+               THEN 1 ELSE 0 END AS kept
+           FROM scored s
+           LEFT JOIN exf e USING (doc_id)
+           LEFT JOIN ndf n USING (doc_id)
+           LEFT JOIN ctf ct USING (doc_id)),
+         dec2 AS (
+           SELECT dec.*,
+             CASE WHEN kept = 1 THEN
+               (('0x' || substr(md5('split:' || doc_id::VARCHAR),1,8))
+                 ::BIGINT % 100) END AS bucket
+           FROM dec)
+         SELECT doc_id, quality, lang_pred, q_ok, lang_ok, exact_dup,
+           near_dup, contaminated, kept, bucket,
+           CASE WHEN kept = 1 THEN
+             (CASE WHEN bucket < 90 THEN 'train'
+                   WHEN bucket < 95 THEN 'val' ELSE 'test' END) END AS split
+         FROM dec2 ORDER BY doc_id"""),
     "mm_features" ->
       """SELECT doc_id,
            (8 + doc_id % 32)::INT AS width,

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curate
+
+class CurateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // one doc per curation fate, each engineered to trip exactly one gate:
+  //   1 good unique english            -> kept
+  //   2 exact copy of 1                -> exact_dup
+  //   3 german                         -> lang gate (quality passes)
+  //   4 three low-quality tokens       -> quality gate (langid 'und' too)
+  //   5 one-token edit of 1 (j=9/11)   -> near_dup
+  //   6 contains the bench doc's grams -> contaminated
+  //   7 good unique english            -> kept
+  private val a = "the cat and the dog went to the park in the morning"
+  private def corpus = Seq(
+    (1L, a),
+    (2L, a),
+    (3L, "der hund ist nicht mit der katze und das haus ist gross"),
+    (4L, "x y z"),
+    (5L, a.replace("morning", "evening")),
+    (6L, "the results show alpha beta gamma delta epsilon and the method is sound here"),
+    (7L, "a quick brown fox jumps over the lazy dog while the sun is shining today"))
+    .toDF("doc_id", "text")
+  private def bench = Seq((100L, "alpha beta gamma delta epsilon"))
+    .toDF("doc_id", "text")
+
+  private def table() =
+    Curate.decisionTable(corpus, bench, "doc_id", "text")
+
+  test("decisionTable gates docs in sequence, NULL flags past the drop") {
+    val rows = table().collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long): (Any, Any, Any, Any, Any, Int) = {
+      val r = rows(id)
+      def g(c: String): Any = r.get(r.fieldIndex(c))
+      (g("q_ok"), g("lang_ok"), g("exact_dup"), g("near_dup"),
+        g("contaminated"), r.getInt(r.fieldIndex("kept")))
+    }
+    assert(flags(1L) == ((1, 1, 0, 0, 0, 1)))
+    assert(flags(2L) == ((1, 1, 1, null, null, 0)))   // dropped at exact
+    assert(flags(3L) == ((1, 0, null, null, null, 0))) // dropped at lang
+    assert(flags(4L)._1 == 0)                          // dropped at quality
+    assert(flags(4L)._6 == 0)
+    assert(flags(5L) == ((1, 1, 0, 1, null, 0)))      // dropped at near-dup
+    assert(flags(6L) == ((1, 1, 0, 0, 1, 0)))         // dropped at contam
+    assert(flags(7L) == ((1, 1, 0, 0, 0, 1)))
+    // split only for kept docs, and a valid value when present
+    assert(rows.values.forall { r =>
+      val kept = r.getInt(r.fieldIndex("kept")) == 1
+      val split = r.get(r.fieldIndex("split"))
+      if (kept) Set[Any]("train", "val", "test").contains(split)
+      else split == null
+    })
+  }
+
+  test("curate returns the kept docs with original columns + assignment") {
+    val out = Curate.curate(corpus, bench, "doc_id", "text")
+    assert(out.columns.toSeq == Seq("doc_id", "text", "bucket", "split"))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 7L))
+  }
+
+  test("decisionTable is layout-independent") {
+    val one = table().orderBy("doc_id").collect().toSeq
+    val other = Curate.decisionTable(corpus.repartition(7), bench,
+      "doc_id", "text").orderBy("doc_id").collect().toSeq
+    assert(one == other)
+  }
+}

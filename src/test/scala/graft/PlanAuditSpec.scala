@@ -167,6 +167,24 @@ class PlanAuditSpec extends SparkTestBase {
       "the winner-pick window must be partitioned by cluster:\n" + p)
   }
 
+  test("ds_curate windows by content hash and never cross-pairs") {
+    val p = plan("ds_curate")
+    // the exact-dedup stage is the plan's only window family — every one
+    // must partition by md5(content), never run globally; and the
+    // near-dup/contam stages must stay equi-joins
+    // the partition key is projected as _w0 (= md5(content)) — a window
+    // with NO partition key would render as windowspecdefinition( with
+    // no leading attribute
+    val windows = "windowspecdefinition\\(\\w*".r.findAllIn(p).toSeq
+    assert(windows.nonEmpty, p)
+    assert(windows.forall(_ != "windowspecdefinition("),
+      s"every window must carry a partition key, got $windows")
+    assert(p.contains("md5(cast("),
+      "the window's partition projection must be the content hash:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("txt_lm_score computes the bigram stream once (three cached reads)") {
     val p = plan("txt_lm_score")
     // bigram counts, context counts, and the scoring probe must all read
