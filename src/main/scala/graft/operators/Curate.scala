@@ -26,8 +26,33 @@ import org.apache.spark.sql.functions._
   * by construction) benchmark side. Flag join-backs are equi-joins on
   * the id — hash-partitioned, never broadcast (the flag frames are
   * corpus-sized).
+  *
+  * Deliberately UNCACHED, measured: each gated frame has two consumers
+  * (next stage + decision join-back), but caching them LOST at sf0.1
+  * (4.1 s uncached vs 5.0 s all three gated frames cached vs 4.4 s
+  * window-frame only) — the gates are cheap codegen'd projections, and
+  * Tungsten cache materialization of corpus-sized text costs more than
+  * re-running them over the columnar scan. The one genuinely expensive
+  * shared subtree — the shingle explosion — is already cached inside
+  * [[Dedup.ngramJaccardPairs]]. (Contrast dd_spans, where the cached
+  * frame is the 10x-blowup gram EXPLOSION, not a per-row projection.)
   */
 object Curate {
+
+  /** Near-dup survivor policy for the dedup stage of [[decisionTable]].
+    */
+  sealed trait KeepPolicy
+  object KeepPolicy {
+    /** Keep the smallest id ([[Dedup.keepFirst]] semantics): a doc is a
+      * near_dup when it is the larger id of any passing pair. One
+      * anti-join-shaped flag, no iteration — the default. */
+    case object First extends KeepPolicy
+    /** Keep the `score`-maximising copy per CONNECTED component
+      * ([[Dedup.keepBest]] — min id on ties): the
+      * keep-the-best-extraction policy. Adds the adaptive
+      * connected-components rounds to the plan. */
+    final case class Best(score: Column) extends KeepPolicy
+  }
 
   /** Per-document curation decision table. Output columns:
     * (idCol, quality, lang_pred, q_ok, lang_ok, exact_dup, near_dup,
@@ -39,7 +64,8 @@ object Curate {
                     keepLangs: Seq[String] = Seq("en"),
                     jaccardThreshold: Double = 0.8, n: Int = 3,
                     contamThreshold: Double = 0.8,
-                    trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+                    trainPct: Int = 90, valPct: Int = 5,
+                    keepPolicy: KeepPolicy = KeepPolicy.First): DataFrame = {
     val id = col(idCol)
     val scored = corpus.select(id, col(textCol),
         TextAnalysis.qualityScore(col(textCol)).as("quality"),
@@ -59,13 +85,22 @@ object Curate {
     val exDocs = exFlagged.filter(col("exact_dup") === 0)
       .select(id, col(textCol))
 
-    // near-dup stage among exact survivors: keep-first over jaccard pairs
+    // near-dup stage among exact survivors: survivor set per keepPolicy,
+    // flag = not a survivor
     val pairs = Dedup.ngramJaccardPairs(exDocs, idCol, textCol,
       jaccardThreshold, n)
-    val dupIds = pairs.select(col("id_b").as(idCol)).distinct()
-      .withColumn("__nd", lit(1))
-    val ndFlagged = exDocs.join(dupIds, Seq(idCol), "left")
-      .withColumn("near_dup", coalesce(col("__nd"), lit(0)))
+    val ndFlagged = keepPolicy match {
+      case KeepPolicy.First =>
+        val dupIds = pairs.select(col("id_b").as(idCol)).distinct()
+          .withColumn("__nd", lit(1))
+        exDocs.join(dupIds, Seq(idCol), "left")
+          .withColumn("near_dup", coalesce(col("__nd"), lit(0)))
+      case KeepPolicy.Best(score) =>
+        val survivors = Dedup.keepBest(exDocs, idCol, pairs, score)
+          .select(id).withColumn("__kb", lit(1))
+        exDocs.join(survivors, Seq(idCol), "left")
+          .withColumn("near_dup", when(col("__kb").isNotNull, 0).otherwise(1))
+    }
     val ndDocs = ndFlagged.filter(col("near_dup") === 0)
       .select(id, col(textCol))
 
@@ -106,9 +141,11 @@ object Curate {
              keepLangs: Seq[String] = Seq("en"),
              jaccardThreshold: Double = 0.8, n: Int = 3,
              contamThreshold: Double = 0.8,
-             trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+             trainPct: Int = 90, valPct: Int = 5,
+             keepPolicy: KeepPolicy = KeepPolicy.First): DataFrame = {
     val kept = decisionTable(corpus, bench, idCol, textCol, minQuality,
-        keepLangs, jaccardThreshold, n, contamThreshold, trainPct, valPct)
+        keepLangs, jaccardThreshold, n, contamThreshold, trainPct, valPct,
+        keepPolicy)
       .filter(col("kept") === 1)
       .select(col(idCol), col("bucket"), col("split"))
     corpus.join(kept, Seq(idCol))

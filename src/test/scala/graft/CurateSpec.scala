@@ -64,6 +64,19 @@ class CurateSpec extends SparkTestBase {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 7L))
   }
 
+  test("KeepPolicy.Best keeps the max-score copy instead of the first") {
+    // score = doc_id: the {1,5} near-dup component now keeps 5, not 1 —
+    // and 5 (not 1) flows on to the decontamination stage
+    val t = Curate.decisionTable(corpus, bench, "doc_id", "text",
+      keepPolicy = Curate.KeepPolicy.Best(col("doc_id")))
+    val kept = t.filter(col("kept") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(5L, 7L))
+    val nd = t.filter(col("doc_id") === 1L)
+      .select("near_dup").as[Int].head()
+    assert(nd == 1)
+  }
+
   test("decisionTable is layout-independent") {
     val one = table().orderBy("doc_id").collect().toSeq
     val other = Curate.decisionTable(corpus.repartition(7), bench,
