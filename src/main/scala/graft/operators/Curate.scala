@@ -150,4 +150,59 @@ object Curate {
       .select(col(idCol), col("bucket"), col("split"))
     corpus.join(kept, Seq(idCol))
   }
+
+  /** [[curate]] with STAGED MATERIALIZATION: each stage writes its
+    * survivors to `stageDir/<stage>` as parquet and the next stage reads
+    * that — the shape a 100 TB curation run actually takes. The
+    * single-plan [[curate]] re-derives the gated corpus per consumer,
+    * which is the right trade when the scan is RAM/page-cache-speed
+    * (measured — see the class doc) but wrong against cold object
+    * storage, where each stage's input should be read ONCE; staging also
+    * makes the pass restartable at stage granularity and leaves each
+    * intermediate auditable (the same write-once/probe-per-batch
+    * argument as `writeMinhashIndex`). Same result as [[curate]]
+    * (spec-pinned), minus the audit flags — the dropped docs are gone
+    * from the survivor files, not annotated.
+    *
+    * Returns the kept docs (id, text + bucket, split), read back from
+    * the final stage file.
+    */
+  def curateStaged(corpus: DataFrame, bench: DataFrame, idCol: String,
+                   textCol: String, stageDir: String,
+                   minQuality: Double = 0.5,
+                   keepLangs: Seq[String] = Seq("en"),
+                   jaccardThreshold: Double = 0.8, n: Int = 3,
+                   contamThreshold: Double = 0.8,
+                   trainPct: Int = 90, valPct: Int = 5,
+                   keepPolicy: KeepPolicy = KeepPolicy.First): DataFrame = {
+    val spark = corpus.sparkSession
+    val id = col(idCol)
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val path = s"$stageDir/$name"
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    val gated = stage("gated", corpus
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
+        TextAnalysis.langId(col(textCol)).isInCollection(keepLangs))
+      .select(id, col(textCol)))
+    val exWin = Window.partitionBy(md5(col(textCol).cast("binary")))
+    val exDocs = stage("exact", gated
+      .withColumn("__min", min(id).over(exWin))
+      .filter(id === col("__min")).drop("__min"))
+    val pairs = Dedup.ngramJaccardPairs(exDocs, idCol, textCol,
+      jaccardThreshold, n)
+    val ndDocs = stage("neardup", keepPolicy match {
+      case KeepPolicy.First =>
+        Dedup.keepFirst(exDocs, idCol, pairs)
+      case KeepPolicy.Best(score) =>
+        Dedup.keepBest(exDocs, idCol, pairs, score)
+    })
+    val contamIds = Dedup.contaminationPairs(ndDocs, bench, idCol, textCol,
+      n, contamThreshold).select(col("corpus_id").as(idCol)).distinct()
+    val clean = stage("clean",
+      Prep.hashSplit(ndDocs.join(contamIds, Seq(idCol), "left_anti"),
+        idCol, trainPct, valPct))
+    clean
+  }
 }

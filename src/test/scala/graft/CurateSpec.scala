@@ -77,6 +77,19 @@ class CurateSpec extends SparkTestBase {
     assert(nd == 1)
   }
 
+  test("curateStaged produces exactly curate's survivors and splits") {
+    val dir = java.nio.file.Files.createTempDirectory("curate_staged")
+      .toString
+    val staged = Curate.curateStaged(corpus, bench, "doc_id", "text", dir)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val single = Curate.curate(corpus, bench, "doc_id", "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(staged == single)
+    // every stage left an auditable parquet behind
+    for (s <- Seq("gated", "exact", "neardup", "clean"))
+      assert(new java.io.File(s"$dir/$s").exists(), s)
+  }
+
   test("decisionTable is layout-independent") {
     val one = table().orderBy("doc_id").collect().toSeq
     val other = Curate.decisionTable(corpus.repartition(7), bench,
