@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   * (zero shuffle); exact dedup is one window over md5(content) (one
   * shuffle, no join-back); near-dup is the inverted-index equi-join of
   * [[Dedup.ngramJaccardPairs]]; decontamination broadcasts the (small
-  * by construction) benchmark side. Flag join-backs are equi-joins on
-  * the id — hash-partitioned, never broadcast (the flag frames are
-  * corpus-sized).
+  * by construction) benchmark side. Flag join-backs carry only the
+  * DROPPED-id set per stage — small relative to the corpus by the
+  * nature of dedup, so AQE broadcasts them when they fit and the
+  * corpus side never shuffles for a flag; a per-doc flag frame would
+  * instead force a corpus-vs-corpus shuffle join per stage.
   *
   * Deliberately UNCACHED, measured: each gated frame has two consumers
   * (next stage + decision join-back), but caching them LOST at sf0.1
@@ -82,27 +84,28 @@ object Curate {
     val exWin = Window.partitionBy(md5(col(textCol).cast("binary")))
     val exFlagged = g1.withColumn("exact_dup",
       (id =!= min(id).over(exWin)).cast("int"))
+    // the flag joins below carry only the DROPPED ids per stage — dup
+    // sets are small relative to the corpus (AQE broadcasts them when
+    // they fit), where a full per-doc flag frame would force a
+    // corpus-vs-corpus shuffle join per stage. Presence in the set +
+    // "did the doc reach this stage" reconstructs the three-valued flag
+    val exDupIds = exFlagged.filter(col("exact_dup") === 1)
+      .select(id).withColumn("__ex", lit(1))
     val exDocs = exFlagged.filter(col("exact_dup") === 0)
       .select(id, col(textCol))
 
-    // near-dup stage among exact survivors: survivor set per keepPolicy,
-    // flag = not a survivor
+    // near-dup stage among exact survivors: dropped = not a survivor of
+    // the keepPolicy
     val pairs = Dedup.ngramJaccardPairs(exDocs, idCol, textCol,
       jaccardThreshold, n)
-    val ndFlagged = keepPolicy match {
+    val ndDupIds = (keepPolicy match {
       case KeepPolicy.First =>
-        val dupIds = pairs.select(col("id_b").as(idCol)).distinct()
-          .withColumn("__nd", lit(1))
-        exDocs.join(dupIds, Seq(idCol), "left")
-          .withColumn("near_dup", coalesce(col("__nd"), lit(0)))
+        pairs.select(col("id_b").as(idCol)).distinct()
       case KeepPolicy.Best(score) =>
-        val survivors = Dedup.keepBest(exDocs, idCol, pairs, score)
-          .select(id).withColumn("__kb", lit(1))
-        exDocs.join(survivors, Seq(idCol), "left")
-          .withColumn("near_dup", when(col("__kb").isNotNull, 0).otherwise(1))
-    }
-    val ndDocs = ndFlagged.filter(col("near_dup") === 0)
-      .select(id, col(textCol))
+        exDocs.join(Dedup.keepBest(exDocs, idCol, pairs, score).select(id),
+          Seq(idCol), "left_anti").select(id)
+    }).withColumn("__nd", lit(1))
+    val ndDocs = exDocs.join(ndDupIds.select(id), Seq(idCol), "left_anti")
 
     // decontamination among near-dup survivors: n-gram containment of
     // any benchmark doc
@@ -110,18 +113,25 @@ object Curate {
         n, contamThreshold)
       .select(col("corpus_id").as(idCol)).distinct()
       .withColumn("__ct", lit(1))
-    val ctFlagged = ndDocs.select(id).join(contamIds, Seq(idCol), "left")
-      .withColumn("contaminated", coalesce(col("__ct"), lit(0)))
 
+    val gate1 = col("q_ok") === 1 && col("lang_ok") === 1
     val dec = scored.drop(textCol)
-      .join(exFlagged.select(id, col("exact_dup")), Seq(idCol), "left")
-      .join(ndFlagged.select(id, col("near_dup")), Seq(idCol), "left")
-      .join(ctFlagged.select(id, col("contaminated")), Seq(idCol), "left")
+      .join(exDupIds, Seq(idCol), "left")
+      .join(ndDupIds, Seq(idCol), "left")
+      .join(contamIds, Seq(idCol), "left")
+      .withColumn("exact_dup",
+        when(gate1, coalesce(col("__ex"), lit(0))))
+      .withColumn("near_dup",
+        when(gate1 && col("exact_dup") === 0, coalesce(col("__nd"), lit(0))))
+      .withColumn("contaminated",
+        when(gate1 && col("exact_dup") === 0 && col("near_dup") === 0,
+          coalesce(col("__ct"), lit(0))))
       .withColumn("kept",
-        (col("q_ok") === 1 && col("lang_ok") === 1 &&
+        (gate1 &&
           coalesce(col("exact_dup"), lit(1)) === 0 &&
           coalesce(col("near_dup"), lit(1)) === 0 &&
           coalesce(col("contaminated"), lit(1)) === 0).cast("int"))
+      .drop("__ex", "__nd", "__ct")
     // deterministic split for the kept docs — Prep.hashSplit's exact
     // bucket rule so a doc lands in the same split here and there
     dec.withColumn("bucket",
