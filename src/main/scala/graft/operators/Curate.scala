@@ -32,7 +32,9 @@ import org.apache.spark.sql.functions._
   * Deliberately UNCACHED, measured: each gated frame has two consumers
   * (next stage + decision join-back), but caching them LOST at sf0.1
   * (4.1 s uncached vs 5.0 s all three gated frames cached vs 4.4 s
-  * window-frame only) — the gates are cheap codegen'd projections, and
+  * window-frame only, measured on the earlier per-doc-flag-frame shape;
+  * the dropped-id join restructure then cut the query itself to
+  * ~2.9 s) — the gates are cheap codegen'd projections, and
   * Tungsten cache materialization of corpus-sized text costs more than
   * re-running them over the columnar scan. The one genuinely expensive
   * shared subtree — the shingle explosion — is already cached inside
