@@ -88,6 +88,15 @@ class CurateSpec extends SparkTestBase {
     // every stage left an auditable parquet behind
     for (s <- Seq("gated", "exact", "neardup", "clean"))
       assert(new java.io.File(s"$dir/$s").exists(), s)
+    // the equality holds under the Best policy too
+    val bp = Curate.KeepPolicy.Best(col("doc_id"))
+    val stagedBest = Curate.curateStaged(corpus, bench, "doc_id", "text",
+        dir + "_best", keepPolicy = bp)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val singleBest = Curate.curate(corpus, bench, "doc_id", "text",
+        keepPolicy = bp)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(stagedBest == singleBest)
   }
 
   test("decisionTable is layout-independent") {
