@@ -17,19 +17,43 @@ object Tables {
 
   /** Lazy scan of one table under a scale-factor directory.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark has no
-    * native type for; sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[graft.core.Sessions]])
-    * and this loader rebuilds a microsecond TimestampType column from the
-    * raw nanos (ns→µs truncation, documented in SURVEY.md §1.2).
+    * `events.ts` has been generated under two different physical parquet
+    * encodings over time, so the loader adapts to the schema it actually
+    * reads instead of hard-coding one (the reference pins its expected
+    * schema at read the same way, `src/utils/datasets.rs:40-52`):
+    *
+    *   - legacy TIMESTAMP(NANOS): Spark has no native nanos type; with
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (kept in
+    *     [[graft.core.Sessions]] for backward compat) the column arrives as
+    *     LongType and is rebuilt as a microsecond TimestampType
+    *     (ns→µs truncation, SURVEY.md §1.2);
+    *   - current timestamp[us] with isAdjustedToUTC=false: arrives as
+    *     TIMESTAMP_NTZ; cast to TimestampType — the session timezone is
+    *     pinned to UTC so the micros are bit-identical to the naive value
+    *     the DuckDB oracle computes;
+    *   - timestamp[us] UTC-adjusted: already TimestampType, pass through.
+    *
+    * Every downstream consumer (as-of joins, sessionize, 1BRC, hourly aggs,
+    * streaming twins) sees one normalized contract: `ts: TimestampType, µs
+    * precision, UTC` regardless of the file encoding. TablesSchemaSpec is
+    * the canary that asserts this across all scale factors.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Normalize `ts` to µs TimestampType whatever its physical encoding. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported physical type $other — expected nanos-as-long, timestamp_ntz, or timestamp")
+    }
   }
 
   /** Register every table as a temp view for SQL access (S5 analogue). */
