@@ -66,8 +66,10 @@ object Bench {
     "bench_lsh50k_q8",
     "bench_cc450k_driver", "bench_cc450k_dist", "bench_cc2m_dist",
     "bench_cc2m_skew",
+    // (the dd12k quarter-size twins are full-artifact-only: the compact
+    // line is budgeted and their scaling-exponent ratio is computed from
+    // bench_out.json, not eyeballed off the stdout line)
     "bench_dd50k_ngram", "bench_dd50k_ngram_pruned", "bench_dd50k_minhash",
-    "bench_dd12k_ngram", "bench_dd12k_minhash",
     "dd_clusters", "dd_survivors_exact", "dd_minhash_pairs",
     "dd_ngram_pairs", "dd_simhash_pairs", "dd_embed_lsh", "dd_embed_pairs",
     "dd_exact", "dd_spans",
@@ -352,6 +354,24 @@ object Bench {
     "bench_dd12k_minhash" -> ((s, _) =>
       graft.operators.Dedup.minhashPairs(
         dd12k(s), "doc_id", "text", threshold = DdThreshold)),
+    // ---- incremental dedup: inline corpus recompute vs materialized-
+    // index probe, on the REAL documents table — the write-once /
+    // probe-per-batch trade the contract query dd_incremental now runs
+    // only the winning side of. The inline contender re-shingles and
+    // re-signs the whole corpus every batch (the O(corpus)-per-day
+    // shape); the probe contender is the contract query itself, whose
+    // one-time index write lands in the untimed warmup, so the timed
+    // ratio is probe-vs-recompute — the number that justifies the index.
+    "bench_ddinc_inline" -> ((s, dir) => {
+      val d = graft.sources.Tables.load(s, dir, "documents")
+      val cut = (d.agg(max(col("doc_id"))).head().getLong(0) + 1) * 4 / 5
+      graft.operators.Dedup.incrementalSurvivors(
+        d.filter(col("doc_id") >= cut), d.filter(col("doc_id") < cut),
+        "doc_id", "text", threshold = 0.8,
+        mode = graft.operators.Dedup.HashMode.Md5)
+    }),
+    "bench_ddinc_probe" -> ((s, dir) =>
+      SparkEntry.queries("dd_incremental")(s, dir)),
     "bench_dd50k_recall" -> ((s, _) => setup(s, "guard_dd") {
       val exact = graft.operators.Dedup.ngramJaccardPairs(
           dd50k(s), "doc_id", "text", threshold = DdThreshold, n = 3)
@@ -401,6 +421,7 @@ object Bench {
     Seq("bench_dd50k_ngram", "bench_dd50k_ngram_pruned",
       "bench_dd50k_minhash"),
     Seq("bench_dd12k_ngram", "bench_dd12k_minhash"),
+    Seq("bench_ddinc_inline", "bench_ddinc_probe"),
     // contract-query twins the docs compare head-to-head: round 7's
     // sim_topk 0.53->0.84 swing on untouched code is exactly the drift
     // interleaving absorbs (members must share a fork family — spec'd)
@@ -454,7 +475,7 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count(_.err.isDefined)
     val total = results.collect { case QTime(_, t, _, None) => t }.sum
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs)}"timing":"min_of_runs",${crossoverField(results)}${claimsFields(results, compact = true)}"mode":${jstr(mode)},"n_err":$nErr,"full":${jstr(outPath)}}"""
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",$BaselineBreakShort${crossoverField(results)}${claimsFields(results, compact = true)}"mode":${jstr(mode)},"n_err":$nErr,"full":${jstr(outPath)}}"""
   }
 
   // same artifact-honesty rule as fastRunsFields: stamp the interleaved-
@@ -471,11 +492,28 @@ object Bench {
   // the artifact must describe its own methodology: queries whose min is
   // under StableMinSeconds are topped up to min-of-5, and a reader
   // comparing round-over-round minima needs to know which regime
-  // applied. With runs >= 5 the top-up never fires — emitting the
-  // fields then would describe a methodology that never ran
-  private def fastRunsFields(runs: Int): String =
-    if (runs < 5) s""""runs_fast":5,"fast_cutoff_s":$StableMinSeconds,"""
+  // applied. Emitted only when the top-up COULD fire (runs < 5) AND some
+  // timed entry actually sits under the cutoff — with runs >= 5, or a
+  // slice where every entry is slow, the fields would describe a
+  // methodology that never ran.
+  private def fastRunsFields(runs: Int, results: Seq[QTime]): String =
+    if (runs < 5 &&
+        results.exists(r => r.err.isEmpty && r.secs < StableMinSeconds))
+      s""""runs_fast":5,"fast_cutoff_s":$StableMinSeconds,"""
     else ""
+
+  // round-over-round comparability self-description: r8 switched cohort
+  // contenders to interleaved timing and r9 added the untimed warmup, so
+  // minima from earlier methodology regimes are NOT comparable to these —
+  // the artifact says so instead of letting a reader diff raw numbers
+  // across the break (r8 lesson: ~2× apparent "regressions" on untouched
+  // queries were purely the timing-regime change). The compact line is
+  // budgeted (~1800 chars) — it carries the short marker, the full
+  // artifact the sentence.
+  private val BaselineBreak =
+    """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup; pre-r9 minima are a different timing regime, not comparable","""
+  private val BaselineBreakShort =
+    """"baseline_break":"r9 warmup","""
 
   /** The crossover CONCLUSIONS the docs state, computed INTO the
     * artifact each run: claim holds when min(lhs) < factor × min(rhs).
@@ -502,7 +540,9 @@ object Bench {
         "bench_cc450k_driver", "bench_cc450k_dist", 1.0),
       ("cc_skew_within_2x",
         "bench_cc2m_skew", "bench_cc2m_dist", 2.0),
-      ("embed_lsh_beats_brute", "dd_embed_lsh", "dd_embed_pairs", 1.0))
+      ("embed_lsh_beats_brute", "dd_embed_lsh", "dd_embed_pairs", 1.0),
+      ("index_probe_beats_inline",
+        "bench_ddinc_probe", "bench_ddinc_inline", 1.0))
 
   // claims whose operands are missing (extras-off / sliced run) or
   // errored are omitted rather than guessed. The compact form carries
@@ -544,7 +584,7 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count(_.err.isDefined)
     val total = results.collect { case QTime(_, t, _, None) => t }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs)}"timing":"min_of_runs",${crossoverField(results)}${claimsFields(results)}"mode":${jstr(mode)},"n_err":$nErr}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",$BaselineBreak${crossoverField(results)}${claimsFields(results)}"mode":${jstr(mode)},"n_err":$nErr}"""
   }
 
   // ---------------------------------------------------------------------
@@ -642,6 +682,14 @@ object Bench {
         // query (or the next run) is timed
         spark.catalog.clearCache()
       }
+      // one UNTIMED warmup execution per member first (r8 lesson: the
+      // plan's cold first run — analysis, codegen, shuffle-file creation,
+      // guard memoization — landed inside the timed windows and stretched
+      // per-entry spreads to 1000×; setup is not signal). Skippable for
+      // quick dev smokes via SPARK_GRAFT_BENCH_WARMUP=0.
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
+        for (name <- unit if !errs.contains(name)) once(name)
+      val warmups = times.map { case (k, v) => k -> v.size }.toMap
       // interleave: run index outermost, so cohort contenders alternate
       for (_ <- 1 to runs; name <- unit) once(name)
       // sub-0.5 s minimums sit at the fresh-JVM noise floor (round-6
@@ -655,8 +703,13 @@ object Bench {
            if !errs.contains(name) && runs < 5 &&
              times(name).min < StableMinSeconds;
            _ <- 1 to (5 - runs)) once(name)
-      unit.map(name => QTime(name, times(name).min, times(name).max,
-        errs.get(name)))
+      // the warmup sample is excluded from min AND max: the artifact's
+      // spread describes the steady-state regime only
+      unit.map { name =>
+        val timed = times(name).drop(warmups.getOrElse(name, 0))
+        val ts = if (timed.nonEmpty) timed else times(name)
+        QTime(name, ts.min, ts.max, errs.get(name))
+      }
     }
     spark.stop()
     results

@@ -557,6 +557,12 @@ object Dedup {
     * shingles are the skew risk — cap them with maxDocFreq (standard
     * "stop-shingle" pruning; exactness holds for pairs whose intersection
     * isn't entirely stop-shingles, which a 0.8 threshold implies).
+    *
+    * CACHE LIFECYCLE: the shingle frame is `cache()`d for the plan's
+    * lifetime (it feeds both join sides plus the set-size aggregate) —
+    * callers running many queries per session should
+    * `spark.catalog.clearCache()` between them, the same convention as
+    * [[repeatedSpans]] and [[LanguageModel.selfScore]] (Bench/Verify do).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.8, n: Int = 3,

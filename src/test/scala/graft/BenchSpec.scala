@@ -147,15 +147,37 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("fast-runs fields describe only a methodology that actually ran") {
-    // the sub-0.5s top-up to min-of-5 fires only when runs < 5: with
-    // runs >= 5 the fields would describe a regime that never applied
+    // the sub-0.5s top-up to min-of-5 fires only when runs < 5 AND some
+    // timed entry sits under the cutoff — with runs >= 5, or a slice
+    // where every entry is slow (or the fast one errored), the fields
+    // would describe a regime that never applied
     val topped = Bench.renderCompact(
-      Seq(Bench.QTime("q1_agg", 1.0, 1.0, None)), "sf", "4", 3)
+      Seq(Bench.QTime("q1_agg", 0.2, 0.3, None)), "sf", "4", 3)
     assert(topped.contains("\"runs_fast\":5"))
+    val allSlow = Bench.renderCompact(
+      Seq(Bench.QTime("q1_agg", 1.0, 1.0, None)), "sf", "4", 3)
+    assert(!allSlow.contains("runs_fast"))
+    val fastButErred = Bench.renderCompact(
+      Seq(Bench.QTime("q1_agg", 0.0, 0.0, Some("boom"))), "sf", "4", 3)
+    assert(!fastButErred.contains("runs_fast"))
     val flat = Bench.renderCompact(
-      Seq(Bench.QTime("q1_agg", 1.0, 1.0, None)), "sf", "4", 5)
+      Seq(Bench.QTime("q1_agg", 0.2, 0.3, None)), "sf", "4", 5)
     assert(!flat.contains("runs_fast"))
     assert(mapper.readTree(flat).get("runs").asInt() == 5)
+  }
+
+  test("both artifact forms declare the timing-methodology baseline break") {
+    // r7->r8 minima diverged ~2x on untouched queries purely from the
+    // interleaving change; the artifact must self-describe that pre-r9
+    // numbers are a different regime rather than let a reader diff them
+    val compact = mapper.readTree(Bench.renderCompact(
+      Seq(Bench.QTime("q1_agg", 1.0, 1.0, None)), "sf", "4", 3))
+    val full = mapper.readTree(Bench.renderFull(
+      Seq(Bench.QTime("q1_agg", 1.0, 1.0, None)), "sf", "4", 3))
+    for (tree <- Seq(compact, full)) {
+      val brk = tree.get("baseline_break")
+      assert(brk != null && brk.asText().contains("warmup"))
+    }
   }
 
   test("crossover cohorts name real bench entries, each in one cohort") {
@@ -228,7 +250,10 @@ class BenchSpec extends AnyFunSuite {
       // guard, plus quarter-size twins for the scaling-exponent ratio
       "bench_dd50k_ngram", "bench_dd50k_ngram_pruned",
       "bench_dd50k_minhash", "bench_dd50k_recall",
-      "bench_dd12k_ngram", "bench_dd12k_minhash"))
+      "bench_dd12k_ngram", "bench_dd12k_minhash",
+      // incremental dedup crossover: inline corpus recompute vs the
+      // contract query's materialized-index probe path
+      "bench_ddinc_inline", "bench_ddinc_probe"))
     assert(extras.intersect(SparkEntry.queries.keySet).isEmpty)
     // extras must NOT leak into Verify/oracle accounting
     assert(extras.intersect(SparkEntry.oracleSql.keySet).isEmpty)

@@ -34,6 +34,14 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failures = 0
+    # queries that failed to RUN are recorded by Verify, not just absent
+    try:
+        with open(f"{out_dir}/errors.json") as f:
+            for name, msg in json.load(f).items():
+                print(f"{name:24s} ERR (query failed to run): {msg}")
+                failures += 1
+    except FileNotFoundError:
+        pass
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = qdir.rstrip("/").split("/")[-1]
         spark_df = norm(pd.read_parquet(qdir))
