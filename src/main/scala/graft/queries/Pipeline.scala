@@ -493,6 +493,24 @@ object Pipeline {
         .orderBy("event_id")
     }),
 
+    // purchase attribution as the bounded batch query the watermarked
+    // stream-stream join collapses to: each purchase joins the same
+    // user's view events from the preceding hour. This calls the
+    // STREAMING operator itself
+    // ([[graft.streaming.EventsStreaming.purchaseAttribution]]) on the
+    // batch frame — `withWatermark` is a no-op on a batch child
+    // (Catalyst's EliminateEventTimeWatermark), so the oracle certifies
+    // the exact join the stream executes, minus only the state-expiry
+    // mechanics the watermark adds (oracled)
+    "ev_attrib" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      graft.streaming.EventsStreaming.purchaseAttribution(e)
+        .select(col("purchase_id"), col("user_id"),
+          unix_micros(col("p_ts")).as("p_us"), col("purchase_value"),
+          col("view_id"), unix_micros(col("v_ts")).as("v_us"))
+        .orderBy("purchase_id", "view_id")
+    }),
+
     // bucketed range join: which orders' first-week windows contain each
     // lineitem ship date (oracled against a plain BETWEEN join)
     "q_range_join" -> ((s, dir) => {
@@ -2055,6 +2073,20 @@ object Pipeline {
            JOIN p p2 ON p2.event_id = b.event_id) m
            ON m.event_id = p.event_id
          ORDER BY p.event_id""",
+    "ev_attrib" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+             epoch_ns(ts) // 1000 AS us
+           FROM events),
+         p AS (SELECT event_id AS purchase_id, user_id, us AS p_us,
+               value AS purchase_value FROM e
+               WHERE event_type = 'purchase'),
+         v AS (SELECT event_id AS view_id, user_id AS v_user_id, us AS v_us
+               FROM e WHERE event_type = 'view')
+         SELECT p.purchase_id, p.user_id, p.p_us, p.purchase_value,
+           v.view_id, v.v_us
+         FROM p JOIN v ON p.user_id = v.v_user_id
+           AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 3600000000
+         ORDER BY purchase_id, view_id""",
     "q_range_join" ->
       """WITH pts AS (
            SELECT l_orderkey, l_linenumber,
