@@ -363,24 +363,35 @@ object Dedup {
     * shared by the initial write and every append, so parquet schema
     * resolution can read ANY file's footer and find the contract. */
   private def indexMeta(numHashes: Int, bands: Int, shingleSize: Int,
-                        seed: Long, mode: HashMode) =
-    new org.apache.spark.sql.types.MetadataBuilder()
+                        seed: Long, mode: HashMode,
+                        sourceTag: String = "") = {
+    val b = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("numHashes", numHashes).putLong("bands", bands)
       .putLong("shingleSize", shingleSize).putLong("seed", seed)
-      .putString("hashMode", modeName(mode)).build()
+      .putString("hashMode", modeName(mode))
+    if (sourceTag.nonEmpty) b.putString("source", sourceTag)
+    b.build()
+  }
 
   /** Write the corpus index as three parquet dirs (`hashes/`,
     * `signatures/`, `buckets/`) under `path` — the write-once half of
     * the write-once / probe-per-batch split. The build hyperparameters
     * are stamped into the signature column's metadata so
-    * [[readMinhashIndex]] reconstructs them from the artifact itself. */
+    * [[readMinhashIndex]] reconstructs them from the artifact itself.
+    * `sourceTag` (optional) records WHICH corpus the index was built
+    * from — a caller that later probes the artifact can demand the tag
+    * back ([[readMinhashIndex]]'s `expectedSource`) so an index that a
+    * concurrent or earlier process built from different data fails
+    * loudly instead of silently returning wrong survivors. */
   def writeMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
                         path: String, numHashes: Int = 64, bands: Int = 16,
                         shingleSize: Int = 3, seed: Long = 42L,
-                        mode: HashMode = HashMode.Xx): Unit = {
+                        mode: HashMode = HashMode.Xx,
+                        sourceTag: String = ""): Unit = {
     val idx = buildMinhashIndex(corpus, idCol, textCol, numHashes, bands,
       shingleSize, seed, mode)
-    val meta = indexMeta(numHashes, bands, shingleSize, seed, mode)
+    val meta = indexMeta(numHashes, bands, shingleSize, seed, mode,
+      sourceTag)
     idx.hashes.write.mode("overwrite").parquet(s"$path/hashes")
     idx.signatures.select(col(idCol), col("signature").as("signature", meta))
       .write.mode("overwrite").parquet(s"$path/signatures")
@@ -391,9 +402,13 @@ object Dedup {
   /** Read a [[writeMinhashIndex]] artifact back as probe-ready frames.
     * Hyperparameters come from the stamped signature metadata; a path
     * that is not a minhash index fails loudly here, not as a silent
-    * recall collapse in the probe. */
+    * recall collapse in the probe. `expectedSource` (optional) demands
+    * the provenance tag stamped at write time: an index at the right
+    * path but built from a DIFFERENT corpus (stale artifact, path
+    * collision, concurrent writer) throws instead of probing. */
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-                       path: String): MinhashIndex = {
+                       path: String,
+                       expectedSource: Option[String] = None): MinhashIndex = {
     val sigs = spark.read.parquet(s"$path/signatures")
     val m = sigs.schema("signature").metadata
     val needed = Seq("numHashes", "bands", "shingleSize", "seed", "hashMode")
@@ -401,6 +416,12 @@ object Dedup {
     require(missing.isEmpty,
       s"$path/signatures is missing minhash-index metadata " +
         s"${missing.mkString(", ")} — was it written by writeMinhashIndex?")
+    expectedSource.foreach { want =>
+      val got = if (m.contains("source")) m.getString("source") else ""
+      require(got == want,
+        s"minhash index at $path was built from '$got' but this probe " +
+          s"expects '$want' — refusing to dedup against the wrong corpus")
+    }
     val mode = m.getString("hashMode") match {
       case "xx" => HashMode.Xx
       case "md5" => HashMode.Md5
@@ -430,8 +451,13 @@ object Dedup {
     val idx = readMinhashIndex(survivors.sparkSession, path)
     val add = buildMinhashIndex(survivors, idCol, textCol, idx.numHashes,
       idx.bands, idx.shingleSize, idx.seed, idx.mode)
+    // appended files carry the SAME stamp as the originals — including
+    // the provenance tag, which schema resolution may read from any file
+    val prevMeta = idx.signatures.schema("signature").metadata
+    val prevSource =
+      if (prevMeta.contains("source")) prevMeta.getString("source") else ""
     val meta = indexMeta(idx.numHashes, idx.bands, idx.shingleSize,
-      idx.seed, idx.mode)
+      idx.seed, idx.mode, prevSource)
     val sigId = idx.signatures.columns.find(_ != "signature").get
     val bktId = idx.buckets.columns
       .find(c => c != "band" && c != "bucket").get

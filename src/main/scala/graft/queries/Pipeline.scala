@@ -31,6 +31,23 @@ object Pipeline {
   private def corpusPar(e: DataFrame): DataFrame =
     e.repartition(LshCorpusParts, col("vec_id"))
 
+  /** Scratch path for a per-process materialized artifact keyed by a
+    * data directory. Two safety properties (round-9 advice):
+    *  - the key is the FULL sanitized dir path, not its 32-bit hashCode
+    *    — two data dirs can never collide onto one artifact;
+    *  - the pid suffix makes the path per-PROCESS unique, so a Verify
+    *    run and a Bench fork (or two bench children) on the same sfDir
+    *    can never interleave one's writes with the other's reads.
+    * Within one JVM the per-path memos below still serialize
+    * write-once/read-many. `pid` is injectable for the spec that pins
+    * the uniqueness properties. */
+  private[graft] def scratchPath(prefix: String, dir: String,
+      pid: Long = ProcessHandle.current().pid()): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"${prefix}_${tag}_p$pid").toString
+  }
+
   /** Write-once-per-JVM memo for the STEADY-STATE corpus minhash index
     * `dd_incremental` probes: the first execution in a process
     * materializes the index (overwrite — a stale on-disk artifact from an
@@ -39,19 +56,20 @@ object Pipeline {
     * daily-ingest probe, with the one-time write absorbed by the untimed
     * warmup; `dd_incremental_idx` stays the full write+read+probe
     * round-trip certification. Md5 mode so the DuckDB oracle replays the
-    * signatures bit-for-bit. */
+    * signatures bit-for-bit. The probe demands the source-dir provenance
+    * tag stamped at write time — even if a path were somehow shared, an
+    * index built from different data refuses to serve. */
   private val steadyIdxWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def steadyMinhashIndex(s: SparkSession, dir: String,
                                  corpus: DataFrame): Dedup.MinhashIndex = {
-    val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_mh_steady_" + Integer.toHexString(dir.hashCode)).toString
+    val path = scratchPath("graft_mh_steady", dir)
     steadyIdxWritten.synchronized {
       if (steadyIdxWritten.add(path))
         Dedup.writeMinhashIndex(corpus, "doc_id", "text", path,
-          mode = HashMode.Md5)
+          mode = HashMode.Md5, sourceTag = dir)
     }
-    Dedup.readMinhashIndex(s, path)
+    Dedup.readMinhashIndex(s, path, expectedSource = Some(dir))
   }
 
   /** IVF coarse quantizer for the sim_topk_ivf/sim_recall_ivf queries:
@@ -182,17 +200,15 @@ object Pipeline {
     "dd_incremental_idx" -> ((s, dir) => {
       val d = docs(s, dir)
       val cut = (d.agg(max(col("doc_id"))).head().getLong(0) + 1) * 4 / 5
-      // deterministic per-sf-dir temp location: overwrite-on-write, so
-      // repeated runs (bench min-of-N) neither accumulate dirs nor reuse
-      // a stale artifact from another scale factor
-      val path = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        "graft_mh_index_" + Integer.toHexString(dir.hashCode)).toString
+      // per-process, full-path-keyed temp location: overwrite-on-write,
+      // so repeated runs (bench min-of-N) neither accumulate dirs nor
+      // reuse a stale artifact from another scale factor or process
+      val path = scratchPath("graft_mh_index", dir)
       Dedup.writeMinhashIndex(d.filter(col("doc_id") < cut),
-        "doc_id", "text", path, mode = HashMode.Md5)
+        "doc_id", "text", path, mode = HashMode.Md5, sourceTag = dir)
       Dedup.incrementalSurvivors(d.filter(col("doc_id") >= cut),
-          Dedup.readMinhashIndex(s, path), "doc_id", "text",
-          threshold = 0.8)
+          Dedup.readMinhashIndex(s, path, expectedSource = Some(dir)),
+          "doc_id", "text", threshold = 0.8)
         .select("doc_id").orderBy("doc_id")
     }),
 
@@ -824,8 +840,7 @@ object Pipeline {
     // single-plan form (oracled)
     "ds_curate_staged" -> ((s, dir) => {
       val d = docs(s, dir)
-      val stageDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_curate_stages_" + Integer.toHexString(dir.hashCode)).toString
+      val stageDir = scratchPath("graft_curate_stages", dir)
       Curate.curateStaged(d.filter(col("doc_id") >= 50),
         d.filter(col("doc_id") < 50), "doc_id", "text", stageDir)
       s.read.parquet(s"$stageDir/clean")

@@ -393,6 +393,41 @@ class DedupSpec extends SparkTestBase {
     assert(b2.select("doc_id").as[Long].collect().toSeq == Seq(21L))
   }
 
+  test("minhash index provenance: a probe expecting a different source refuses") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mh-prov")
+    val path = tmp.resolve("index").toString
+    val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Dedup.writeMinhashIndex(Seq((1L, A)).toDF("doc_id", "text"),
+      "doc_id", "text", path, sourceTag = "/data/corpusA")
+    // matching tag reads fine
+    val idx = Dedup.readMinhashIndex(spark, path,
+      expectedSource = Some("/data/corpusA"))
+    assert(idx.numHashes == 64)
+    // wrong tag: the stale/foreign-artifact case — must throw, not probe
+    val e = intercept[IllegalArgumentException] {
+      Dedup.readMinhashIndex(spark, path,
+        expectedSource = Some("/data/corpusB"))
+    }
+    assert(e.getMessage.contains("corpusA") &&
+      e.getMessage.contains("corpusB"))
+    // an UNTAGGED index can't satisfy a provenance demand either
+    val untagged = tmp.resolve("untagged").toString
+    Dedup.writeMinhashIndex(Seq((1L, A)).toDF("doc_id", "text"),
+      "doc_id", "text", untagged)
+    intercept[IllegalArgumentException] {
+      Dedup.readMinhashIndex(spark, untagged,
+        expectedSource = Some("/data/corpusA"))
+    }
+    // ...but stays readable without one (backward compatible)
+    assert(Dedup.readMinhashIndex(spark, untagged).bands == 16)
+    // append preserves the provenance stamp across new files
+    Dedup.appendToMinhashIndex(
+      Seq((2L, "totally different words nothing shared here at all ok"))
+        .toDF("doc_id", "text"), "doc_id", "text", path)
+    assert(Dedup.readMinhashIndex(spark, path,
+      expectedSource = Some("/data/corpusA")).hashes.count() == 2)
+  }
+
   test("streamingDedup: micro-batches dedup against everything admitted") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
