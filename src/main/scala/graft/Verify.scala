@@ -4,6 +4,11 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   def main(args: Array[String]): Unit = {
     // args: sfDir outDir [comma-separated query-name filter (local dev)]
     val sfDir = args(0); val outDir = args(1)
@@ -34,6 +39,11 @@ object Verify {
         val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         errors(name) = msg
         System.err.println(s"[verify] $name failed: $msg")
+        // a failed query must not leave a STALE dump from an earlier run
+        // in place — the compare would hash old results against the
+        // current oracle and could print a contradictory OK row for a
+        // query errors.json says failed (r9 advice)
+        deleteRecursively(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -54,6 +64,15 @@ object Verify {
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // the FULL contract roster, so check.py can assert every query has
+    // either a result dir or an errors row — a query silently SKIPPED
+    // (filter bug, not failure) must not produce a green-looking
+    // artifact. Written even for filtered dev runs (the filter is
+    // recorded so coverage is judged against what was asked to run).
+    val ranNames = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    Files.writeString(Paths.get(s"$outDir/contract.json"),
+      ranNames.map(q).mkString("[", ",", "]"))
     val ran = SparkEntry.queries.count { case (n, _) => only.forall(_.contains(n)) }
     System.err.println(s"[verify] done: n_ok=${ran - errors.size} n_err=${errors.size}")
     spark.stop()

@@ -35,15 +35,25 @@ def main(sf_dir: str, out_dir: str) -> int:
         oracles = json.load(f)
     failures = 0
     # queries that failed to RUN are recorded by Verify, not just absent
+    errored = {}
     try:
         with open(f"{out_dir}/errors.json") as f:
-            for name, msg in json.load(f).items():
+            errored = json.load(f)
+            for name, msg in errored.items():
                 print(f"{name:24s} ERR (query failed to run): {msg}")
                 failures += 1
     except FileNotFoundError:
         pass
+    seen = set(errored)
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = qdir.rstrip("/").split("/")[-1]
+        if name in errored:
+            # Verify deletes the dump of a failed query, but belt and
+            # braces: never hash a stale dump against the current oracle
+            # for a query errors.json says failed
+            print(f"{name:24s} SKIPPED stale dump (listed in errors.json)")
+            continue
+        seen.add(name)
         spark_df = norm(pd.read_parquet(qdir))
         if name not in oracles:
             print(f"{name:24s} rows-only: {len(spark_df)} rows "
@@ -78,6 +88,21 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"{name:24s} OK ({len(spark_df)} rows)")
         else:
             failures += 1
+    # coverage: every contract query must have either a result dir or an
+    # errors.json row — a query silently SKIPPED (filter bug rather than
+    # failure) must not yield a green-looking run (n_ok + n_err must
+    # cover the full roster Verify was asked to run)
+    try:
+        with open(f"{out_dir}/contract.json") as f:
+            contract = set(json.load(f))
+        missing = sorted(contract - seen)
+        for name in missing:
+            print(f"{name:24s} MISSING: no result dir and no errors.json "
+                  f"row — query was silently skipped")
+            failures += 1
+    except FileNotFoundError:
+        print("WARNING: no contract.json — coverage not asserted "
+              "(pre-round-10 verify dump?)")
     return failures
 
 if __name__ == "__main__":
