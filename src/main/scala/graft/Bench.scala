@@ -9,20 +9,30 @@ import org.apache.spark.sql.functions._
 /** Driver-run benchmark: times every SparkEntry query at the configured
   * scale factor and prints ONE JSON line.
   *
-  * EXECUTION MODEL — one JVM per query family (round-5 lesson): running
-  * all 100+ queries in a single JVM lets JIT/GC/codegen-cache state leak
-  * across queries, and the official numbers swung 10x round-over-round on
-  * UNTOUCHED code (dd_spans 22.3->2.13 s, sim_topk_lsh 0.96->9.15 s,
-  * while single-family isolated reruns measured 2.46/0.885 s). So the
-  * default path now groups queries by name prefix (dd, sim, txt, q, x,
-  * ...), forks one child JVM per family (same classpath, same --add-opens,
-  * sequential so children never contend for cores), and merges the
-  * children's results. A child reports back over a flat TSV file —
-  * deliberately not JSON, so the parent needs no parser and a partially
-  * written file fails loudly. Any child that dies (or an unforkable
-  * environment — classpath not reconstructible) falls back to the old
-  * shared-session path for the affected families: numbers degrade to
-  * round-5 quality instead of disappearing.
+  * EXECUTION MODEL — one JVM per CHUNK of queries (round-5 lesson,
+  * tightened in round 10): running all 100+ queries in a single JVM lets
+  * JIT/GC/codegen-cache state leak across queries, and the official
+  * numbers swung 10x round-over-round on UNTOUCHED code (dd_spans
+  * 22.3->2.13 s, sim_topk_lsh 0.96->9.15 s, while single-family isolated
+  * reruns measured 2.46/0.885 s). Round 9 showed per-FAMILY forks are
+  * still too coarse: the 16-query dd child reported 3-7x inflated minima
+  * with tight spreads while the same code timed healthy in another fork
+  * (bench_ddinc_probe 1.62 s vs dd_incremental 5.88 s — identical
+  * function), i.e. cumulative JVM state (checkpoint blocks, heap growth,
+  * GC regime) was polluting late entries. The default path therefore
+  * groups queries by name prefix, splits each family into chunks of at
+  * most [[MaxChildQueries]] (crossover cohorts never split — interleaving
+  * needs one JVM), forks one child JVM per chunk (same classpath, same
+  * --add-opens, sequential so children never contend for cores), and
+  * merges the children's results. Each child also reports its GC time /
+  * count and peak heap, which land in bench_out.json as
+  * `fork_telemetry` — the observability round 9 lacked when the dd
+  * anomaly had to be diagnosed from timings alone. A child reports back
+  * over a flat TSV file — deliberately not JSON, so the parent needs no
+  * parser and a partially written file fails loudly. Any child that dies
+  * (or an unforkable environment — classpath not reconstructible) falls
+  * back to the old shared-session path for the affected chunks: numbers
+  * degrade to round-5 quality instead of disappearing.
   *
   * Hygiene rules carried from the shared-session design (still applied
   * inside each child):
@@ -52,7 +62,10 @@ import org.apache.spark.sql.functions._
   * filter; implies in-process), SPARK_GRAFT_BENCH_FORK=0 (force the
   * shared-session path), SPARK_GRAFT_BENCH_OUT (full-JSON path),
   * SPARK_GRAFT_BENCH_EXTRAS=0 (skip the synthetic-corpus crossover
-  * entries), SPARK_GRAFT_BENCH_RESULT_TSV (internal — marks a child).
+  * entries), SPARK_GRAFT_BENCH_CHUNK (max queries per child JVM),
+  * SPARK_GRAFT_BENCH_WARMUP=0 (skip the untimed warmup pass — the
+  * artifact's baseline_break marker then says so),
+  * SPARK_GRAFT_BENCH_RESULT_TSV (internal — marks a child).
   */
 object Bench {
 
@@ -431,6 +444,17 @@ object Bench {
   private def extrasEnabled: Boolean =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRAS", "1") != "0"
 
+  /** Entries that run ONCE per bench — no untimed warmup, no min-of-N,
+    * no top-up: the quality guards (whose work is the certification, not
+    * a timing anyone compares) and the staged-curation artifact
+    * certification (4 parquet stage writes per execution; its repeated
+    * timing was ~1/3 of the ds family's wall for a number nobody reads).
+    * Their single time still lands in the artifact, flagged via the
+    * `certification_only` field, and a throw still surfaces as n_err. */
+  private[graft] val certificationOnly: Set[String] = Set(
+    "ds_curate_staged", "bench_lsh50k_recall", "bench_dd50k_recall",
+    "bench_cc_guard")
+
   /** Everything this bench can time: the driver-contract queries plus the
     * bench-only extras. */
   private[graft] def allBenchQueries
@@ -458,8 +482,9 @@ object Bench {
     */
   def renderCompact(results: Seq[QTime],
                     sfDir: String, cpus: String, runs: Int,
-                    mode: String = "fork_per_family",
-                    outPath: String = "bench_out.json"): String = {
+                    mode: String = "fork_per_chunk",
+                    outPath: String = "bench_out.json",
+                    warmupOn: Boolean = true): String = {
     val byName = results.map(r => r.name -> r).toMap
     val shown = headline.filter(byName.contains)
     val shownSet = shown.toSet
@@ -475,7 +500,7 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count(_.err.isDefined)
     val total = results.collect { case QTime(_, t, _, None) => t }.sum
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",$BaselineBreakShort${crossoverField(results)}${claimsFields(results, compact = true)}"mode":${jstr(mode)},"n_err":$nErr,"full":${jstr(outPath)}}"""
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = true)}${crossoverField(results)}${claimsFields(results, compact = true)}${certFields(results, compact = true)}"mode":${jstr(mode)},"n_err":$nErr,"full":${jstr(outPath)}}"""
   }
 
   // same artifact-honesty rule as fastRunsFields: stamp the interleaved-
@@ -498,22 +523,43 @@ object Bench {
   // methodology that never ran.
   private def fastRunsFields(runs: Int, results: Seq[QTime]): String =
     if (runs < 5 &&
-        results.exists(r => r.err.isEmpty && r.secs < StableMinSeconds))
+        results.exists(r => r.err.isEmpty && r.secs < StableMinSeconds &&
+          !certificationOnly(r.name)))
       s""""runs_fast":5,"fast_cutoff_s":$StableMinSeconds,"""
     else ""
 
   // round-over-round comparability self-description: r8 switched cohort
-  // contenders to interleaved timing and r9 added the untimed warmup, so
-  // minima from earlier methodology regimes are NOT comparable to these —
-  // the artifact says so instead of letting a reader diff raw numbers
-  // across the break (r8 lesson: ~2× apparent "regressions" on untouched
-  // queries were purely the timing-regime change). The compact line is
-  // budgeted (~1800 chars) — it carries the short marker, the full
-  // artifact the sentence.
-  private val BaselineBreak =
-    """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup; pre-r9 minima are a different timing regime, not comparable","""
-  private val BaselineBreakShort =
-    """"baseline_break":"r9 warmup","""
+  // contenders to interleaved timing, r9 added the untimed warmup, r10
+  // split per-family forks into bounded chunks — minima from earlier
+  // methodology regimes are NOT comparable to these, and the artifact
+  // says so instead of letting a reader diff raw numbers across the
+  // break (r8 lesson: ~2× apparent "regressions" on untouched queries
+  // were purely the timing-regime change). The compact line is budgeted
+  // (~1800 chars) — it carries the short marker, the full artifact the
+  // sentence. When the warmup was DISABLED for this run
+  // (SPARK_GRAFT_BENCH_WARMUP=0), the marker says that instead of
+  // describing a methodology that never ran (r9 advice).
+  private def baselineBreak(warmupOn: Boolean, compact: Boolean): String =
+    (warmupOn, compact) match {
+      case (true, false) =>
+        """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup + r10 chunked forks; pre-r10 minima are a different timing regime, not comparable","""
+      case (true, true) => """"baseline_break":"r10 chunks+warmup","""
+      case (false, false) =>
+        """"baseline_break":"warmup DISABLED this run (SPARK_GRAFT_BENCH_WARMUP=0) — minima include cold first runs; r8 interleaved cohorts + r10 chunked forks","""
+      case (false, true) => """"baseline_break":"warmup off","""
+    }
+
+  // certification entries (run once, untimed-warmup-free, top-up-free)
+  // are flagged so a reader never compares their single sample against
+  // min-of-N numbers; compact carries the count, the full artifact the
+  // names
+  private def certFields(results: Seq[QTime], compact: Boolean): String = {
+    val present = results.map(_.name).filter(certificationOnly).sorted
+    if (present.isEmpty) ""
+    else if (compact) s""""n_cert":${present.size},"""
+    else s""""certification_only":${
+      present.map(jstr).mkString("[", ",", "]")},"""
+  }
 
   /** The crossover CONCLUSIONS the docs state, computed INTO the
     * artifact each run: claim holds when min(lhs) < factor × min(rhs).
@@ -575,22 +621,150 @@ object Bench {
     * trusting a bare minimum. */
   def renderFull(results: Seq[QTime],
                  sfDir: String, cpus: String, runs: Int,
-                 mode: String = "fork_per_family"): String = {
+                 mode: String = "fork_per_chunk",
+                 warmupOn: Boolean = true,
+                 forks: Map[String, ForkStats] = Map.empty): String = {
     val qs = results.map { r =>
       jstr(r.name) + ":" + r.err.fold(r.secs.toString)(m => jstr(m))
     }.mkString("{", ",", "}")
     val spread = results.filter(_.err.isEmpty)
       .map(r => jstr(r.name) + s":[${r.secs},${r.maxSecs}]")
       .mkString("{", ",", "}")
+    // per-fork resource telemetry: which child JVM ran hot is now an
+    // artifact fact, not a post-hoc guess (round-9 dd-family lesson)
+    val forkField =
+      if (forks.isEmpty) ""
+      else forks.toSeq.sortBy(_._1).map { case (chunk, s) =>
+        jstr(chunk) + s""":{"gc_ms":${s.gcMs},"gc_count":${s.gcCount},"heap_peak_mb":${s.heapPeakMb}}"""
+      }.mkString("\"fork_telemetry\":{", ",", "},")
     val nErr = results.count(_.err.isDefined)
     val total = results.collect { case QTime(_, t, _, None) => t }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",$BaselineBreak${crossoverField(results)}${claimsFields(results)}"mode":${jstr(mode)},"n_err":$nErr}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = false)}${crossoverField(results)}${claimsFields(results)}${certFields(results, compact = false)}$forkField"mode":${jstr(mode)},"n_err":$nErr}"""
+  }
+
+  // ---------------------------------------------------------------------
+  // Doc sync: the prose in README.md / SCALING.md argues from measured
+  // numbers, and for three rounds running a hand-typed number went stale
+  // against the final artifact (the builder re-syncs mid-round, the
+  // driver's definitive bench runs later). The numbers now live in
+  // marker-delimited blocks that THIS main regenerates from its own
+  // results after every full run — the same run that writes
+  // bench_out.json rewrites the docs, so they cannot diverge.
+  // ---------------------------------------------------------------------
+
+  private def fmtS(t: Double): String = f3(t)
+
+  private def ratio(num: Option[QTime], den: Option[QTime]): String =
+    (for (n <- num; d <- den; if n.err.isEmpty && d.err.isEmpty && d.secs > 0)
+      yield String.format(java.util.Locale.ROOT, "%.2f", Double.box(n.secs / d.secs)))
+      .getOrElse("n/a")
+
+  /** The generated markdown blocks, keyed by marker name. Pure function
+    * of the results so the spec can pin shape and idempotence. */
+  private[graft] def docTables(results: Seq[QTime], sfDir: String,
+                               runs: Int, mode: String): Map[String, String] = {
+    val byName = results.map(r => r.name -> r).toMap
+    def q(n: String) = byName.get(n)
+    def row(n: String): String = q(n) match {
+      case Some(r) if r.err.isEmpty =>
+        val cert = if (certificationOnly(n)) " (certification, 1 run)" else ""
+        s"| `$n` | ${fmtS(r.secs)} | ${fmtS(r.maxSecs)}$cert |"
+      case Some(r) => s"| `$n` | err | ${r.err.get.take(40)} |"
+      case None => s"| `$n` | absent | — |"
+    }
+    def table(names: Seq[String]): String =
+      ("| entry | min s | max s |" :: "|---|---|---|" ::
+        names.map(row).toList).mkString("\n")
+    val stamp =
+      s"_Generated by `graft.Bench` from this run's bench_out.json " +
+        s"(sf=`$sfDir`, $mode, min-of-$runs + untimed warmup unless " +
+        "flagged; [min,max] seconds). Hand edits between these markers " +
+        "are overwritten by the next full bench run._"
+    val claims = {
+      val ok = results.collect { case QTime(n, t, _, None) => n -> t }.toMap
+      claimSpecs.flatMap { case (name, lhs, rhs, factor) =>
+        for (l <- ok.get(lhs); r <- ok.get(rhs))
+          yield s"| `$name` | ${if (l < factor * r) "holds" else "FAILED"} |"
+      }
+    }
+    Map(
+      "ann50k" -> (stamp + "\n\n" +
+        table(Seq("bench_lsh50k_brute", "bench_lsh50k_lsh",
+          "bench_lsh50k_ivf", "bench_lsh50k_q8")) + "\n\n" +
+        s"brute/LSH ratio ${ratio(q("bench_lsh50k_brute"), q("bench_lsh50k_lsh"))}x, " +
+        s"brute/IVF ${ratio(q("bench_lsh50k_brute"), q("bench_lsh50k_ivf"))}x."),
+      "cc" -> (stamp + "\n\n" +
+        table(Seq("bench_cc450k_driver", "bench_cc450k_dist",
+          "bench_cc2m_dist", "bench_cc2m_skew")) + "\n\n" +
+        s"450k dist/driver ratio ${ratio(q("bench_cc450k_dist"), q("bench_cc450k_driver"))}x " +
+        s"(the adaptive gate's win); 2M skew/uniform ${ratio(q("bench_cc2m_skew"), q("bench_cc2m_dist"))}x."),
+      "dd50k" -> (stamp + "\n\n" +
+        table(Seq("bench_dd50k_ngram", "bench_dd50k_ngram_pruned",
+          "bench_dd50k_minhash", "bench_dd12k_ngram",
+          "bench_dd12k_minhash")) + "\n\n" +
+        s"naive/pruned ratio ${ratio(q("bench_dd50k_ngram"), q("bench_dd50k_ngram_pruned"))}x, " +
+        s"naive/minhash ${ratio(q("bench_dd50k_ngram"), q("bench_dd50k_minhash"))}x; " +
+        s"12.5k->50k scaling: naive x${ratio(q("bench_dd50k_ngram"), q("bench_dd12k_ngram"))}, " +
+        s"minhash x${ratio(q("bench_dd50k_minhash"), q("bench_dd12k_minhash"))} " +
+        "(4x docs: the df^2 term vs shingle-linear signatures)."),
+      "ddinc" -> (stamp + "\n\n" +
+        table(Seq("bench_ddinc_inline", "bench_ddinc_probe")) + "\n\n" +
+        s"inline-recompute/index-probe ratio ${ratio(q("bench_ddinc_inline"), q("bench_ddinc_probe"))}x " +
+        "at sf0.1 (corpus only 4x the batch here; at corpus >> batch the probe's " +
+        "O(batch) cost is the whole point)."),
+      "simtwins" -> (stamp + "\n\n" +
+        table(Seq("sim_topk", "sim_topk_q8", "sim_topk_lsh",
+          "dd_embed_pairs", "dd_embed_lsh")) + "\n\n" +
+        s"embed brute/LSH ratio ${ratio(q("dd_embed_pairs"), q("dd_embed_lsh"))}x."),
+      "contract" -> {
+        val contract = results.filter(r =>
+          SparkEntry.queries.contains(r.name) && r.err.isEmpty)
+        val heaviest = contract.sortBy(-_.secs).take(10)
+        val total = contract.map(_.secs).sum
+        stamp + "\n\n" +
+          s"Contract-query total ${fmtS(total)} s across ${contract.size} " +
+          "entries; heaviest:\n\n" + table(heaviest.map(_.name)) +
+          "\n\nClaims (computed into the artifact each run):\n\n" +
+          ("| claim | status |" :: "|---|---|" :: claims.toList)
+            .mkString("\n")
+      })
+  }
+
+  /** Replace every `<!-- bench:KEY -->`..`<!-- /bench:KEY -->` block in
+    * `doc` whose KEY has generated content; unknown keys and docs
+    * without markers pass through untouched. */
+  private[graft] def syncDocText(doc: String,
+                                 tables: Map[String, String]): String =
+    tables.foldLeft(doc) { case (d, (key, body)) =>
+      val begin = s"<!-- bench:$key -->"
+      val end = s"<!-- /bench:$key -->"
+      val (i, j) = (d.indexOf(begin), d.indexOf(end))
+      if (i < 0 || j < 0 || j < i) d
+      else d.substring(0, i + begin.length) + "\n" + body + "\n" +
+        d.substring(j)
+    }
+
+  private def syncDocs(results: Seq[QTime], sfDir: String, runs: Int,
+                       mode: String): Unit = {
+    val tables = docTables(results, sfDir, runs, mode)
+    for (p <- Seq("README.md", "SCALING.md");
+         path = Paths.get(p) if Files.exists(path)) {
+      val before = Files.readString(path)
+      val after = syncDocText(before, tables)
+      if (after != before) {
+        Files.writeString(path, after)
+        System.err.println(s"bench: synced measured-number blocks in $p")
+      }
+    }
   }
 
   // ---------------------------------------------------------------------
   // Child result protocol: name \t min-sec \t max-sec \t sanitized-error
   // (optional). Flat on purpose — no parser on the parent side, and a
   // torn write (missing column) fails loudly instead of merging garbage.
+  // A trailing `#telemetry` comment line carries the child JVM's GC/heap
+  // stats; data parsing skips `#` lines, so an old parent reading a new
+  // child (or vice versa) degrades to "no telemetry", never to garbage.
   // ---------------------------------------------------------------------
 
   private[graft] def renderTsv(results: Seq[QTime]): String =
@@ -600,12 +774,95 @@ object Bench {
     }.mkString("", "\n", "\n")
 
   private[graft] def parseTsv(text: String): Seq[QTime] =
-    text.linesIterator.filter(_.nonEmpty).map { line =>
-      val parts = line.split("\t", -1)
-      require(parts.length == 4, s"malformed bench TSV line: $line")
-      QTime(parts(0), parts(1).toDouble, parts(2).toDouble,
-        if (parts(3).isEmpty) None else Some(parts(3)))
-    }.toSeq
+    text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
+        val parts = line.split("\t", -1)
+        require(parts.length == 4, s"malformed bench TSV line: $line")
+        QTime(parts(0), parts(1).toDouble, parts(2).toDouble,
+          if (parts(3).isEmpty) None else Some(parts(3)))
+      }.toSeq
+
+  /** One fork's resource footprint: cumulative GC wall time and
+    * collection count over the child JVM's life, and the peak used heap
+    * across all heap pools. The round-9 dd-family anomaly (3-7x inflated
+    * minima, proven environmental by a same-code twin in another fork)
+    * could not be diagnosed from the artifact because forks recorded no
+    * resource numbers — now every bench_out.json carries them. */
+  final case class ForkStats(gcMs: Long, gcCount: Long, heapPeakMb: Long)
+
+  private def currentForkStats(): ForkStats = {
+    import scala.jdk.CollectionConverters._
+    import java.lang.management.ManagementFactory
+    val gcs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+    val gcMs = gcs.map(_.getCollectionTime).filter(_ > 0).sum
+    val gcCount = gcs.map(_.getCollectionCount).filter(_ > 0).sum
+    val heapPeak = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .flatMap(p => Option(p.getPeakUsage)).map(_.getUsed).sum
+    ForkStats(gcMs, gcCount, heapPeak / (1024L * 1024L))
+  }
+
+  private[graft] def renderTelemetryLine(s: ForkStats): String =
+    s"#telemetry\tgc_ms=${s.gcMs}\tgc_count=${s.gcCount}\t" +
+      s"heap_peak_mb=${s.heapPeakMb}"
+
+  private[graft] def parseTelemetry(text: String): Option[ForkStats] =
+    text.linesIterator.find(_.startsWith("#telemetry")).flatMap { line =>
+      val kv = line.split("\t").drop(1).flatMap(_.split("=", 2) match {
+        case Array(k, v) => scala.util.Try(k -> v.toLong).toOption
+        case _ => None
+      }).toMap
+      for (g <- kv.get("gc_ms"); c <- kv.get("gc_count");
+           h <- kv.get("heap_peak_mb")) yield ForkStats(g, c, h)
+    }
+
+  // ---------------------------------------------------------------------
+  // Fork chunking
+  // ---------------------------------------------------------------------
+
+  /** Upper bound on queries per child JVM (SPARK_GRAFT_BENCH_CHUNK).
+    * Round 9's per-family forks ran up to ~21 queries x 4+ executions in
+    * one JVM; accumulated state (localCheckpoint blocks the per-query
+    * clearCache() does not drop, heap growth, GC regime shifts) inflated
+    * late entries 3-7x. Six keeps every cohort intact while recycling
+    * the JVM before the pollution regime sets in. */
+  private def maxChildQueries: Int =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "6").toInt
+
+  /** Split the query list into fork units: per name-prefix family first
+    * (rigs and tables cluster by prefix, so chunk-mates share setup),
+    * then into chunks of at most `maxPer` queries. A crossover cohort is
+    * indivisible — interleaved timing needs one JVM — so packing is by
+    * ATOM (cohort or singleton), greedy in sorted order; an atom larger
+    * than `maxPer` gets its own chunk. Chunk names are `fam` when the
+    * family fits one chunk, else `fam_1`, `fam_2`, ... */
+  private[graft] def forkChunks(names: Seq[String],
+      maxPer: Int = maxChildQueries): Seq[(String, Seq[String])] = {
+    val byFam = names.groupBy(_.takeWhile(_ != '_')).toSeq.sortBy(_._1)
+    byFam.flatMap { case (fam, qs) =>
+      val present = qs.toSet
+      val seen = scala.collection.mutable.Set.empty[String]
+      val atoms: Seq[Seq[String]] = qs.sorted.flatMap { n =>
+        if (seen(n)) None
+        else crossoverCohorts.find(_.contains(n)) match {
+          case Some(c) =>
+            val unit = c.filter(present)
+            unit.foreach(seen += _)
+            Some(unit)
+          case None => seen += n; Some(Seq(n))
+        }
+      }
+      val chunks = scala.collection.mutable.Buffer.empty[Vector[String]]
+      for (a <- atoms) {
+        if (chunks.nonEmpty && chunks.last.size + a.size <= maxPer)
+          chunks(chunks.size - 1) = chunks.last ++ a
+        else chunks += a.toVector
+      }
+      if (chunks.size <= 1) chunks.map(c => fam -> c.toSeq).toSeq
+      else chunks.zipWithIndex
+        .map { case (c, i) => s"${fam}_${i + 1}" -> c.toSeq }.toSeq
+    }
+  }
 
   // ---------------------------------------------------------------------
   // In-process runner (child mode, SPARK_GRAFT_BENCH_ONLY dev mode, and
@@ -682,34 +939,61 @@ object Bench {
         // query (or the next run) is timed
         spark.catalog.clearCache()
       }
-      // one UNTIMED warmup execution per member first (r8 lesson: the
-      // plan's cold first run — analysis, codegen, shuffle-file creation,
-      // guard memoization — landed inside the timed windows and stretched
-      // per-entry spreads to 1000×; setup is not signal). Skippable for
-      // quick dev smokes via SPARK_GRAFT_BENCH_WARMUP=0.
-      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
-        for (name <- unit if !errs.contains(name)) once(name)
-      val warmups = times.map { case (k, v) => k -> v.size }.toMap
-      // interleave: run index outermost, so cohort contenders alternate
-      for (_ <- 1 to runs; name <- unit) once(name)
-      // sub-0.5 s minimums sit at the fresh-JVM noise floor (round-6
-      // lesson: untouched ~200 ms queries swung ±0.2 s round-over-
-      // round under min-of-3) — top those up to min-of-5 so the extra
-      // samples absorb scheduler/JIT jitter. Per-name, so one fast
-      // member never forces extra runs of a cohort's expensive
-      // contenders (cohort entries are seconds-scale by design and
-      // stay at the configured count).
-      for (name <- unit
-           if !errs.contains(name) && runs < 5 &&
-             times(name).min < StableMinSeconds;
-           _ <- 1 to (5 - runs)) once(name)
-      // the warmup sample is excluded from min AND max: the artifact's
-      // spread describes the steady-state regime only
-      unit.map { name =>
-        val timed = times(name).drop(warmups.getOrElse(name, 0))
-        val ts = if (timed.nonEmpty) timed else times(name)
-        QTime(name, ts.min, ts.max, errs.get(name))
-      }
+      val unitResults =
+        if (unit.sizeIs == 1 && certificationOnly(unit.head)) {
+          // certification entries run exactly once: the run IS the
+          // certification (guard comparisons, staged-artifact writes);
+          // repeating it min-of-N buys no precision on a number nobody
+          // compares and was ~1/3 of the ds family's wall in round 9
+          once(unit.head)
+          unit.map(n =>
+            QTime(n, times(n).min, times(n).max, errs.get(n)))
+        } else {
+          // one UNTIMED warmup execution per member first (r8 lesson:
+          // the plan's cold first run — analysis, codegen, shuffle-file
+          // creation, guard memoization — landed inside the timed
+          // windows and stretched per-entry spreads to 1000×; setup is
+          // not signal). Skippable for quick dev smokes via
+          // SPARK_GRAFT_BENCH_WARMUP=0.
+          if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
+            for (name <- unit if !errs.contains(name)) once(name)
+          val warmups = times.map { case (k, v) => k -> v.size }.toMap
+          def steady(name: String): Vector[Double] = {
+            // the warmup sample is excluded from min AND max — and from
+            // the top-up decision below (r9 advice: judging the top-up
+            // on the warmup-inclusive min while reporting the exclusive
+            // one let the artifact describe a methodology that differed
+            // from the one that ran)
+            val t = times(name).drop(warmups.getOrElse(name, 0))
+            if (t.nonEmpty) t else times(name)
+          }
+          // interleave: run index outermost, so cohort contenders
+          // alternate
+          for (_ <- 1 to runs; name <- unit) once(name)
+          // sub-0.5 s minimums sit at the fresh-JVM noise floor
+          // (round-6 lesson: untouched ~200 ms queries swung ±0.2 s
+          // round-over-round under min-of-3) — top those up to min-of-5
+          // so the extra samples absorb scheduler/JIT jitter. Per-name,
+          // so one fast member never forces extra runs of a cohort's
+          // expensive contenders (cohort entries are seconds-scale by
+          // design and stay at the configured count).
+          for (name <- unit
+               if !errs.contains(name) && runs < 5 &&
+                 steady(name).min < StableMinSeconds;
+               _ <- 1 to (5 - runs)) once(name)
+          unit.map { name =>
+            val ts = steady(name)
+            QTime(name, ts.min, ts.max, errs.get(name))
+          }
+        }
+      // between units: prompt the JVM to collect, so ContextCleaner can
+      // release the localCheckpoint blocks iterative operators (CC,
+      // k-means) leave behind — clearCache() only drops plan-level
+      // cache, and those blocks accumulating across a chunk's lifetime
+      // is the prime suspect for round 9's late-entry inflation. Runs
+      // outside every timed window.
+      System.gc()
+      unitResults
     }
     spark.stop()
     results
@@ -791,13 +1075,15 @@ object Bench {
     java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray(Array.empty[String]).toSeq)
 
-  /** Run one family in a child JVM; None = the child failed (bad exit,
-    * timeout, unreadable TSV) and the family must be re-run in-process. */
+  /** Run one chunk in a child JVM; None = the child failed (bad exit,
+    * timeout, unreadable TSV) and the chunk must be re-run in-process.
+    * On success, the child's GC/heap telemetry rides along (None only
+    * for a child that predates the telemetry line). */
   private def runChild(javaBin: String, jvmArgs: Seq[String], cp: String,
-      fam: String, names: Seq[String], sfDir: String, cpus: String,
-      runs: Int, logDir: Path): Option[Seq[QTime]] = {
-    val tsv = logDir.resolve(s"bench_$fam.tsv")
-    val log = logDir.resolve(s"bench_$fam.log")
+      chunk: String, names: Seq[String], sfDir: String, cpus: String,
+      runs: Int, logDir: Path): Option[(Seq[QTime], Option[ForkStats])] = {
+    val tsv = logDir.resolve(s"bench_$chunk.tsv")
+    val log = logDir.resolve(s"bench_$chunk.log")
     Files.deleteIfExists(tsv)
     val cmd = (Seq(javaBin) ++ jvmArgs ++
       Seq("-cp", cp, "graft.Bench")).toArray
@@ -815,53 +1101,61 @@ object Bench {
       val done = p.waitFor(45, TimeUnit.MINUTES)
       if (!done) { p.destroyForcibly(); return None }
       if (p.exitValue() != 0) return None
-      val parsed = parseTsv(Files.readString(tsv))
+      val text = Files.readString(tsv)
+      val parsed = parseTsv(text)
       // a child that silently timed nothing is a failure, not an answer
-      if (parsed.map(_.name).toSet == names.toSet) Some(parsed) else None
+      if (parsed.map(_.name).toSet == names.toSet)
+        Some((parsed, parseTelemetry(text)))
+      else None
     } catch { case _: Throwable => None }
   }
 
-  /** Returns (results, mode): "fork_per_family" when every family ran
-    * isolated, "fork_per_family_partial" when one or more child JVMs
-    * failed and their queries were re-timed in the shared-session
-    * fallback (those numbers lack the JIT/GC isolation the mode label
-    * promises — the artifact must say so), "shared_session" when forking
-    * was unavailable entirely. */
-  private def runForked(sfDir: String, cpus: String,
-      runs: Int): (Seq[QTime], String) = {
+  /** Returns (results, per-fork telemetry, mode): "fork_per_chunk" when
+    * every chunk ran isolated, "fork_per_chunk_partial" when one or more
+    * child JVMs failed and their queries were re-timed in the
+    * shared-session fallback (those numbers lack the JIT/GC isolation
+    * the mode label promises — the artifact must say so),
+    * "shared_session" when forking was unavailable entirely. */
+  private def runForked(sfDir: String, cpus: String, runs: Int)
+      : (Seq[QTime], Map[String, ForkStats], String) = {
     val names = allBenchQueries.keys.toSeq.sorted
-    val fams = names.groupBy(_.takeWhile(_ != '_')).toSeq.sortBy(_._1)
+    val chunks = forkChunks(names)
     val cp = forkClasspath()
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
     if (cp.isEmpty || !Files.isExecutable(javaBin)) {
       System.err.println("bench: fork unavailable, falling back in-process")
-      return (runInProcess(sfDir, cpus, runs, None), "shared_session")
+      return (runInProcess(sfDir, cpus, runs, None), Map.empty,
+        "shared_session")
     }
     val logDir = Paths.get("target", "bench-fork")
     Files.createDirectories(logDir)
     val jvmArgs = childJvmArgs()
     val buf = Seq.newBuilder[QTime]
+    val stats = Map.newBuilder[String, ForkStats]
     val failed = Seq.newBuilder[String]
-    for ((fam, qs) <- fams) {
+    for ((chunk, qs) <- chunks) {
       val t0 = System.nanoTime()
-      runChild(javaBin.toString, jvmArgs, cp, fam, qs, sfDir, cpus, runs,
+      runChild(javaBin.toString, jvmArgs, cp, chunk, qs, sfDir, cpus, runs,
           logDir) match {
-        case Some(rs) =>
+        case Some((rs, st)) =>
           buf ++= rs
-          System.err.println(f"bench: family $fam (${qs.size} queries) " +
-            f"done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          st.foreach(s => stats += chunk -> s)
+          System.err.println(f"bench: chunk $chunk (${qs.size} queries) " +
+            f"done in ${(System.nanoTime() - t0) / 1e9}%.1f s" +
+            st.fold("")(s => s" [gc ${s.gcMs} ms/${s.gcCount}, " +
+              s"heap peak ${s.heapPeakMb} MB]"))
         case None =>
           failed ++= qs
-          System.err.println(s"bench: family $fam child FAILED " +
-            s"(see $logDir/bench_$fam.log), will re-run in-process")
+          System.err.println(s"bench: chunk $chunk child FAILED " +
+            s"(see $logDir/bench_$chunk.log), will re-run in-process")
       }
     }
     val leftover = failed.result()
     if (leftover.nonEmpty)
       buf ++= runInProcess(sfDir, cpus, runs, Some(leftover.toSet))
     val mode =
-      if (leftover.isEmpty) "fork_per_family" else "fork_per_family_partial"
-    (buf.result().sortBy(_.name), mode)
+      if (leftover.isEmpty) "fork_per_chunk" else "fork_per_chunk_partial"
+    (buf.result().sortBy(_.name), stats.result(), mode)
   }
 
   // ---------------------------------------------------------------------
@@ -876,20 +1170,38 @@ object Bench {
     val tsvOut = sys.env.get("SPARK_GRAFT_BENCH_RESULT_TSV")
     val forkWanted = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
 
+    val warmupOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+
     if (tsvOut.isDefined) {
-      // child mode: run the assigned slice, report TSV, print nothing
+      // child mode: run the assigned slice, report TSV (+ telemetry
+      // comment line), print nothing
       val results = runInProcess(sfDir, cpus, runs, only)
-      Files.writeString(Paths.get(tsvOut.get), renderTsv(results))
+      Files.writeString(Paths.get(tsvOut.get),
+        renderTsv(results) + renderTelemetryLine(currentForkStats()) + "\n")
       return
     }
 
     val fork = forkWanted && only.isEmpty
-    val (results, mode) =
+    val (results, forks, mode) =
       if (fork) runForked(sfDir, cpus, runs)
-      else (runInProcess(sfDir, cpus, runs, only), "shared_session")
+      else {
+        val rs = runInProcess(sfDir, cpus, runs, only)
+        // shared-session runs carry the one JVM's own footprint so even
+        // the fallback path is diagnosable
+        (rs, Map("shared" -> currentForkStats()), "shared_session")
+      }
     Files.writeString(Paths.get(outPath),
-      renderFull(results, sfDir, cpus, runs, mode) + "\n")
+      renderFull(results, sfDir, cpus, runs, mode, warmupOn, forks) + "\n")
+    // a FULL run regenerates the measured-number blocks in the docs —
+    // partial/sliced/extras-off runs must not overwrite them with holes
+    // (disable explicitly with SPARK_GRAFT_BENCH_DOCSYNC=0)
+    if (only.isEmpty && extrasEnabled && warmupOn &&
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCSYNC", "1") != "0")
+      try syncDocs(results, sfDir, runs, mode)
+      catch { case e: Throwable =>
+        System.err.println(s"bench: doc sync failed: ${e.getMessage}") }
     // printed LAST so it lands inside the harness's stdout-tail window
-    println(renderCompact(results, sfDir, cpus, runs, mode, outPath))
+    println(renderCompact(results, sfDir, cpus, runs, mode, outPath,
+      warmupOn))
   }
 }

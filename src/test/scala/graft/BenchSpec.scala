@@ -168,7 +168,7 @@ class BenchSpec extends AnyFunSuite {
 
   test("both artifact forms declare the timing-methodology baseline break") {
     // r7->r8 minima diverged ~2x on untouched queries purely from the
-    // interleaving change; the artifact must self-describe that pre-r9
+    // interleaving change; the artifact must self-describe that pre-r10
     // numbers are a different regime rather than let a reader diff them
     val compact = mapper.readTree(Bench.renderCompact(
       Seq(Bench.QTime("q1_agg", 1.0, 1.0, None)), "sf", "4", 3))
@@ -178,6 +178,16 @@ class BenchSpec extends AnyFunSuite {
       val brk = tree.get("baseline_break")
       assert(brk != null && brk.asText().contains("warmup"))
     }
+    // with the warmup disabled, the marker must describe THAT run, not
+    // the methodology that never executed (r9 advice)
+    val offFull = mapper.readTree(Bench.renderFull(
+      Seq(Bench.QTime("q1_agg", 1.0, 1.0, None)), "sf", "4", 3,
+      warmupOn = false))
+    assert(offFull.get("baseline_break").asText().contains("DISABLED"))
+    val offCompact = mapper.readTree(Bench.renderCompact(
+      Seq(Bench.QTime("q1_agg", 1.0, 1.0, None)), "sf", "4", 3,
+      warmupOn = false))
+    assert(offCompact.get("baseline_break").asText().contains("off"))
   }
 
   test("crossover cohorts name real bench entries, each in one cohort") {
@@ -194,6 +204,103 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.crossoverCohorts.forall(c =>
       c.map(_.takeWhile(_ != '_')).distinct.size == 1),
       "cohort members must share a fork family")
+    // ...and the chunking that recycles child JVMs must keep each cohort
+    // whole: a split cohort would run its contenders in different
+    // processes — exactly the same-code cross-fork divergence the
+    // interleaving exists to prevent
+    val chunkOf = Bench.forkChunks(Bench.allBenchQueries.keys.toSeq.sorted)
+      .flatMap { case (chunk, qs) => qs.map(_ -> chunk) }.toMap
+    for (c <- Bench.crossoverCohorts)
+      assert(c.map(chunkOf).distinct.size == 1,
+        s"cohort $c split across chunks ${c.map(chunkOf).distinct}")
+  }
+
+  test("forkChunks: bounded child JVMs, nothing lost, nothing duplicated") {
+    val names = Bench.allBenchQueries.keys.toSeq.sorted
+    val chunks = Bench.forkChunks(names, maxPer = 6)
+    // partition: every query in exactly one chunk
+    val flat = chunks.flatMap(_._2)
+    assert(flat.sorted == names.sorted)
+    assert(flat.distinct.size == flat.size)
+    // bound: no chunk exceeds the cap (no current cohort is wider than 6)
+    for ((chunk, qs) <- chunks)
+      assert(qs.size <= 6, s"chunk $chunk has ${qs.size} queries")
+    // chunk names are unique (they key log files and telemetry)
+    assert(chunks.map(_._1).distinct.size == chunks.size)
+    // chunks never span families (rigs and tables cluster by prefix)
+    for ((chunk, qs) <- chunks)
+      assert(qs.map(_.takeWhile(_ != '_')).distinct.size == 1,
+        s"chunk $chunk spans families: $qs")
+    // round-9 regression target: the dd family (16 contract queries) must
+    // no longer ride in one JVM
+    assert(chunks.count(_._1.startsWith("dd")) >= 3)
+    // an atom wider than the cap still forms a (lone) chunk
+    val tiny = Bench.forkChunks(
+      Seq("bench_lsh50k_brute", "bench_lsh50k_lsh", "bench_lsh50k_ivf",
+        "bench_lsh50k_q8"), maxPer = 2)
+    assert(tiny.size == 1 && tiny.head._2.size == 4,
+      "a cohort must never be split even when it exceeds maxPer")
+  }
+
+  test("fork telemetry: renders as a TSV comment, round-trips, never breaks data") {
+    val stats = Bench.ForkStats(gcMs = 1234, gcCount = 56, heapPeakMb = 4096)
+    val text = Bench.renderTsv(Seq(Bench.QTime("q_ok", 1.5, 1.8, None))) +
+      Bench.renderTelemetryLine(stats) + "\n"
+    // data parse skips the comment line
+    assert(Bench.parseTsv(text).map(_.name) == Seq("q_ok"))
+    // telemetry parse finds it
+    assert(Bench.parseTelemetry(text).contains(stats))
+    // absent telemetry (old child) degrades to None, not an error
+    assert(Bench.parseTelemetry("q_ok\t1.5\t1.8\t\n").isEmpty)
+    // and a mangled line degrades to None too
+    assert(Bench.parseTelemetry("#telemetry\tgc_ms=oops\n").isEmpty)
+  }
+
+  test("full render carries per-fork telemetry when present") {
+    val line = Bench.renderFull(
+      Seq(Bench.QTime("q1_agg", 1.0, 1.0, None)), "sf", "32", 3,
+      forks = Map(
+        "dd_1" -> Bench.ForkStats(100, 5, 2048),
+        "q" -> Bench.ForkStats(200, 9, 1024)))
+    val tree = mapper.readTree(line)
+    val ft = tree.get("fork_telemetry")
+    assert(ft.get("dd_1").get("gc_ms").asLong() == 100)
+    assert(ft.get("dd_1").get("heap_peak_mb").asLong() == 2048)
+    assert(ft.get("q").get("gc_count").asLong() == 9)
+    // absent when nothing was recorded (never an empty lying object)
+    val bare = mapper.readTree(Bench.renderFull(
+      Seq(Bench.QTime("q1_agg", 1.0, 1.0, None)), "sf", "32", 3))
+    assert(bare.get("fork_telemetry") == null)
+  }
+
+  test("certification-only entries are flagged and exempt from fast-runs") {
+    // the set names real entries (a rename would silently re-time them
+    // min-of-N)
+    assert(Bench.certificationOnly.subsetOf(Bench.allBenchQueries.keySet))
+    // no certification entry sits in a cohort (cohorts interleave
+    // min-of-N; certification runs once)
+    assert(Bench.certificationOnly
+      .intersect(Bench.crossoverCohorts.flatten.toSet).isEmpty)
+    val r = Seq(Bench.QTime("ds_curate_staged", 16.0, 16.0, None),
+      Bench.QTime("bench_cc_guard", 30.0, 30.0, None),
+      Bench.QTime("q1_agg", 1.0, 1.1, None))
+    val full = mapper.readTree(Bench.renderFull(r, "sf", "32", 3))
+    val cert = full.get("certification_only")
+    assert(cert != null && cert.size() == 2)
+    assert(cert.get(0).asText() == "bench_cc_guard")
+    assert(cert.get(1).asText() == "ds_curate_staged")
+    val compact = mapper.readTree(Bench.renderCompact(r, "sf", "32", 3))
+    assert(compact.get("n_cert").asInt() == 2)
+    // a certification entry under the 0.5 s cutoff must NOT stamp the
+    // runs_fast methodology — it is exempt from the top-up
+    val fastCert = Bench.renderCompact(
+      Seq(Bench.QTime("bench_lsh50k_recall", 0.1, 0.1, None)),
+      "sf", "32", 3)
+    assert(!fastCert.contains("runs_fast"))
+    // no flag fields at all when no certification entry ran
+    val none = mapper.readTree(Bench.renderFull(
+      Seq(Bench.QTime("q1_agg", 1.0, 1.1, None)), "sf", "32", 3))
+    assert(none.get("certification_only") == null)
   }
 
   test("claims: computed conclusions land in the artifact, flips counted") {
@@ -234,6 +341,75 @@ class BenchSpec extends AnyFunSuite {
     val goneFull = mapper.readTree(Bench.renderFull(errd, "sf", "4", 3))
     assert(goneFull.get("claims") == null &&
       goneFull.get("n_claims_failed") == null)
+  }
+
+  test("doc sync: marker blocks are replaced from results, idempotently") {
+    def qt(n: String, s: Double) = Bench.QTime(n, s, s + 0.5, None)
+    val results = Seq(
+      qt("bench_lsh50k_brute", 1.5), qt("bench_lsh50k_lsh", 0.8),
+      qt("bench_lsh50k_ivf", 1.1), qt("bench_lsh50k_q8", 1.6),
+      qt("bench_cc450k_driver", 2.1), qt("bench_cc450k_dist", 9.0),
+      qt("bench_cc2m_dist", 23.0), qt("bench_cc2m_skew", 31.0),
+      qt("bench_dd50k_ngram", 21.0), qt("bench_dd50k_ngram_pruned", 11.0),
+      qt("bench_dd50k_minhash", 8.8), qt("bench_dd12k_ngram", 3.9),
+      qt("bench_dd12k_minhash", 3.6),
+      qt("bench_ddinc_inline", 1.9), qt("bench_ddinc_probe", 1.6),
+      qt("sim_topk", 0.8), qt("sim_topk_q8", 0.8), qt("sim_topk_lsh", 0.9),
+      qt("dd_embed_pairs", 0.9), qt("dd_embed_lsh", 0.5),
+      qt("ds_curate", 3.4), qt("q1_agg", 0.3))
+    val tables = Bench.docTables(results, "/root/testdata/sf0.1", 3,
+      "fork_per_chunk")
+    // every block the docs reference exists
+    for (k <- Seq("ann50k", "cc", "dd50k", "ddinc", "simtwins", "contract"))
+      assert(tables.contains(k), s"missing doc table $k")
+    // numbers come from the results, ratios computed
+    assert(tables("ann50k").contains("1.500"))
+    assert(tables("ann50k").contains("brute/LSH ratio 1.88x"))
+    assert(tables("dd50k").contains("naive/pruned ratio 1.91x"))
+    // contract table only counts contract queries, not bench extras
+    // (sim_topk*, dd_embed*, ds_curate, q1_agg = 7 contract entries here)
+    assert(tables("contract").contains("7 entries"))
+    assert(tables("contract").contains("`ds_curate`"))
+    assert(!tables("contract").contains("`bench_lsh50k_brute` | 1.500"))
+    // claims render with status
+    assert(tables("contract").contains("| `lsh_beats_brute_50k` | holds |"))
+
+    val doc =
+      """pre
+        |<!-- bench:ann50k -->
+        |OLD STALE NUMBERS
+        |<!-- /bench:ann50k -->
+        |mid
+        |<!-- bench:unknown -->keep<!-- /bench:unknown -->
+        |post""".stripMargin
+    val synced = Bench.syncDocText(doc, tables)
+    assert(!synced.contains("OLD STALE NUMBERS"))
+    assert(synced.contains("1.500"))
+    assert(synced.contains("pre") && synced.contains("mid") &&
+      synced.contains("post"))
+    // unknown markers and text outside markers pass through
+    assert(synced.contains("<!-- bench:unknown -->keep"))
+    // idempotent: syncing the synced text again is a no-op
+    assert(Bench.syncDocText(synced, tables) == synced)
+    // a doc with no markers is untouched
+    assert(Bench.syncDocText("no markers here", tables) == "no markers here")
+  }
+
+  test("README and SCALING carry the marker pairs the doc sync fills") {
+    for (p <- Seq("README.md", "SCALING.md")) {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)))
+      val keys = "<!-- bench:([a-z0-9]+) -->".r
+        .findAllMatchIn(text).map(_.group(1)).toSeq
+      assert(keys.nonEmpty, s"$p lost its generated-number markers")
+      for (k <- keys) {
+        assert(text.contains(s"<!-- /bench:$k -->"),
+          s"$p: marker $k has no end tag")
+        assert(Bench.docTables(Seq(Bench.QTime("q1_agg", 1.0, 1.0, None)),
+          "sf", 3, "m").contains(k),
+          s"$p references unknown doc table '$k' — sync would skip it")
+      }
+    }
   }
 
   test("bench-only extras exist and are disjoint from the driver contract") {
