@@ -492,14 +492,17 @@ object Bench {
       val r = byName(name)
       jstr(name) + ":" + r.err.fold(f3(r.secs))(m => jstr(m.take(60)))
     }.mkString("{", ",", "}")
-    // family rollup over the non-headline remainder, keyed by name prefix
-    val fams = results.filterNot(r => shownSet.contains(r.name))
+    // family rollup over the non-headline remainder, keyed by name
+    // prefix (certification entries report under cert_secs, not here,
+    // so the rollups stay comparable round-over-round)
+    val fams = results.filterNot(r =>
+        shownSet.contains(r.name) || certificationOnly(r.name))
       .groupBy(_.name.takeWhile(_ != '_'))
       .toSeq.sortBy(_._1)
       .map { case (fam, rs) => jstr(fam) + ":" + f3(rs.map(_.secs).sum) }
       .mkString("{", ",", "}")
     val nErr = results.count(_.err.isDefined)
-    val total = results.collect { case QTime(_, t, _, None) => t }.sum
+    val total = timedTotal(results)
     s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = true)}${crossoverField(results)}${claimsFields(results, compact = true)}${certFields(results, compact = true)}"mode":${jstr(mode)},"n_err":$nErr,"full":${jstr(outPath)}}"""
   }
 
@@ -552,14 +555,31 @@ object Bench {
   // certification entries (run once, untimed-warmup-free, top-up-free)
   // are flagged so a reader never compares their single sample against
   // min-of-N numbers; compact carries the count, the full artifact the
-  // names
+  // names. Their seconds are EXCLUDED from the headline total and
+  // reported as cert_secs instead: pre-r10, guards memoized their work
+  // into the untimed warmup and contributed near-zero minima, so
+  // folding their now-honest one-shot cost (e.g. the CC guard re-runs
+  // both contenders on the big graphs) into `value` would read as a
+  // ~140 s regression that is actually an accounting change.
   private def certFields(results: Seq[QTime], compact: Boolean): String = {
-    val present = results.map(_.name).filter(certificationOnly).sorted
+    val present = results.filter(r => certificationOnly(r.name))
+      .sortBy(_.name)
     if (present.isEmpty) ""
-    else if (compact) s""""n_cert":${present.size},"""
-    else s""""certification_only":${
-      present.map(jstr).mkString("[", ",", "]")},"""
+    else {
+      val secs = present.filter(_.err.isEmpty).map(_.secs).sum
+      if (compact) s""""n_cert":${present.size},"cert_secs":${f3(secs)},"""
+      else s""""certification_only":${
+        present.map(r => jstr(r.name)).mkString("[", ",", "]")
+      },"cert_secs":$secs,"""
+    }
   }
+
+  /** Headline total: successful TIMED entries only (certification
+    * entries report under cert_secs). */
+  private def timedTotal(results: Seq[QTime]): Double =
+    results.collect {
+      case QTime(n, t, _, None) if !certificationOnly(n) => t
+    }.sum
 
   /** The crossover CONCLUSIONS the docs state, computed INTO the
     * artifact each run: claim holds when min(lhs) < factor × min(rhs).
@@ -638,7 +658,7 @@ object Bench {
         jstr(chunk) + s""":{"gc_ms":${s.gcMs},"gc_count":${s.gcCount},"heap_peak_mb":${s.heapPeakMb}}"""
       }.mkString("\"fork_telemetry\":{", ",", "},")
     val nErr = results.count(_.err.isDefined)
-    val total = results.collect { case QTime(_, t, _, None) => t }.sum
+    val total = timedTotal(results)
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = false)}${crossoverField(results)}${claimsFields(results)}${certFields(results, compact = false)}$forkField"mode":${jstr(mode)},"n_err":$nErr}"""
   }
 
@@ -720,10 +740,12 @@ object Bench {
         val contract = results.filter(r =>
           SparkEntry.queries.contains(r.name) && r.err.isEmpty)
         val heaviest = contract.sortBy(-_.secs).take(10)
-        val total = contract.map(_.secs).sum
+        val total = contract.filterNot(r => certificationOnly(r.name))
+          .map(_.secs).sum
         stamp + "\n\n" +
           s"Contract-query total ${fmtS(total)} s across ${contract.size} " +
-          "entries; heaviest:\n\n" + table(heaviest.map(_.name)) +
+          "entries (certification entries excluded from the sum); " +
+          "heaviest:\n\n" + table(heaviest.map(_.name)) +
           "\n\nClaims (computed into the artifact each run):\n\n" +
           ("| claim | status |" :: "|---|---|" :: claims.toList)
             .mkString("\n")

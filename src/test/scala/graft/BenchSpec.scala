@@ -289,8 +289,16 @@ class BenchSpec extends AnyFunSuite {
     assert(cert != null && cert.size() == 2)
     assert(cert.get(0).asText() == "bench_cc_guard")
     assert(cert.get(1).asText() == "ds_curate_staged")
+    // certification seconds are excluded from the headline total
+    // (pre-r10 guards hid their cost in memoized warmups — folding the
+    // now-honest one-shot cost into `value` would fake a regression)
+    // and reported separately
+    assert(math.abs(full.get("value").asDouble() - 1.0) < 1e-9)
+    assert(math.abs(full.get("cert_secs").asDouble() - 46.0) < 1e-9)
     val compact = mapper.readTree(Bench.renderCompact(r, "sf", "32", 3))
     assert(compact.get("n_cert").asInt() == 2)
+    assert(math.abs(compact.get("cert_secs").asDouble() - 46.0) < 1e-9)
+    assert(math.abs(compact.get("value").asDouble() - 1.0) < 1e-9)
     // a certification entry under the 0.5 s cutoff must NOT stamp the
     // runs_fast methodology — it is exempt from the top-up
     val fastCert = Bench.renderCompact(
