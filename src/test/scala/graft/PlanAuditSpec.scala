@@ -77,6 +77,21 @@ class PlanAuditSpec extends SparkTestBase {
       "as-of itself should shuffle once on the keys:\n" + p)
   }
 
+  test("ev_attrib joins on user_id equi-key, never a nested-loop blowup") {
+    // the attribution interval join must plan as an equi-join on
+    // user_id with the time bounds as residual predicates — a
+    // BroadcastNestedLoop/Cartesian here is the O(|purchases| x
+    // |views|) stream-stream trap the watermarked horizon exists to
+    // prevent, and its batch collapse must show the same key shape
+    val p = plan("ev_attrib")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "attribution must join on the user key:\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      "expected an equi-join on user_id:\n" + p)
+  }
+
   test("q_range_join is an equi-join on buckets, no nested-loop blowup") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
