@@ -36,4 +36,29 @@ class ScratchPathSpec extends AnyFunSuite {
     assert(name.matches("graft_curate_stages_[A-Za-z0-9._-]+_p7"),
       s"unsanitized scratch dir name: $name")
   }
+
+  test("two real processes on the same data dir get disjoint scratch paths") {
+    // the integration form of the property: a SECOND JVM (no Spark —
+    // just the path function) computes its scratch path for the SAME
+    // prefix and dir, and it must differ from this process's. This is
+    // the exact overlap that could interleave writes and reads in
+    // round 9 (a Verify run concurrent with a bench fork).
+    val dir = "/root/testdata/sf0.1"
+    val mine = graft.queries.Pipeline.scratchPath("graft_mh_steady", dir)
+    val cp = Bench.forkClasspath()
+    assert(cp.nonEmpty, "need a reconstructible classpath to fork")
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val p = new ProcessBuilder(javaBin, "-cp", cp,
+      "graft.queries.ScratchPathProbe", "graft_mh_steady", dir).start()
+    val out = new String(p.getInputStream.readAllBytes()).trim
+    assert(p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+      && p.exitValue() == 0, "probe JVM failed")
+    assert(out.nonEmpty && out != mine,
+      s"two processes computed the SAME scratch path: $out")
+    // same key scheme, different pid only
+    assert(out.stripSuffix(out.split("_p").last) ==
+      mine.stripSuffix(mine.split("_p").last),
+      s"paths differ beyond the pid suffix: $mine vs $out")
+  }
 }
