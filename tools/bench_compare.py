@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Compare two bench artifacts round-over-round, regime-aware.
+
+Usage: python3 tools/bench_compare.py <old.json> <new.json> [threshold]
+
+Both inputs may be either a full bench_out.json (flat) or a driver
+BENCH_r{N}.json wrapper (the per-query map then comes from its compact
+"parsed" line — headline entries only, noted in the output).
+
+Raw minima are only comparable WITHIN a timing regime; the artifacts
+self-describe theirs via `baseline_break`, and this tool refuses to
+print a bare delta table across differing regimes without saying so
+first (three rounds of judged "regressions" were regime changes).
+Certification entries (single-run, `certification_only`) are excluded
+from ratio reporting — their sample is not a min-of-N timing.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" not in d and "parsed" in d:
+        d = d["parsed"] or {}
+        d["_headline_only"] = True
+    return d
+
+
+def main(old_path, new_path, threshold=1.5):
+    old, new = load(old_path), load(new_path)
+    ob, nb = old.get("baseline_break", ""), new.get("baseline_break", "")
+    if ob != nb:
+        print("REGIME BREAK between artifacts — raw minima are NOT "
+              "directly comparable; read ratios and claims instead:")
+        print(f"  old: {ob or '(none)'}")
+        print(f"  new: {nb or '(none)'}")
+    for d, p in ((old, old_path), (new, new_path)):
+        if d.get("_headline_only"):
+            print(f"note: {p} carries only headline entries "
+                  "(driver wrapper, not the full artifact)")
+    cert = set(old.get("certification_only", [])) | \
+        set(new.get("certification_only", []))
+    oq = {k: v for k, v in old.get("queries", {}).items()
+          if isinstance(v, (int, float))}
+    nq = {k: v for k, v in new.get("queries", {}).items()
+          if isinstance(v, (int, float))}
+    shared = sorted(set(oq) & set(nq) - cert)
+    rows = []
+    for n in shared:
+        a, b = oq[n], nq[n]
+        if a <= 0:
+            continue
+        rows.append((b / a, n, a, b))
+    rows.sort()
+    print(f"\n{len(shared)} comparable timed entries "
+          f"({len(cert)} certification entries excluded)")
+    flagged = [r for r in rows if r[0] >= threshold or r[0] <= 1 / threshold]
+    if not flagged:
+        print(f"no entry moved by >= {threshold}x in either direction")
+    else:
+        print(f"entries moved >= {threshold}x (check fork_telemetry and "
+              "regime before reading these as code changes):")
+        for ratio, n, a, b in flagged:
+            print(f"  {n:28s} {a:8.2f} -> {b:8.2f}  x{ratio:.2f}")
+    # claims: conclusion flips are the signal that survives regime breaks
+    oc, nc = old.get("claims", {}), new.get("claims", {})
+    for name in sorted(set(oc) | set(nc)):
+        a, b = oc.get(name), nc.get(name)
+        if a is not None and b is not None and a != b:
+            print(f"CLAIM FLIP: {name}: {a} -> {b}")
+    flips = [n for n in set(oc) & set(nc) if oc[n] != nc[n]]
+    print(f"\nclaims: old {sum(bool(v) for v in oc.values())}/{len(oc)} ok, "
+          f"new {sum(bool(v) for v in nc.values())}/{len(nc)} ok, "
+          f"{len(flips)} flip(s)")
+    ot, nt = old.get("value"), new.get("value")
+    if ot and nt:
+        print(f"timed totals: {ot:.1f} -> {nt:.1f} s "
+              f"(cert_secs: {old.get('cert_secs', 0) or 0:.1f} -> "
+              f"{new.get('cert_secs', 0) or 0:.1f})")
+    return 0
+
+
+if __name__ == "__main__":
+    t = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    sys.exit(main(sys.argv[1], sys.argv[2], t))
