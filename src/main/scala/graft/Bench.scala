@@ -82,19 +82,22 @@ object Bench {
     // (the dd12k quarter-size twins are full-artifact-only: the compact
     // line is budgeted and their scaling-exponent ratio is computed from
     // bench_out.json, not eyeballed off the stdout line)
+    // (the asof/rj crossover entries are full-artifact-only: their
+    // conclusions ride on the line as claims, and the compact budget
+    // is pinned by spec below the harness's stdout-tail window)
     "bench_dd50k_ngram", "bench_dd50k_ngram_pruned", "bench_dd50k_minhash",
     "dd_clusters", "dd_survivors_exact", "dd_minhash_pairs",
     "dd_ngram_pairs", "dd_simhash_pairs", "dd_embed_lsh", "dd_embed_pairs",
     "dd_exact", "dd_spans",
-    "ds_pack", "ds_mix",
+    "ds_mix",
     "ev_asof", "ev_sessionize",
     "mm_features",
     "q1_agg", "q_1brc_fast", "q_join_inner", "q_join_multikey",
     "q_star_join", "q_salted_join", "q_range_join", "q_events_hourly",
     "sim_kmeans", "sim_recall", "sim_topk", "sim_topk_ivf", "sim_topk_lsh",
     "sim_topk_q8",
-    "txt_hash_topk", "txt_tfidf", "txt_bm25", "txt_tokens", "txt_lm_score",
-    "x_cte_exists", "x_cube", "x_intersect", "x_rank_window",
+    "txt_hash_topk", "txt_tfidf", "txt_bm25", "txt_lm_score",
+    "x_cte_exists", "x_intersect", "x_rank_window",
   )
 
   // ---------------------------------------------------------------------
@@ -215,6 +218,74 @@ object Bench {
   private def ccSkew(s: SparkSession): DataFrame =
     setup(s, "ccskew")(graft.operators.Dedup
       .syntheticSkewedEdges(s, Cc2mNodes, CcSkewFrac, Cc2mSize))
+
+  // as-of rig: dense per-key histories, where the naive join+argmax
+  // expansion materializes O(|purchases| x |views per user|) pair rows
+  // (~200M here) while the union+window form shuffles each row once
+  private val AsofUsers = 100
+  private val AsofViews = 8000
+  private val AsofPurch = 500
+  private def asofViewsDf(s: SparkSession): DataFrame =
+    setup(s, "asof_views")(graft.operators.AsOfJoin
+      .syntheticTimeline(s, AsofUsers, AsofViews, AsofPurch)._2)
+  private def asofPurchDf(s: SparkSession): DataFrame =
+    setup(s, "asof_purch")(graft.operators.AsOfJoin
+      .syntheticTimeline(s, AsofUsers, AsofViews, AsofPurch)._1)
+  /** Append a value-dependent (but virtually-always-true) filter so the
+    * bench's `.count()` cannot answer without COMPUTING every column.
+    * Catalyst prunes columns an action doesn't need: on the argmax
+    * contender below, a bare count() pruned the max() aggregate and
+    * then eliminated the left join entirely (distinct-over-left-outer
+    * preserves left keys), timing a 50k-row distinct at 0.15 s where
+    * the honest cost is the ~200M-pair expansion (measured ~4 s to
+    * merely count). A filter on the row hash references every column,
+    * so nothing above it can be pruned, and (unlike a checksum SUM)
+    * it cannot ANSI-overflow. Applied to BOTH contenders identically. */
+  private def forceAll(df: DataFrame): DataFrame =
+    df.filter(xxhash64(df.columns.map(col): _*) =!= lit(42L))
+
+  private def asofUnionRig(s: SparkSession): DataFrame =
+    graft.operators.AsOfJoin.asofBackward(asofPurchDf(s), asofViewsDf(s),
+      Seq("user_id"), "ts", Seq("v"))
+  /** The contender the union form exists to avoid: equi-join on the key
+    * with the time bound as a residual, then argmax per left row — every
+    * (purchase, earlier-view) pair flows through the shuffle. */
+  private def asofArgmaxRig(s: SparkSession): DataFrame = {
+    val vv = asofViewsDf(s).select(col("user_id").as("v_user"),
+      col("ts").as("v_ts"), col("v"))
+    val pp = asofPurchDf(s)
+    pp.join(vv, pp.col("user_id") === vv.col("v_user") &&
+        vv.col("v_ts") <= pp.col("ts"), "left")
+      .groupBy("purchase_id", "user_id", "ts")
+      .agg(max(struct(col("v_ts"), col("v"))).as("m"))
+      .select(col("purchase_id"), col("user_id"), col("ts"),
+        col("m").getField("v").as("asof_v"))
+  }
+
+  // range-join rig: ~500k points x 5k intervals (median width ~2000 on
+  // a 10M horizon) — the raw BETWEEN theta join is a BroadcastNestedLoop
+  // over 2.5G (point, interval) checks; the bucketed form equi-joins on
+  // quantized buckets and residual-filters candidates
+  private val RjPoints = 500000L
+  private val RjIntervals = 5000L
+  private val RjHorizon = 10000000L
+  private val RjWidth = 2000L
+  private def rjPointsDf(s: SparkSession): DataFrame =
+    setup(s, "rj_pts")(s.range(RjPoints).select(col("id").as("pt_id"),
+      pmod(xxhash64(lit("pt"), col("id")), lit(RjHorizon)).as("pt")))
+  private def rjIntervalsDf(s: SparkSession): DataFrame =
+    setup(s, "rj_ivs")(s.range(RjIntervals)
+      .select(col("id").as("iv_id"),
+        pmod(xxhash64(lit("iv"), col("id")), lit(RjHorizon)).as("lo"))
+      .withColumn("hi",
+        col("lo") + 500L + pmod(xxhash64(lit("w"), col("iv_id")),
+          lit(3000L))))
+  private def rjBucketedRig(s: SparkSession): DataFrame =
+    graft.operators.RangeJoin.pointInInterval(rjPointsDf(s),
+      rjIntervalsDf(s), "pt", "lo", "hi", bucketWidth = RjWidth)
+  private def rjThetaRig(s: SparkSession): DataFrame =
+    rjPointsDf(s).join(rjIntervalsDf(s),
+      col("pt") >= col("lo") && col("pt") <= col("hi"))
 
   private def dd50k(s: SparkSession): DataFrame =
     setup(s, "dd50k")(graft.operators.Dedup
@@ -385,6 +456,42 @@ object Bench {
     }),
     "bench_ddinc_probe" -> ((s, dir) =>
       SparkEntry.queries("dd_incremental")(s, dir)),
+    // ---- as-of: union+window vs join+argmax on dense histories
+    // (checksum-terminated: see [[forceAll]] — count() alone lets
+    // Catalyst prune the very work being measured)
+    "bench_asof_union" -> ((s, _) => forceAll(asofUnionRig(s))),
+    "bench_asof_argmax" -> ((s, _) => forceAll(asofArgmaxRig(s))),
+    "bench_asof_guard" -> ((s, _) => setup(s, "guard_asof") {
+      // both contenders must compute the SAME as-of result — "faster"
+      // only counts at equal answers
+      val a = asofUnionRig(s).select("purchase_id", "asof_v")
+        .localCheckpoint()
+      val b = asofArgmaxRig(s)
+        .select(col("purchase_id"), col("asof_v").as("bv"))
+      val (na, nb) = (a.count(), b.count())
+      if (na != nb) throw new IllegalStateException(
+        s"as-of contenders disagree on row count: union=$na argmax=$nb")
+      val mism = a.join(b, "purchase_id")
+        .filter(!(col("asof_v") <=> col("bv"))).count()
+      if (mism > 0) throw new IllegalStateException(
+        s"as-of union and argmax disagree on $mism rows")
+      s.range(1).select(lit(na).as("rows"), lit(mism).as("mismatches"))
+    }),
+    // ---- range join: bucketed equi-join vs raw BETWEEN theta join
+    "bench_rj_bucketed" -> ((s, _) => rjBucketedRig(s)),
+    "bench_rj_theta" -> ((s, _) => rjThetaRig(s)),
+    "bench_rj_guard" -> ((s, _) => setup(s, "guard_rj") {
+      val a = rjBucketedRig(s).select("pt_id", "iv_id").localCheckpoint()
+      val b = rjThetaRig(s).select("pt_id", "iv_id")
+      val (na, nb) = (a.count(), b.count())
+      if (na != nb) throw new IllegalStateException(
+        s"range-join contenders disagree on match count: " +
+          s"bucketed=$na theta=$nb")
+      val missing = a.except(b).count() + b.except(a).count()
+      if (missing > 0) throw new IllegalStateException(
+        s"range-join contenders disagree on $missing match rows")
+      s.range(1).select(lit(na).as("matches"), lit(missing).as("diff"))
+    }),
     "bench_dd50k_recall" -> ((s, _) => setup(s, "guard_dd") {
       val exact = graft.operators.Dedup.ngramJaccardPairs(
           dd50k(s), "doc_id", "text", threshold = DdThreshold, n = 3)
@@ -435,6 +542,8 @@ object Bench {
       "bench_dd50k_minhash"),
     Seq("bench_dd12k_ngram", "bench_dd12k_minhash"),
     Seq("bench_ddinc_inline", "bench_ddinc_probe"),
+    Seq("bench_asof_argmax", "bench_asof_union"),
+    Seq("bench_rj_theta", "bench_rj_bucketed"),
     // contract-query twins the docs compare head-to-head: round 7's
     // sim_topk 0.53->0.84 swing on untouched code is exactly the drift
     // interleaving absorbs (members must share a fork family — spec'd)
@@ -453,7 +562,7 @@ object Bench {
     * `certification_only` field, and a throw still surfaces as n_err. */
   private[graft] val certificationOnly: Set[String] = Set(
     "ds_curate_staged", "bench_lsh50k_recall", "bench_dd50k_recall",
-    "bench_cc_guard")
+    "bench_cc_guard", "bench_asof_guard", "bench_rj_guard")
 
   /** Everything this bench can time: the driver-contract queries plus the
     * bench-only extras. */
@@ -608,7 +717,11 @@ object Bench {
         "bench_cc2m_skew", "bench_cc2m_dist", 2.0),
       ("embed_lsh_beats_brute", "dd_embed_lsh", "dd_embed_pairs", 1.0),
       ("index_probe_beats_inline",
-        "bench_ddinc_probe", "bench_ddinc_inline", 1.0))
+        "bench_ddinc_probe", "bench_ddinc_inline", 1.0),
+      ("asof_union_beats_argmax",
+        "bench_asof_union", "bench_asof_argmax", 1.0),
+      ("bucketed_beats_theta_rj",
+        "bench_rj_bucketed", "bench_rj_theta", 1.0))
 
   // claims whose operands are missing (extras-off / sliced run) or
   // errored are omitted rather than guessed. The compact form carries
@@ -732,6 +845,16 @@ object Bench {
         s"inline-recompute/index-probe ratio ${ratio(q("bench_ddinc_inline"), q("bench_ddinc_probe"))}x " +
         "at sf0.1 (corpus only 4x the batch here; at corpus >> batch the probe's " +
         "O(batch) cost is the whole point)."),
+      "asofrig" -> (stamp + "\n\n" +
+        table(Seq("bench_asof_union", "bench_asof_argmax")) + "\n\n" +
+        s"argmax/union ratio ${ratio(q("bench_asof_argmax"), q("bench_asof_union"))}x " +
+        "at ~8k views x 500 purchases per key; the argmax side grows " +
+        "with pairs-per-key, the union side with rows."),
+      "rjrig" -> (stamp + "\n\n" +
+        table(Seq("bench_rj_bucketed", "bench_rj_theta")) + "\n\n" +
+        s"theta/bucketed ratio ${ratio(q("bench_rj_theta"), q("bench_rj_bucketed"))}x " +
+        "at 500k points x 5k intervals; the theta side grows with " +
+        "|points| x |intervals|, the bucketed side with matches."),
       "simtwins" -> (stamp + "\n\n" +
         table(Seq("sim_topk", "sim_topk_q8", "sim_topk_lsh",
           "dd_embed_pairs", "dd_embed_lsh")) + "\n\n" +
@@ -924,6 +1047,8 @@ object Bench {
       }
       if (inScope("bench_cc")) { cc450k(spark); cc2m(spark); ccSkew(spark) }
       if (inScope("bench_dd")) { dd50k(spark); dd12k(spark) }
+      if (inScope("bench_asof")) { asofPurchDf(spark); asofViewsDf(spark) }
+      if (inScope("bench_rj")) { rjPointsDf(spark); rjIntervalsDf(spark) }
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 

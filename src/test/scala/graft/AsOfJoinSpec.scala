@@ -110,4 +110,38 @@ class AsOfJoinSpec extends SparkTestBase {
       .select("k").as[String].collect().toSeq
     assert(out == Seq("a"))
   }
+
+  test("syntheticTimeline: deterministic, right side unique per (key, ts)") {
+    val (p1, v1) = AsOfJoin.syntheticTimeline(spark, 5, 40, 10)
+    // right-side uniqueness is the operator's contract — the rig must
+    // honor it by construction
+    assert(v1.groupBy("user_id", "ts").count()
+      .filter($"count" > 1).count() == 0)
+    assert(p1.count() == 50)
+    // deterministic: a rebuild is value-identical
+    val (p2, v2) = AsOfJoin.syntheticTimeline(spark, 5, 40, 10)
+    assert(v1.collect().toSet == v2.collect().toSet)
+    assert(p1.collect().toSet == p2.collect().toSet)
+  }
+
+  test("union+window and join+argmax compute the same as-of (bench guard logic)") {
+    // tiny-scale proof of the equivalence the bench guard certifies at
+    // rig scale: the naive expansion is the semantic REFERENCE; the
+    // union form must match it exactly, including unmatched rows
+    import org.apache.spark.sql.functions.{col, max, struct}
+    val (p, v) = AsOfJoin.syntheticTimeline(spark, 4, 30, 15)
+    val union = AsOfJoin.asofBackward(p, v, Seq("user_id"), "ts", Seq("v"))
+      .select($"purchase_id", $"asof_v")
+      .as[(Long, Option[Double])].collect().toMap
+    val vv = v.select(col("user_id").as("v_user"),
+      col("ts").as("v_ts"), col("v"))
+    val argmax = p.join(vv, p("user_id") === vv("v_user") &&
+        vv("v_ts") <= p("ts"), "left")
+      .groupBy("purchase_id")
+      .agg(max(struct(col("v_ts"), col("v"))).as("m"))
+      .select($"purchase_id", $"m.v".as("asof_v"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(union.size == argmax.size)
+    assert(union == argmax)
+  }
 }

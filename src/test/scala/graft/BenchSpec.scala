@@ -437,7 +437,11 @@ class BenchSpec extends AnyFunSuite {
       "bench_dd12k_ngram", "bench_dd12k_minhash",
       // incremental dedup crossover: inline corpus recompute vs the
       // contract query's materialized-index probe path
-      "bench_ddinc_inline", "bench_ddinc_probe"))
+      "bench_ddinc_inline", "bench_ddinc_probe",
+      // as-of crossover: union+window vs join+argmax + equality guard
+      "bench_asof_union", "bench_asof_argmax", "bench_asof_guard",
+      // range-join crossover: bucketed equi-join vs BETWEEN theta join
+      "bench_rj_bucketed", "bench_rj_theta", "bench_rj_guard"))
     assert(extras.intersect(SparkEntry.queries.keySet).isEmpty)
     // extras must NOT leak into Verify/oracle accounting
     assert(extras.intersect(SparkEntry.oracleSql.keySet).isEmpty)
