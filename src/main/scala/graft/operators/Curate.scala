@@ -176,6 +176,17 @@ object Curate {
     * (spec-pinned), minus the audit flags — the dropped docs are gone
     * from the survivor files, not annotated.
     *
+    * `resume = true` makes the restartability REAL rather than
+    * structural: a stage whose output is already complete (Spark's
+    * `_SUCCESS` marker) AND was produced under the SAME parameters is
+    * read back instead of recomputed — so a run that died after the
+    * near-dup stage redoes only decontamination + split. The parameter
+    * fingerprint is stamped into a `_graft_params` sidecar at write
+    * time and demanded back on resume (same provenance rule as the
+    * minhash index): a stage left by a run with different thresholds,
+    * or a torn write, is rewritten, never trusted. Default false —
+    * certification runs must always exercise the full write path.
+    *
     * Returns the kept docs (id, text + bucket, split), read back from
     * the final stage file.
     */
@@ -186,12 +197,28 @@ object Curate {
                    jaccardThreshold: Double = 0.8, n: Int = 3,
                    contamThreshold: Double = 0.8,
                    trainPct: Int = 90, valPct: Int = 5,
-                   keepPolicy: KeepPolicy = KeepPolicy.First): DataFrame = {
+                   keepPolicy: KeepPolicy = KeepPolicy.First,
+                   resume: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     val id = col(idCol)
-    def stage(name: String, df: DataFrame): DataFrame = {
+    // the full parameter vector: any change invalidates every stage
+    // (downstream stages depend on upstream params transitively, so a
+    // per-stage split would buy little and risk mixing regimes)
+    val fingerprint = Seq("v1", idCol, textCol, minQuality,
+      keepLangs.mkString("|"), jaccardThreshold, n, contamThreshold,
+      trainPct, valPct, keepPolicy.toString).mkString(";")
+    def stage(name: String, df: => DataFrame): DataFrame = {
       val path = s"$stageDir/$name"
-      df.write.mode("overwrite").parquet(path)
+      val marker = java.nio.file.Paths.get(path, "_graft_params")
+      val complete = resume &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(path, "_SUCCESS")) &&
+        java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker) == fingerprint
+      if (!complete) {
+        df.write.mode("overwrite").parquet(path)
+        java.nio.file.Files.writeString(marker, fingerprint)
+      }
       spark.read.parquet(path)
     }
     val gated = stage("gated", corpus

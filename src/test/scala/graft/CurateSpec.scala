@@ -105,4 +105,38 @@ class CurateSpec extends SparkTestBase {
       "doc_id", "text").orderBy("doc_id").collect().toSeq
     assert(one == other)
   }
+
+  test("curateStaged resume: completed stages are reused, not recomputed") {
+    val dir = java.nio.file.Files.createTempDirectory("curate_resume")
+      .toString
+    def result() = Curate.curateStaged(corpus, bench, "doc_id", "text",
+        dir, resume = true)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val fresh = result()
+    def mtimes(stage: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/$stage")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val (g0, e0) = (mtimes("gated"), mtimes("exact"))
+    // simulate a run that died mid-pass: the last stage is torn (its
+    // _SUCCESS marker is gone), earlier stages are complete
+    assert(new java.io.File(s"$dir/clean/_SUCCESS").delete())
+    val resumed = result()
+    assert(resumed == fresh, "resume must reproduce the full-run result")
+    // completed upstream stages were read back, not rewritten
+    assert(mtimes("gated") == g0 && mtimes("exact") == e0,
+      "resume recomputed stages whose output was already complete")
+    // a parameter change invalidates the fingerprint: every stage is
+    // rewritten even under resume, never silently mixed across regimes
+    val changed = Curate.curateStaged(corpus, bench, "doc_id", "text",
+        dir, minQuality = 0.9, resume = true)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(mtimes("gated") != g0,
+      "resume trusted a stage produced under different parameters")
+    val changedSingle = Curate.curate(corpus, bench, "doc_id", "text",
+        minQuality = 0.9)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(changed == changedSingle)
+  }
 }
