@@ -92,11 +92,11 @@ object Bench {
     "ds_mix",
     "ev_asof", "ev_sessionize",
     "mm_features",
-    "q1_agg", "q_1brc_fast", "q_join_inner", "q_join_multikey",
+    "q1_agg", "q_1brc_fast", "q_join_inner",
     "q_star_join", "q_salted_join", "q_range_join", "q_events_hourly",
-    "sim_kmeans", "sim_recall", "sim_topk", "sim_topk_ivf", "sim_topk_lsh",
+    "sim_kmeans", "sim_topk", "sim_topk_ivf", "sim_topk_lsh",
     "sim_topk_q8",
-    "txt_hash_topk", "txt_tfidf", "txt_bm25", "txt_lm_score",
+    "txt_hash_topk", "txt_bm25", "txt_lm_score",
     "x_cte_exists", "x_intersect", "x_rank_window",
   )
 
@@ -218,6 +218,46 @@ object Bench {
   private def ccSkew(s: SparkSession): DataFrame =
     setup(s, "ccskew")(graft.operators.Dedup
       .syntheticSkewedEdges(s, Cc2mNodes, CcSkewFrac, Cc2mSize))
+
+  // skew-join rig: 8M-row fact with 90% of rows on ONE key, joined to a
+  // 100k-key dim — in the regime saltedJoin documents (AQE skew-split
+  // unavailable, dim not broadcastable). Both contenders build on a
+  // DERIVED session (newSession shares the context but owns its
+  // SQLConf) with AQE and auto-broadcast disabled, so the comparison is
+  // honest AND the main bench session's conf is never touched. Under
+  // the normal session AQE's skew-split handles this shape — that is
+  // exactly why the rig needs the isolated conf to measure the lever
+  // salting exists for.
+  private val SkewFactRows = 8000000L
+  private val SkewDimKeys = 100001L
+  private val SkewSaltFactor = 32
+  private var skewSess: SparkSession = null
+  private def skewSession(s: SparkSession): SparkSession = synchronized {
+    if (skewSess == null || (skewSess.sparkContext ne s.sparkContext)) {
+      skewSess = s.newSession()
+      skewSess.conf.set("spark.sql.adaptive.enabled", "false")
+      skewSess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    }
+    skewSess
+  }
+  private def skewFact(s: SparkSession): DataFrame =
+    setup(s, "skew_fact") {
+      skewSession(s).range(SkewFactRows).select(
+        when(col("id") % 10 < 9, 0L)
+          .otherwise(pmod(xxhash64(lit("k"), col("id")),
+            lit(SkewDimKeys - 1)) + 1L).as("key"),
+        (col("id") % 1000).as("v"))
+    }
+  private def skewDim(s: SparkSession): DataFrame =
+    setup(s, "skew_dim") {
+      skewSession(s).range(SkewDimKeys).select(col("id").as("key"),
+        (col("id") % 97).as("w"))
+    }
+  private def skewPlainRig(s: SparkSession): DataFrame =
+    skewFact(s).join(skewDim(s), "key")
+  private def skewSaltedRig(s: SparkSession): DataFrame =
+    graft.operators.ScaleJoins.saltedJoin(skewFact(s), skewDim(s), "key",
+      SkewSaltFactor)
 
   // as-of rig: dense per-key histories, where the naive join+argmax
   // expansion materializes O(|purchases| x |views per user|) pair rows
@@ -456,6 +496,22 @@ object Bench {
     }),
     "bench_ddinc_probe" -> ((s, dir) =>
       SparkEntry.queries("dd_incremental")(s, dir)),
+    // ---- skewed join: plain shuffle join vs salted, AQE off (see the
+    // rig comment — this measures the non-AQE lever saltedJoin is FOR)
+    "bench_skew_plain" -> ((s, _) => forceAll(skewPlainRig(s))),
+    "bench_skew_salted" -> ((s, _) => forceAll(skewSaltedRig(s))),
+    "bench_skew_guard" -> ((s, _) => setup(s, "guard_skew") {
+      // same join, same answer: compare the full value checksums
+      def sumOf(df: DataFrame): Long =
+        df.agg(sum(col("v") * col("w"))).head().getLong(0)
+      val (a, b) = (sumOf(skewPlainRig(s)), sumOf(skewSaltedRig(s)))
+      if (a != b) throw new IllegalStateException(
+        s"salted join changed the answer: plain=$a salted=$b")
+      val (na, nb) = (skewPlainRig(s).count(), skewSaltedRig(s).count())
+      if (na != nb) throw new IllegalStateException(
+        s"salted join changed the row count: plain=$na salted=$nb")
+      s.range(1).select(lit(na).as("rows"), lit(a).as("checksum"))
+    }),
     // ---- as-of: union+window vs join+argmax on dense histories
     // (checksum-terminated: see [[forceAll]] — count() alone lets
     // Catalyst prune the very work being measured)
@@ -543,6 +599,7 @@ object Bench {
     Seq("bench_dd12k_ngram", "bench_dd12k_minhash"),
     Seq("bench_ddinc_inline", "bench_ddinc_probe"),
     Seq("bench_asof_argmax", "bench_asof_union"),
+    Seq("bench_skew_plain", "bench_skew_salted"),
     Seq("bench_rj_theta", "bench_rj_bucketed"),
     // contract-query twins the docs compare head-to-head: round 7's
     // sim_topk 0.53->0.84 swing on untouched code is exactly the drift
@@ -562,7 +619,8 @@ object Bench {
     * `certification_only` field, and a throw still surfaces as n_err. */
   private[graft] val certificationOnly: Set[String] = Set(
     "ds_curate_staged", "bench_lsh50k_recall", "bench_dd50k_recall",
-    "bench_cc_guard", "bench_asof_guard", "bench_rj_guard")
+    "bench_cc_guard", "bench_asof_guard", "bench_rj_guard",
+    "bench_skew_guard")
 
   /** Everything this bench can time: the driver-contract queries plus the
     * bench-only extras. */
@@ -721,7 +779,9 @@ object Bench {
       ("asof_union_beats_argmax",
         "bench_asof_union", "bench_asof_argmax", 1.0),
       ("bucketed_beats_theta_rj",
-        "bench_rj_bucketed", "bench_rj_theta", 1.0))
+        "bench_rj_bucketed", "bench_rj_theta", 1.0),
+      ("salted_beats_plain_skew_noaqe",
+        "bench_skew_salted", "bench_skew_plain", 1.0))
 
   // claims whose operands are missing (extras-off / sliced run) or
   // errored are omitted rather than guessed. The compact form carries
@@ -855,6 +915,12 @@ object Bench {
         s"theta/bucketed ratio ${ratio(q("bench_rj_theta"), q("bench_rj_bucketed"))}x " +
         "at 500k points x 5k intervals; the theta side grows with " +
         "|points| x |intervals|, the bucketed side with matches."),
+      "skewrig" -> (stamp + "\n\n" +
+        table(Seq("bench_skew_plain", "bench_skew_salted")) + "\n\n" +
+        s"plain/salted ratio ${ratio(q("bench_skew_plain"), q("bench_skew_salted"))}x " +
+        "with AQE and auto-broadcast disabled (8M rows, 90% on one " +
+        "key, salt factor 32) — the regime saltedJoin exists for; " +
+        "under the normal session AQE's skew-split handles this shape."),
       "simtwins" -> (stamp + "\n\n" +
         table(Seq("sim_topk", "sim_topk_q8", "sim_topk_lsh",
           "dd_embed_pairs", "dd_embed_lsh")) + "\n\n" +
@@ -1049,6 +1115,7 @@ object Bench {
       if (inScope("bench_dd")) { dd50k(spark); dd12k(spark) }
       if (inScope("bench_asof")) { asofPurchDf(spark); asofViewsDf(spark) }
       if (inScope("bench_rj")) { rjPointsDf(spark); rjIntervalsDf(spark) }
+      if (inScope("bench_skew")) { skewFact(spark); skewDim(spark) }
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 

@@ -441,7 +441,9 @@ class BenchSpec extends AnyFunSuite {
       // as-of crossover: union+window vs join+argmax + equality guard
       "bench_asof_union", "bench_asof_argmax", "bench_asof_guard",
       // range-join crossover: bucketed equi-join vs BETWEEN theta join
-      "bench_rj_bucketed", "bench_rj_theta", "bench_rj_guard"))
+      "bench_rj_bucketed", "bench_rj_theta", "bench_rj_guard",
+      // skew-join crossover: plain vs salted under AQE-off conf
+      "bench_skew_plain", "bench_skew_salted", "bench_skew_guard"))
     assert(extras.intersect(SparkEntry.queries.keySet).isEmpty)
     // extras must NOT leak into Verify/oracle accounting
     assert(extras.intersect(SparkEntry.oracleSql.keySet).isEmpty)
