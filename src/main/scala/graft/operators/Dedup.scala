@@ -740,6 +740,80 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with deterministic
+    * k-means, compare vectors only WITHIN their cluster, and drop the
+    * redundant (more-central) member of every high-cosine pair — the
+    * published recipe for pruning semantically duplicated web data
+    * before pre-training, where exact/minhash dedup can't see that two
+    * differently-worded documents say the same thing.
+    *
+    * The drop rule is made deterministic and engine-portable: for every
+    * within-cluster pair with cosine ≥ `threshold`, the member with the
+    * HIGHER centroid similarity — lexicographic `(cent_cos, id)` max, so
+    * ties fall to the higher id — is marked dropped. Keeping the
+    * lower-centroid-similarity member preserves the cluster's outliers,
+    * which is SemDeDup's published keep policy (§3.1 of the paper: "keep
+    * examples with low similarity to the centroid"). A doc that is the
+    * central member of ANY qualifying pair is dropped (greedy, like
+    * [[keepFirst]]) — one pass, no iteration, stable under partitioning.
+    *
+    * Scale shape (the whole point of the algorithm): the pair space is
+    * n²/k per cluster instead of n² — the clustering IS the blocking
+    * structure, playing the role LSH buckets play in [[embeddingPairs]].
+    * Cost at 100 TB: k-means is a bounded number of broadcast-assign +
+    * posexplode-mean shuffles per iteration ([[Similarity.kmeans]]), the
+    * assignment pass is one broadcast join (no corpus shuffle), and the
+    * pair join shuffles the corpus ONCE on `cid`. Choose k ∝ n/1000 so
+    * expected cluster size stays bounded; a skewed cluster bounds the
+    * worst task at |c|² like any self-join hot key (same salting lever
+    * as [[graft.operators.ScaleJoins.saltedJoin]] applies if one cluster
+    * degenerates). Determinism end-to-end (lowest-id init + 6dp centroid
+    * rounding in kmeans, md5-free pure arithmetic here) is what lets the
+    * DuckDB oracle replay the entire pipeline value-for-value.
+    *
+    * Output: one row per input vector — (idCol, cid, cent_cos, kept) —
+    * certifying every keep AND drop decision, not just the survivor set.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int = 2, threshold: Double = 0.6,
+                    init: String = "lowest-id"): DataFrame = {
+    val cents = Similarity.kmeans(df, idCol, vecCol, k, iters, init)
+    val assigned = Similarity.ivfAssign(df, idCol, vecCol, cents)
+    // per-vector centroid similarity: one broadcast join (k rows), then a
+    // narrow cosine — cache the slim (id, cid, cent_cos) frame, it feeds
+    // the pair join twice plus the final output (lifecycle convention of
+    // minhashPairs/embeddingPairs: cache narrow derived frames, never the
+    // corpus)
+    val cs = df.join(assigned, idCol)
+      .join(broadcast(cents), "cid")
+      .withColumn("cent_cos", VectorFunctions.cosineFromParts(
+        VectorFunctions.dot(col(vecCol), col("centroid")),
+        VectorFunctions.normSq(col(vecCol)),
+        VectorFunctions.normSq(col("centroid"))))
+      .select(col(idCol), col("cid"), col(vecCol), col("cent_cos"))
+      .cache()
+    val a = cs.select(col("cid"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("cent_cos").as("cc_a"))
+    val b = cs.select(col("cid"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("cent_cos").as("cc_b"))
+    val pairs = a.join(b, Seq("cid")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosineFromParts(
+        VectorFunctions.dot(col("va"), col("vb")),
+        VectorFunctions.normSq(col("va")),
+        VectorFunctions.normSq(col("vb"))))
+      .filter(col("cosine") >= threshold)
+    val dropped = pairs.select(
+        when(struct(col("cc_a"), col("id_a")) >
+             struct(col("cc_b"), col("id_b")), col("id_a"))
+          .otherwise(col("id_b")).as(idCol))
+      .distinct()
+    cs.join(dropped.withColumn("_dropped", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cid"),
+        round(col("cent_cos"), 4).as("cent_cos"),
+        not(coalesce(col("_dropped"), lit(false))).as("kept"))
+  }
+
   /** Survivor view shared by all pair-producers: drop every doc that has a
     * near-duplicate with a smaller id (single anti-join — no iterative
     * connected components needed for dedup-keep-first semantics).

@@ -276,6 +276,15 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     }),
 
+    // SemDeDup: k-means clusters as the blocking structure, drop the
+    // more-central member of every within-cluster high-cosine pair —
+    // the full keep/drop decision table is oracled, k-means included
+    "dd_semantic" -> ((s, dir) => {
+      Dedup.semanticDedup(embs(s, dir), "vec_id", "embedding",
+          k = 4, iters = 2, threshold = 0.4)
+        .orderBy("vec_id")
+    }),
+
     // brute-force cosine top-k ANN baseline (oracled). The workload is
     // all-pairs corpus self-ANN — neighbors for EVERY vector, the
     // dedup/diversity primitive — which is also where indexing pays:
@@ -1171,7 +1180,12 @@ object Pipeline {
     * CTEs — lowest-id init, cosine argmax assignment, 6dp-rounded means
     * (rounding per iteration is what makes both engines walk the same
     * trajectory despite aggregation-order ulps). */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
+  /** The WITH-chain of a DuckDB unrolling of [[Similarity.kmeans]] —
+    * emb, cent0, per-iteration assign/mean CTEs, and `asg_final`, the
+    * final (vec_id, cid) assignment against `cent$iters`. Shared prefix
+    * of the `sim_kmeans` and `dd_semantic` oracles so the two can never
+    * disagree about what "the same k-means" means. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     def asgSql(name: String, centName: String) =
       s"""$name AS (SELECT vec_id, cid FROM (
            SELECT emb.vec_id, p.cid,
@@ -1199,15 +1213,45 @@ object Pipeline {
                   FROM sums$i GROUP BY cid)"""
     }
     sb ++= s""",
-       ${asgSql("asg_final", s"cent$iters")},
+       ${asgSql("asg_final", s"cent$iters")}"""
+    sb.toString
+  }
+
+  private def kmeansOracleSql(k: Int, iters: Int): String =
+    s"""${kmeansCtes(k, iters)},
        cnt AS (SELECT cid, count(*) AS n_members FROM asg_final
                GROUP BY cid)
        SELECT c.cid, round(c.c[1], 6) AS c1, round(c.c[2], 6) AS c2,
          coalesce(cnt.n_members, 0) AS n_members
        FROM cent$iters c LEFT JOIN cnt ON cnt.cid = c.cid
        ORDER BY c.cid"""
-    sb.toString
-  }
+
+  /** DuckDB replay of [[Dedup.semanticDedup]]: the k-means chain above,
+    * per-vector centroid similarity, within-cluster pairs at `threshold`,
+    * and the deterministic (cent_cos, id)-max drop rule. */
+  private def semanticOracleSql(k: Int, iters: Int,
+                                threshold: Double): String =
+    s"""${kmeansCtes(k, iters)},
+       cs AS (SELECT a.vec_id, a.cid,
+                list_cosine_similarity(emb.e, c.c) AS cc
+              FROM asg_final a
+              JOIN emb ON emb.vec_id = a.vec_id
+              JOIN cent$iters c ON c.cid = a.cid),
+       pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                   x.cc AS cc_a, y.cc AS cc_b
+                 FROM cs x JOIN cs y
+                   ON x.cid = y.cid AND x.vec_id < y.vec_id
+                 JOIN emb ea ON ea.vec_id = x.vec_id
+                 JOIN emb eb ON eb.vec_id = y.vec_id
+                 WHERE list_cosine_similarity(ea.e, eb.e) >= $threshold),
+       dropped AS (SELECT DISTINCT
+                     CASE WHEN (cc_a, id_a) > (cc_b, id_b)
+                          THEN id_a ELSE id_b END AS vec_id
+                   FROM pairs)
+       SELECT cs.vec_id, cs.cid, round(cs.cc, 4) AS cent_cos,
+         (d.vec_id IS NULL) AS kept
+       FROM cs LEFT JOIN dropped d ON d.vec_id = cs.vec_id
+       ORDER BY cs.vec_id"""
 
   private def embedLshOracleSql(tables: Int, bits: Int,
                                 threshold: Double): String =
@@ -1483,6 +1527,7 @@ object Pipeline {
                        WHEN 'de' THEN 0.25 ELSE 0.1 END * 1000000
          ORDER BY doc_id""",
     "sim_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
+    "dd_semantic" -> semanticOracleSql(k = 4, iters = 2, threshold = 0.4),
     "sim_topk_ivf" ->
       s"""WITH ${ivfCtes(nProbe = 3)}
          SELECT query_id, neighbor_id, round(cos, 4) AS cosine

@@ -591,6 +591,63 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(loose(1)._3 - 1.0 / 7) < 1e-12)
   }
 
+  test("semanticDedup: one row per vector, drop rule follows " +
+      "(cent_cos, id)-max over within-cluster pairs") {
+    val emb = graft.operators.Similarity.syntheticClusteredCorpus(spark,
+      40, dim = 8, clusters = 4, noiseScale = 0.15)
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      k = 4, iters = 2, threshold = 0.85)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length == 40)
+    assert(rows.map(_._1).distinct.length == 40)
+    assert(rows.exists(!_._4) && rows.exists(_._4)) // both decisions occur
+    // independently recompute qualifying pairs from the raw vectors +
+    // the output's own cluster assignment, then check the drop policy
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byRow = rows.map(r => r._1 -> r).toMap
+    val qualifying = for {
+      Array(x, y) <- rows.combinations(2).toSeq.map(_.toArray)
+      if x._2 == y._2 && cos(vecs(x._1), vecs(y._1)) >= 0.85
+    } yield (x, y)
+    assert(qualifying.nonEmpty)
+    qualifying.foreach { case (x, y) =>
+      // at least one member of every qualifying pair is dropped, and when
+      // the rounded cent_cos separates them clearly, it is the central one
+      assert(!x._4 || !y._4)
+      val (central, outlier) =
+        if (x._3 > y._3) (x, y)
+        else if (y._3 > x._3) (y, x)
+        else if (x._1 > y._1) (x, y) else (y, x)
+      if (math.abs(x._3 - y._3) > 1e-3) assert(!byRow(central._1)._4,
+        s"central member ${central._1} of pair should be dropped")
+      assert(outlier._1 != central._1)
+    }
+    // determinism: a second run reproduces the decision table exactly
+    spark.sharedState.cacheManager.clearCache()
+    val again = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      k = 4, iters = 2, threshold = 0.85).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("semanticDedup: of two identical vectors the higher id is dropped") {
+    val emb = graft.operators.Similarity.syntheticClusteredCorpus(spark,
+      30, dim = 8, clusters = 3, noiseScale = 0.2)
+    val twinOf = emb.filter(col("vec_id") === 7L)
+      .withColumn("vec_id", lit(1000L))
+    val out = Dedup.semanticDedup(emb.unionByName(twinOf), "vec_id",
+      "embedding", k = 3, iters = 2, threshold = 0.9)
+    val twin = out.filter(col("vec_id") === 1000L).collect()
+    assert(twin.length == 1 && !twin(0).getBoolean(3),
+      "the identical twin with the higher id must be dropped")
+  }
+
   test("md5Planes are deterministic and uniform in [-1,1]") {
     val p1 = Dedup.md5Planes(2, 4, 8)
     val p2 = Dedup.md5Planes(2, 4, 8)

@@ -168,4 +168,13 @@ class PartitionInvarianceSpec extends SparkTestBase {
       Similarity.ivfAssign(df, "id", "vec", cents).join(cents, "cid")
     }
   }
+
+  test("semanticDedup: the keep/drop decision table survives any layout") {
+    val emb = Similarity.syntheticClusteredCorpus(spark, 48, dim = 8,
+        clusters = 4, noiseScale = 0.15)
+      .withColumn("grp", col("vec_id") % 3)
+    assertInvariant(emb, "semanticDedup")(df =>
+      rematerialize(Dedup.semanticDedup(df, "vec_id", "embedding",
+        k = 4, iters = 2, threshold = 0.85)))
+  }
 }
