@@ -124,6 +124,57 @@ object TextAnalysis {
           .as("features"))
   }
 
+  /** Exact top-k frequent tokens WITHOUT the full-vocabulary shuffle —
+    * the 100 TB twin of the plain `explode → groupBy(token) → top-k`
+    * plan (the `txt_top_terms` contract query). That plan shuffles one
+    * partial count per distinct token per task; at web scale the token
+    * vocabulary is billions of keys and the shuffle dominates. This is
+    * the classic sample-and-verify heavy-hitters scheme instead:
+    *
+    *  1. CANDIDATES: count tokens on a deterministic md5-coin document
+    *     sample (`samplePct`% of docs — same portable coin as
+    *     [[Prep.weightedSample]]) and take the top `candidates` — a
+    *     shuffle over the SAMPLE's vocabulary only.
+    *  2. VERIFY: exact counts over the FULL corpus restricted to those
+    *     candidates — the broadcast semi-join filters before the
+    *     shuffle, so each task emits at most `candidates` partial rows
+    *     regardless of corpus size or vocabulary.
+    *
+    * Total shuffle volume: O(sample vocab) + O(candidates × tasks),
+    * vs O(full vocab) for the naive plan. The output is EXACT counts
+    * (step 2 recounts from scratch), so as long as the candidate set
+    * covers the true top-k — guaranteed for any corpus where top-k
+    * tokens are heavy enough to survive a `samplePct`% document sample
+    * into the top `candidates`, the regime heavy-hitter queries live in
+    * by definition — the result is value-identical to the exact plan,
+    * which is exactly what the `txt_heavy_hitters` oracle (the plain
+    * exact SQL) certifies cross-engine. Widen `candidates`/`samplePct`
+    * for adversarial near-uniform distributions; candidate generation
+    * failing open (a missed heavy hitter) is a hash-mismatch at the
+    * correctness gate, never a silent wrong count.
+    *
+    * Ties are broken (count desc, token asc) at both stages, so the cut
+    * is deterministic in both engines. Returns (token, n) — the final
+    * top-k ordered by (n desc, token). */
+  def heavyHitters(df: DataFrame, idCol: String, textCol: String,
+                   k: Int, candidates: Int = 100, samplePct: Int = 25,
+                   salt: String = "hh"): DataFrame = {
+    require(samplePct > 0 && samplePct <= 100 && candidates >= k)
+    val cand = df
+      .filter(Prep.md5Bucket(col(idCol), 100, salt) < samplePct)
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc)
+      .limit(candidates)
+      .select("token")
+    df.repartition(col(idCol)) // decouple from single-file input layout
+      .select(explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(cand), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Quality metrics struct: char/token counts, mean token length,
     * stopword ratio, punctuation ratio, alpha ratio. */
   def qualityMetrics(text: Column,

@@ -765,6 +765,16 @@ object Pipeline {
         .limit(20)
     }),
 
+    // heavy hitters, the scale-path twin of txt_top_terms: candidates
+    // from a 25% md5-coin doc sample, exact counts via broadcast
+    // semi-join — bounded shuffle instead of full-vocab shuffle. The
+    // oracle is the plain exact top-k SQL: the contract certifies the
+    // sampled candidate generation recovered the exact answer
+    "txt_heavy_hitters" -> ((s, dir) => {
+      TextAnalysis.heavyHitters(docs(s, dir), "doc_id", "text",
+        k = 15, candidates = 150, samplePct = 25)
+    }),
+
     // TF-IDF per (doc, term): the classic feature-extraction join.
     // round(6) absorbs potential last-ulp libm log() differences.
     // The corpus size joins in as a broadcast scalar aggregate — one job,
@@ -2179,6 +2189,13 @@ object Pipeline {
            SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
            FROM documents)
          GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""",
+    // the exact answer, plainly: certifies that heavyHitters'
+    // sample-generated candidate set recovered the true top-k
+    "txt_heavy_hitters" ->
+      """SELECT token, count(*)::BIGINT AS n FROM (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents)
+         GROUP BY token ORDER BY n DESC, token ASC LIMIT 15""",
     "txt_tfidf" ->
       """WITH terms AS (
            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))

@@ -222,4 +222,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert("Exchange".r.findAllMatchIn(p).length <= 1,
       "projection is per-row; only the orderBy may exchange:\n" + p)
   }
+
+  test("txt_heavy_hitters filters the corpus through a broadcast " +
+      "semi-join BEFORE the count shuffle") {
+    val p = plan("txt_heavy_hitters")
+    assert("BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(p).isDefined,
+      "candidate filter must be a broadcast semi-join:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "final top-k must be TakeOrderedAndProject, not a global sort")
+  }
+
+  test("dd_semantic's pair join is an equi-join on cid (never a " +
+      "cartesian product)") {
+    val p = plan("dd_semantic")
+    // BroadcastNestedLoopJoin appears only as ivfAssign's deliberate
+    // corpus x broadcast(k centroids) assignment cross — bounded by k.
+    // The n x n hazard would be a CartesianProduct (both sides large),
+    // or the pair self-join losing its cid equi-key.
+    assert(!p.contains("CartesianProduct"),
+      "no unbounded cartesian anywhere in the semantic-dedup plan:\n" + p)
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[cid".r
+      .findFirstIn(p).isDefined,
+      "within-cluster pairing must stay an equi-join keyed on cid:\n" + p)
+  }
 }

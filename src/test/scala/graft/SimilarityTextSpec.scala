@@ -294,6 +294,29 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(nn(1).getDouble(2) < 0.9)
   }
 
+  test("heavyHitters: sample-and-verify equals the exact full-shuffle " +
+      "top-k, counts exact") {
+    // permuted ids; every doc carries the heavy tokens plus a unique
+    // rare tail, so candidate coverage is structural, not lucky
+    val corpus = (0 until 120).map { i =>
+      val heavy = Seq.fill(6)("alpha") ++ Seq.fill(4)("beta") ++
+        Seq.fill(2)("gamma")
+      ((i * 37L + 11L) % 1009L,
+        (heavy ++ Seq(s"rare${i}a", s"rare${i}b")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val hh = TextAnalysis.heavyHitters(corpus, "doc_id", "text",
+        k = 3, candidates = 10, samplePct = 25)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = corpus
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t").asc).limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hh == exact)
+    assert(hh.map(_._1) == Seq("alpha", "beta", "gamma"))
+    assert(hh.map(_._2) == Seq(720L, 480L, 240L)) // exact, not estimates
+  }
+
   test("repetition metrics: looping phrase scores high, varied text low") {
     val df = Seq(
       (1L, "buy now buy now buy now buy now buy now"),
