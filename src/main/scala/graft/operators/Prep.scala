@@ -75,6 +75,31 @@ object Prep {
       .filter(col("__rn") <= perGroup).drop("__rn")
   }
 
+  /** Per-group frequency cap: keep at most `n` rows per group, the BEST
+    * ones under the caller's ordering — the C4/Gopher-style curation
+    * step that stops crawl-heavy domains from flooding the training mix
+    * ("at most N docs per domain, preferring highest quality"). The
+    * complement of [[groupSample]]: same top-N-per-key shape, but ranked
+    * by an explicit policy (quality desc) instead of an md5 coin, so
+    * what survives is the group's best, not a uniform draw.
+    *
+    * Deliberately a PLAIN declarative window, not a hand-rolled salted
+    * two-phase: Catalyst's WindowGroupLimit rule inserts a map-side
+    * partial group-limit BEFORE the shuffle, so every task already emits
+    * at most `n` rows per key — shuffle volume is O(n × tasks), and a
+    * billion-row hot domain costs its scan, not its shuffle. Hand-
+    * scheduling that would re-implement the optimizer (the plan shape is
+    * pinned in PlanAuditSpec instead). Callers must make `order` a total
+    * order per group (break ties on the id) or the cap boundary is
+    * engine-dependent. */
+  def capPerGroup(df: DataFrame, groupCol: String, n: Int,
+                  order: Seq[Column]): DataFrame = {
+    require(n > 0, "cap must be positive")
+    val w = Window.partitionBy(groupCol).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
   /** Weighted dataset mixing: keep each row with probability
     * `weights(group)` — evaluated as a deterministic md5 coin per id, so
     * the mixed corpus is bit-reproducible across runs, engines, and

@@ -251,6 +251,18 @@ object Pipeline {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // per-domain frequency cap: at most 15 docs per source, keeping the
+    // highest-quality ones — the C4/Gopher-style domain rebalancing
+    // step; WindowGroupLimit makes the plain window the bounded-shuffle
+    // plan (pinned in PlanAuditSpec) (oracled)
+    "ds_cap_source" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("quality",
+        TextAnalysis.qualityScore(col("text")))
+      Prep.capPerGroup(d, "source", 15,
+          Seq(col("quality").desc, col("doc_id").asc))
+        .select("doc_id", "source", "quality").orderBy("doc_id")
+    }),
+
     // embedding near-dup pairs, brute-force verified (oracled)
     "dd_embed_pairs" -> ((s, dir) => {
       import graft.functions.VectorFunctions._
@@ -1263,6 +1275,35 @@ object Pipeline {
        FROM cs LEFT JOIN dropped d ON d.vec_id = cs.vec_id
        ORDER BY cs.vec_id"""
 
+  /** DuckDB unrolling of [[TextAnalysis.qualityMetrics]]/score — shared
+    * by the `txt_quality` oracle and every oracle that ranks or gates on
+    * the quality score (`ds_cap_source`), so "quality" can never mean
+    * two different formulas in two oracles. */
+  private val QualityBaseCtes =
+    """m AS (
+           SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS toks,
+             length(text) AS len
+           FROM documents),
+         base AS (
+           SELECT doc_id,
+             len(toks)::BIGINT AS n_tokens,
+             round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE /
+               greatest(len(toks), 1), 4) AS mean_token_len,
+             round(len(list_filter(toks, x -> list_contains(
+                 ['the','a','an','and','or','of','to','in','is','it','that',
+                  'for','on','with','as','at','by','this'], lower(x))))::DOUBLE /
+               greatest(len(toks), 1), 4) AS stopword_ratio,
+             round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE /
+               greatest(len, 1), 4) AS alpha_ratio,
+             (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END)
+               AS length_ok
+           FROM m)"""
+
+  private val QualityExprSql =
+    """floor((length_ok * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.3
+             + alpha_ratio * 0.3) * 10000 + 0.5) / 10000"""
+
   private def embedLshOracleSql(tables: Int, bits: Int,
                                 threshold: Double): String =
     s"""WITH ${bucketsCteSql(tables, bits.toString)},
@@ -1536,6 +1577,15 @@ object Pipeline {
            < CASE lang WHEN 'en' THEN 1.0 WHEN 'zh' THEN 0.5
                        WHEN 'de' THEN 0.25 ELSE 0.1 END * 1000000
          ORDER BY doc_id""",
+    "ds_cap_source" ->
+      s"""WITH $QualityBaseCtes,
+         qual AS (SELECT doc_id, $QualityExprSql AS quality FROM base),
+         ranked AS (SELECT d.doc_id, d.source, q.quality,
+             row_number() OVER (PARTITION BY d.source
+               ORDER BY q.quality DESC, d.doc_id ASC) AS rn
+           FROM documents d JOIN qual q USING (doc_id))
+         SELECT doc_id, source, quality FROM ranked
+         WHERE rn <= 15 ORDER BY doc_id""",
     "sim_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
     "dd_semantic" -> semanticOracleSql(k = 4, iters = 2, threshold = 0.4),
     "sim_topk_ivf" ->
@@ -1957,28 +2007,9 @@ object Pipeline {
            floor(score * 10000 + 0.5) / 10000 AS score
          FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
     "txt_quality" ->
-      """WITH m AS (
-           SELECT doc_id, text,
-             string_split_regex(trim(text), '\s+') AS toks,
-             length(text) AS len
-           FROM documents),
-         base AS (
-           SELECT doc_id,
-             len(toks)::BIGINT AS n_tokens,
-             round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE /
-               greatest(len(toks), 1), 4) AS mean_token_len,
-             round(len(list_filter(toks, x -> list_contains(
-                 ['the','a','an','and','or','of','to','in','is','it','that',
-                  'for','on','with','as','at','by','this'], lower(x))))::DOUBLE /
-               greatest(len(toks), 1), 4) AS stopword_ratio,
-             round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE /
-               greatest(len, 1), 4) AS alpha_ratio,
-             (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END)
-               AS length_ok
-           FROM m)
+      s"""WITH $QualityBaseCtes
          SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, alpha_ratio,
-           floor((length_ok * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.3
-             + alpha_ratio * 0.3) * 10000 + 0.5) / 10000 AS quality
+           $QualityExprSql AS quality
          FROM base ORDER BY doc_id""",
     "txt_divergence" ->
       """WITH cut AS (SELECT (max(doc_id) + 1) // 2 AS c FROM documents),

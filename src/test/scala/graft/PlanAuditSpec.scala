@@ -232,6 +232,13 @@ class PlanAuditSpec extends SparkTestBase {
       "final top-k must be TakeOrderedAndProject, not a global sort")
   }
 
+  test("ds_cap_source gets the WindowGroupLimit map-side prune " +
+      "(the reason capPerGroup is a plain window, not a salted rollup)") {
+    val p = plan("ds_cap_source")
+    assert("WindowGroupLimit".r.findAllMatchIn(p).length >= 2,
+      "expected partial+final WindowGroupLimit around the shuffle:\n" + p)
+  }
+
   test("dd_semantic's pair join is an equi-join on cid (never a " +
       "cartesian product)") {
     val p = plan("dd_semantic")

@@ -84,6 +84,29 @@ class PrepSpec extends SparkTestBase {
     assert(s1 != s3)
   }
 
+  test("capPerGroup keeps the best n per group under the given order, " +
+      "short groups intact") {
+    // score descends with id inside each group, so the cap must keep the
+    // LOWEST ids; group g9 has only 2 rows (< cap)
+    val df = ((0L until 40L).map(i => (i, s"g${i % 4}", 100.0 - i)) ++
+      Seq((100L, "g9", 1.0), (101L, "g9", 2.0))).toDF("id", "grp", "score")
+    val out = Prep.capPerGroup(df, "grp", 5,
+        Seq(col("score").desc, col("id").asc))
+      .orderBy("grp", "id").as[(Long, String, Double)].collect().toSeq
+    assert(out.count(_._2 == "g9") == 2) // under-cap group survives whole
+    val byGrp = out.filter(_._2 != "g9").groupBy(_._2)
+    assert(byGrp.values.forall(_.size == 5))
+    // best-by-score = lowest ids per group here
+    assert(byGrp("g0").map(_._1) == Seq(0L, 4L, 8L, 12L, 16L))
+    // tie-break determinism: equal scores fall to the lower id
+    val ties = Seq((1L, "t", 7.0), (2L, "t", 7.0), (3L, "t", 7.0))
+      .toDF("id", "grp", "score")
+    val kept = Prep.capPerGroup(ties, "grp", 2,
+        Seq(col("score").desc, col("id").asc))
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 2L))
+  }
+
   test("weightedSample keeps ~weight per group, deterministically") {
     val df = (0L until 3000L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
     val w = Map("g0" -> 1.0, "g1" -> 0.3, "g2" -> 0.0)
