@@ -443,7 +443,10 @@ class BenchSpec extends AnyFunSuite {
       // range-join crossover: bucketed equi-join vs BETWEEN theta join
       "bench_rj_bucketed", "bench_rj_theta", "bench_rj_guard",
       // skew-join crossover: plain vs salted under AQE-off conf
-      "bench_skew_plain", "bench_skew_salted", "bench_skew_guard"))
+      "bench_skew_plain", "bench_skew_salted", "bench_skew_guard",
+      // heavy-hitters crossover: full-vocab shuffle vs sample-and-verify
+      // + the exactness/shuffle-volume guard
+      "bench_hh_full", "bench_hh_sampled", "bench_hh_guard"))
     assert(extras.intersect(SparkEntry.queries.keySet).isEmpty)
     // extras must NOT leak into Verify/oracle accounting
     assert(extras.intersect(SparkEntry.oracleSql.keySet).isEmpty)
