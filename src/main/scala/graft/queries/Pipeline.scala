@@ -72,6 +72,25 @@ object Pipeline {
     Dedup.readMinhashIndex(s, path, expectedSource = Some(dir))
   }
 
+  /** Write-once-per-JVM memo for the JSONL twin of the documents table:
+    * the first execution materializes the corpus as line-delimited JSON
+    * through [[graft.sinks.Sinks.writeJsonl]] (overwrite — stale
+    * artifacts never trusted; same lifecycle as the steady minhash
+    * index), later executions scan the files. `ds_jsonl` then reads it
+    * back with the EXPLICIT parquet-derived schema and aggregates —
+    * matching the oracle computed from the parquet table certifies the
+    * whole JSONL round trip (escaping, types, line splitting). */
+  private val jsonlWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def jsonlDocs(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("graft_jsonl", dir)
+    val d = docs(s, dir)
+    jsonlWritten.synchronized {
+      if (jsonlWritten.add(path)) graft.sinks.Sinks.writeJsonl(d, path)
+    }
+    Tables.jsonl(s, path, d.schema)
+  }
+
   /** IVF coarse quantizer for the sim_topk_ivf/sim_recall_ivf queries:
     * label centroids with components rounded to 6dp, so Spark and the
     * DuckDB oracle quantize from bit-identical centroid values (raw means
@@ -249,6 +268,18 @@ object Pipeline {
           Map("en" -> 1.0, "zh" -> 0.5, "de" -> 0.25),
           defaultWeight = 0.1)
         .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // JSONL ingest round-trip: documents -> line-delimited JSON ->
+    // explicit-schema read -> per-lang aggregate; the oracle computes
+    // the same aggregate from the parquet table, so a match certifies
+    // escaping/type/line-splitting fidelity of the whole round trip
+    "ds_jsonl" -> ((s, dir) => {
+      jsonlDocs(s, dir).groupBy("lang").agg(
+          count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).cast("long").as("sum_text_len"))
+        .orderBy("lang")
     }),
 
     // per-domain frequency cap: at most 15 docs per source, keeping the
@@ -1577,6 +1608,11 @@ object Pipeline {
            < CASE lang WHEN 'en' THEN 1.0 WHEN 'zh' THEN 0.5
                        WHEN 'de' THEN 0.25 ELSE 0.1 END * 1000000
          ORDER BY doc_id""",
+    "ds_jsonl" ->
+      """SELECT lang, count(*)::BIGINT AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+         FROM documents GROUP BY lang ORDER BY lang""",
     "ds_cap_source" ->
       s"""WITH $QualityBaseCtes,
          qual AS (SELECT doc_id, $QualityExprSql AS quality FROM base),

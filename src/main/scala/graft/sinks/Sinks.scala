@@ -37,6 +37,17 @@ object Sinks {
   def toJsonBytes(df: DataFrame): Array[Byte] =
     df.toJSON.collect().mkString("[", ",", "]").getBytes("UTF-8")
 
+  /** JSONL (one JSON object per line) sink — the interchange format
+    * web-scraped training corpora actually arrive and ship in. Spark's
+    * JSON writer IS line-delimited, so this is the distributed,
+    * splittable complement of [[toJsonBytes]] (which builds one driver-
+    * side array blob, the reference's shape): every executor writes its
+    * partition as independent lines, and a downstream scan can split
+    * the files at line boundaries. Null fields are omitted, matching
+    * [[toJsonBytes]] and the reference's arrow-json writer. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** S21-S29: the reference's hand-rolled S3 machinery (ranged parallel
     * gets, semaphore-capped multipart uploads, `aws.rs:57-468`) maps to
     * S3A connector configuration — Spark/Hadoop already do chunked

@@ -76,4 +76,18 @@ object Tables {
   /** S4: parquet scan (reference `tests/api/dataframe_tests.rs:593-595`). */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** JSONL scan with a MANDATORY explicit schema — the ingest reader for
+    * line-delimited corpora ([[graft.sinks.Sinks.writeJsonl]] is the
+    * writing half). Explicit schema is a 100 TB design decision, not a
+    * convenience default: schema inference on JSON is a FULL extra pass
+    * over the data before the real scan, and worse, the inferred types
+    * drift with content (a batch whose `id`s all fit in int infers a
+    * narrower type than yesterday's batch — silent downstream breakage).
+    * JSONL stays splittable (object-per-line ⇒ files chunk at line
+    * boundaries), unlike a multiline JSON array which forces
+    * one-task-per-file parsing. */
+  def jsonl(spark: SparkSession, path: String,
+            schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

@@ -87,6 +87,37 @@ class DatasetsSinksSpec extends SparkTestBase {
     assert(spark.read.parquet(dir.toString).count() == 100)
   }
 
+  test("JSONL sink/source round-trip survives newlines, quotes, " +
+      "unicode, and nulls; schema is the explicit one") {
+    val dir = Files.createTempDirectory("graft_jsonl_").resolve("d")
+    val df = Seq(
+      (1L, "line one\nline two\ttabbed", Option("en")),
+      (2L, "\"quoted\" and \\backslashed\\", Option("de")),
+      (3L, "unicode: café 日本語 😀", None),
+      (4L, "", Option("zh")))
+      .toDF("doc_id", "text", "lang")
+    Sinks.writeJsonl(df, dir.toString)
+    val back = Tables.jsonl(spark, dir.toString, df.schema)
+    // explicit schema, no inference (JSON relaxes nullability — any
+    // line may omit any field — so compare names and types)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val orig = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.getString(2)))).sortBy(_._1)
+    val rt = back.collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.getString(2)))).sortBy(_._1)
+    assert(rt.toSeq == orig.toSeq,
+      "JSONL round trip must be byte-faithful per field")
+    // the embedded newline is ESCAPED, not literal: each row is one
+    // physical line, which is what keeps the format splittable
+    import scala.jdk.CollectionConverters._
+    val lines = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .filter(_.nonEmpty).toSeq
+    assert(lines.size == 4, s"expected 4 physical lines, got $lines")
+  }
+
   test("S3 conf helper applies reference constants (config-only)") {
     Sinks.S3.configure(spark, Some("eu-west-1"))
     val conf = spark.sparkContext.hadoopConfiguration
