@@ -893,6 +893,25 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // curation composed with the per-domain cap — the full modern
+    // pre-training pass: gates -> dedup -> decontamination -> split,
+    // then at most 10 of the highest-quality survivors per source
+    // (C4-style domain rebalancing AFTER cleaning, so a flood of
+    // near-identical crawl pages can't eat a domain's budget before
+    // dedup has collapsed them). One plan; the cap window rides the
+    // WindowGroupLimit prune like ds_cap_source (oracled)
+    "ds_curate_capped" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val curated = Curate.curate(d.filter(col("doc_id") >= 50),
+        d.filter(col("doc_id") < 50), "doc_id", "text")
+      val scored = curated.withColumn("quality",
+        TextAnalysis.qualityScore(col("text")))
+      Prep.capPerGroup(scored, "source", 10,
+          Seq(col("quality").desc, col("doc_id").asc))
+        .select("doc_id", "source", "quality", "split")
+        .orderBy("doc_id")
+    }),
+
     // the staged-materialization twin certified on its ARTIFACT: run
     // curateStaged (each stage written to parquet, next stage reads it
     // back — the restartable cold-storage shape), then emit the FINAL
@@ -1781,6 +1800,24 @@ object Pipeline {
              (CASE WHEN bucket < 90 THEN 'train'
                    WHEN bucket < 95 THEN 'val' ELSE 'test' END) END AS split
          FROM dec2 ORDER BY doc_id"""),
+    // curation + per-domain cap: the decision chain's survivors joined
+    // back for source, then the same (quality desc, id) row_number cut
+    // the ds_cap_source oracle uses — dec2 already carries the quality
+    // the cap ranks on, so the two stages can't disagree about scores
+    "ds_curate_capped" ->
+      (curateDecisionCtes + """,
+         survivors AS (
+           SELECT d.doc_id, doc.source, d.quality,
+             CASE WHEN d.bucket < 90 THEN 'train'
+                  WHEN d.bucket < 95 THEN 'val' ELSE 'test' END AS split
+           FROM dec2 d JOIN documents doc ON doc.doc_id = d.doc_id
+           WHERE d.kept = 1),
+         capped AS (
+           SELECT *, row_number() OVER (PARTITION BY source
+               ORDER BY quality DESC, doc_id ASC) AS rn
+           FROM survivors)
+         SELECT doc_id, source, quality, split FROM capped
+         WHERE rn <= 10 ORDER BY doc_id"""),
     // the STAGED curation artifact: what the restartable form writes as
     // its final stage parquet — the kept docs with their split
     // assignment. Same CTE chain; the certification here is that the

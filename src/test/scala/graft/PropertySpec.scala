@@ -127,4 +127,82 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("capPerGroup: at most n per group, a subset of the input, and " +
+      "always the order's best") {
+    val rowsG = Gen.listOfN(40, Gen.zip(
+      Gen.chooseNum(0L, 200L), Gen.chooseNum(0, 4), Gen.chooseNum(0, 9)))
+    forAll(Gen.zip(rowsG, Gen.chooseNum(1, 5)), n = 8) { case (raw, cap) =>
+      val rows = raw.map { case (id, g, s) => (id, s"g$g", s.toDouble) }
+        .distinctBy(_._1) // unique ids make the order total
+      val df = rows.toDF("id", "grp", "score")
+      val out = graft.operators.Prep.capPerGroup(df, "grp", cap,
+          Seq(col("score").desc, col("id").asc))
+        .as[(Long, String, Double)].collect().toSeq
+      val inSet = rows.toSet
+      assert(out.forall(inSet)) // subset, values untouched
+      out.groupBy(_._2).foreach { case (g, kept) =>
+        val all = rows.filter(_._2 == g)
+        assert(kept.size == math.min(cap, all.size), s"group $g")
+        // the kept set IS the top-cap under (score desc, id asc)
+        val expect = all.sortBy(r => (-r._3, r._1)).take(cap).toSet
+        assert(kept.toSet == expect, s"group $g kept wrong members")
+      }
+    }
+  }
+
+  test("heavyHitters always equals the exact top-k when every doc is " +
+      "sampled-eligible by construction") {
+    // heavy tokens appear in EVERY doc, so any nonempty doc sample
+    // nominates them: the sampled path must then be exactly the
+    // full-shuffle answer for arbitrary doc counts and k
+    val gen = Gen.zip(Gen.chooseNum(20, 60), Gen.chooseNum(1, 4))
+    forAll(gen, n = 6) { case (nDocs, k) =>
+      val corpus = (0 until nDocs).map { i =>
+        val heavy = Seq.fill(8)("alpha") ++ Seq.fill(5)("beta") ++
+          Seq.fill(3)("gamma") ++ Seq.fill(2)("delta")
+        ((i * 53L + 7L) % 499L,
+          (heavy :+ s"unique${i}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val hh = graft.operators.TextAnalysis.heavyHitters(corpus,
+          "doc_id", "text", k = k, candidates = math.max(k, 10),
+          samplePct = 25)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val exact = corpus.select(explode(
+          graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t").asc).limit(k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(hh == exact, s"nDocs=$nDocs k=$k")
+    }
+  }
+
+  test("semanticDedup: kept+dropped partitions the input; survivors " +
+      "have no surviving qualifying partner pair") {
+    forAll(Gen.chooseNum(12, 36), n = 4) { nVecs =>
+      val emb = Similarity.syntheticClusteredCorpus(spark, nVecs,
+        dim = 8, clusters = 3, noiseScale = 0.2)
+      val out = graft.operators.Dedup.semanticDedup(emb, "vec_id",
+        "embedding", k = 3, iters = 2, threshold = 0.9)
+      val rows = out.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getBoolean(3)))
+      assert(rows.length == nVecs)
+      val vecs = emb.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum))
+      }
+      // no two SURVIVORS in one cluster may still be near-dups — that
+      // would mean the drop rule missed a qualifying pair entirely
+      val surv = rows.filter(_._3)
+      for {
+        Array(x, y) <- surv.combinations(2).map(_.toArray)
+        if x._2 == y._2
+      } assert(cos(vecs(x._1), vecs(y._1)) < 0.9,
+        s"survivors ${x._1},${y._1} are still near-dups")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
 }
