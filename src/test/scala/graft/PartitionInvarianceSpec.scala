@@ -169,6 +169,28 @@ class PartitionInvarianceSpec extends SparkTestBase {
     }
   }
 
+  test("capPerGroup: the kept set survives any layout") {
+    val rows = (0 until 90).map { i =>
+      val id = (i * 67L + 13L) % 997L
+      (id, s"g${i % 5}", (id % 7).toDouble)
+    }.toDF("id", "grp", "score")
+    assertInvariant(rows, "capPerGroup")(df =>
+      Prep.capPerGroup(df, "grp", 4,
+        Seq(col("score").desc, col("id").asc)))
+  }
+
+  test("heavyHitters: the exact top-k survives any layout") {
+    val docs = (0 until 80).map { i =>
+      val heavy = Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++
+        Seq.fill(2)("gamma")
+      ((i * 41L + 3L) % 509L, s"g${i % 3}",
+        (heavy :+ s"u$i").mkString(" "))
+    }.toDF("id", "grp", "text")
+    assertInvariant(docs, "heavyHitters")(df =>
+      graft.operators.TextAnalysis.heavyHitters(df, "id", "text",
+        k = 3, candidates = 10, samplePct = 25))
+  }
+
   test("semanticDedup: the keep/drop decision table survives any layout") {
     val emb = Similarity.syntheticClusteredCorpus(spark, 48, dim = 8,
         clusters = 4, noiseScale = 0.15)
