@@ -885,13 +885,16 @@ object Bench {
       ("bucketed_beats_theta_rj",
         "bench_rj_bucketed", "bench_rj_theta", 1.0),
       ("salted_beats_plain_skew_noaqe",
-        "bench_skew_salted", "bench_skew_plain", 1.0),
-      // seconds are near-parity on local[32] (in-memory shuffle hides
-      // the 9x record reduction bench_hh_guard asserts on) — the claim
-      // pins that the sampled path never LOSES locally while winning
-      // the shuffle-volume fight that matters on a cluster
-      ("hh_sampled_within_1_2x_full",
-        "bench_hh_sampled", "bench_hh_full", 1.2))
+        "bench_skew_salted", "bench_skew_plain", 1.0))
+  // The heavy-hitters rig (bench_hh_*) deliberately carries NO seconds
+  // claim: on local[32] the in-memory shuffle makes wall-clock land
+  // either side of parity run-to-run (measured: sampled 0.96x full in a
+  // shared session, 1.54x in a cold fork — both honest, neither the
+  // point). The operator's conclusion is SHUFFLE VOLUME, and
+  // bench_hh_guard asserts it as a hard n_err: >=3x fewer shuffle
+  // records (measured 9x), with top-k equality checked first. A seconds
+  // claim here would flip on JVM noise and train readers to watch the
+  // wrong number.
 
   // claims whose operands are missing (extras-off / sliced run) or
   // errored are omitted rather than guessed. The compact form carries
