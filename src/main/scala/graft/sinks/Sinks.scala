@@ -25,11 +25,18 @@ object Sinks {
   /** Clustered write: sort within partitions by the given columns before
     * writing, so parquet row-group min/max statistics become selective and
     * point/range filters skip whole row groups at scan time. Pair with
-    * `writePartitioned` (partition prune first, then row-group skip). */
+    * `writePartitioned` (partition prune first, then row-group skip), and
+    * with a `repartitionByRange` on the sort key upstream when file-level
+    * disjointness matters too (each output file then covers a distinct key
+    * range, so a selective scan opens few footers and reads fewer groups).
+    * `options` passes writer options through — e.g. `parquet.block.size`
+    * to control row-group granularity (smaller groups = finer skipping at
+    * more footer overhead; the bench layout rig measures the trade). */
   def writeClustered(df: DataFrame, path: String,
-                     sortCols: Seq[String]): Unit =
+                     sortCols: Seq[String],
+                     options: Map[String, String] = Map.empty): Unit =
     df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").options(options).parquet(path)
 
   /** S19: whole-frame → JSON array bytes (reference `df_to_json_bytes`,
     * `src/utils/dataframe.rs:813-823`). Driver-side action by design; null

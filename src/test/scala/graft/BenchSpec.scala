@@ -446,7 +446,11 @@ class BenchSpec extends AnyFunSuite {
       "bench_skew_plain", "bench_skew_salted", "bench_skew_guard",
       // heavy-hitters crossover: full-vocab shuffle vs sample-and-verify
       // + the exactness/shuffle-volume guard
-      "bench_hh_full", "bench_hh_sampled", "bench_hh_guard"))
+      "bench_hh_full", "bench_hh_sampled", "bench_hh_guard",
+      // data-layout crossover: arrival-order vs range-clustered parquet
+      // under the same selective scan + equality/pushdown guard
+      "bench_layout_plain", "bench_layout_clustered",
+      "bench_layout_guard"))
     assert(extras.intersect(SparkEntry.queries.keySet).isEmpty)
     // extras must NOT leak into Verify/oracle accounting
     assert(extras.intersect(SparkEntry.oracleSql.keySet).isEmpty)
