@@ -178,4 +178,23 @@ object Prep {
       .withColumn("bin",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / maxTokens))
   }
+
+  /** Keyed upsert: batch rows REPLACE same-key corpus rows, new-key
+    * batch rows append — the daily-refresh merge for a parquet corpus
+    * with no table format underneath (recrawled pages supersede their
+    * previous crawl; brand-new pages land alongside). Schemas must
+    * match by name ([[org.apache.spark.sql.Dataset.unionByName]]
+    * enforces it).
+    *
+    * Scale shape: one `left_anti` join on the key plus a union — the
+    * corpus is scanned once and never widened. The anti join carries
+    * only the batch's KEY column, so with the usual batch << corpus the
+    * key side sits under the broadcast threshold (or AQE converts at
+    * runtime) and the corpus never shuffles; the pattern stays correct
+    * either way. Duplicate keys WITHIN the batch are passed through —
+    * feed the batch through a dedup stage first if its source can
+    * repeat keys. */
+  def upsert(corpus: DataFrame, batch: DataFrame, key: String): DataFrame =
+    corpus.join(batch.select(col(key)), Seq(key), "left_anti")
+      .unionByName(batch)
 }

@@ -96,6 +96,22 @@ object Extended {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // GROUPING SETS — the explicit-set form between ROLLUP and CUBE
+    // (per-status x per-priority margins plus the grand total, no
+    // (status, priority) cross cells); one Expand + one aggregate, the
+    // same single-shuffle plan shape as cube/rollup
+    "x_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+            Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
     // ranking windows with deterministic tie-break
     "x_rank_window" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -398,6 +414,13 @@ object Extended {
     "x_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""",
+    "x_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY o_orderstatus ASC NULLS FIRST,
                   o_orderpriority ASC NULLS FIRST""",
     "x_rank_window" ->

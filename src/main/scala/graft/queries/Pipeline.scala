@@ -91,6 +91,38 @@ object Pipeline {
     Tables.jsonl(s, path, d.schema)
   }
 
+  /** Write-once-per-JVM memo for the schema-evolution twin of the
+    * documents table: the even-id half is written in a "v1" schema
+    * (doc_id, text, lang — the columns an early crawl generation had),
+    * the odd-id half in today's full "v2" schema, as two parquet
+    * generations under one scratch root (overwrite — stale artifacts
+    * never trusted; same lifecycle as the steady minhash index). A
+    * single `mergeSchema` read then reconciles both generations in one
+    * scan — the shape a years-old 100 TB corpus actually has, where
+    * rewriting earlier generations to the newest schema would cost a
+    * full-corpus pass. v1 rows must surface NULL for the columns their
+    * files never carried; `ds_evolve` aggregates over exactly that
+    * boundary and its oracle rebuilds the merged view from the parquet
+    * table, so a match certifies Spark's on-disk schema reconciliation
+    * (by-name column alignment + null back-fill), not just the
+    * arithmetic. */
+  private val evolveWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def evolveDocs(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("graft_evolve", dir)
+    val d = docs(s, dir)
+    evolveWritten.synchronized {
+      if (evolveWritten.add(path)) {
+        d.filter(col("doc_id") % 2 === 0).select("doc_id", "text", "lang")
+          .write.mode("overwrite").parquet(s"$path/v1")
+        d.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$path/v2")
+      }
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
+  }
+
   /** IVF coarse quantizer for the sim_topk_ivf/sim_recall_ivf queries:
     * label centroids with components rounded to 6dp, so Spark and the
     * DuckDB oracle quantize from bit-identical centroid values (raw means
@@ -278,6 +310,35 @@ object Pipeline {
       jsonlDocs(s, dir).groupBy("lang").agg(
           count(lit(1)).as("n"),
           sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).cast("long").as("sum_text_len"))
+        .orderBy("lang")
+    }),
+
+    // keyed upsert: a recrawl batch (every 10th doc, revised text)
+    // merges into the corpus — batch rows replace, new keys append;
+    // md5(text) per surviving row certifies WHICH version won every
+    // key, not just the row count (oracled — see [[Prep.upsert]])
+    "ds_upsert" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val batch = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev2]")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      Prep.upsert(d, batch, "doc_id")
+        .select(col("doc_id"), col("n_chars"),
+          md5(col("text")).as("content_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // schema-evolution scan: two parquet generations (v1 without
+    // source/n_chars, v2 full) reconciled by one mergeSchema read;
+    // count(source) isolates the null-back-filled v1 rows, so the
+    // aggregate certifies the reconciliation itself (oracled — see
+    // [[evolveDocs]])
+    "ds_evolve" -> ((s, dir) => {
+      evolveDocs(s, dir).groupBy("lang").agg(
+          count(lit(1)).as("n"),
+          count(col("source")).as("n_v2"),
+          sum(col("n_chars")).as("sum_chars_v2"),
           sum(length(col("text"))).cast("long").as("sum_text_len"))
         .orderBy("lang")
     }),
@@ -1632,6 +1693,32 @@ object Pipeline {
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            CAST(sum(length(text)) AS BIGINT) AS sum_text_len
          FROM documents GROUP BY lang ORDER BY lang""",
+    "ds_upsert" ->
+      """WITH batch AS (
+           SELECT doc_id, text || ' [rev2]' AS text,
+             length(text || ' [rev2]')::BIGINT AS n_chars
+           FROM documents WHERE doc_id % 10 = 0),
+         merged AS (
+           SELECT doc_id, text, n_chars FROM documents
+           WHERE doc_id % 10 <> 0
+           UNION ALL SELECT doc_id, text, n_chars FROM batch)
+         SELECT doc_id, n_chars, md5(text) AS content_hash
+         FROM merged ORDER BY doc_id""",
+    "ds_evolve" ->
+      """WITH v1 AS (SELECT doc_id, text, lang FROM documents
+                     WHERE doc_id % 2 = 0),
+         v2 AS (SELECT doc_id, text, lang, source, n_chars
+                FROM documents WHERE doc_id % 2 = 1),
+         merged AS (
+           SELECT doc_id, text, lang, NULL AS source, NULL AS n_chars
+           FROM v1
+           UNION ALL
+           SELECT doc_id, text, lang, source, n_chars FROM v2)
+         SELECT lang, count(*)::BIGINT AS n,
+           count(source)::BIGINT AS n_v2,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars_v2,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+         FROM merged GROUP BY lang ORDER BY lang""",
     "ds_cap_source" ->
       s"""WITH $QualityBaseCtes,
          qual AS (SELECT doc_id, $QualityExprSql AS quality FROM base),

@@ -87,6 +87,60 @@ class DatasetsSinksSpec extends SparkTestBase {
     assert(spark.read.parquet(dir.toString).count() == 100)
   }
 
+  test("writeClustered options thread through: small row groups, " +
+      "range-disjoint min/max stanzas per file") {
+    val dir = Files.createTempDirectory("graft_clus_opt_").resolve("t")
+    val df = spark.range(200000).select(
+      pmod(xxhash64($"id"), lit(1000000L)).as("k"), $"id".as("v"))
+    Sinks.writeClustered(df.repartitionByRange(2, $"k"), dir.toString,
+      Seq("k"), Map("parquet.block.size" -> (256 * 1024).toString))
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(files.size == 2)
+    var totalGroups = 0
+    files.foreach { p =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toString), conf))
+      try {
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        totalGroups += blocks.size
+        // per-file sort => consecutive row groups cover non-overlapping
+        // key ranges (boundary value aside): that disjointness is what a
+        // pushed range predicate prunes with
+        val stats = blocks.map(_.getColumns.asScala
+          .find(_.getPath.toDotString == "k").get.getStatistics)
+        val mins = stats.map(_.genericGetMin.toString.toLong)
+        val maxs = stats.map(_.genericGetMax.toString.toLong)
+        maxs.init.zip(mins.tail).foreach { case (hi, lo) =>
+          assert(hi <= lo,
+            s"row groups overlap on k: max $hi above next min $lo")
+        }
+      } finally r.close()
+    }
+    assert(totalGroups > files.size,
+      s"small parquet.block.size must yield several row groups per " +
+        s"file, got $totalGroups across ${files.size} files")
+  }
+
+  test("schema evolution: one mergeSchema scan reconciles parquet " +
+      "generations, null-back-filling columns v1 files never had") {
+    val dir = Files.createTempDirectory("graft_evolve_t_").resolve("d")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "t")
+      .write.parquet(s"$dir/v1")
+    Seq((3L, "c", 30L)).toDF("id", "t", "n")
+      .write.parquet(s"$dir/v2")
+    val m = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/v1", s"$dir/v2")
+    assert(m.columns.sorted.toSeq == Seq("id", "n", "t"))
+    assert(m.filter($"n".isNull).count() == 2, "v1 rows surface NULL n")
+    assert(m.agg(sum($"n")).head().getLong(0) == 30L)
+    assert(m.count() == 3)
+  }
+
   test("JSONL sink/source round-trip survives newlines, quotes, " +
       "unicode, and nulls; schema is the explicit one") {
     val dir = Files.createTempDirectory("graft_jsonl_").resolve("d")

@@ -107,6 +107,23 @@ class PrepSpec extends SparkTestBase {
     assert(kept == Seq(1L, 2L))
   }
 
+  test("upsert: batch replaces same-key rows, new keys append, " +
+      "untouched corpus rows survive verbatim") {
+    val corpus = Seq((1L, "one", "en"), (2L, "two", "en"),
+      (3L, "three", "de")).toDF("id", "text", "lang")
+    val batch = Seq((2L, "two v2", "en"), (9L, "nine", "zh"))
+      .toDF("id", "text", "lang")
+    val out = Prep.upsert(corpus, batch, "id")
+      .orderBy("id").as[(Long, String, String)].collect().toSeq
+    assert(out == Seq((1L, "one", "en"), (2L, "two v2", "en"),
+      (3L, "three", "de"), (9L, "nine", "zh")))
+    // schema mismatch is an error, not silent column loss
+    val bad = Seq((5L, "x")).toDF("id", "text")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Prep.upsert(corpus, bad, "id")
+    }
+  }
+
   test("weightedSample keeps ~weight per group, deterministically") {
     val df = (0L until 3000L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
     val w = Map("g0" -> 1.0, "g1" -> 0.3, "g2" -> 0.0)
