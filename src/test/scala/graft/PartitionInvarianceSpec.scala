@@ -179,6 +179,18 @@ class PartitionInvarianceSpec extends SparkTestBase {
         Seq(col("score").desc, col("id").asc)))
   }
 
+  test("upsert: the merged corpus survives any layout") {
+    val corpus = (0 until 60).map { i =>
+      val id = (i * 67L + 13L) % 997L
+      (id, s"g${i % 5}", s"text-$id")
+    }.toDF("id", "grp", "text")
+    assertInvariant(corpus, "upsert") { df =>
+      val batch = df.filter(col("id") % 3 === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+      Prep.upsert(df, batch, "id")
+    }
+  }
+
   test("heavyHitters: the exact top-k survives any layout") {
     val docs = (0 until 80).map { i =>
       val heavy = Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++

@@ -51,6 +51,15 @@ class PlanAuditSpec extends SparkTestBase {
       "probe-to-lists join must not sort-merge the corpus side")
   }
 
+  test("ds_upsert anti-joins a BROADCAST key column (corpus unshuffled)") {
+    val p = plan("ds_upsert")
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("LeftAnti"),
+      "the replace step must be a broadcast anti join on the batch's " +
+        "key column — a sort-merge here shuffles the whole corpus")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("partial aggregation runs map-side for the flagship agg") {
     val p = plan("q1_agg")
     // two HashAggregate levels: partial then final
