@@ -355,6 +355,40 @@ object Pipeline {
         .select("doc_id", "source", "quality").orderBy("doc_id")
     }),
 
+    // per-language ADAPTIVE quality gate: keep docs at/above their own
+    // language's 25th quality percentile — language quality
+    // distributions differ, so no single global threshold is right for
+    // all of them. percent_rank over a unique (quality, doc_id) order
+    // is deterministic cross-engine; one window shuffle on lang
+    // (oracled)
+    "ds_gate_quantile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).withColumn("quality",
+        TextAnalysis.qualityScore(col("text")))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality").asc, col("doc_id").asc)
+      d.withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.25)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // per-language token-budget admission: best-quality-first until the
+    // language's budget is spent — the data-mixing step that holds each
+    // language to its allocation. Start-offset semantics (the straddling
+    // doc is admitted), packSequences' convention; the running sum is
+    // one window shuffle on lang (oracled)
+    "ds_token_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).withColumn("quality",
+        TextAnalysis.qualityScore(col("text")))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("spent", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+        .filter(col("spent") < 20000L)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+
     // embedding near-dup pairs, brute-force verified (oracled)
     "dd_embed_pairs" -> ((s, dir) => {
       import graft.functions.VectorFunctions._
@@ -1728,6 +1762,26 @@ object Pipeline {
            FROM documents d JOIN qual q USING (doc_id))
          SELECT doc_id, source, quality FROM ranked
          WHERE rn <= 15 ORDER BY doc_id""",
+    "ds_gate_quantile" ->
+      s"""WITH $QualityBaseCtes,
+         qual AS (SELECT doc_id, $QualityExprSql AS quality FROM base),
+         ranked AS (SELECT d.doc_id, d.lang,
+             percent_rank() OVER (PARTITION BY d.lang
+               ORDER BY q.quality ASC, d.doc_id ASC) AS pr
+           FROM documents d JOIN qual q USING (doc_id))
+         SELECT doc_id, lang FROM ranked
+         WHERE pr >= 0.25 ORDER BY doc_id""",
+    "ds_token_budget" ->
+      s"""WITH $QualityBaseCtes,
+         qual AS (SELECT doc_id, $QualityExprSql AS quality FROM base),
+         ranked AS (SELECT d.doc_id, d.lang, d.n_chars,
+             coalesce(sum(d.n_chars) OVER (PARTITION BY d.lang
+               ORDER BY q.quality DESC, d.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS spent
+           FROM documents d JOIN qual q USING (doc_id))
+         SELECT doc_id, lang, n_chars FROM ranked
+         WHERE spent < 20000 ORDER BY doc_id""",
     "sim_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
     "dd_semantic" -> semanticOracleSql(k = 4, iters = 2, threshold = 0.4),
     "sim_topk_ivf" ->
