@@ -234,4 +234,125 @@ object MediaCodec {
     chunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }
+
+  // -------------------------------------------------------------------
+  // Audio: RIFF/WAVE. PCM is the one audio container where "decode" IS
+  // the sample read — the data chunk holds the raw waveform, no entropy
+  // coding — so like PNG (and unlike JPEG) the full decode stays pure
+  // JVM. Compressed audio (mp3/aac) would degrade to metadata the same
+  // way JPEG pixels do.
+  // -------------------------------------------------------------------
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  /** Decoded PCM audio: rate, channels, frame count (samples per
+    * channel), and per-channel RMS amplitude normalized to [0, 1] — the
+    * stat-level audio feature a filtering stage consumes (near-silent /
+    * clipped clips are the audio analogue of blank/corrupt images). */
+  case class WavDecoded(sampleRate: Int, channels: Int, nFrames: Int,
+                        channelRms: Array[Double])
+
+  /** RIFF/WAVE chunk walk: locate `fmt ` and `data` (chunks may appear
+    * in any order, sizes pad to even per the RIFF spec). Returns
+    * (audioFormat, channels, sampleRate, bitsPerSample, dataOff,
+    * dataLen) or None for malformed bytes. */
+  private def wavChunks(b: Array[Byte])
+      : Option[(Int, Int, Int, Int, Int, Int)] = {
+    if (b.length < 12 ||
+        new String(b.slice(0, 4), "US-ASCII") != "RIFF" ||
+        new String(b.slice(8, 12), "US-ASCII") != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (pos + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val ctype = new String(b.slice(pos, pos + 4), "US-ASCII")
+      val size = le32(b, pos + 4)
+      if (size < 0) return None
+      val avail = math.min(size, b.length - pos - 8)
+      ctype match {
+        case "fmt " if avail >= 16 =>
+          fmt = Some((le16(b, pos + 8), le16(b, pos + 10),
+            le32(b, pos + 12), le16(b, pos + 22)))
+        case "data" => data = Some((pos + 8, avail))
+        case _ => () // ancillary chunk (LIST, fact, ...)
+      }
+      pos += 8 + size + (size & 1)
+    }
+    for ((af, ch, rate, bits) <- fmt; (off, len) <- data)
+      yield (af, ch, rate, bits, off, len)
+  }
+
+  /** Header-only parse: (sampleRate, channels, nFrames) for any PCM bit
+    * depth — the audio analogue of [[jpegDims]]. */
+  def wavMeta(b: Array[Byte]): Option[(Int, Int, Int)] =
+    wavChunks(b).collect {
+      case (1, ch, rate, bits, _, len)
+          if ch > 0 && rate > 0 && bits % 8 == 0 && bits > 0 =>
+        (rate, ch, len / (ch * bits / 8))
+    }
+
+  /** Full decode for PCM 16-bit (the dominant uncompressed flavor):
+    * per-channel RMS over every sample. Other bit depths / compressed
+    * formats return None — callers fall back to [[wavMeta]] or
+    * dimensionless metadata, never fail the batch. */
+  def wavDecode(b: Array[Byte]): Option[WavDecoded] =
+    wavChunks(b).flatMap {
+      case (1, ch, rate, 16, off, len)
+          if ch > 0 && rate > 0 && len >= 2 * ch =>
+        val nFrames = len / (2 * ch)
+        val sumSq = new Array[Double](ch)
+        var f = 0
+        while (f < nFrames) {
+          var c = 0
+          while (c < ch) {
+            val s = le16(b, off + (f * ch + c) * 2).toShort.toDouble
+            sumSq(c) += s * s
+            c += 1
+          }
+          f += 1
+        }
+        Some(WavDecoded(rate, ch, nFrames,
+          sumSq.map(sq => math.sqrt(sq / nFrames) / 32768.0)))
+      case _ => None
+    }
+
+  /** Minimal real WAV: PCM 16-bit, interleaved samples — valid RIFF
+    * header any audio reader opens. Used by specs and the `mm_audio`
+    * oracle construction (cf. [[pngEncodeSolid]]). */
+  def wavEncodePcm16(sampleRate: Int, channels: Int,
+                     samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 &&
+      samples.length % channels == 0,
+      s"invalid wav shape rate=$sampleRate ch=$channels n=${samples.length}")
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def putStr(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, off)
+    def put32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >>> 8) & 0xFF).toByte
+      out(off + 2) = ((v >>> 16) & 0xFF).toByte
+      out(off + 3) = ((v >>> 24) & 0xFF).toByte
+    }
+    def put16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >>> 8) & 0xFF).toByte
+    }
+    putStr(0, "RIFF"); put32(4, 36 + dataLen); putStr(8, "WAVE")
+    putStr(12, "fmt "); put32(16, 16)
+    put16(20, 1); put16(22, channels); put32(24, sampleRate)
+    put32(28, sampleRate * channels * 2)   // byte rate
+    put16(32, channels * 2); put16(34, 16) // block align, bits
+    putStr(36, "data"); put32(40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      put16(44 + i * 2, samples(i) & 0xFFFF)
+      i += 1
+    }
+    out
+  }
 }

@@ -83,6 +83,51 @@ object Multimodal {
     }
   }
 
+  /** Typed audio features: rate/channels/frame count, duration, and
+    * per-channel RMS amplitude in [0,1] — the audio twin of
+    * [[MediaFeatures]] with honestly-named fields (a sample rate is not
+    * a width). */
+  case class AudioFeatures(doc_id: Long, media_type: String, byte_len: Long,
+                           sample_rate: Int, channels: Int, n_frames: Int,
+                           duration_ms: Long, feature: Array[Float])
+
+  private[operators] def decodeAudio(id: Long, mediaType: String,
+                                     payload: Array[Byte]): AudioFeatures = {
+    val len = payload.length.toLong
+    MediaCodec.wavDecode(payload) match {
+      case Some(d) =>
+        AudioFeatures(id, mediaType, len, d.sampleRate, d.channels,
+          d.nFrames, d.nFrames.toLong * 1000L / d.sampleRate,
+          d.channelRms.map(_.toFloat))
+      case None =>
+        MediaCodec.wavMeta(payload) match {
+          // PCM but not 16-bit: header metadata without the sample pass
+          case Some((rate, ch, frames)) =>
+            AudioFeatures(id, mediaType, len, rate, ch, frames,
+              frames.toLong * 1000L / rate, Array.empty)
+          case None =>
+            AudioFeatures(id, mediaType, len, 0, 0, 0, 0L, Array.empty)
+        }
+    }
+  }
+
+  /** Batched audio featurization — same distributed shape as
+    * [[featurize]] (fixed-size batches inside `mapPartitions`, per-batch
+    * codec-init point, corrupt payloads degrade instead of failing). */
+  def featurizeAudio(df: DataFrame, idCol: String = "doc_id",
+                     batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val input = df.select(col(idCol).cast("long"),
+      col("media_meta.media_type"), col("payload"))
+    implicit val enc = Encoders.product[AudioFeatures]
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r: Row =>
+          decodeAudio(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+        }
+      }
+    }
+  }
+
   /** Deterministic frame sampling plan for video payloads: every k-th
     * frame index, computed as a lazy column op (no decode needed to plan). */
   def frameSamplePlan(df: DataFrame, nFramesCol: String, every: Int = 10): DataFrame =

@@ -1057,6 +1057,44 @@ object Pipeline {
           element_at(col("feature"), 3).cast("int").as("mean_b"))
         .orderBy("doc_id")
     }),
+
+    // real AUDIO round-trip, same certification shape as mm_features:
+    // synthesize a deterministic PCM16 WAV per doc (mono/stereo by id
+    // parity, constant amplitude per channel derived from doc columns),
+    // run the full distributed decode (RIFF walk + per-sample RMS), and
+    // let the oracle recompute rate/channels/frames/duration/amplitude
+    // directly from the doc columns. Constant-signal RMS = |amp|, and
+    // amp/32768 is a dyadic rational — exact in both engines, so the
+    // amplitudes compare as exact ints (x32768), no rounding policy
+    // needed. Green only if decode(encode(x)) == x for every row.
+    "mm_audio" -> ((s, dir) => {
+      val wavUdf = udf((id: Long, nChars: Long) => {
+        val channels = 1 + (id % 2).toInt
+        val frames = (64 + nChars % 128).toInt
+        val samples = new Array[Short](frames * channels)
+        var i = 0
+        while (i < samples.length) {
+          val c = i % channels
+          samples(i) = ((id * 31 + c * 17) % 20000 + 1000).toShort
+          i += 1
+        }
+        graft.operators.MediaCodec.wavEncodePcm16(8000, channels, samples)
+      })
+      val withPayload = docs(s, dir)
+        .withColumn("payload", wavUdf(col("doc_id"), col("n_chars")))
+        .withColumn("media_meta", struct(
+          lit("audio/wav").as("media_type"),
+          octet_length(col("payload")).cast("long").as("byte_len"),
+          md5(col("payload")).as("checksum")))
+      Multimodal.featurizeAudio(withPayload, "doc_id").toDF()
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("duration_ms"),
+          (element_at(col("feature"), 1) * 32768).cast("int").as("amp_1"),
+          when(size(col("feature")) >= 2,
+            (element_at(col("feature"), 2) * 32768).cast("int"))
+            .otherwise(lit(-1)).as("amp_2"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** DuckDB twin of Similarity.quantizeInt8 over the embeddings table:
@@ -1971,6 +2009,17 @@ object Pipeline {
                 WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
          FROM dec2 JOIN corpus c ON dec2.doc_id = c.doc_id
          WHERE kept = 1 ORDER BY dec2.doc_id"""),
+    "mm_audio" ->
+      """SELECT doc_id,
+           8000 AS sample_rate,
+           (1 + doc_id % 2)::INT AS channels,
+           (64 + n_chars % 128)::INT AS n_frames,
+           ((64 + n_chars % 128) * 1000 // 8000)::BIGINT AS duration_ms,
+           ((doc_id * 31) % 20000 + 1000)::INT AS amp_1,
+           (CASE WHEN doc_id % 2 = 1
+              THEN (doc_id * 31 + 17) % 20000 + 1000 ELSE -1 END)::INT
+             AS amp_2
+         FROM documents ORDER BY doc_id""",
     "mm_features" ->
       """SELECT doc_id,
            (8 + doc_id % 32)::INT AS width,
