@@ -46,6 +46,72 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein
+    * 1998): exact top-`topN` candidates per query by cosine, then `k`
+    * greedy picks — the first is the most relevant; each next maximizes
+    * `lambda·rel − (1−lambda)·maxSimToSelected`, trading relevance
+    * against redundancy (the rerank a RAG/retrieval stage runs so five
+    * near-identical passages don't fill the context window).
+    *
+    * Determinism is built the way the k-means trajectory oracle is:
+    * every relevance/diversity cosine and every MMR score is
+    * floor-rounded to 4dp ([[TextAnalysis.round4]] — portable IEEE
+    * floor, not round()) BEFORE each argmax, ties broken by candidate
+    * id, and the `(1−lambda)` complement is computed in double
+    * arithmetic on both engines rather than re-typed as a literal — so
+    * the whole greedy trajectory replays bit-identically in DuckDB.
+    *
+    * Scale shape: the corpus is touched exactly once (the candidate
+    * top-N); the k−1 greedy stages run over candidate-sized frames
+    * (|queries| × topN rows, cached) — joins keyed on query_id, window
+    * argmax per stage, no corpus re-scan, no driver loop over rows. k
+    * and topN are small constants, so the unrolled plan depth is
+    * bounded. Output: (query_id, cand_id, step 1..k, mmr). */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int = 4, topN: Int = 16,
+              lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && topN >= k, s"need topN >= k >= 1, got k=$k topN=$topN")
+    val r4 = TextAnalysis.round4 _
+    val cand = bruteForceTopK(corpus, queries, idCol, vecCol, k = topN)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        r4(col("cosine")).as("rel"))
+      .join(corpus.select(col(idCol).as("cand_id"),
+        col(vecCol).as("c_vec"), normSq(col(vecCol)).as("c_nsq")),
+        "cand_id")
+      .cache()
+    val wRel = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("cand_id").asc)
+    var selected = cand
+      .withColumn("rn", row_number().over(wRel)).filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_id"), lit(1).as("step"),
+        col("rel").as("mmr"))
+    val selVecs = cand.select(col("query_id"),
+      col("cand_id").as("sel_id"), col("c_vec").as("s_vec"),
+      col("c_nsq").as("s_nsq"))
+    val wMmr = Window.partitionBy("query_id")
+      .orderBy(col("mmr").desc, col("cand_id").asc)
+    for (step <- 2 to k) {
+      val chosen = selected.select("query_id", "cand_id")
+      val scored = cand
+        .join(chosen, Seq("query_id", "cand_id"), "left_anti")
+        .join(selVecs.join(chosen.withColumnRenamed("cand_id", "sel_id"),
+          Seq("query_id", "sel_id")), "query_id")
+        .select(col("query_id"), col("cand_id"), col("rel"),
+          r4(cosineFromParts(dot(col("c_vec"), col("s_vec")),
+            col("c_nsq"), col("s_nsq"))).as("sim"))
+        .groupBy("query_id", "cand_id", "rel")
+        .agg(max(col("sim")).as("max_sim"))
+        .withColumn("mmr", r4(lit(lambda) * col("rel") -
+          (lit(1.0) - lit(lambda)) * col("max_sim")))
+      selected = selected.unionByName(scored
+        .withColumn("rn", row_number().over(wMmr))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), lit(step).as("step"),
+          col("mmr")))
+    }
+    selected
+  }
+
   /** Bucket width that keeps per-bucket candidate counts roughly constant
     * as the corpus grows: the smallest `bits` with `n / 2^bits <=
     * targetBucket` (integer bit-length — exact, engine-portable: the DuckDB

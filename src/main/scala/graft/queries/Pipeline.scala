@@ -721,6 +721,19 @@ object Pipeline {
     // recovers, per query — the evidence behind "recall tunable via
     // tables x bits" (deterministic given md5-mode planes -> oracled)
     // recall is summarized per query-id band (32 bands) rather than per
+    // MMR diversified top-k: exact top-12 candidates per query, then 4
+    // greedy picks trading relevance against redundancy — the RAG-stage
+    // rerank. The whole greedy TRAJECTORY is the result (step + score
+    // per pick), and the oracle replays it with an unrolled CTE chain —
+    // every cosine and MMR score floor-rounded to 4dp before each
+    // argmax, the kmeans-trajectory exactness pattern (oracled)
+    "sim_mmr" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.mmrTopK(corpusPar(e), e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 4, topN = 12, lambda = 0.7)
+        .orderBy("query_id", "step")
+    }),
+
     // query — per-query rows would make the artifact needlessly wide;
     // the banded means still localize a recall regression
     "sim_recall" -> ((s, dir) => {
@@ -1422,6 +1435,66 @@ object Pipeline {
     sb.toString
   }
 
+  /** Unrolled greedy-MMR CTE chain replaying
+    * [[Similarity.mmrTopK]]'s trajectory step by step: candidate
+    * membership ranks by RAW cosine (bruteForceTopK's cut), every
+    * score compared thereafter is floor-rounded to 4dp with id
+    * tie-breaks, and the `(1−lambda)` complement stays an arithmetic
+    * expression so both engines fold it through the same IEEE
+    * subtraction (re-typing it as a decimal literal would parse to a
+    * different double). */
+  private def mmrOracleSql(k: Int, topN: Int, lambda: Double): String = {
+    val lam = lambda.toString
+    def r4(x: String) = s"floor(($x) * 10000 + 0.5) / 10000"
+    val mmrExpr = r4(s"$lam * rel - (1 - $lam) * max_sim")
+    val sb = new StringBuilder
+    sb ++= s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                  FROM embeddings),
+       q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 8),
+       ranked AS (
+         SELECT q.query_id, c.vec_id AS cand_id,
+           list_cosine_similarity(q.e, c.e) AS cos,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.e, c.e) DESC,
+                      c.vec_id ASC) AS rn
+         FROM q JOIN v c ON c.vec_id != q.query_id),
+       cand AS (SELECT query_id, cand_id, ${r4("cos")} AS rel
+                FROM ranked WHERE rn <= $topN),
+       sel1 AS (SELECT query_id, cand_id, step, mmr FROM (
+           SELECT query_id, cand_id, 1 AS step, rel AS mmr,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rel DESC, cand_id ASC) AS prn
+           FROM cand) WHERE prn = 1)"""
+    var prev = "sel1"
+    for (i <- 2 to k) {
+      sb ++= s""",
+       m$i AS (
+         SELECT c.query_id, c.cand_id, c.rel,
+           max(${r4("list_cosine_similarity(cv.e, sv.e)")}) AS max_sim
+         FROM cand c
+         JOIN v cv ON cv.vec_id = c.cand_id
+         JOIN $prev s ON s.query_id = c.query_id
+         JOIN v sv ON sv.vec_id = s.cand_id
+         WHERE NOT EXISTS (SELECT 1 FROM $prev x
+           WHERE x.query_id = c.query_id AND x.cand_id = c.cand_id)
+         GROUP BY c.query_id, c.cand_id, c.rel),
+       p$i AS (
+         SELECT query_id, cand_id, $i AS step, $mmrExpr AS mmr,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY $mmrExpr DESC, cand_id ASC) AS prn
+         FROM m$i),
+       sel$i AS (SELECT query_id, cand_id, step, mmr FROM $prev
+                 UNION ALL
+                 SELECT query_id, cand_id, step, mmr FROM p$i
+                 WHERE prn = 1)"""
+      prev = s"sel$i"
+    }
+    sb ++= s"""
+       SELECT query_id, cand_id, step, mmr FROM $prev
+       ORDER BY query_id, step"""
+    sb.toString
+  }
+
   private def kmeansOracleSql(k: Int, iters: Int): String =
     s"""${kmeansCtes(k, iters)},
        cnt AS (SELECT cid, count(*) AS n_members FROM asg_final
@@ -1820,6 +1893,7 @@ object Pipeline {
            FROM documents d JOIN qual q USING (doc_id))
          SELECT doc_id, lang, n_chars FROM ranked
          WHERE spent < 20000 ORDER BY doc_id""",
+    "sim_mmr" -> mmrOracleSql(k = 4, topN = 12, lambda = 0.7),
     "sim_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
     "dd_semantic" -> semanticOracleSql(k = 4, iters = 2, threshold = 0.4),
     "sim_topk_ivf" ->

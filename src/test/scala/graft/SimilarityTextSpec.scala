@@ -43,6 +43,32 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(out.forall(_.getLong(1) != 0L))
   }
 
+  test("mmrTopK diversifies: the near-dup of the first pick loses its " +
+      "top-2 slot to a distinct candidate") {
+    // a is most relevant; b is a near-duplicate of a (cos(a,b) ~ .999)
+    // with the second-best relevance; c is distinctly oriented. Plain
+    // top-2 = (a, b); MMR at lambda .5 must pick (a, c) — the rerank's
+    // whole purpose.
+    val corpus = Seq(
+      (1L, Array(0.98f, 0.199f, 0.0f)),   // a
+      (2L, Array(0.97f, 0.243f, 0.0f)),   // b: near-dup of a
+      (3L, Array(0.90f, 0.0f, 0.436f)))   // c: diverse
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val plain = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+        "embedding", k = 2)
+      .orderBy("cosine").select("neighbor_id").as[Long].collect().toSeq
+    assert(plain.toSet == Set(1L, 2L), "relevance alone keeps the near-dup")
+    val mmr = Similarity.mmrTopK(corpus, queries, "vec_id", "embedding",
+        k = 3, topN = 3, lambda = 0.5)
+      .orderBy("step")
+      .select("cand_id", "step").as[(Long, Int)].collect().toSeq
+    assert(mmr.map(_._2) == Seq(1, 2, 3), "one pick per step")
+    assert(mmr.map(_._1) == Seq(1L, 3L, 2L),
+      s"expected greedy order a, c, b — got $mmr")
+  }
+
   test("lshTopK finds the strong neighbor (high-recall regime)") {
     val out = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0),
         "vec_id", "embedding", k = 2, tables = 8, bits = 4, dim = 3)
