@@ -355,4 +355,140 @@ object MediaCodec {
     }
     out
   }
+
+  // -------------------------------------------------------------------
+  // AVI (RIFF) video container, Motion-PNG flavor. Same rationale as
+  // WAV: the container is pure structure — RIFF chunk walk, LIST
+  // recursion, '00dc' frame chunks — so the walk is real format work,
+  // and with PNG-coded frames (fourcc MPNG, a registered VfW handler)
+  // the per-frame pixel decode reuses [[pngDecode]] and stays pure JVM.
+  // Entropy-coded streams (MJPEG/H.264) would degrade to container
+  // metadata exactly like JPEG stills degrade to [[jpegDims]].
+  // -------------------------------------------------------------------
+
+  /** Container-level video metadata from the `avih` main header:
+    * dimensions, frame period in microseconds, and declared frame
+    * count. */
+  case class AviMeta(width: Int, height: Int, usecPerFrame: Int,
+                     nFrames: Int)
+
+  private def riffIsAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      new String(b.slice(0, 4), "US-ASCII") == "RIFF" &&
+      new String(b.slice(8, 12), "US-ASCII") == "AVI "
+
+  /** Walk the chunks of a RIFF region `[pos, end)`, invoking `f` with
+    * (fourcc, dataOff, dataLen) per chunk. LIST chunks are reported as
+    * their list TYPE (e.g. "hdrl", "movi") with the region AFTER the
+    * type word, so callers recurse naturally. Sizes pad to even per the
+    * RIFF spec; a size running past the buffer clamps (truncated file —
+    * parse what's there, like every tolerant AVI reader). */
+  private def riffWalk(b: Array[Byte], pos0: Int, end: Int)
+                      (f: (String, Int, Int) => Unit): Unit = {
+    var pos = pos0
+    while (pos + 8 <= end) {
+      val cc = new String(b.slice(pos, pos + 4), "US-ASCII")
+      val size = le32(b, pos + 4)
+      if (size < 0) return
+      val avail = math.min(size, end - pos - 8)
+      if (cc == "LIST" && avail >= 4) {
+        val listType = new String(b.slice(pos + 8, pos + 12), "US-ASCII")
+        f(listType, pos + 12, avail - 4)
+      } else f(cc, pos + 8, avail)
+      pos += 8 + size + (size & 1)
+    }
+  }
+
+  /** Header-only parse — the video analogue of [[wavMeta]]: `avih`
+    * fields from the `hdrl` list, or None for non-AVI bytes. */
+  def aviMeta(b: Array[Byte]): Option[AviMeta] = {
+    if (!riffIsAvi(b)) return None
+    var meta: Option[AviMeta] = None
+    riffWalk(b, 12, b.length) {
+      case ("hdrl", off, len) =>
+        riffWalk(b, off, off + len) {
+          case ("avih", aOff, aLen) if aLen >= 40 && meta.isEmpty =>
+            meta = Some(AviMeta(width = le32(b, aOff + 32),
+              height = le32(b, aOff + 36),
+              usecPerFrame = le32(b, aOff), nFrames = le32(b, aOff + 16)))
+          case _ => ()
+        }
+      case _ => ()
+    }
+    meta.filter(m => m.width > 0 && m.height > 0 && m.usecPerFrame > 0)
+  }
+
+  /** Video frame payloads: every `##dc` (compressed video) chunk in the
+    * `movi` list, in stream order. Payload bytes are whatever the
+    * stream's codec wrote — MPNG frames are complete PNG files. */
+  def aviFrames(b: Array[Byte]): Array[Array[Byte]] = {
+    if (!riffIsAvi(b)) return Array.empty
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    riffWalk(b, 12, b.length) {
+      case ("movi", off, len) =>
+        riffWalk(b, off, off + len) {
+          case (cc, fOff, fLen)
+              if cc.length == 4 && cc.charAt(0).isDigit &&
+                cc.charAt(1).isDigit && cc.endsWith("dc") =>
+            frames += java.util.Arrays.copyOfRange(b, fOff, fOff + fLen)
+          case _ => ()
+        }
+      case _ => ()
+    }
+    frames.toArray
+  }
+
+  /** Minimal real AVI: RIFF('AVI ') with an `hdrl` (avih + one `vids`
+    * stream, handler MPNG) and a `movi` list of `00dc` frame chunks —
+    * a valid container any AVI demuxer walks. Frames are opaque bytes
+    * (PNG files for the MPNG flavor; cf. [[pngEncodeSolid]]). */
+  def aviEncodeMpng(width: Int, height: Int, fps: Int,
+                    frames: Array[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && 1000000 % fps == 0,
+      s"invalid avi shape w=$width h=$height fps=$fps (fps must divide 1e6)")
+    val out = new java.io.ByteArrayOutputStream()
+    def put16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    def put32(v: Int): Unit = { put16(v & 0xFFFF); put16(v >>> 16) }
+    def putCc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    // hdrl body: avih (56-byte main header) + strl(strh 56 + strf 40)
+    putCc("avih"); put32(56)
+    put32(1000000 / fps); put32(0); put32(0); put32(0)
+    put32(frames.length); put32(0); put32(1); put32(maxFrame)
+    put32(width); put32(height); (0 until 4).foreach(_ => put32(0))
+    putCc("LIST"); put32(4 + 8 + 56 + 8 + 40); putCc("strl")
+    putCc("strh"); put32(56)
+    putCc("vids"); putCc("MPNG"); put32(0); put16(0); put16(0); put32(0)
+    put32(1); put32(fps)                  // scale, rate: fps = rate/scale
+    put32(0); put32(frames.length); put32(maxFrame); put32(0)
+    put32(0)                              // sampleSize
+    put16(0); put16(0); put16(width); put16(height)   // rcFrame
+    putCc("strf"); put32(40)
+    put32(40); put32(width); put32(height); put16(1); put16(24)
+    putCc("MPNG"); put32(0); put32(0); put32(0); put32(0); put32(0)
+    val hdrlBody = out.toByteArray
+    // assemble: RIFF( 'AVI ' LIST(hdrl: avih+strl) LIST(movi: 00dc*) )
+    val hdrlLen = 4 + hdrlBody.length
+    val moviBody = new java.io.ByteArrayOutputStream()
+    frames.foreach { fb =>
+      moviBody.write("00dc".getBytes("US-ASCII"))
+      val n = fb.length
+      moviBody.write(n & 0xFF); moviBody.write((n >>> 8) & 0xFF)
+      moviBody.write((n >>> 16) & 0xFF); moviBody.write((n >>> 24) & 0xFF)
+      moviBody.write(fb)
+      if ((n & 1) == 1) moviBody.write(0)   // RIFF even padding
+    }
+    val movi = moviBody.toByteArray
+    val riffLen = 4 + (8 + hdrlLen) + (8 + 4 + movi.length)
+    val full = new java.io.ByteArrayOutputStream()
+    def p32(v: Int): Unit = { full.write(v & 0xFF); full.write((v >>> 8) & 0xFF)
+      full.write((v >>> 16) & 0xFF); full.write((v >>> 24) & 0xFF) }
+    full.write("RIFF".getBytes("US-ASCII")); p32(riffLen)
+    full.write("AVI ".getBytes("US-ASCII"))
+    full.write("LIST".getBytes("US-ASCII")); p32(hdrlLen)
+    full.write("hdrl".getBytes("US-ASCII")); full.write(hdrlBody)
+    full.write("LIST".getBytes("US-ASCII")); p32(4 + movi.length)
+    full.write("movi".getBytes("US-ASCII")); full.write(movi)
+    full.toByteArray
+  }
 }

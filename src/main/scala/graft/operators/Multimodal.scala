@@ -128,6 +128,69 @@ object Multimodal {
     }
   }
 
+  /** Typed video features: container dims/rate/frame count plus the
+    * frame-sampled pixel statistic — the video twin of [[AudioFeatures]].
+    * `n_sampled` records how many frames the stride actually touched, so
+    * the feature's denominator is part of the output (auditable, and it
+    * makes the mean exactly reconstructible as sum = feature * n_sampled). */
+  case class VideoFeatures(doc_id: Long, media_type: String, byte_len: Long,
+                           width: Int, height: Int, fps: Int, n_frames: Int,
+                           n_sampled: Int, feature: Array[Float])
+
+  /** Container walk + strided per-frame decode: AVI meta from `avih`,
+    * frames from `movi`, every `stride`-th frame PNG-decoded to channel
+    * means, averaged across the sampled frames. Degrade ladder mirrors
+    * images/audio: non-AVI bytes → all-zero row; AVI whose sampled
+    * frames aren't decodable PNG (e.g. a real MJPEG stream) → container
+    * metadata with an empty feature; never a batch failure. */
+  private[operators] def decodeVideo(id: Long, mediaType: String,
+                                     payload: Array[Byte],
+                                     stride: Int): VideoFeatures = {
+    val len = payload.length.toLong
+    MediaCodec.aviMeta(payload) match {
+      case Some(m) =>
+        val frames = MediaCodec.aviFrames(payload)
+        val fps = 1000000 / m.usecPerFrame
+        val sampledIdx = frames.indices.by(stride)
+        val decoded = sampledIdx.map(i => MediaCodec.pngDecode(frames(i)))
+        val feature: Array[Float] =
+          if (decoded.isEmpty || decoded.exists(_.isEmpty)) Array.empty
+          else {
+            val means = decoded.map(_.get.channelMeans)
+            val nCh = means.map(_.length).min
+            Array.tabulate(nCh) { c =>
+              (means.map(_(c)).sum / means.length).toFloat
+            }
+          }
+        VideoFeatures(id, mediaType, len, m.width, m.height, fps,
+          frames.length, sampledIdx.length, feature)
+      case None =>
+        VideoFeatures(id, mediaType, len, 0, 0, 0, 0, 0, Array.empty)
+    }
+  }
+
+  /** Batched video featurization — same distributed shape as
+    * [[featurize]]/[[featurizeAudio]]: fixed-size batches inside
+    * `mapPartitions` (per-batch codec-init point), strided frame
+    * sampling so cost scales with `n_frames / frameStride`, corrupt
+    * payloads degrade instead of failing. */
+  def featurizeVideo(df: DataFrame, idCol: String = "doc_id",
+                     frameStride: Int = 2,
+                     batchSize: Int = 64): Dataset[VideoFeatures] = {
+    require(frameStride > 0, s"frameStride must be positive: $frameStride")
+    val input = df.select(col(idCol).cast("long"),
+      col("media_meta.media_type"), col("payload"))
+    implicit val enc = Encoders.product[VideoFeatures]
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r: Row =>
+          decodeVideo(r.getLong(0), r.getString(1),
+            r.getAs[Array[Byte]](2), frameStride)
+        }
+      }
+    }
+  }
+
   /** Deterministic frame sampling plan for video payloads: every k-th
     * frame index, computed as a lazy column op (no decode needed to plan). */
   def frameSamplePlan(df: DataFrame, nFramesCol: String, every: Int = 10): DataFrame =

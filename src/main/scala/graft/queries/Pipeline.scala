@@ -1108,6 +1108,47 @@ object Pipeline {
             .otherwise(lit(-1)).as("amp_2"))
         .orderBy("doc_id")
     }),
+
+    // real VIDEO round-trip, completing the media triple: synthesize a
+    // deterministic AVI per doc (RIFF container, avih/strh/strf headers,
+    // Motion-PNG '00dc' frames whose solid colors derive from doc
+    // columns + frame index), run the distributed container walk +
+    // strided per-frame PNG decode (every 2nd frame — the frame-sample
+    // op, so decode cost scales with n_frames/stride), and let the
+    // oracle recompute dims/fps/frame-count and the per-channel color
+    // SUM over exactly the sampled indices. Emitting sum = mean *
+    // n_sampled (both engines round the half-ulp away) keeps the
+    // compare in exact integers. Green only if demux+decode inverts the
+    // container encoding for every row.
+    "mm_video" -> ((s, dir) => {
+      val aviUdf = udf((id: Long, nChars: Long) => {
+        val w = (4 + id % 8).toInt; val h = (4 + nChars % 8).toInt
+        val n = (3 + nChars % 6).toInt
+        val frames = Array.tabulate(n) { i =>
+          graft.operators.MediaCodec.pngEncodeSolid(w, h,
+            r = ((id * 7 + i * 13) % 256).toInt,
+            g = ((id * 11 + i * 29) % 256).toInt,
+            b = ((id * 3 + i * 41 + 5) % 256).toInt)
+        }
+        graft.operators.MediaCodec.aviEncodeMpng(w, h, 25, frames)
+      })
+      val withPayload = docs(s, dir)
+        .withColumn("payload", aviUdf(col("doc_id"), col("n_chars")))
+        .withColumn("media_meta", struct(
+          lit("video/avi").as("media_type"),
+          octet_length(col("payload")).cast("long").as("byte_len"),
+          md5(col("payload")).as("checksum")))
+      def chanSum(i: Int) =
+        round(element_at(col("feature"), i).cast("double") *
+          col("n_sampled")).cast("int")
+      Multimodal.featurizeVideo(withPayload, "doc_id", frameStride = 2)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("fps"),
+          col("n_frames"), col("n_sampled"),
+          chanSum(1).as("sum_r"), chanSum(2).as("sum_g"),
+          chanSum(3).as("sum_b"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** DuckDB twin of Similarity.quantizeInt8 over the embeddings table:
@@ -2093,6 +2134,22 @@ object Pipeline {
            (CASE WHEN doc_id % 2 = 1
               THEN (doc_id * 31 + 17) % 20000 + 1000 ELSE -1 END)::INT
              AS amp_2
+         FROM documents ORDER BY doc_id""",
+    // sampled indices are range(0, n, 2) — the stride-2 frame sample;
+    // per-channel sums over those indices are exact ints in both engines
+    "mm_video" ->
+      """SELECT doc_id,
+           (4 + doc_id % 8)::INT AS width,
+           (4 + n_chars % 8)::INT AS height,
+           25 AS fps,
+           (3 + n_chars % 6)::INT AS n_frames,
+           ((3 + n_chars % 6 + 1) // 2)::INT AS n_sampled,
+           list_sum(list_transform(range(0, (3 + n_chars % 6)::INT, 2),
+             i -> (doc_id * 7 + i * 13) % 256))::INT AS sum_r,
+           list_sum(list_transform(range(0, (3 + n_chars % 6)::INT, 2),
+             i -> (doc_id * 11 + i * 29) % 256))::INT AS sum_g,
+           list_sum(list_transform(range(0, (3 + n_chars % 6)::INT, 2),
+             i -> (doc_id * 3 + i * 41 + 5) % 256))::INT AS sum_b
          FROM documents ORDER BY doc_id""",
     "mm_features" ->
       """SELECT doc_id,

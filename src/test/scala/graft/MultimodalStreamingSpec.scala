@@ -43,6 +43,41 @@ class MultimodalStreamingSpec extends SparkTestBase {
       feats(2).n_frames == 0 && feats(2).feature.isEmpty)
   }
 
+  test("featurizeVideo demuxes AVI and decodes every stride-th frame") {
+    import graft.operators.MediaCodec
+    // 5 frames, stride 2 -> samples frames 0,2,4 with colors 0/20/40 etc
+    val avi = MediaCodec.aviEncodeMpng(6, 4, 25,
+      Array.tabulate(5)(i => MediaCodec.pngEncodeSolid(6, 4, i * 10, 0, 255)))
+    val rows = Seq((1L, avi), (2L, "not a container".getBytes("UTF-8")))
+    val df = rows.toDF("doc_id", "payload")
+      .withColumn("media_meta", struct(
+        lit("video/avi").as("media_type"),
+        octet_length($"payload").cast("long").as("byte_len"),
+        md5($"payload").as("checksum")))
+    val feats = Multimodal.featurizeVideo(df, "doc_id", frameStride = 2,
+      batchSize = 2).collect().sortBy(_.doc_id)
+    assert(feats(0).width == 6 && feats(0).height == 4 && feats(0).fps == 25)
+    assert(feats(0).n_frames == 5 && feats(0).n_sampled == 3)
+    // mean over frames 0,2,4: r = (0+20+40)/3 = 20, g = 0, b = 255
+    assert(feats(0).feature.toSeq == Seq(20f, 0f, 255f))
+    // non-AVI bytes degrade to the all-zero row, never fail the batch
+    assert(feats(1).n_frames == 0 && feats(1).feature.isEmpty)
+  }
+
+  test("featurizeVideo: undecodable frames degrade to container metadata") {
+    import graft.operators.MediaCodec
+    val avi = MediaCodec.aviEncodeMpng(3, 3, 10,
+      Array("fake mjpeg frame".getBytes("UTF-8")))
+    val df = Seq((9L, avi)).toDF("doc_id", "payload")
+      .withColumn("media_meta", struct(
+        lit("video/avi").as("media_type"),
+        octet_length($"payload").cast("long").as("byte_len"),
+        md5($"payload").as("checksum")))
+    val f = Multimodal.featurizeVideo(df, "doc_id").collect()(0)
+    assert(f.width == 3 && f.height == 3 && f.fps == 10 && f.n_frames == 1)
+    assert(f.feature.isEmpty) // meta survives, pixels honestly absent
+  }
+
   test("frameSamplePlan and resizePlan are lazy metadata ops") {
     val df = Seq((1L, 25, 1280, 720)).toDF("id", "n_frames", "w", "h")
     val sampled = Multimodal.frameSamplePlan(df, "n_frames", every = 10)
