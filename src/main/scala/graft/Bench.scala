@@ -511,6 +511,42 @@ object Bench {
     * they re-run the contenders, compare quality, and THROW below the
     * floor so a quality collapse surfaces as n_err in the bench
     * artifact. Guard results are memoized per JVM (see [[setup]]). */
+  // BPE rig helpers: the *Slots frames are the PRE-aggregation states
+  // (one row per adjacent symbol pair produced on the map side), the
+  // *Pairs rigs their aggregated pair-count tables — identical tables
+  // by construction, differing only in how many rows feed the
+  // aggregation (occurrences vs distinct words: the Zipf factor).
+  private def bpePairStruct = expr(
+    "transform(sequence(0, size(syms)-2), " +
+      "i -> struct(syms[i] AS lft, syms[i+1] AS rgt))")
+
+  private def bpeNaiveSlots(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(s, dir, "documents")
+      .select(explode(graft.operators.Bpe.normalizeWords(col("text")))
+        .as("word"))
+      .filter(length(col("word")) > 0)
+      .select(split(graft.operators.Bpe.symbolize(col("word")), " ")
+        .as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(explode(bpePairStruct).as("p"))
+
+  private def bpeNaivePairs(s: SparkSession, dir: String): DataFrame =
+    bpeNaiveSlots(s, dir)
+      .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+      .agg(count(lit(1)).as("pair_count"))
+
+  private def bpeDictSlots(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.wordFrequencies(
+        graft.sources.Tables.load(s, dir, "documents"), "text")
+      .select(split(col("ws"), " ").as("syms"), col("cnt"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(bpePairStruct).as("p"))
+
+  private def bpeDictPairs(s: SparkSession, dir: String): DataFrame =
+    bpeDictSlots(s, dir)
+      .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+      .agg(sum("cnt").as("pair_count"))
+
   private[graft] val extraQueries
       : Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- ANN: brute vs LSH vs IVF(prebuilt) vs int8, same 50k corpus
@@ -782,6 +818,35 @@ object Bench {
         lit(plainRows).as("rows_decoded_plain"),
         lit(clusRows).as("rows_decoded_clustered"))
     }),
+    // ---- BPE pair counting: per-occurrence (no dict) vs word-dict.
+    // The dict is the Zipf lever: one corpus pass builds (word, count),
+    // then every merge iteration's pair production touches DISTINCT
+    // words only. Same no-seconds-claim policy as bench_hh_*: on
+    // local[32] both contenders end in an identically-sized pair
+    // shuffle and the map-side saving hides behind per-job overhead,
+    // so the guard asserts the number a 1000-executor iteration pays —
+    // pair SLOTS PRODUCED (rows entering the aggregation) — with full
+    // pair-table equality checked first.
+    "bench_bpe_naive" -> ((s, dir) => bpeNaivePairs(s, dir)),
+    "bench_bpe_dict" -> ((s, dir) => bpeDictPairs(s, dir)),
+    "bench_bpe_guard" -> ((s, dir) => setup(s, "guard_bpe") {
+      val a = bpeNaivePairs(s, dir).localCheckpoint()
+      val b = bpeDictPairs(s, dir)
+      val disagree = a.except(b).count() + b.except(a).count()
+      if (disagree > 0) throw new IllegalStateException(
+        s"bpe pair-count contenders disagree on $disagree rows")
+      val naiveSlots = bpeNaiveSlots(s, dir).count()
+      val dictSlots = bpeDictSlots(s, dir).count()
+      if (dictSlots * 3 >= naiveSlots) throw new IllegalStateException(
+        s"dict bpe produced $dictSlots pair slots vs naive " +
+          s"$naiveSlots — the >=3x map-volume reduction claim failed")
+      System.err.println(s"bench_bpe_guard: pair tables equal " +
+        s"(${a.count()} pairs), slots naive=$naiveSlots " +
+        s"dict=$dictSlots (${naiveSlots / math.max(dictSlots, 1)}x)")
+      s.range(1).select(lit(a.count()).as("distinct_pairs"),
+        lit(naiveSlots).as("pair_slots_naive"),
+        lit(dictSlots).as("pair_slots_dict"))
+    }),
     "bench_dd50k_recall" -> ((s, _) => setup(s, "guard_dd") {
       val exact = graft.operators.Dedup.ngramJaccardPairs(
           dd50k(s), "doc_id", "text", threshold = DdThreshold, n = 3)
@@ -837,6 +902,7 @@ object Bench {
     Seq("bench_rj_theta", "bench_rj_bucketed"),
     Seq("bench_hh_full", "bench_hh_sampled"),
     Seq("bench_layout_plain", "bench_layout_clustered"),
+    Seq("bench_bpe_naive", "bench_bpe_dict"),
     // contract-query twins the docs compare head-to-head: round 7's
     // sim_topk 0.53->0.84 swing on untouched code is exactly the drift
     // interleaving absorbs (members must share a fork family — spec'd)
@@ -856,7 +922,8 @@ object Bench {
   private[graft] val certificationOnly: Set[String] = Set(
     "ds_curate_staged", "bench_lsh50k_recall", "bench_dd50k_recall",
     "bench_cc_guard", "bench_asof_guard", "bench_rj_guard",
-    "bench_skew_guard", "bench_hh_guard", "bench_layout_guard")
+    "bench_skew_guard", "bench_hh_guard", "bench_layout_guard",
+    "bench_bpe_guard")
 
   /** Everything this bench can time: the driver-contract queries plus the
     * bench-only extras. */
@@ -1036,6 +1103,11 @@ object Bench {
   // records (measured 9x), with top-k equality checked first. A seconds
   // claim here would flip on JVM noise and train readers to watch the
   // wrong number.
+  // The BPE rig (bench_bpe_*) follows the same policy: both pair
+  // counters end in an identically-sized shuffle, so the dict's win is
+  // map volume — bench_bpe_guard asserts >=3x fewer pair slots produced
+  // (the per-iteration row count a cluster scans), with full pair-table
+  // equality checked first.
 
   // claims whose operands are missing (extras-off / sliced run) or
   // errored are omitted rather than guessed. The compact form carries

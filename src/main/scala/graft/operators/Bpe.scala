@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING as a distributed pipeline — the
+  * canonical tokenizer-fitting job a training-data platform runs before
+  * any token budget, packing, or dedup-by-token stage can exist
+  * (reference keeps text as opaque utf8 columns; cf. src/datasets.rs —
+  * tokenization is the first thing a consumer adds on top).
+  *
+  * The trainer works on the WORD-FREQUENCY dict, not the corpus: one
+  * corpus pass builds (word, count), and every merge iteration after
+  * that touches only distinct words — the Zipf factor (occurrences /
+  * distinct words) is the scale win, exactly why classic BPE trainers
+  * count over a word dict. At 100 TB the corpus pass is one shuffle;
+  * the per-iteration pair-count groupBy is vocabulary-sized.
+  *
+  * Everything is deterministic and ENGINE-PORTABLE so the merge
+  * trajectory replays bit-identically in the DuckDB oracle
+  * (`txt_bpe`):
+  *  - normalization strips to [A-Za-z ]+ BEFORE lowercasing (ASCII
+  *    lower is portable; unicode case folding is not),
+  *  - the best pair is (max count, lexicographically-least "l r")
+  *    — both total orders,
+  *  - merge application is plain substring `replace` on a
+  *    double-space-padded symbol string (see [[applyMerge]]) — no
+  *    regex, because RE2 (DuckDB) has no lookbehind, and plain
+  *    left-to-right non-overlapping replace IS greedy BPE merge order.
+  *
+  * No UDFs anywhere: symbol strings flow through codegen'd string
+  * builtins, the driver loop holds only the iteration counter, and the
+  * per-step frames are stats-truncating-checkpointed like the k-means
+  * and CC loops ([[graft.plans.Checkpoints]]).
+  */
+object Bpe {
+
+  /** Portable normalization: strip to letters/spaces FIRST (so `lower`
+    * only ever sees ASCII), then split on runs of spaces. */
+  private[graft] def normalizeWords(textCol: Column): Column =
+    split(trim(lower(regexp_replace(textCol, "[^A-Za-z ]+", " "))), " +")
+
+  /** A word as its BPE symbol string: single-space-joined characters
+    * ("hello" -> "h e l l o"). Merges only ever change the spacing. */
+  private[graft] def symbolize(word: Column): Column =
+    trim(regexp_replace(word, "(.)", "$1 "))
+
+  /** One corpus pass -> (ws: symbol string, cnt): the word-frequency
+    * dict every iteration trains against. */
+  def wordFrequencies(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(normalizeWords(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(symbolize(col("word")).as("ws"), col("cnt"))
+
+  /** Apply one merge (lft, rgt) -> lft||rgt to a symbol string with
+    * greedy left-to-right non-overlapping semantics — the BPE rule —
+    * using only plain `replace`:
+    * double every separator space and pad, so each boundary owns TWO
+    * spaces and the pattern " lft  rgt " can claim one space on each
+    * side without starving the adjacent match ("a b a b" merges BOTH
+    * pairs; "a a a" merges only the left one, exactly like the
+    * reference BPE implementations); then collapse the doubled spaces
+    * and trim. Portable: `replace` is left-to-right non-overlapping in
+    * every engine, no regex dialect involved. */
+  private[graft] def applyMerge(ws: Column, lft: Column,
+                                    rgt: Column): Column = {
+    val padded = concat(lit("  "), replace(ws, lit(" "), lit("  ")),
+      lit("  "))
+    val pat = concat(lit(" "), lft, lit("  "), rgt, lit(" "))
+    val rep = concat(lit(" "), lft, rgt, lit(" "))
+    trim(replace(replace(padded, pat, rep), lit("  "), lit(" ")))
+  }
+
+  /** Train `nMerges` BPE merges; returns the merge TRAJECTORY
+    * (step, lft, rgt, merged, pair_count) — the artifact a tokenizer
+    * ships. Stops early (fewer rows) if the dict runs out of pairs.
+    *
+    * Per iteration: pair counts are one vocabulary-sized groupBy (each
+    * word contributes its adjacent symbol pairs weighted by word
+    * count), the argmax travels as a BROADCAST 1-row frame into the
+    * merge application (no collect — the driver never sees the pair),
+    * and the dict needs no re-aggregation afterwards because two
+    * distinct words stay distinct under any merge (spacing changes,
+    * the character sequence doesn't) — so an iteration is exactly one
+    * shuffle. */
+  def train(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be positive: $nMerges")
+    var words = graft.plans.Checkpoints.truncated(
+      wordFrequencies(df, textCol))
+    var traj = Vector.empty[DataFrame]
+    var exhausted = false
+    var step = 1
+    while (step <= nMerges && !exhausted) {
+      val syms = words.withColumn("syms", split(col("ws"), " "))
+      val pairs = syms.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(syms)-2), " +
+            "i -> struct(syms[i] AS lft, syms[i+1] AS rgt))")).as("p"))
+        .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+        .agg(sum("cnt").as("pair_count"))
+      val (best, n) = graft.plans.Checkpoints.truncatedWithCount(
+        pairs.orderBy(col("pair_count").desc,
+            concat(col("lft"), lit(" "), col("rgt")).asc)
+          .limit(1)
+          .select(lit(step).as("step"), col("lft"), col("rgt"),
+            col("pair_count")))
+      if (n == 0) exhausted = true
+      else {
+        traj :+= best
+        words = graft.plans.Checkpoints.truncated(
+          words.crossJoin(broadcast(best.select("lft", "rgt")))
+            .select(applyMerge(col("ws"), col("lft"), col("rgt")).as("ws"),
+              col("cnt")))
+        step += 1
+      }
+    }
+    if (traj.isEmpty)
+      throw new IllegalStateException(
+        "bpe: corpus has no adjacent symbol pairs (all words single-char?)")
+    traj.reduce(_ unionByName _)
+      .withColumn("merged", concat(col("lft"), col("rgt")))
+      .select("step", "lft", "rgt", "merged", "pair_count")
+  }
+
+  /** ENCODE with a trained merge table: per-document token and word
+    * counts under the merges, applied in training order. The merges
+    * arrive as literals — the production shape: a tokenizer is trained
+    * once and its (small) merge list ships with every job.
+    *
+    * Same Zipf trick as training: the merge chain is evaluated once per
+    * DISTINCT word (a vocabulary-sized frame), then joined back to the
+    * per-document occurrence counts — the corpus is never dragged
+    * through the merge expressions. */
+  def encodeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+                        merges: Seq[(String, String)]): DataFrame = {
+    val occ = df
+      .select(col(idCol), explode(normalizeWords(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("k"))
+    val vocab = occ.select("word").distinct()
+      .withColumn("ws", merges.foldLeft(symbolize(col("word"))) {
+        case (c, (l, r)) => applyMerge(c, lit(l), lit(r))
+      })
+      .select(col("word"), size(split(col("ws"), " ")).as("n_tok"))
+    occ.join(vocab, "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("k") * col("n_tok")).as("n_tokens"),
+        sum(col("k")).as("n_words"))
+  }
+}

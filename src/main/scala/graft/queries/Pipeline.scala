@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, Dedup, LanguageModel, Multimodal, Prep, Search, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Bpe, Curate, Dedup, LanguageModel, Multimodal, Prep, Search, Similarity, Sketches, TextAnalysis}
 import graft.operators.Dedup.HashMode
 import graft.sources.Tables
 
@@ -926,6 +926,32 @@ object Pipeline {
         k = 15, candidates = 150, samplePct = 25)
     }),
 
+    // BPE tokenizer TRAINING: the merge trajectory itself is the output
+    // — 8 greedy (max-count, lex-least) pair merges over the corpus
+    // word-frequency dict, each applied with plain-replace greedy
+    // left-to-right semantics. The oracle replays all 8 iterations as
+    // unrolled CTEs (the kmeans/MMR trajectory pattern), so a
+    // divergence in ANY iteration's count, tie-break, or merge
+    // application turns the row red.
+    "txt_bpe" -> ((s, dir) =>
+      Bpe.train(docs(s, dir), "text", nMerges = 8).orderBy("step")),
+
+    // ENCODE under the trained tokenizer: per-doc token/word counts
+    // with the 8 learned merges applied in training order. The merge
+    // table is collected (8 rows — the shipped-tokenizer artifact, same
+    // bounded-driver discipline as the CC gate) and re-enters the plan
+    // as literals; the merge chain is evaluated once per DISTINCT word
+    // and joined back to per-doc occurrences (the Zipf trick), so the
+    // corpus never passes through the merge expressions.
+    "txt_bpe_tokens" -> ((s, dir) => {
+      val merges = Bpe.train(docs(s, dir), "text", nMerges = 8)
+        .orderBy("step").collect()
+        .map(r => (r.getAs[String]("lft"), r.getAs[String]("rgt")))
+        .toSeq
+      Bpe.encodeTokenCounts(docs(s, dir), "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF per (doc, term): the classic feature-extraction join.
     // round(6) absorbs potential last-ulp libm log() differences.
     // The corpus size joins in as a broadcast scalar aggregate — one job,
@@ -1534,6 +1560,79 @@ object Pipeline {
        SELECT query_id, cand_id, step, mmr FROM $prev
        ORDER BY query_id, step"""
     sb.toString
+  }
+
+  /** Unrolled-CTE replay of [[graft.operators.Bpe.train]]'s merge
+    * trajectory: w0/s0 rebuild the word-frequency dict with the same
+    * ASCII-first normalization, then each iteration i re-derives pair
+    * counts (p_i), the greedy argmax with the (count desc, pair asc)
+    * tie-break (b_i), and the padded-double-space plain-replace merge
+    * application (s_i) — plain `replace` because RE2 has no
+    * lookbehind, and left-to-right non-overlapping replace IS the BPE
+    * merge rule (see Bpe.applyMerge). */
+  private def bpeCtes(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (
+         SELECT word, count(*)::BIGINT AS cnt FROM (
+           SELECT unnest(string_split_regex(trim(lower(
+             regexp_replace(text, '[^A-Za-z ]+', ' ', 'g'))), ' +'))
+             AS word
+           FROM documents)
+         WHERE word <> '' GROUP BY word),
+       s0 AS (SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS ws,
+                cnt
+              FROM w0)"""
+    for (i <- 1 to nMerges) {
+      sb ++= s""",
+       p$i AS (SELECT unnest(list_transform(range(1, len(l)),
+                 j -> l[j] || ' ' || l[j+1])) AS pair, cnt
+               FROM (SELECT string_split(ws, ' ') AS l, cnt
+                     FROM s${i - 1})),
+       b$i AS (SELECT $i AS step, split_part(pair, ' ', 1) AS lft,
+                 split_part(pair, ' ', 2) AS rgt,
+                 sum(cnt)::BIGINT AS pair_count
+               FROM p$i GROUP BY pair
+               ORDER BY pair_count DESC, pair ASC LIMIT 1),
+       s$i AS (SELECT trim(replace(replace(
+                 '  ' || replace(ws, ' ', '  ') || '  ',
+                 ' ' || b.lft || '  ' || b.rgt || ' ',
+                 ' ' || b.lft || b.rgt || ' '), '  ', ' ')) AS ws, cnt
+               FROM s${i - 1}, b$i b)"""
+    }
+    sb.toString
+  }
+
+  private def bpeOracleSql(n: Int): String =
+    s"""${bpeCtes(n)}
+       SELECT step, lft, rgt, lft || rgt AS merged, pair_count
+       FROM (${(1 to n).map(i => s"SELECT * FROM b$i")
+        .mkString(" UNION ALL ")})
+       ORDER BY step"""
+
+  /** Encode twin: the same trajectory CTEs, then the merge chain folded
+    * over each DISTINCT word (vocab) and joined back to per-doc
+    * occurrence counts — the exact shape of Bpe.encodeTokenCounts. */
+  private def bpeTokensOracleSql(n: Int): String = {
+    val chain = (1 to n).foldLeft(
+      """trim(regexp_replace(word, '(.)', '\1 ', 'g'))""") { (acc, i) =>
+      s"""trim(replace(replace('  ' || replace($acc, ' ', '  ') || '  ',
+           ' ' || b$i.lft || '  ' || b$i.rgt || ' ',
+           ' ' || b$i.lft || b$i.rgt || ' '), '  ', ' '))"""
+    }
+    s"""${bpeCtes(n)},
+       occ AS (SELECT doc_id, word, count(*)::BIGINT AS k FROM (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(
+             regexp_replace(text, '[^A-Za-z ]+', ' ', 'g'))), ' +'))
+             AS word
+           FROM documents)
+         WHERE word <> '' GROUP BY doc_id, word),
+       vocab AS (SELECT word, len(string_split($chain, ' ')) AS n_tok
+                 FROM (SELECT DISTINCT word FROM occ) v0,
+                   ${(1 to n).map(i => s"b$i").mkString(", ")})
+       SELECT o.doc_id, sum(o.k * v.n_tok)::BIGINT AS n_tokens,
+         sum(o.k)::BIGINT AS n_words
+       FROM occ o JOIN vocab v USING (word)
+       GROUP BY o.doc_id ORDER BY doc_id"""
   }
 
   private def kmeansOracleSql(k: Int, iters: Int): String =
@@ -2621,6 +2720,8 @@ object Pipeline {
            SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
            FROM documents)
          GROUP BY token ORDER BY n DESC, token ASC LIMIT 15""",
+    "txt_bpe" -> bpeOracleSql(8),
+    "txt_bpe_tokens" -> bpeTokensOracleSql(8),
     "txt_tfidf" ->
       """WITH terms AS (
            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))

@@ -450,7 +450,10 @@ class BenchSpec extends AnyFunSuite {
       // data-layout crossover: arrival-order vs range-clustered parquet
       // under the same selective scan + equality/pushdown guard
       "bench_layout_plain", "bench_layout_clustered",
-      "bench_layout_guard"))
+      "bench_layout_guard",
+      // BPE pair-counting crossover: per-occurrence vs word-dict +
+      // pair-table-equality / map-volume guard
+      "bench_bpe_naive", "bench_bpe_dict", "bench_bpe_guard"))
     assert(extras.intersect(SparkEntry.queries.keySet).isEmpty)
     // extras must NOT leak into Verify/oracle accounting
     assert(extras.intersect(SparkEntry.oracleSql.keySet).isEmpty)

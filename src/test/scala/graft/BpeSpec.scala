@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** BPE trainer/encoder tests with hand-computed merge trajectories —
+  * every expected value below is derived on paper from the BPE rules
+  * (count pairs weighted by word frequency; merge the max-count,
+  * lexicographically-least pair; apply greedy left-to-right). */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("wordFrequencies: ASCII-first normalization, counts, symbolizing") {
+    val wf = Bpe.wordFrequencies(corpus("Ab ab! cd", "AB 123 c-d"), "text")
+      .orderBy("ws").collect()
+    // "Ab ab! cd" -> ab ab cd ; "AB 123 c-d" -> ab c d
+    assert(wf.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a b", 3L), ("c", 1L), ("c d", 1L), ("d", 1L)))
+  }
+
+  test("train: two merges with exhaustion before the requested count") {
+    // words: ab(3), cd(1) -> merge1 (a,b,3); then only (c,d,1) remains
+    // -> merge2 (c,d,1); then NO pairs -> early stop at 2 of 5 rows
+    val t = Bpe.train(corpus("ab ab", "ab cd"), "text", nMerges = 5)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(t.toSeq == Seq((1, "a", "b", "ab", 3L), (2, "c", "d", "cd", 1L)))
+  }
+
+  test("train: count ties break to the lexicographically least pair") {
+    // words xy(1), ax(1): pairs (a x)=1 and (x y)=1 -> 'a x' < 'x y'
+    val t = Bpe.train(corpus("xy ax"), "text", nMerges = 1).collect()(0)
+    assert(t.getString(1) == "a" && t.getString(2) == "x")
+  }
+
+  test("applyMerge is greedy left-to-right: overlapping pairs") {
+    // 'a a a' under merge (a,a): left pair wins -> 'aa a' (not 'a aa');
+    // 'a b a b' merges BOTH occurrences
+    val df = Seq("a a a", "a b a b", "b", "a b").toDF("ws")
+      .select(Bpe.applyMerge(col("ws"), lit("a"),
+        lit("b")).as("m1"))
+    assert(df.as[String].collect().toSeq ==
+      Seq("a a a", "ab ab", "b", "ab"))
+    val aa = Seq("a a a").toDF("ws")
+      .select(Bpe.applyMerge(col("ws"), lit("a"), lit("a")).as("m"))
+    assert(aa.as[String].collect()(0) == "aa a")
+  }
+
+  test("train: repeated merges build multi-char symbols") {
+    // 'aaaa' x2: pairs (a,a)=3 per word, cnt 2 -> 6 -> merge1 (a,a)
+    // s1: 'aa aa' -> pairs (aa,aa)=1 per word -> 2 -> merge2 (aa,aa)
+    val t = Bpe.train(corpus("aaaa", "aaaa"), "text", nMerges = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(t.toSeq == Seq((1, "aa", 6L), (2, "aaaa", 2L)))
+  }
+
+  test("encodeTokenCounts applies merges in order, Zipf-joined per doc") {
+    // merges [(a,b)]: doc0 "ab ab cd" -> ab=1 tok x2 + cd=2 tok -> 4
+    // tokens, 3 words; doc1 "b a" -> 1+1 = 2 tokens, 2 words
+    val out = Bpe.encodeTokenCounts(corpus("ab ab cd", "b a"),
+        "doc_id", "text", Seq(("a", "b")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 4L, 3L), (1L, 2L, 2L)))
+    // merge order matters: [(a,b),(ab,c)] tokenizes "abc" to ONE token
+    val chained = Bpe.encodeTokenCounts(corpus("abc"), "doc_id", "text",
+        Seq(("a", "b"), ("ab", "c")))
+      .collect()(0)
+    assert(chained.getLong(1) == 1L)
+  }
+
+  test("docs with no alphabetic words produce no row (both engines agree)") {
+    val out = Bpe.encodeTokenCounts(corpus("123 !!!", "ok"), "doc_id",
+      "text", Seq(("o", "k")))
+    assert(out.count() == 1L)
+  }
+
+  test("train throws on a corpus with no pairs at all") {
+    intercept[IllegalStateException] {
+      Bpe.train(corpus("a b c"), "text", nMerges = 1)
+    }
+  }
+}

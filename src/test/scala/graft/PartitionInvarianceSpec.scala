@@ -211,4 +211,11 @@ class PartitionInvarianceSpec extends SparkTestBase {
       rematerialize(Dedup.semanticDedup(df, "vec_id", "embedding",
         k = 4, iters = 2, threshold = 0.85)))
   }
+
+  test("bpe train: the merge trajectory survives any layout") {
+    // iterated argmax loops amplify any layout sensitivity: one
+    // flipped tie in step 1 rewrites every later step
+    assertInvariant(docs, "bpeTrain")(df =>
+      rematerialize(graft.operators.Bpe.train(df, "text", nMerges = 4)))
+  }
 }
