@@ -923,7 +923,7 @@ object Bench {
     "ds_curate_staged", "bench_lsh50k_recall", "bench_dd50k_recall",
     "bench_cc_guard", "bench_asof_guard", "bench_rj_guard",
     "bench_skew_guard", "bench_hh_guard", "bench_layout_guard",
-    "bench_bpe_guard")
+    "bench_bpe_guard", "txt_bpe_artifact")
 
   /** Everything this bench can time: the driver-contract queries plus the
     * bench-only extras. */

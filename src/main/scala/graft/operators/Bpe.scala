@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenizer TRAINING as a distributed pipeline — the
@@ -121,6 +121,69 @@ object Bpe {
     traj.reduce(_ unionByName _)
       .withColumn("merged", concat(col("lft"), col("rgt")))
       .select("step", "lft", "rgt", "merged", "pair_count")
+  }
+
+  /** The normalization contract a merge table is only valid under —
+    * stamped into the artifact and demanded back at read time, because
+    * merges trained against one tokenization silently mis-tokenize
+    * under another. Bump when [[normalizeWords]]/[[symbolize]] change. */
+  val NormVersion = "ascii-lower-v1"
+
+  /** Persist a trained merge table as the tokenizer artifact a
+    * production job ships: one tiny parquet dir holding the trajectory
+    * in step order, with the normalization version and (optionally) the
+    * source-corpus provenance stamped into the step column's metadata —
+    * the minhash-index / sketches convention: the artifact carries its
+    * own contract. */
+  def writeMerges(merges: DataFrame, path: String,
+                  sourceTag: String = ""): Unit = {
+    val b = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("normalization", NormVersion)
+    if (sourceTag.nonEmpty) b.putString("source", sourceTag)
+    val meta = b.build()
+    merges.select(col("step").as("step", meta), col("lft"), col("rgt"),
+        col("merged"), col("pair_count"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a [[writeMerges]] artifact back as the ordered merge list,
+    * validating the stamped contract: metadata present, normalization
+    * version matches this build, optional provenance tag matches, and
+    * steps are contiguous from 1 (a torn or concatenated artifact must
+    * not half-apply). A merge table that fails ANY check refuses to
+    * encode — a wrong table silently changes every downstream token
+    * count, which is the worst possible failure mode for a budget or
+    * packing stage. */
+  def readMerges(spark: SparkSession, path: String,
+                 expectedSource: Option[String] = None)
+      : Seq[(String, String)] = {
+    val df = spark.read.parquet(path)
+    val m = df.schema("step").metadata
+    require(m.contains("normalization"),
+      s"$path is missing bpe merge metadata — was it written by " +
+        "writeMerges?")
+    require(m.getString("normalization") == NormVersion,
+      s"merge table at $path was trained under normalization " +
+        s"'${m.getString("normalization")}' but this build is " +
+        s"'$NormVersion' — refusing to encode with a mismatched " +
+        "tokenization")
+    expectedSource.foreach { want =>
+      val got = if (m.contains("source")) m.getString("source") else ""
+      require(got == want,
+        s"merge table at $path was trained from '$got' but this encode " +
+          s"expects '$want' — refusing to tokenize with the wrong " +
+          "tokenizer")
+    }
+    val rows = df.select("step", "lft", "rgt").orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    require(rows.nonEmpty, s"merge table at $path is empty")
+    rows.zipWithIndex.foreach { case ((s, _, _), i) =>
+      require(s == i + 1,
+        s"merge table at $path has non-contiguous steps " +
+          s"(${rows.map(_._1).mkString(",")}) — torn artifact?")
+    }
+    rows.map { case (_, l, r) => (l, r) }.toIndexedSeq
   }
 
   /** ENCODE with a trained merge table: per-document token and word

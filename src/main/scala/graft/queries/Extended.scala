@@ -223,6 +223,21 @@ object Extended {
         .orderBy("o_orderpriority")
     }),
 
+    // UNPIVOT — the inverse of x_pivot: wide per-flag metric columns
+    // back to (metric, value) rows via the stack() generator, a narrow
+    // codegen'd expansion with no shuffle beyond the aggregate (the
+    // metrics-table reshape every reporting layer wants)
+    "x_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(sum("l_discount"), 2).as("sum_disc"))
+        .selectExpr("l_returnflag",
+          "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, " +
+            "'sum_disc', sum_disc) AS (metric, value)")
+        .orderBy("l_returnflag", "metric")
+    }),
+
     // sketched quantiles next to exact ones — same accuracy-claim oracle
     // pattern as x_approx_distinct: approx_percentile must land within
     // 2% relative of the exact interpolating median in BOTH engines
@@ -483,6 +498,20 @@ object Extended {
            count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
            count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "x_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(sum(l_discount), 2) AS sum_disc
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, metric, value FROM (
+           SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value
+           FROM a
+           UNION ALL
+           SELECT l_returnflag, 'sum_price', sum_price FROM a
+           UNION ALL
+           SELECT l_returnflag, 'sum_disc', sum_disc FROM a)
+         ORDER BY l_returnflag, metric""",
     "x_approx_quantile" ->
       """WITH e AS (SELECT l_returnflag,
              round(quantile_cont(l_extendedprice, 0.5), 3) AS p50,

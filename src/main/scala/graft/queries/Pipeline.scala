@@ -952,6 +952,22 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // the tokenizer ARTIFACT round trip (certification, like
+    // dd_incremental_idx / ds_curate_staged): train → writeMerges
+    // (normalization version + corpus provenance stamped into the
+    // parquet metadata) → readMerges (contract validated, provenance
+    // DEMANDED back) → encode. Oracled against the same per-doc counts
+    // as txt_bpe_tokens — green only if the shipped artifact reproduces
+    // the in-process tokenizer exactly.
+    "txt_bpe_artifact" -> ((s, dir) => {
+      val path = scratchPath("graft_bpe_merges", dir)
+      Bpe.writeMerges(Bpe.train(docs(s, dir), "text", nMerges = 8),
+        path, sourceTag = dir)
+      val merges = Bpe.readMerges(s, path, expectedSource = Some(dir))
+      Bpe.encodeTokenCounts(docs(s, dir), "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF per (doc, term): the classic feature-extraction join.
     // round(6) absorbs potential last-ulp libm log() differences.
     // The corpus size joins in as a broadcast scalar aggregate — one job,
@@ -2722,6 +2738,8 @@ object Pipeline {
          GROUP BY token ORDER BY n DESC, token ASC LIMIT 15""",
     "txt_bpe" -> bpeOracleSql(8),
     "txt_bpe_tokens" -> bpeTokensOracleSql(8),
+    // the artifact round trip must land on the identical counts
+    "txt_bpe_artifact" -> bpeTokensOracleSql(8),
     "txt_tfidf" ->
       """WITH terms AS (
            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))

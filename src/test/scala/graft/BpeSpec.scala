@@ -87,4 +87,45 @@ class BpeSpec extends SparkTestBase {
       Bpe.train(corpus("a b c"), "text", nMerges = 1)
     }
   }
+
+  test("merge artifact round-trips with its stamped contract") {
+    val path = java.nio.file.Files
+      .createTempDirectory("bpe_merges").toString
+    val trained = Bpe.train(corpus("ab ab", "ab cd"), "text", nMerges = 5)
+    Bpe.writeMerges(trained, path, sourceTag = "unit-corpus")
+    val merges = Bpe.readMerges(spark, path,
+      expectedSource = Some("unit-corpus"))
+    assert(merges == Seq(("a", "b"), ("c", "d")))
+    // no expectation -> tag not demanded, still reads
+    assert(Bpe.readMerges(spark, path).length == 2)
+  }
+
+  test("merge artifact refuses wrong provenance and missing metadata") {
+    val path = java.nio.file.Files
+      .createTempDirectory("bpe_merges2").toString
+    Bpe.writeMerges(Bpe.train(corpus("ab ab"), "text", 1), path,
+      sourceTag = "corpus-A")
+    intercept[IllegalArgumentException] {
+      Bpe.readMerges(spark, path, expectedSource = Some("corpus-B"))
+    }
+    // a parquet dir NOT written by writeMerges (no stamped metadata)
+    val bare = java.nio.file.Files
+      .createTempDirectory("bpe_bare").toString
+    Seq((1, "a", "b")).toDF("step", "lft", "rgt")
+      .write.mode("overwrite").parquet(bare)
+    intercept[IllegalArgumentException] {
+      Bpe.readMerges(spark, bare)
+    }
+  }
+
+  test("merge artifact refuses non-contiguous steps (torn artifact)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("bpe_torn").toString
+    val t = Bpe.train(corpus("ab ab", "ab cd"), "text", nMerges = 2)
+    // drop step 1: simulates a torn/concatenated table
+    Bpe.writeMerges(t.filter($"step" === 2), path)
+    intercept[IllegalArgumentException] {
+      Bpe.readMerges(spark, path)
+    }
+  }
 }
