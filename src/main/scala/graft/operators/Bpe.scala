@@ -197,10 +197,15 @@ object Bpe {
     * through the merge expressions. */
   def encodeTokenCounts(df: DataFrame, idCol: String, textCol: String,
                         merges: Seq[(String, String)]): DataFrame = {
+    // occ feeds BOTH the final join and the vocab derivation — cache,
+    // or the corpus is tokenized twice (the dd_spans lesson; pinned in
+    // PlanAuditSpec). Plan-lifetime cache convention: lives until the
+    // session's cache is cleared.
     val occ = df
       .select(col(idCol), explode(normalizeWords(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("k"))
+      .cache()
     val vocab = occ.select("word").distinct()
       .withColumn("ws", merges.foldLeft(symbolize(col("word"))) {
         case (c, (l, r)) => applyMerge(c, lit(l), lit(r))

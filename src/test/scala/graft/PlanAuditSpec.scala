@@ -261,4 +261,25 @@ class PlanAuditSpec extends SparkTestBase {
       .findFirstIn(p).isDefined,
       "within-cluster pairing must stay an equi-join keyed on cid:\n" + p)
   }
+
+  test("txt_bpe_tokens tokenizes the corpus once (cached occ frame)") {
+    val p = plan("txt_bpe_tokens")
+    // occ feeds both the final join and the vocab derivation: both
+    // consumers must read the CACHED frame (2 InMemoryTableScans over
+    // one InMemoryRelation) — an uncached shared subtree means the
+    // corpus is exploded and tokenized twice per encode job. Same
+    // textual-check shape as the dd_spans pin: every FileScan render
+    // must sit inside a cached-plan render.
+    val consumers = "InMemoryTableScan".r.findAllMatchIn(p).length
+    assert(consumers == 2,
+      s"expected both occ consumers cached, got $consumers:\n" + p)
+    assert("FileScan parquet".r.findAllMatchIn(p).length ==
+      "InMemoryRelation".r.findAllMatchIn(p).length,
+      "a FileScan outside the cached occ frame means a second corpus " +
+        "tokenization pass:\n" + p)
+    // the merge chain itself must be plain replace (codegen'd string
+    // builtins), never a UDF in the hot path
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "bpe encode must not route through a UDF:\n" + p)
+  }
 }
