@@ -470,6 +470,64 @@ object Bench {
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
         sum(length(col("s"))).as("sl"))
 
+  // 2-D layout rig: the SAME 4M-row fact written three ways — arrival
+  // order, range-clustered on x alone, z-ordered on (x, y) — then a
+  // two-predicate box scan (x AND y ranges) is run against each copy.
+  // Single-column clustering is blind in the second dimension: its row
+  // groups are tight on x but span all of y, so the scan decodes the
+  // full x-stripe (~12.5% here). The z-ordered copy's groups carry
+  // tight min/max stanzas in BOTH dimensions and decode ~the matching
+  // box (~1.6%). The query box is 2^13-aligned so it maps to ONE
+  // contiguous z range — the friendliest case, noted honestly;
+  // unaligned boxes fragment into several curve ranges but row-group
+  // pruning still holds at stanza granularity.
+  private val Layout2dRows = 4000000L
+  private val Layout2dSide = 65536L
+  private val Layout2dBoxW = 8192L          // 12.5% per dimension
+  private val Layout2dBoxXLo = 16384L       // multiples of the box width:
+  private val Layout2dBoxYLo = 32768L       // aligned square = one z range
+
+  private def layout2dFact(s: SparkSession): DataFrame = {
+    val id = col("id").cast("string")
+    s.range(Layout2dRows).select(
+      pmod(xxhash64(lit("l2x"), col("id")), lit(Layout2dSide)).as("x"),
+      pmod(xxhash64(lit("l2y"), col("id")), lit(Layout2dSide)).as("y"),
+      (col("id") % 1000).as("v"),
+      concat(lit("p_"), md5(concat(lit("a"), id)),
+        md5(concat(lit("b"), id))).as("s"))
+  }
+
+  private var layout2dDirs: Option[(String, String, String)] = None
+  private def layout2dPaths(s: SparkSession): (String, String, String) =
+    synchronized {
+      layout2dDirs.getOrElse {
+        val base =
+          graft.queries.Pipeline.scratchPath("graft_layout2d", "bench")
+        val (plain, xclust, zord) =
+          (s"$base/plain", s"$base/xclust", s"$base/zorder")
+        val opts = Map("parquet.block.size" -> LayoutBlockBytes)
+        val df = layout2dFact(s)
+        df.repartition(LayoutFiles)
+          .write.mode("overwrite").options(opts).parquet(plain)
+        graft.sinks.Sinks.writeClustered(
+          df.repartitionByRange(LayoutFiles, col("x")), xclust,
+          Seq("x"), opts)
+        graft.operators.ZOrder.writeZOrdered(df, zord, "x", "y",
+          LayoutFiles, opts)
+        layout2dDirs = Some((plain, xclust, zord))
+        (plain, xclust, zord)
+      }
+    }
+
+  private def layout2dScan(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+      .filter(col("x") >= Layout2dBoxXLo &&
+        col("x") < Layout2dBoxXLo + Layout2dBoxW &&
+        col("y") >= Layout2dBoxYLo &&
+        col("y") < Layout2dBoxYLo + Layout2dBoxW)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(length(col("s"))).as("sl"))
+
   /** Rows the parquet scan nodes actually produced — i.e. rows that
     * SURVIVED row-group/page skipping and were decoded (the post-scan
     * Filter's input, not its output). The layout rig's conclusion lives
@@ -818,6 +876,50 @@ object Bench {
         lit(plainRows).as("rows_decoded_plain"),
         lit(clusRows).as("rows_decoded_clustered"))
     }),
+    // ---- 2-D layout: arrival order vs x-clustered vs z-ordered under
+    // the same 2-predicate box scan (see the rig comment at Layout2dRows)
+    "bench_layout2d_plain" -> ((s, _) =>
+      layout2dScan(s, layout2dPaths(s)._1)),
+    "bench_layout2d_xclust" -> ((s, _) =>
+      layout2dScan(s, layout2dPaths(s)._2)),
+    "bench_layout2d_zorder" -> ((s, _) =>
+      layout2dScan(s, layout2dPaths(s)._3)),
+    "bench_layout2d_guard" -> ((s, _) => setup(s, "guard_layout2d") {
+      // same bytes, same answer across all three copies
+      val (plain, xclust, zord) = layout2dPaths(s)
+      val a = layout2dScan(s, plain).head()
+      val b = layout2dScan(s, xclust).head()
+      val c = layout2dScan(s, zord).head()
+      if (a != b || a != c) throw new IllegalStateException(
+        s"layout changed the answer: plain=$a xclust=$b zorder=$c")
+      // both predicates must reach the parquet scan on the z copy
+      val plan = layout2dScan(s, zord)
+        .queryExecution.executedPlan.toString
+      if (!plan.contains("PushedFilters: [") ||
+          plan.contains("PushedFilters: []"))
+        throw new IllegalStateException(
+          "layout2d rig scan lost its pushed filters:\n" + plan.take(2000))
+      // the design claim is ROWS DECODED under a 2-D predicate:
+      // x-clustering beats arrival order (it prunes the x stripe) but
+      // is blind in y; z-order prunes BOTH — assert each step >=3x
+      val plainRows = scanOutputRowsOf(layout2dScan(s, plain))
+      val xRows = scanOutputRowsOf(layout2dScan(s, xclust))
+      val zRows = scanOutputRowsOf(layout2dScan(s, zord))
+      if (xRows * 3 >= plainRows) throw new IllegalStateException(
+        s"x-clustered scan decoded $xRows rows vs plain $plainRows — " +
+          "the >=3x single-column pruning claim failed")
+      if (zRows * 3 >= xRows) throw new IllegalStateException(
+        s"z-ordered scan decoded $zRows rows vs x-clustered $xRows — " +
+          "the >=3x second-dimension pruning claim failed")
+      System.err.println(s"bench_layout2d_guard: answers equal, decoded " +
+        s"rows plain=$plainRows xclust=$xRows zorder=$zRows " +
+        s"(x ${plainRows / math.max(xRows, 1)}x, " +
+        s"z ${xRows / math.max(zRows, 1)}x further)")
+      s.range(1).select(lit(a.getLong(0)).as("rows"),
+        lit(plainRows).as("rows_decoded_plain"),
+        lit(xRows).as("rows_decoded_xclust"),
+        lit(zRows).as("rows_decoded_zorder"))
+    }),
     // ---- BPE pair counting: per-occurrence (no dict) vs word-dict.
     // The dict is the Zipf lever: one corpus pass builds (word, count),
     // then every merge iteration's pair production touches DISTINCT
@@ -903,6 +1005,8 @@ object Bench {
     Seq("bench_hh_full", "bench_hh_sampled"),
     Seq("bench_layout_plain", "bench_layout_clustered"),
     Seq("bench_bpe_naive", "bench_bpe_dict"),
+    Seq("bench_layout2d_plain", "bench_layout2d_xclust",
+      "bench_layout2d_zorder"),
     // contract-query twins the docs compare head-to-head: round 7's
     // sim_topk 0.53->0.84 swing on untouched code is exactly the drift
     // interleaving absorbs (members must share a fork family — spec'd)
@@ -923,7 +1027,7 @@ object Bench {
     "ds_curate_staged", "bench_lsh50k_recall", "bench_dd50k_recall",
     "bench_cc_guard", "bench_asof_guard", "bench_rj_guard",
     "bench_skew_guard", "bench_hh_guard", "bench_layout_guard",
-    "bench_bpe_guard", "txt_bpe_artifact")
+    "bench_bpe_guard", "bench_layout2d_guard", "txt_bpe_artifact")
 
   /** Everything this bench can time: the driver-contract queries plus the
     * bench-only extras. */

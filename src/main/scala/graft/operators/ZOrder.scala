@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering for MULTI-column data layout — the lever
+  * single-column range clustering can't provide. `Sinks.writeClustered`
+  * sorts by one key, so a scan filtering on a second column decodes
+  * everything the first column's row-group stanzas admit; interleaving
+  * the bits of two keys gives every parquet row group a tight min/max
+  * box in BOTH dimensions, and a 2-predicate selective scan prunes on
+  * each (the `bench_layout2d_*` rig measures it in decoded rows).
+  *
+  * The z value is pure codegen'd integer arithmetic (magic-mask bit
+  * spreading — shift/and/or only, no UDF), and the identical mask chain
+  * replays in any engine: the `x_zorder` query certifies every z value
+  * against DuckDB bit-for-bit.
+  */
+object ZOrder {
+
+  /** Spread the low 16 bits of a non-negative long so bit i lands at
+    * position 2i (the even positions): the classic 4-step magic-mask
+    * ladder. Plain shift/and/or — portable and codegen'd. */
+  private[graft] def spread16(x: Column): Column = {
+    val a = x.bitwiseAND(lit(0xFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val c = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = c.bitwiseOR(shiftleft(c, 2)).bitwiseAND(lit(0x33333333L))
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton/Z value of two columns' low 16 bits: x on even bit
+    * positions, y on odd — a 32-bit curve position. Callers with keys
+    * outside [0, 65536) map them into 16-bit space first (proportional
+    * bucketing or rank); the rig and query keys fit natively. */
+  def zorderValue(x: Column, y: Column): Column =
+    spread16(x.cast("long"))
+      .bitwiseOR(shiftleft(spread16(y.cast("long")), 1))
+
+  /** The DuckDB-dialect expression computing exactly [[spread16]] —
+    * kept HERE, next to the Column form, so the two mask ladders can
+    * never drift apart silently. Textual substitution duplicates each
+    * step's operand (2^4 copies of the innermost term) — fine for an
+    * oracle, wrong for the engine side, which is why the Column form
+    * exists. */
+  private[graft] def spread16Sql(c: String): String = {
+    val a = s"($c & 65535)"
+    val b = s"(($a | ($a << 8)) & 16711935)"
+    val d4 = s"(($b | ($b << 4)) & 252645135)"
+    val d2 = s"(($d4 | ($d4 << 2)) & 858993459)"
+    s"(($d2 | ($d2 << 1)) & 1431655765)"
+  }
+
+  /** DuckDB-dialect z-value expression (see [[zorderValue]]). */
+  def zorderValueSql(x: String, y: String): String =
+    s"(${spread16Sql(x)} | (${spread16Sql(y)} << 1))"
+
+  /** Write a z-ordered parquet copy: range-partitioned AND sorted by
+    * the interleaved curve position, so file ranges are curve-disjoint
+    * and every row group's min/max stanza is a tight 2-D box. The z
+    * expression never lands in the data — it exists only as the
+    * write-time ordering. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String,
+                    yCol: String, numFiles: Int = 16,
+                    options: Map[String, String] = Map.empty): Unit = {
+    val z = zorderValue(col(xCol), col(yCol))
+    df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
+      .write.mode("overwrite").options(options).parquet(path)
+  }
+}

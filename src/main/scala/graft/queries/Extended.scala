@@ -223,6 +223,19 @@ object Extended {
         .orderBy("o_orderpriority")
     }),
 
+    // z-order curve positions certified bit-for-bit: the exact
+    // write-time ordering expression behind ZOrder.writeZOrdered (the
+    // magic-mask interleave), computed per lineitem row in both engines
+    "x_zorder" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          graft.operators.ZOrder.zorderValue(col("l_partkey"),
+            col("l_suppkey")).as("z"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "z")
+    }),
+
     // UNPIVOT — the inverse of x_pivot: wide per-flag metric columns
     // back to (metric, value) rows via the stack() generator, a narrow
     // codegen'd expansion with no shuffle beyond the aggregate (the
@@ -498,6 +511,12 @@ object Extended {
            count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
            count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "x_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           ${graft.operators.ZOrder.zorderValueSql("l_partkey",
+             "l_suppkey")} AS z
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, z""",
     "x_unpivot" ->
       """WITH a AS (SELECT l_returnflag,
              round(sum(l_quantity), 2) AS sum_qty,

@@ -453,7 +453,11 @@ class BenchSpec extends AnyFunSuite {
       "bench_layout_guard",
       // BPE pair-counting crossover: per-occurrence vs word-dict +
       // pair-table-equality / map-volume guard
-      "bench_bpe_naive", "bench_bpe_dict", "bench_bpe_guard"))
+      "bench_bpe_naive", "bench_bpe_dict", "bench_bpe_guard",
+      // 2-D layout crossover: arrival vs x-clustered vs z-ordered under
+      // a two-predicate box scan + equality/pushdown/decoded-rows guard
+      "bench_layout2d_plain", "bench_layout2d_xclust",
+      "bench_layout2d_zorder", "bench_layout2d_guard"))
     assert(extras.intersect(SparkEntry.queries.keySet).isEmpty)
     // extras must NOT leak into Verify/oracle accounting
     assert(extras.intersect(SparkEntry.oracleSql.keySet).isEmpty)

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ZOrder
+
+/** Morton-interleave tests: expected z values are hand-computed from
+  * the bit definition (x bits on even positions, y on odd). */
+class ZOrderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def z(x: Long, y: Long): Long =
+    Seq((x, y)).toDF("x", "y")
+      .select(ZOrder.zorderValue(col("x"), col("y")).as("z"))
+      .as[Long].collect()(0)
+
+  test("zorderValue matches hand-computed interleaves") {
+    assert(z(0, 0) == 0L)
+    assert(z(1, 0) == 1L)     // x bit 0 -> z bit 0
+    assert(z(0, 1) == 2L)     // y bit 0 -> z bit 1
+    // x=3 (011), y=5 (101): z bits y2x2 y1x1 y0x0 = 100111 = 39
+    assert(z(3, 5) == 39L)
+    assert(z(65535, 0) == 0x55555555L)
+    assert(z(0, 65535) == 0xAAAAAAAAL)
+    assert(z(65535, 65535) == 0xFFFFFFFFL)
+    // only the low 16 bits participate
+    assert(z(65536 + 3, 5) == 39L)
+  }
+
+  test("z order preserves aligned-square locality: one contiguous range") {
+    // every point of an aligned 4x4 square occupies one contiguous
+    // 16-value z range — the property the 2-D layout rig's box scan
+    // exploits (x0, y0 multiples of the square side)
+    val zs = for (x <- 8L until 12L; y <- 4L until 8L) yield z(x, y)
+    assert(zs.min == z(8, 4) && zs.max == zs.min + 15)
+    assert(zs.toSet.size == 16)
+  }
+
+  test("the DuckDB-dialect z expression is the same function") {
+    // evaluate the SQL form IN SPARK (operators are shared syntax) over
+    // a value grid and compare against the Column form — the mask
+    // ladders cannot drift apart without this failing
+    val df = spark.range(200).select(
+      (col("id") * 337 % 65536).as("x"),
+      (col("id") * 7919 % 65536).as("y"))
+    val mismatches = df.select(
+        ZOrder.zorderValue(col("x"), col("y")).as("zc"),
+        expr(ZOrder.zorderValueSql("x", "y")).as("zs"))
+      .filter(col("zc") =!= col("zs")).count()
+    assert(mismatches == 0L)
+  }
+
+  test("writeZOrdered round-trips data and clusters the curve") {
+    val path = java.nio.file.Files
+      .createTempDirectory("zorder").toString
+    val df = spark.range(10000).select(
+      (col("id") * 131 % 256).as("x"), (col("id") * 31 % 256).as("y"),
+      col("id").as("v"))
+    ZOrder.writeZOrdered(df, path, "x", "y", numFiles = 4)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 10000L)
+    assert(back.agg(sum("v")).as[Long].collect()(0) ==
+      df.agg(sum("v")).as[Long].collect()(0))
+    // the z expression must NOT land as a data column
+    assert(back.columns.sorted.toSeq == Seq("v", "x", "y"))
+  }
+}
