@@ -952,6 +952,34 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // the token-budget admission gate driven by the REAL tokenizer:
+    // same per-language best-quality-first running sum as
+    // ds_token_budget, but `spent` accumulates BPE token counts under
+    // the 8 trained merges instead of the n_chars estimate — the
+    // composition a production budget actually runs (budgets are set in
+    // tokens; an estimate drifts with language and formatting). Docs
+    // with no alphabetic words have no token count and drop (inner
+    // join, both engines).
+    "ds_token_budget_bpe" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val merges = Bpe.train(docs(s, dir), "text", nMerges = 8)
+        .orderBy("step").collect()
+        .map(r => (r.getAs[String]("lft"), r.getAs[String]("rgt")))
+        .toSeq
+      val toks = Bpe.encodeTokenCounts(docs(s, dir), "doc_id", "text",
+        merges).select(col("doc_id"), col("n_tokens"))
+      val d = docs(s, dir)
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .join(toks, "doc_id")
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("spent", coalesce(sum(col("n_tokens")).over(w),
+          lit(0L)))
+        .filter(col("spent") < 5000L)
+        .select("doc_id", "lang", "n_tokens").orderBy("doc_id")
+    }),
+
     // the tokenizer ARTIFACT round trip (certification, like
     // dd_incremental_idx / ds_curate_staged): train → writeMerges
     // (normalization version + corpus provenance stamped into the
@@ -1625,18 +1653,18 @@ object Pipeline {
         .mkString(" UNION ALL ")})
        ORDER BY step"""
 
-  /** Encode twin: the same trajectory CTEs, then the merge chain folded
-    * over each DISTINCT word (vocab) and joined back to per-doc
-    * occurrence counts — the exact shape of Bpe.encodeTokenCounts. */
-  private def bpeTokensOracleSql(n: Int): String = {
+  /** Encode CTEs shared by the token-count oracles: the merge chain
+    * folded over each DISTINCT word (vocab) and joined back to per-doc
+    * occurrence counts — the exact shape of Bpe.encodeTokenCounts.
+    * Yields `btok(doc_id, n_tokens, n_words)`. */
+  private def bpeEncodeCtes(n: Int): String = {
     val chain = (1 to n).foldLeft(
       """trim(regexp_replace(word, '(.)', '\1 ', 'g'))""") { (acc, i) =>
       s"""trim(replace(replace('  ' || replace($acc, ' ', '  ') || '  ',
            ' ' || b$i.lft || '  ' || b$i.rgt || ' ',
            ' ' || b$i.lft || b$i.rgt || ' '), '  ', ' '))"""
     }
-    s"""${bpeCtes(n)},
-       occ AS (SELECT doc_id, word, count(*)::BIGINT AS k FROM (
+    s"""occ AS (SELECT doc_id, word, count(*)::BIGINT AS k FROM (
            SELECT doc_id, unnest(string_split_regex(trim(lower(
              regexp_replace(text, '[^A-Za-z ]+', ' ', 'g'))), ' +'))
              AS word
@@ -1644,12 +1672,17 @@ object Pipeline {
          WHERE word <> '' GROUP BY doc_id, word),
        vocab AS (SELECT word, len(string_split($chain, ' ')) AS n_tok
                  FROM (SELECT DISTINCT word FROM occ) v0,
-                   ${(1 to n).map(i => s"b$i").mkString(", ")})
-       SELECT o.doc_id, sum(o.k * v.n_tok)::BIGINT AS n_tokens,
-         sum(o.k)::BIGINT AS n_words
-       FROM occ o JOIN vocab v USING (word)
-       GROUP BY o.doc_id ORDER BY doc_id"""
+                   ${(1 to n).map(i => s"b$i").mkString(", ")}),
+       btok AS (SELECT o.doc_id, sum(o.k * v.n_tok)::BIGINT AS n_tokens,
+           sum(o.k)::BIGINT AS n_words
+         FROM occ o JOIN vocab v USING (word)
+         GROUP BY o.doc_id)"""
   }
+
+  private def bpeTokensOracleSql(n: Int): String =
+    s"""${bpeCtes(n)},
+       ${bpeEncodeCtes(n)}
+       SELECT doc_id, n_tokens, n_words FROM btok ORDER BY doc_id"""
 
   private def kmeansOracleSql(k: Int, iters: Int): String =
     s"""${kmeansCtes(k, iters)},
@@ -2740,6 +2773,20 @@ object Pipeline {
     "txt_bpe_tokens" -> bpeTokensOracleSql(8),
     // the artifact round trip must land on the identical counts
     "txt_bpe_artifact" -> bpeTokensOracleSql(8),
+    "ds_token_budget_bpe" ->
+      s"""${bpeCtes(8)},
+         ${bpeEncodeCtes(8)},
+         $QualityBaseCtes,
+         qual AS (SELECT doc_id, $QualityExprSql AS quality FROM base),
+         ranked AS (SELECT d.doc_id, d.lang, t.n_tokens,
+             coalesce(sum(t.n_tokens) OVER (PARTITION BY d.lang
+               ORDER BY q.quality DESC, d.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS spent
+           FROM documents d JOIN qual q USING (doc_id)
+           JOIN btok t USING (doc_id))
+         SELECT doc_id, lang, n_tokens FROM ranked
+         WHERE spent < 5000 ORDER BY doc_id""",
     "txt_tfidf" ->
       """WITH terms AS (
            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
