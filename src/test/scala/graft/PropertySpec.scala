@@ -205,4 +205,74 @@ class PropertySpec extends SparkTestBase {
       spark.sharedState.cacheManager.clearCache()
     }
   }
+
+  test("bpe applyMerge never changes a word's characters, only spacing") {
+    import graft.operators.Bpe
+    val wordGen = Gen.listOfN(6,
+      Gen.chooseNum(1, 8).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    forAll(Gen.zip(wordGen, Gen.oneOf("a", "b", "ab"),
+        Gen.oneOf("a", "b", "c"))) { case (words, l, r) =>
+      val syms = words.toDF("word")
+        .select(col("word"), Bpe.symbolize(col("word")).as("ws"))
+        .select(col("word"),
+          Bpe.applyMerge(col("ws"), lit(l), lit(r)).as("m"))
+        .collect().map(x => (x.getString(0), x.getString(1)))
+      syms.foreach { case (word, merged) =>
+        // merging reassigns token boundaries; the underlying character
+        // sequence is invariant (the property the whole trainer leans
+        // on: distinct words stay distinct)
+        assert(merged.replace(" ", "") == word,
+          s"merge ($l,$r) corrupted '$word' -> '$merged'")
+        // every token is non-empty, no leading/trailing/double spaces
+        assert(!merged.startsWith(" ") && !merged.endsWith(" ") &&
+          !merged.contains("  "))
+      }
+    }
+  }
+
+  test("bpe encode: token count per word is within [1, word length]") {
+    import graft.operators.Bpe
+    val docGen = Gen.listOfN(4, Gen.listOfN(5,
+      Gen.chooseNum(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('x', 'y')).map(_.mkString)))
+      .map(_.mkString(" ")))
+    forAll(docGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Bpe.encodeTokenCounts(df, "doc_id", "text",
+          Seq(("x", "y"), ("y", "x"), ("xy", "x")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val chars = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.count(_ != ' ').toLong }.toMap
+      out.foreach { case (id, nTok, nWords) =>
+        assert(nTok >= nWords, "every word is at least one token")
+        assert(nTok <= chars(id), "tokens can never exceed characters")
+      }
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("zorder de-interleaves back to the original coordinates") {
+    import graft.operators.ZOrder
+    forAll(Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 65535L),
+        Gen.chooseNum(0L, 65535L)))) { pts =>
+      def unspread(z: Long): Long = {
+        // inverse magic-mask ladder: collect even bits back to the low 16
+        var v = z & 0x55555555L
+        v = (v | (v >> 1)) & 0x33333333L
+        v = (v | (v >> 2)) & 0x0F0F0F0FL
+        v = (v | (v >> 4)) & 0x00FF00FFL
+        (v | (v >> 8)) & 0xFFFFL
+      }
+      val got = pts.toDF("x", "y")
+        .select(col("x"), col("y"),
+          ZOrder.zorderValue(col("x"), col("y")).as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      got.foreach { case (x, y, z) =>
+        assert(unspread(z) == x && unspread(z >> 1) == y,
+          s"z=$z does not de-interleave to ($x, $y)")
+      }
+    }
+  }
 }
