@@ -18,7 +18,9 @@ import graft.sources.Tables
   *   substring-span report → BM25 retrieval → epoch shuffle → bloom
   *   eval-set prefilter → incremental day-2 dedup → deterministic
   *   train/val/test split → chunk to context windows → pack into
-  *   sequence bins → partitioned write; plus the embedding side:
+  *   sequence bins → BPE tokenizer training + merge-artifact ship +
+  *   real-token recount → partitioned write + z-ordered copy; plus the
+  *   embedding side:
   *   int8 quantization → JL projection → k-means quantizer → IVF top-k.
   *
   * Each stage is lazy; the whole pipeline is ONE Catalyst plan per action
@@ -136,7 +138,23 @@ object PipelineTour {
       "doc_id", "text", threshold = 0.7)
     println(s"day-2 batch survivors: ${day2.count()}")
 
-    // 10. partitioned write, clustered for downstream range scans
+    // 10. round-10 stages: train the tokenizer on the CLEANED corpus
+    // (training on raw data bakes boilerplate into the vocab), ship its
+    // merge artifact, and re-budget in REAL tokens
+    val bpePath = Files.createTempDirectory("graft_pipeline_bpe_")
+      .resolve("merges").toString
+    graft.operators.Bpe.writeMerges(
+      graft.operators.Bpe.train(clean, "norm", nMerges = 8), bpePath,
+      sourceTag = "pipeline-tour")
+    val merges = graft.operators.Bpe.readMerges(spark, bpePath,
+      expectedSource = Some("pipeline-tour"))
+    val toks = graft.operators.Bpe.encodeTokenCounts(clean, "doc_id",
+      "norm", merges)
+    println(s"bpe merges:          ${merges.map(m => m._1 + m._2).mkString(",")}")
+    println(s"bpe corpus tokens:   " +
+      toks.agg(sum("n_tokens")).collect()(0).getLong(0))
+
+    // 11. partitioned write, clustered for downstream range scans
     val out = Files.createTempDirectory("graft_pipeline_").resolve("corpus")
     Sinks.writePartitioned(
       split.select("doc_id", "lang_pred", "quality", "n_tokens", "norm",
@@ -146,6 +164,15 @@ object PipelineTour {
     println(s"written + re-read:   ${back.count()} rows, " +
       s"partitions: ${back.select("lang_pred").distinct().count()} langs" +
       s" x ${back.select("split").distinct().count()} splits")
+    // the embedding side's artifact: a z-ordered copy for 2-D selective
+    // scans (doc bucket x quality bucket)
+    val zout = Files.createTempDirectory("graft_pipeline_z_")
+      .resolve("z").toString
+    graft.operators.ZOrder.writeZOrdered(
+      split.select(col("doc_id"), (col("doc_id") % 65536).as("xb"),
+        (col("quality") * 650).cast("long").as("yb"), col("norm")),
+      zout, "xb", "yb", numFiles = 4)
+    println(s"z-ordered copy:      ${spark.read.parquet(zout).count()} rows")
 
     spark.stop()
     println("PipelineTour done.")
