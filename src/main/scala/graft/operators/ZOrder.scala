@@ -67,4 +67,41 @@ object ZOrder {
     df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
       .write.mode("overwrite").options(options).parquet(path)
   }
+
+  /** Map an arbitrary-range numeric column into [0, 65536) by
+    * proportional min/max scaling — the bridge from real keys to
+    * [[zorderValue]]'s 16-bit space. Integer arithmetic on longs, so
+    * the mapping is deterministic and engine-portable; a constant
+    * column maps to 0. Monotone, which is all curve ordering needs
+    * (pruning works on the ORDER of buckets, not their spacing), but
+    * proportional scaling keeps skewed keys skewed — heavy skew wants
+    * rank bucketing upstream, at the cost of a corpus sort per
+    * dimension. */
+  private[graft] def scaleTo16(c: Column, lo: Column, hi: Column): Column =
+    when(hi <= lo, lit(0L)).otherwise(
+      least(lit(65535L),
+        // Column `/` is DOUBLE division in Spark SQL — make the floor
+        // explicit. Exact for key ranges < 2^37 (the product stays
+        // inside double's 2^53 integer window); beyond that the bucket
+        // boundary can drift an ulp, which write-time ORDERING absorbs
+        floor((c.cast("long") - lo).cast("double") * 65536.0d /
+          (hi - lo + 1L).cast("double")).cast("long")))
+
+  /** [[writeZOrdered]] for columns of ANY integer range: one tiny
+    * min/max aggregate (a single driver row — bounded, like the CC
+    * gate's probe), then the scaled interleave orders the write. The
+    * scan-side predicates stay on the ORIGINAL columns — scaling only
+    * decides row order, so readers need no knowledge of it. */
+  def writeZOrderedScaled(df: DataFrame, path: String, xCol: String,
+                          yCol: String, numFiles: Int = 16,
+                          options: Map[String, String] = Map.empty): Unit = {
+    val mm = df.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    require(!mm.anyNull, s"cannot z-order an empty frame into $path")
+    val z = zorderValue(
+      scaleTo16(col(xCol), lit(mm.getLong(0)), lit(mm.getLong(1))),
+      scaleTo16(col(yCol), lit(mm.getLong(2)), lit(mm.getLong(3))))
+    df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
+      .write.mode("overwrite").options(options).parquet(path)
+  }
 }

@@ -50,6 +50,41 @@ class ZOrderSpec extends SparkTestBase {
     assert(mismatches == 0L)
   }
 
+  test("writeZOrderedScaled handles arbitrary key ranges") {
+    val path = java.nio.file.Files
+      .createTempDirectory("zorder_scaled").toString
+    // keys far outside 16-bit space, negative included
+    val df = spark.range(5000).select(
+      (col("id") * 1000003L - 2000000000L).as("x"),
+      (col("id") * 7 + 3000000000L).as("y"), col("id").as("v"))
+    ZOrder.writeZOrderedScaled(df, path, "x", "y", numFiles = 4)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 5000L)
+    assert(back.agg(sum("v")).as[Long].collect()(0) ==
+      df.agg(sum("v")).as[Long].collect()(0))
+    // scan predicates stay on the ORIGINAL columns
+    val lo = -2000000000L + 1000003L * 100
+    val hi = -2000000000L + 1000003L * 200
+    assert(back.filter(col("x") >= lo && col("x") < hi).count() == 100L)
+    // degenerate inputs: constant column is fine, empty frame refuses
+    ZOrder.writeZOrderedScaled(
+      df.withColumn("x", lit(7L)), path, "x", "y", numFiles = 2)
+    assert(spark.read.parquet(path).count() == 5000L)
+    intercept[IllegalArgumentException] {
+      ZOrder.writeZOrderedScaled(df.limit(0), path, "x", "y")
+    }
+  }
+
+  test("scaleTo16 is monotone and lands in [0, 65536)") {
+    val vals = Seq(-500L, -1L, 0L, 1L, 123456L, 999999L)
+    val out = vals.toDF("c")
+      .select(ZOrder.scaleTo16(col("c"), lit(-500L), lit(999999L)).as("b"))
+      .as[Long].collect()
+    assert(out.toSeq == out.sorted.toSeq, "bucketing must be monotone")
+    assert(out.forall(b => b >= 0L && b <= 65535L))
+    assert(out.head == 0L)
+  }
+
   test("writeZOrdered round-trips data and clusters the curve") {
     val path = java.nio.file.Files
       .createTempDirectory("zorder").toString
