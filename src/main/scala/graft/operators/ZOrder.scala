@@ -104,4 +104,35 @@ object ZOrder {
     df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
       .write.mode("overwrite").options(options).parquet(path)
   }
+
+  /** The skew-proof variant: EQUAL-FREQUENCY rank buckets per dimension
+    * instead of proportional value scaling. Proportional scaling
+    * collapses under heavy skew (90% of rows on one key → 90% of rows
+    * in one curve cell, and that dimension prunes nothing); rank
+    * bucketing spends the curve's resolution where the data actually
+    * is. Spark's OWN range partitioner does the ranking — one
+    * `repartitionByRange` per dimension (sampled boundaries, the same
+    * machinery every sort uses at scale; no global window anywhere),
+    * with `spark_partition_id()` as the bucket id, which is ascending
+    * in the key by the partitioner's contract. Cost: one extra shuffle
+    * per dimension over [[writeZOrderedScaled]] — the "sort per
+    * dimension" the scaled form's scaladoc warns heavy skew demands.
+    * Sampled boundaries make bucket EDGES run-dependent; only the
+    * write-time ORDER depends on them, never row content or reader
+    * predicates. */
+  def writeZOrderedRanked(df: DataFrame, path: String, xCol: String,
+                          yCol: String, numFiles: Int = 16,
+                          buckets: Int = 1024,
+                          options: Map[String, String] = Map.empty): Unit = {
+    require(buckets > 1 && buckets <= 65536,
+      s"buckets must be in (1, 65536]: $buckets")
+    val withXb = df.repartitionByRange(buckets, col(xCol))
+      .withColumn("__zx", spark_partition_id().cast("long"))
+    val withYb = withXb.repartitionByRange(buckets, col(yCol))
+      .withColumn("__zy", spark_partition_id().cast("long"))
+    val z = zorderValue(col("__zx"), col("__zy"))
+    withYb.repartitionByRange(numFiles, z).sortWithinPartitions(z)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").options(options).parquet(path)
+  }
 }

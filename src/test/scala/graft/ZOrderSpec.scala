@@ -75,6 +75,31 @@ class ZOrderSpec extends SparkTestBase {
     }
   }
 
+  test("writeZOrderedRanked survives heavy skew and round-trips data") {
+    val path = java.nio.file.Files
+      .createTempDirectory("zorder_ranked").toString
+    // 90% of x values identical — proportional scaling would put 90% of
+    // rows in one curve cell; rank bucketing must still round-trip and
+    // keep original-column predicates exact
+    val df = spark.range(20000).select(
+      when(col("id") % 10 < 9, lit(7L))
+        .otherwise(col("id") * 13 % 100000).as("x"),
+      (col("id") * 31 % 50000).as("y"), col("id").as("v"))
+    ZOrder.writeZOrderedRanked(df, path, "x", "y", numFiles = 4,
+      buckets = 64)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 20000L)
+    assert(back.columns.sorted.toSeq == Seq("v", "x", "y"),
+      "bucket scratch columns must not land in the data")
+    assert(back.agg(sum("v")).as[Long].collect()(0) ==
+      df.agg(sum("v")).as[Long].collect()(0))
+    assert(back.filter(col("x") === 7L).count() ==
+      df.filter(col("x") === 7L).count())
+    intercept[IllegalArgumentException] {
+      ZOrder.writeZOrderedRanked(df, path, "x", "y", buckets = 1)
+    }
+  }
+
   test("scaleTo16 is monotone and lands in [0, 65536)") {
     val vals = Seq(-500L, -1L, 0L, 1L, 123456L, 999999L)
     val out = vals.toDF("c")
