@@ -74,6 +74,9 @@ object ParquetStats {
     * overlapping — a stats-less layout prunes nothing, and the metric
     * must say so. */
   def overlapFraction(stats: DataFrame): Double = {
+    // empty stats = nothing to prune with — same defined answer as
+    // meanStanzaCoverage, not an NPE from a null aggregate
+    if (stats.isEmpty) return 1.0
     val w = Window.orderBy(col("min").asc_nulls_last, col("file"),
         col("row_group"))
       .rowsBetween(Window.unboundedPreceding, -1)

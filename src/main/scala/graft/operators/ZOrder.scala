@@ -44,7 +44,11 @@ object ZOrder {
     * oracle, wrong for the engine side, which is why the Column form
     * exists. */
   private[graft] def spread16Sql(c: String): String = {
-    val a = s"($c & 65535)"
+    // ::BIGINT first: on an INT32 column the final `<< 1` in
+    // zorderValueSql would overflow 32-bit arithmetic (bit 30 is set
+    // for y >= 32768) — the Column form computes in long, and the twin
+    // must too for ANY input type
+    val a = s"(($c)::BIGINT & 65535)"
     val b = s"(($a | ($a << 8)) & 16711935)"
     val d4 = s"(($b | ($b << 4)) & 252645135)"
     val d2 = s"(($d4 | ($d4 << 2)) & 858993459)"
@@ -126,6 +130,9 @@ object ZOrder {
                           options: Map[String, String] = Map.empty): Unit = {
     require(buckets > 1 && buckets <= 65536,
       s"buckets must be in (1, 65536]: $buckets")
+    require(!df.columns.contains("__zx") && !df.columns.contains("__zy"),
+      "input already has a __zx/__zy column — the bucket scratch " +
+        "columns would silently replace it")
     val withXb = df.repartitionByRange(buckets, col(xCol))
       .withColumn("__zx", spark_partition_id().cast("long"))
     val withYb = withXb.repartitionByRange(buckets, col(yCol))
