@@ -169,7 +169,7 @@ object Bench {
   private val HhTail = 120 // unique tail tokens per doc -> ~12M vocab
   private val HhK = 15
   private val HhSamplePct = 10
-  // data-layout rig: the SAME 6M-row fact written two ways — arrival
+  // data-layout rig: the SAME 8M-row fact written two ways — arrival
   // order vs range-clustered on the filter key ([[graft.sinks.Sinks
   // .writeClustered]] behind a repartitionByRange) — then a ~1%-selective
   // range scan is timed against each copy. Small row groups (1 MiB) so

@@ -280,7 +280,12 @@ object MediaCodec {
         case "data" => data = Some((pos + 8, avail))
         case _ => () // ancillary chunk (LIST, fact, ...)
       }
-      pos += 8 + size + (size & 1)
+      // a declared size running past the buffer means a truncated (or
+      // hostile) file: the clamped chunk above is the last parseable one,
+      // and advancing `pos` by the raw 32-bit size would wrap Int
+      // arithmetic negative and crash the walk on the next le32
+      if (size > avail) pos = b.length
+      else pos += 8 + size + (size & 1)
     }
     for ((af, ch, rate, bits) <- fmt; (off, len) <- data)
       yield (af, ch, rate, bits, off, len)
@@ -395,6 +400,10 @@ object MediaCodec {
         val listType = new String(b.slice(pos + 8, pos + 12), "US-ASCII")
         f(listType, pos + 12, avail - 4)
       } else f(cc, pos + 8, avail)
+      // same truncation clamp as wavChunks: an oversized declared size
+      // ends the walk (the clamped region was already reported) instead
+      // of wrapping `pos` negative via Int overflow
+      if (size > avail) return
       pos += 8 + size + (size & 1)
     }
   }

@@ -96,12 +96,30 @@ object ZOrder {
     * gate's probe), then the scaled interleave orders the write. The
     * scan-side predicates stay on the ORIGINAL columns — scaling only
     * decides row order, so readers need no knowledge of it. */
+  /** Driver-side guard for [[scaleTo16]]'s divisor: `hi - lo + 1` must
+    * be representable in a long, or the Column arithmetic silently
+    * overflows to a NEGATIVE divisor and the write degrades to an
+    * unclustered layout with no error (e.g. raw xxhash64 keys spanning
+    * Long.MinValue..Long.MaxValue). Keys that wide should be bucketed
+    * (rank or modulo) before scaling — the error says so. */
+  private def checkedSpan(name: String, lo: Long, hi: Long): Unit =
+    try { Math.addExact(Math.subtractExact(hi, lo), 1L); () }
+    catch {
+      case _: ArithmeticException => throw new IllegalArgumentException(
+        s"z-order column '$name' spans [$lo, $hi] — wider than a 63-bit " +
+          "range, so proportional scaling would overflow its divisor " +
+          "and produce an unclustered layout; bucket the key (rank or " +
+          "modulo into a sub-2^63 range) before z-ordering")
+    }
+
   def writeZOrderedScaled(df: DataFrame, path: String, xCol: String,
                           yCol: String, numFiles: Int = 16,
                           options: Map[String, String] = Map.empty): Unit = {
     val mm = df.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
       min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
     require(!mm.anyNull, s"cannot z-order an empty frame into $path")
+    checkedSpan(xCol, mm.getLong(0), mm.getLong(1))
+    checkedSpan(yCol, mm.getLong(2), mm.getLong(3))
     val z = zorderValue(
       scaleTo16(col(xCol), lit(mm.getLong(0)), lit(mm.getLong(1))),
       scaleTo16(col(yCol), lit(mm.getLong(2)), lit(mm.getLong(3))))

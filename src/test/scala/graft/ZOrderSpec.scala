@@ -100,6 +100,26 @@ class ZOrderSpec extends SparkTestBase {
     }
   }
 
+  test("writeZOrderedScaled refuses a >=2^63 key span instead of " +
+      "silently unclustering") {
+    // raw xxhash64-style keys span Long.MinValue..Long.MaxValue; the
+    // scaling divisor (hi - lo + 1) overflows, which pre-fix produced a
+    // negative divisor and an unclustered layout with no error
+    val path = java.nio.file.Files
+      .createTempDirectory("zorder_span").toString
+    val wide = Seq((Long.MinValue, 1L), (Long.MaxValue, 2L)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.writeZOrderedScaled(wide, path, "x", "y")
+    }
+    assert(e.getMessage.contains("'x'") && e.getMessage.contains("2^63"))
+    // the guard is per-column: a sane x with a wide y names y
+    val wideY = Seq((1L, Long.MinValue), (2L, Long.MaxValue)).toDF("x", "y")
+    val e2 = intercept[IllegalArgumentException] {
+      ZOrder.writeZOrderedScaled(wideY, path, "x", "y")
+    }
+    assert(e2.getMessage.contains("'y'"))
+  }
+
   test("scaleTo16 is monotone and lands in [0, 65536)") {
     val vals = Seq(-500L, -1L, 0L, 1L, 123456L, 999999L)
     val out = vals.toDF("c")
