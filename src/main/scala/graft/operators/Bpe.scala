@@ -76,18 +76,34 @@ object Bpe {
     * (step, lft, rgt, merged, pair_count) — the artifact a tokenizer
     * ships. Stops early (fewer rows) if the dict runs out of pairs.
     *
-    * Per iteration: pair counts are one vocabulary-sized groupBy (each
-    * word contributes its adjacent symbol pairs weighted by word
-    * count), the argmax travels as a BROADCAST 1-row frame into the
-    * merge application (no collect — the driver never sees the pair),
-    * and the dict needs no re-aggregation afterwards because two
-    * distinct words stay distinct under any merge (spacing changes,
-    * the character sequence doesn't) — so an iteration is exactly one
-    * shuffle. */
-  def train(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    * ADAPTIVE GATE (the connectedComponents precedent,
+    * Dedup.scala:1019): after the one corpus pass, the dict is
+    * VOCABULARY-sized — for any real corpus a few million rows at most,
+    * and usually far less. Below `smallDictThreshold` distinct words
+    * the dict is collected ONCE and the merge loop runs driver-side
+    * (one Spark job total instead of one job + checkpoint per merge —
+    * a 32k-merge production vocabulary would otherwise be 32k
+    * sequential Spark jobs). Above the gate the distributed loop runs
+    * unchanged. Both paths compute the IDENTICAL trajectory (same
+    * argmax total order, same greedy merge semantics — spec-pinned),
+    * so the gate is a cost decision, never a semantics decision.
+    *
+    * Per distributed iteration: pair counts are one vocabulary-sized
+    * groupBy (each word contributes its adjacent symbol pairs weighted
+    * by word count), the argmax travels as a BROADCAST 1-row frame
+    * into the merge application (no collect — the driver never sees
+    * the pair), and the dict needs no re-aggregation afterwards
+    * because two distinct words stay distinct under any merge (spacing
+    * changes, the character sequence doesn't) — so an iteration is
+    * exactly one shuffle. */
+  def train(df: DataFrame, textCol: String, nMerges: Int,
+            smallDictThreshold: Long = 500000L): DataFrame = {
     require(nMerges >= 1, s"nMerges must be positive: $nMerges")
-    var words = graft.plans.Checkpoints.truncated(
+    val (words0, dictSize) = graft.plans.Checkpoints.truncatedWithCount(
       wordFrequencies(df, textCol))
+    if (dictSize <= smallDictThreshold)
+      return trainDriver(df.sparkSession, words0, nMerges)
+    var words = words0
     var traj = Vector.empty[DataFrame]
     var exhausted = false
     var step = 1
@@ -121,6 +137,64 @@ object Bpe {
     traj.reduce(_ unionByName _)
       .withColumn("merged", concat(col("lft"), col("rgt")))
       .select("step", "lft", "rgt", "merged", "pair_count")
+  }
+
+  /** Greedy left-to-right non-overlapping merge on a symbol array —
+    * the driver twin of [[applyMerge]]'s padded-replace trick ("a b a b"
+    * merges both pairs; "a a a" only the left one). */
+  private def applyMergeDriver(syms: Array[String], l: String,
+                               r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** The below-gate merge loop: the (ws, cnt) dict collected once, then
+    * classic BPE training over symbol arrays — same total order as the
+    * distributed argmax ((max count, lexicographically-least "l r")),
+    * same greedy merge, so the trajectory is bit-identical. Work per
+    * step is O(dict symbols) on one core — at the gate's 500k-word
+    * ceiling that is milliseconds, vs a full Spark job + checkpoint per
+    * merge on the distributed path. */
+  private[graft] def trainDriver(spark: SparkSession, dict: DataFrame,
+                                 nMerges: Int): DataFrame = {
+    var words = dict.select("ws", "cnt").collect()
+      .map(r => (r.getString(0).split(" "), r.getLong(1)))
+    val traj = Vector.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      for ((syms, cnt) <- words if syms.length >= 2; i <- 0 until
+           syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(
+          o => Some(o.getOrElse(0L) + cnt))
+      if (counts.isEmpty) exhausted = true
+      else {
+        // identical total order to the distributed orderBy: pair_count
+        // desc, then "lft rgt" asc
+        val ((l, r), n) = counts.minBy { case ((a, b), c) =>
+          (-c, a + " " + b)
+        }
+        traj += ((step, l, r, l + r, n))
+        words = words.map { case (syms, cnt) =>
+          (applyMergeDriver(syms, l, r), cnt)
+        }
+        step += 1
+      }
+    }
+    val rows = traj.result()
+    if (rows.isEmpty)
+      throw new IllegalStateException(
+        "bpe: corpus has no adjacent symbol pairs (all words single-char?)")
+    import spark.implicits._
+    rows.toDF("step", "lft", "rgt", "merged", "pair_count")
   }
 
   /** The normalization contract a merge table is only valid under —
@@ -194,9 +268,32 @@ object Bpe {
     * Same Zipf trick as training: the merge chain is evaluated once per
     * DISTINCT word (a vocabulary-sized frame), then joined back to the
     * per-document occurrence counts — the corpus is never dragged
-    * through the merge expressions. */
+    * through the merge expressions.
+    *
+    * SCALE SHAPE: each merge adds ~6 expression nodes, so one
+    * projection carrying the whole chain grows linearly with merge
+    * count — a 32k–50k-merge production vocabulary would be a
+    * ~200k-node expression tree that Catalyst's analyzer recursion and
+    * codegen's 64 KB JVM method ceiling cannot survive (the same
+    * huge-method threshold [[graft.plans.VectorExpressions]] respects).
+    * The chain therefore applies in BATCHES of `mergesPerStage` per
+    * projection with a stats-truncating checkpoint between batches
+    * ([[graft.plans.Checkpoints]]): expression depth is bounded by the
+    * batch size, total cost scales linearly with vocab × batches, and
+    * the checkpointed frame is VOCABULARY-sized, never corpus-sized.
+    * A merge list that fits one batch (the contract queries' 8) keeps
+    * the original single-projection lazy plan — no checkpoint, oracle
+    * plans unchanged. The default of 16 is measured, not guessed: each
+    * applyMerge nests ~8 Column levels, and Spark 4's recursive
+    * ColumnNode->Expression conversion blew a default 1 MB thread
+    * stack at 64 merges/projection (~500 nested levels) — 16 keeps the
+    * tree ~130 deep, an order of magnitude under that ceiling on any
+    * JVM stack size. */
   def encodeTokenCounts(df: DataFrame, idCol: String, textCol: String,
-                        merges: Seq[(String, String)]): DataFrame = {
+                        merges: Seq[(String, String)],
+                        mergesPerStage: Int = 16): DataFrame = {
+    require(mergesPerStage >= 1,
+      s"mergesPerStage must be positive: $mergesPerStage")
     // occ feeds BOTH the final join and the vocab derivation — cache,
     // or the corpus is tokenized twice (the dd_spans lesson; pinned in
     // PlanAuditSpec). Plan-lifetime cache convention: lives until the
@@ -206,10 +303,18 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("k"))
       .cache()
-    val vocab = occ.select("word").distinct()
-      .withColumn("ws", merges.foldLeft(symbolize(col("word"))) {
+    val batches = merges.grouped(mergesPerStage).toVector
+    var syms = occ.select("word").distinct()
+      .withColumn("ws", symbolize(col("word")))
+    for ((batch, i) <- batches.zipWithIndex) {
+      syms = syms.withColumn("ws", batch.foldLeft(col("ws")) {
         case (c, (l, r)) => applyMerge(c, lit(l), lit(r))
       })
+      // truncate between batches only — a single-batch chain stays lazy
+      if (i < batches.size - 1)
+        syms = graft.plans.Checkpoints.truncated(syms)
+    }
+    val vocab = syms
       .select(col("word"), size(split(col("ws"), " ")).as("n_tok"))
     occ.join(vocab, "word")
       .groupBy(col(idCol))

@@ -76,6 +76,65 @@ class BpeSpec extends SparkTestBase {
     assert(chained.getLong(1) == 1L)
   }
 
+  test("train: driver gate and distributed path compute the identical " +
+      "trajectory") {
+    // the adaptive gate (dict <= smallDictThreshold -> driver merge
+    // loop) must be a COST decision only: force both paths over the
+    // same corpus and demand the same trajectory, row for row
+    val c = corpus("abab abab cdcd", "abab cdcd xyz", "xyz xyz abab")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("step").collect().map(r => (r.getInt(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    val driver = rows(Bpe.train(c, "text", nMerges = 6))       // gate on
+    val dist = rows(Bpe.train(c, "text", nMerges = 6,
+      smallDictThreshold = 0L))                                 // gate off
+    assert(driver == dist)
+    assert(driver.length == 6)
+  }
+
+  test("512-merge vocabulary: driver-gated train + batched encode clear " +
+      "the expression-depth ceiling and match a hand-rolled greedy encoder") {
+    // pre-fix, encodeTokenCounts folded EVERY merge into one projection
+    // (~6 expression nodes per merge): at 512 merges the single
+    // expression tree breaks analyzer recursion / codegen method
+    // limits. Batched stages (64/projection, checkpoint between) must
+    // execute AND still compute exact greedy-BPE token counts.
+    val rnd = new scala.util.Random(42)
+    val words = Vector.tabulate(400)(_ =>
+      (1 to (8 + rnd.nextInt(5)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", nMerges = 512)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.length == 512, "corpus must support 512 merges")
+    val got = Bpe.encodeTokenCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // independent expectation: greedy left-to-right merge per word,
+    // written from the BPE rules (not from the implementation)
+    def tokens(w: String): Long = {
+      var syms = w.map(_.toString).toArray
+      for ((l, r) <- merges) {
+        val out = Array.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length.toLong
+    }
+    val expect = words.grouped(10).zipWithIndex.map { case (ws, i) =>
+      (i.toLong, ws.map(tokens).sum, ws.length.toLong)
+    }.toSeq
+    assert(got == expect)
+  }
+
   test("docs with no alphabetic words produce no row (both engines agree)") {
     val out = Bpe.encodeTokenCounts(corpus("123 !!!", "ok"), "doc_id",
       "text", Seq(("o", "k")))
