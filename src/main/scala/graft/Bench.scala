@@ -512,7 +512,7 @@ object Bench {
         graft.sinks.Sinks.writeClustered(
           df.repartitionByRange(LayoutFiles, col("x")), xclust,
           Seq("x"), opts)
-        graft.operators.ZOrder.writeZOrdered(df, zord, "x", "y",
+        graft.operators.ZOrder.writeZOrdered(df, zord, Seq("x", "y"),
           LayoutFiles, opts)
         layout2dDirs = Some((plain, xclust, zord))
         (plain, xclust, zord)

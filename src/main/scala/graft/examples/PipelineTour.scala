@@ -171,7 +171,7 @@ object PipelineTour {
     graft.operators.ZOrder.writeZOrdered(
       split.select(col("doc_id"), (col("doc_id") % 65536).as("xb"),
         (col("quality") * 650).cast("long").as("yb"), col("norm")),
-      zout, "xb", "yb", numFiles = 4)
+      zout, Seq("xb", "yb"), numFiles = 4)
     println(s"z-ordered copy:      ${spark.read.parquet(zout).count()} rows")
 
     spark.stop()

@@ -59,18 +59,70 @@ object ZOrder {
   def zorderValueSql(x: String, y: String): String =
     s"(${spread16Sql(x)} | (${spread16Sql(y)} << 1))"
 
+  /** N-column Morton value: column j's bit i lands at curve position
+    * i*k + j, each column contributing its low ⌊32/k⌋ bits — the same
+    * "only the low bits participate" contract as [[zorderValue]], which
+    * is exactly this function at k=2 (delegated, so the certified mask
+    * ladder keeps serving the 2-D path). For k >= 3 the interleave is a
+    * per-bit shift/and/or fold — ~32 codegen'd integer ops TOTAL
+    * regardless of k (bits × k ≈ 32), no masks to derive per stride,
+    * and the identical arithmetic replays in any engine
+    * ([[zorderValueNSql]]). A real 100 TB layout clusters 3 keys
+    * (source × lang × date) as readily as 2. */
+  def zorderValueN(cols: Seq[Column]): Column = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"z-order interleaves 2..8 columns, got ${cols.size}")
+    if (cols.size == 2) zorderValue(cols(0), cols(1))
+    else {
+      val k = cols.size
+      val bits = 32 / k
+      cols.zipWithIndex.map { case (c, j) =>
+        val cl = c.cast("long")
+        (0 until bits).map(i => shiftleft(
+            shiftright(cl, i).bitwiseAND(lit(1L)), i * k + j): Column)
+          .reduce(_ bitwiseOR _)
+      }.reduce(_ bitwiseOR _)
+    }
+  }
+
+  /** DuckDB-dialect twin of [[zorderValueN]] — kept adjacent for the
+    * same no-silent-drift reason as [[spread16Sql]]. */
+  def zorderValueNSql(cols: Seq[String]): String = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"z-order interleaves 2..8 columns, got ${cols.size}")
+    if (cols.size == 2) zorderValueSql(cols(0), cols(1))
+    else {
+      val k = cols.size
+      val bits = 32 / k
+      cols.zipWithIndex.map { case (c, j) =>
+        (0 until bits)
+          .map(i => s"(((($c)::BIGINT >> $i) & 1) << ${i * k + j})")
+          .mkString("(", " | ", ")")
+      }.mkString("(", " | ", ")")
+    }
+  }
+
+  /** Curve cells per dimension when interleaving k columns: each gets
+    * ⌊32/k⌋ bits of resolution (65536, 1024, 256, ... for k=2,3,4). */
+  private def cellsPerDim(k: Int): Long = 1L << (32 / k)
+
   /** Write a z-ordered parquet copy: range-partitioned AND sorted by
     * the interleaved curve position, so file ranges are curve-disjoint
-    * and every row group's min/max stanza is a tight 2-D box. The z
+    * and every row group's min/max stanza is a tight k-D box. The z
     * expression never lands in the data — it exists only as the
     * write-time ordering. */
-  def writeZOrdered(df: DataFrame, path: String, xCol: String,
-                    yCol: String, numFiles: Int = 16,
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+                    numFiles: Int = 16,
                     options: Map[String, String] = Map.empty): Unit = {
-    val z = zorderValue(col(xCol), col(yCol))
+    val z = zorderValueN(cols.map(col))
     df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
       .write.mode("overwrite").options(options).parquet(path)
   }
+
+  /** 2-D convenience form of [[writeZOrdered]]. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String,
+                    yCol: String): Unit =
+    writeZOrdered(df, path, Seq(xCol, yCol))
 
   /** Map an arbitrary-range numeric column into [0, 65536) by
     * proportional min/max scaling — the bridge from real keys to
@@ -82,13 +134,20 @@ object ZOrder {
     * rank bucketing upstream, at the cost of a corpus sort per
     * dimension. */
   private[graft] def scaleTo16(c: Column, lo: Column, hi: Column): Column =
+    scaleToCells(c, lo, hi, 65536L)
+
+  /** [[scaleTo16]] at an arbitrary power-of-two cell count — the k-D
+    * generalization (each of k interleaved columns scales into
+    * [0, 2^⌊32/k⌋)). */
+  private[graft] def scaleToCells(c: Column, lo: Column, hi: Column,
+                                  cells: Long): Column =
     when(hi <= lo, lit(0L)).otherwise(
-      least(lit(65535L),
+      least(lit(cells - 1),
         // Column `/` is DOUBLE division in Spark SQL — make the floor
         // explicit. Exact for key ranges < 2^37 (the product stays
         // inside double's 2^53 integer window); beyond that the bucket
         // boundary can drift an ulp, which write-time ORDERING absorbs
-        floor((c.cast("long") - lo).cast("double") * 65536.0d /
+        floor((c.cast("long") - lo).cast("double") * cells.toDouble /
           (hi - lo + 1L).cast("double")).cast("long")))
 
   /** [[writeZOrdered]] for columns of ANY integer range: one tiny
@@ -112,20 +171,30 @@ object ZOrder {
           "modulo into a sub-2^63 range) before z-ordering")
     }
 
-  def writeZOrderedScaled(df: DataFrame, path: String, xCol: String,
-                          yCol: String, numFiles: Int = 16,
+  def writeZOrderedScaled(df: DataFrame, path: String, cols: Seq[String],
+                          numFiles: Int = 16,
                           options: Map[String, String] = Map.empty): Unit = {
-    val mm = df.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
-      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    require(cols.size >= 2 && cols.size <= 8,
+      s"z-order interleaves 2..8 columns, got ${cols.size}")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
     require(!mm.anyNull, s"cannot z-order an empty frame into $path")
-    checkedSpan(xCol, mm.getLong(0), mm.getLong(1))
-    checkedSpan(yCol, mm.getLong(2), mm.getLong(3))
-    val z = zorderValue(
-      scaleTo16(col(xCol), lit(mm.getLong(0)), lit(mm.getLong(1))),
-      scaleTo16(col(yCol), lit(mm.getLong(2)), lit(mm.getLong(3))))
+    val cells = cellsPerDim(cols.size)
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (mm.getLong(2 * i), mm.getLong(2 * i + 1))
+      checkedSpan(c, lo, hi)
+      scaleToCells(col(c), lit(lo), lit(hi), cells)
+    }
+    val z = zorderValueN(scaled)
     df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
       .write.mode("overwrite").options(options).parquet(path)
   }
+
+  /** 2-D convenience form of [[writeZOrderedScaled]]. */
+  def writeZOrderedScaled(df: DataFrame, path: String, xCol: String,
+                          yCol: String): Unit =
+    writeZOrderedScaled(df, path, Seq(xCol, yCol))
 
   /** The skew-proof variant: EQUAL-FREQUENCY rank buckets per dimension
     * instead of proportional value scaling. Proportional scaling
@@ -142,22 +211,32 @@ object ZOrder {
     * Sampled boundaries make bucket EDGES run-dependent; only the
     * write-time ORDER depends on them, never row content or reader
     * predicates. */
-  def writeZOrderedRanked(df: DataFrame, path: String, xCol: String,
-                          yCol: String, numFiles: Int = 16,
+  def writeZOrderedRanked(df: DataFrame, path: String, cols: Seq[String],
+                          numFiles: Int = 16,
                           buckets: Int = 1024,
                           options: Map[String, String] = Map.empty): Unit = {
-    require(buckets > 1 && buckets <= 65536,
-      s"buckets must be in (1, 65536]: $buckets")
-    require(!df.columns.contains("__zx") && !df.columns.contains("__zy"),
-      "input already has a __zx/__zy column — the bucket scratch " +
-        "columns would silently replace it")
-    val withXb = df.repartitionByRange(buckets, col(xCol))
-      .withColumn("__zx", spark_partition_id().cast("long"))
-    val withYb = withXb.repartitionByRange(buckets, col(yCol))
-      .withColumn("__zy", spark_partition_id().cast("long"))
-    val z = zorderValue(col("__zx"), col("__zy"))
-    withYb.repartitionByRange(numFiles, z).sortWithinPartitions(z)
+    require(cols.size >= 2 && cols.size <= 8,
+      s"z-order interleaves 2..8 columns, got ${cols.size}")
+    val cells = cellsPerDim(cols.size)
+    require(buckets > 1 && buckets <= cells,
+      s"buckets must be in (1, $cells] for a ${cols.size}-column " +
+        s"interleave (⌊32/k⌋ bits per dimension): $buckets")
+    val scratch = cols.indices.map(i => s"__z$i")
+    scratch.foreach(sc => require(!df.columns.contains(sc),
+      s"input already has a $sc column — the bucket scratch columns " +
+        "would silently replace it"))
+    var cur = df
+    for ((c, i) <- cols.zipWithIndex)
+      cur = cur.repartitionByRange(buckets, col(c))
+        .withColumn(scratch(i), spark_partition_id().cast("long"))
+    val z = zorderValueN(scratch.map(col))
+    cur.repartitionByRange(numFiles, z).sortWithinPartitions(z)
       .select(df.columns.map(col).toIndexedSeq: _*)
       .write.mode("overwrite").options(options).parquet(path)
   }
+
+  /** 2-D convenience form of [[writeZOrderedRanked]]. */
+  def writeZOrderedRanked(df: DataFrame, path: String, xCol: String,
+                          yCol: String): Unit =
+    writeZOrderedRanked(df, path, Seq(xCol, yCol))
 }

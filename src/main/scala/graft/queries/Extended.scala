@@ -224,14 +224,17 @@ object Extended {
     }),
 
     // z-order curve positions certified bit-for-bit: the exact
-    // write-time ordering expression behind ZOrder.writeZOrdered (the
-    // magic-mask interleave), computed per lineitem row in both engines
+    // write-time ordering expressions behind ZOrder.writeZOrdered (the
+    // 2-D magic-mask interleave AND the k=3 per-bit interleave),
+    // computed per lineitem row in both engines
     "x_zorder" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"),
           graft.operators.ZOrder.zorderValue(col("l_partkey"),
-            col("l_suppkey")).as("z"))
+            col("l_suppkey")).as("z"),
+          graft.operators.ZOrder.zorderValueN(Seq(col("l_partkey"),
+            col("l_suppkey"), col("l_linenumber"))).as("z3"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
           "z")
     }),
@@ -514,7 +517,9 @@ object Extended {
     "x_zorder" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
            ${graft.operators.ZOrder.zorderValueSql("l_partkey",
-             "l_suppkey")} AS z
+             "l_suppkey")} AS z,
+           ${graft.operators.ZOrder.zorderValueNSql(Seq("l_partkey",
+             "l_suppkey", "l_linenumber"))} AS z3
          FROM lineitem
          ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, z""",
     "x_unpivot" ->

@@ -53,7 +53,7 @@ class ParquetStatsSpec extends SparkTestBase {
     val df2 = spark.range(100000).select(
       pmod(xxhash64(lit("zx"), col("id")), lit(65536L)).as("x"),
       pmod(xxhash64(lit("zy"), col("id")), lit(65536L)).as("y"))
-    ZOrder.writeZOrdered(df2, zpath, "x", "y", numFiles = 4, opts)
+    ZOrder.writeZOrdered(df2, zpath, Seq("x", "y"), numFiles = 4, opts)
     df2.repartition(4).write.mode("overwrite").options(opts).parquet(ppath)
     // overlap is the WRONG lens for z-order (the curve revisits each
     // dimension's ranges by design); what clustering buys is narrow

@@ -50,6 +50,85 @@ class ZOrderSpec extends SparkTestBase {
     assert(mismatches == 0L)
   }
 
+  private def z3(x: Long, y: Long, w: Long): Long =
+    Seq((x, y, w)).toDF("x", "y", "w")
+      .select(ZOrder.zorderValueN(
+        Seq(col("x"), col("y"), col("w"))).as("z"))
+      .as[Long].collect()(0)
+
+  test("zorderValueN at k=2 IS zorderValue (delegated mask ladder)") {
+    val df = spark.range(300).select(
+      (col("id") * 337 % 65536).as("x"), (col("id") * 7919 % 65536).as("y"))
+    val mism = df.select(
+        ZOrder.zorderValue(col("x"), col("y")).as("a"),
+        ZOrder.zorderValueN(Seq(col("x"), col("y"))).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mism == 0L)
+    intercept[IllegalArgumentException] {
+      ZOrder.zorderValueN(Seq(col("x")))
+    }
+  }
+
+  test("3-column interleave matches hand-computed bit positions") {
+    // column j's bit i lands at position 3i + j
+    assert(z3(0, 0, 0) == 0L)
+    assert(z3(1, 0, 0) == 1L)
+    assert(z3(0, 1, 0) == 2L)
+    assert(z3(0, 0, 1) == 4L)
+    // x=3 (bits 0,1), y=5 (bits 0,2), w=6 (bits 1,2):
+    // positions x:{0,3} y:{1,7} w:{5,8} -> 1+8+2+128+32+256 = 427
+    assert(z3(3, 5, 6) == 427L)
+    // each column contributes its low floor(32/3)=10 bits only
+    assert(z3(1024 + 3, 5, 6) == 427L)
+    assert(z3(1023, 1023, 1023) == (1L << 30) - 1)
+  }
+
+  test("3-column DuckDB-dialect twin is the same function") {
+    val df = spark.range(200).select(
+      (col("id") * 337 % 1024).as("x"), (col("id") * 7919 % 1024).as("y"),
+      (col("id") * 131 % 1024).as("w"))
+    val mism = df.select(
+        ZOrder.zorderValueN(Seq(col("x"), col("y"), col("w"))).as("zc"),
+        expr(ZOrder.zorderValueNSql(Seq("x", "y", "w"))).as("zs"))
+      .filter(col("zc") =!= col("zs")).count()
+    assert(mism == 0L)
+  }
+
+  test("3-D aligned cube locality: one contiguous 64-value range") {
+    val zs = for (x <- 8L until 12L; y <- 4L until 8L; w <- 12L until 16L)
+      yield z3(x, y, w)
+    assert(zs.min == z3(8, 4, 12) && zs.max == zs.min + 63)
+    assert(zs.toSet.size == 64)
+  }
+
+  test("3-column scaled and ranked writes round-trip; ranked enforces " +
+      "the per-dimension bucket budget") {
+    val base = java.nio.file.Files
+      .createTempDirectory("zorder3").toString
+    val df = spark.range(20000).select(
+      (col("id") * 1000003L - 500000000L).as("x"),
+      (col("id") * 31 % 50000).as("y"),
+      (col("id") % 97).as("w"), col("id").as("v"))
+    ZOrder.writeZOrderedScaled(df, s"$base/s", Seq("x", "y", "w"),
+      numFiles = 4)
+    val backS = spark.read.parquet(s"$base/s")
+    assert(backS.count() == 20000L &&
+      backS.columns.sorted.toSeq == Seq("v", "w", "x", "y"))
+    ZOrder.writeZOrderedRanked(df, s"$base/r", Seq("x", "y", "w"),
+      numFiles = 4, buckets = 256)
+    val backR = spark.read.parquet(s"$base/r")
+    assert(backR.count() == 20000L &&
+      backR.columns.sorted.toSeq == Seq("v", "w", "x", "y"))
+    assert(backR.agg(sum("v")).as[Long].collect()(0) ==
+      df.agg(sum("v")).as[Long].collect()(0))
+    // 3 columns get 10 bits each: 2048 buckets cannot fit
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.writeZOrderedRanked(df, s"$base/bad", Seq("x", "y", "w"),
+        buckets = 2048)
+    }
+    assert(e.getMessage.contains("1024"))
+  }
+
   test("writeZOrderedScaled handles arbitrary key ranges") {
     val path = java.nio.file.Files
       .createTempDirectory("zorder_scaled").toString
@@ -57,7 +136,7 @@ class ZOrderSpec extends SparkTestBase {
     val df = spark.range(5000).select(
       (col("id") * 1000003L - 2000000000L).as("x"),
       (col("id") * 7 + 3000000000L).as("y"), col("id").as("v"))
-    ZOrder.writeZOrderedScaled(df, path, "x", "y", numFiles = 4)
+    ZOrder.writeZOrderedScaled(df, path, Seq("x", "y"), numFiles = 4)
     val back = spark.read.parquet(path)
     assert(back.count() == 5000L)
     assert(back.agg(sum("v")).as[Long].collect()(0) ==
@@ -68,7 +147,7 @@ class ZOrderSpec extends SparkTestBase {
     assert(back.filter(col("x") >= lo && col("x") < hi).count() == 100L)
     // degenerate inputs: constant column is fine, empty frame refuses
     ZOrder.writeZOrderedScaled(
-      df.withColumn("x", lit(7L)), path, "x", "y", numFiles = 2)
+      df.withColumn("x", lit(7L)), path, Seq("x", "y"), numFiles = 2)
     assert(spark.read.parquet(path).count() == 5000L)
     intercept[IllegalArgumentException] {
       ZOrder.writeZOrderedScaled(df.limit(0), path, "x", "y")
@@ -85,7 +164,7 @@ class ZOrderSpec extends SparkTestBase {
       when(col("id") % 10 < 9, lit(7L))
         .otherwise(col("id") * 13 % 100000).as("x"),
       (col("id") * 31 % 50000).as("y"), col("id").as("v"))
-    ZOrder.writeZOrderedRanked(df, path, "x", "y", numFiles = 4,
+    ZOrder.writeZOrderedRanked(df, path, Seq("x", "y"), numFiles = 4,
       buckets = 64)
     val back = spark.read.parquet(path)
     assert(back.count() == 20000L)
@@ -96,7 +175,7 @@ class ZOrderSpec extends SparkTestBase {
     assert(back.filter(col("x") === 7L).count() ==
       df.filter(col("x") === 7L).count())
     intercept[IllegalArgumentException] {
-      ZOrder.writeZOrderedRanked(df, path, "x", "y", buckets = 1)
+      ZOrder.writeZOrderedRanked(df, path, Seq("x", "y"), buckets = 1)
     }
   }
 
@@ -136,7 +215,7 @@ class ZOrderSpec extends SparkTestBase {
     val df = spark.range(10000).select(
       (col("id") * 131 % 256).as("x"), (col("id") * 31 % 256).as("y"),
       col("id").as("v"))
-    ZOrder.writeZOrdered(df, path, "x", "y", numFiles = 4)
+    ZOrder.writeZOrdered(df, path, Seq("x", "y"), numFiles = 4)
     val back = spark.read.parquet(path)
     assert(back.count() == 10000L)
     assert(back.agg(sum("v")).as[Long].collect()(0) ==
