@@ -108,6 +108,16 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("cand_id"), lit(step).as("step"),
           col("mmr")))
+      // `selected` feeds BOTH the next step's anti-join and the final
+      // union, so each greedy stage's plan re-embeds every earlier
+      // stage — O(k²) plan re-execution by step k. Truncate the
+      // accumulated union every 4 steps ([[graft.plans.Checkpoints]],
+      // the CC/k-means loop convention) so a caller with k=32 pays
+      // O(k) work over a candidate-sized frame instead. The default
+      // k=4 never reaches a checkpoint (step < k fails at step 4), so
+      // the sim_mmr contract plan — and its oracle — are unchanged.
+      if (step < k && step % 4 == 0)
+        selected = graft.plans.Checkpoints.truncated(selected)
     }
     selected
   }

@@ -69,6 +69,41 @@ class SimilarityTextSpec extends SparkTestBase {
       s"expected greedy order a, c, b — got $mmr")
   }
 
+  test("mmrTopK at k=16: plan stays bounded via periodic truncation, " +
+      "and the greedy trajectory is prefix-stable vs k=4") {
+    // 24 corpus vectors spread on a circle-ish fan so every greedy step
+    // has a well-separated argmax; one query
+    val corpus = (1 to 24).map { i =>
+      val a = i * 0.13
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (0.05 * i).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = Seq((0L, Array(1.0f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val k16 = Similarity.mmrTopK(corpus, queries, "vec_id", "embedding",
+      k = 16, topN = 20, lambda = 0.7)
+    // the checkpoint every 4 steps keeps the accumulated-union plan
+    // from re-embedding all previous stages: each post-checkpoint step
+    // references the running union ~3x (anti-join + selVecs join +
+    // union), so an UNtruncated k=16 plan is ~3^15 stage references —
+    // millions of nodes, analyzer death. With the 4-step tail the
+    // final plan is a few thousand nodes CONSTANT in k (measured ~2.7k;
+    // k=32 would be the same, only more truncated leaves behind it).
+    val planNodes = k16.queryExecution.logical.collect { case n => n }.size
+    assert(planNodes < 4000, s"k=16 MMR plan has $planNodes nodes — " +
+      "the periodic truncation is not bounding the union growth")
+    val got16 = k16.orderBy("step")
+      .select("cand_id", "step").as[(Long, Int)].collect().toSeq
+    assert(got16.map(_._2) == (1 to 16), "one pick per step")
+    assert(got16.map(_._1).distinct.size == 16, "no candidate re-picked")
+    // greedy is prefix-stable: the first 4 picks of k=16 are exactly
+    // the k=4 run (which takes the untruncated path)
+    val got4 = Similarity.mmrTopK(corpus, queries, "vec_id", "embedding",
+        k = 4, topN = 20, lambda = 0.7)
+      .orderBy("step").select("cand_id").as[Long].collect().toSeq
+    assert(got16.map(_._1).take(4) == got4)
+  }
+
   test("lshTopK finds the strong neighbor (high-recall regime)") {
     val out = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0),
         "vec_id", "embedding", k = 2, tables = 8, bits = 4, dim = 3)
