@@ -528,6 +528,66 @@ object Bench {
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
         sum(length(col("s"))).as("sl"))
 
+  // skewed 2-D layout rig: the measurement the ranked z-order variant
+  // existed without (r10 verdict gap #2). SAME 4M-row fact, 90% of rows
+  // on a 20k-wide hot slice of a 10^9 key space: proportional min/max
+  // scaling maps the ENTIRE hot mass into ~1 of 65536 curve cells, so
+  // row groups holding hot rows span the whole hot range on raw x and a
+  // selective x predicate inside the hot region prunes nothing;
+  // equal-frequency rank bucketing spends ~90% of the curve's
+  // resolution on the hot region and the same scan decodes ~the box.
+  // Same copies, same scan, same answer — decoded rows is the claim,
+  // seconds carry none (the bench_layout_* policy).
+  private val LayoutSkewRows = 4000000L
+  private val LayoutSkewKeySpace = 1000000000L
+  private val LayoutSkewHotSpace = 20000L
+  private val LayoutSkewHotFrac = 9 // id % 10 < 9 -> 90% hot
+  private val LayoutSkewSelLo = 5000L
+  private val LayoutSkewSelW = 500L     // 2.5% of the hot keys
+  private val LayoutSkewYLo = 16384L
+  private val LayoutSkewYW = 8192L      // 12.5% of y
+
+  private def layoutSkewFact(s: SparkSession): DataFrame = {
+    val id = col("id").cast("string")
+    s.range(LayoutSkewRows).select(
+      when(col("id") % 10 < LayoutSkewHotFrac,
+        pmod(xxhash64(lit("lsh"), col("id")), lit(LayoutSkewHotSpace)))
+        .otherwise(
+          pmod(xxhash64(lit("lsu"), col("id")), lit(LayoutSkewKeySpace)))
+        .as("x"),
+      pmod(xxhash64(lit("lsy"), col("id")), lit(Layout2dSide)).as("y"),
+      (col("id") % 1000).as("v"),
+      concat(lit("p_"), md5(concat(lit("a"), id)),
+        md5(concat(lit("b"), id))).as("s"))
+  }
+
+  private var layoutSkewDirs: Option[(String, String)] = None
+  private def layoutSkewPaths(s: SparkSession): (String, String) =
+    synchronized {
+      layoutSkewDirs.getOrElse {
+        val base =
+          graft.queries.Pipeline.scratchPath("graft_layoutskew", "bench")
+        val (scaled, ranked) = (s"$base/scaled", s"$base/ranked")
+        val opts = Map("parquet.block.size" -> LayoutBlockBytes)
+        val df = layoutSkewFact(s)
+        graft.operators.ZOrder.writeZOrderedScaled(df, scaled,
+          Seq("x", "y"), LayoutFiles, opts)
+        graft.operators.ZOrder.writeZOrderedRanked(df, ranked,
+          Seq("x", "y"), LayoutFiles, buckets = 1024, opts)
+        layoutSkewDirs = Some((scaled, ranked))
+        (scaled, ranked)
+      }
+    }
+
+  private def layoutSkewScan(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+      .filter(col("x") >= LayoutSkewSelLo &&
+        col("x") < LayoutSkewSelLo + LayoutSkewSelW &&
+        col("y") >= LayoutSkewYLo &&
+        col("y") < LayoutSkewYLo + LayoutSkewYW)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(length(col("s"))).as("sl"))
+
   /** Rows the parquet scan nodes actually produced — i.e. rows that
     * SURVIVED row-group/page skipping and were decoded (the post-scan
     * Filter's input, not its output). The layout rig's conclusion lives
@@ -604,6 +664,32 @@ object Bench {
     bpeDictSlots(s, dir)
       .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
       .agg(sum("cnt").as("pair_count"))
+
+  // 512-merge tokenizer trained ONCE per JVM over the real documents
+  // table (driver-gated train: one corpus job + the incremental merge
+  // loop) — setup, not signal; the enc64/enc512 cohort then times
+  // ENCODE alone. Pre-r11 the encode folded every merge into one
+  // projection and could not analyze past ~64 merges (stack overflow in
+  // the Column->Expression conversion); the batched form's cost must
+  // scale with merge count (number of vocab-sized stages), not
+  // expression depth — these entries measure exactly that.
+  private var bpeEncTrained: Option[Seq[(String, String)]] = None
+  private def bpeEnc512(s: SparkSession, dir: String)
+      : Seq[(String, String)] = synchronized {
+    bpeEncTrained.getOrElse {
+      val m = graft.operators.Bpe.train(
+          graft.sources.Tables.load(s, dir, "documents"), "text",
+          nMerges = 512)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+      bpeEncTrained = Some(m); m
+    }
+  }
+  private def bpeEncodeRig(s: SparkSession, dir: String,
+                           nMerges: Int): DataFrame =
+    graft.operators.Bpe.encodeTokenCounts(
+      graft.sources.Tables.load(s, dir, "documents"), "doc_id", "text",
+      bpeEnc512(s, dir).take(nMerges))
 
   private[graft] val extraQueries
       : Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -949,6 +1035,50 @@ object Bench {
         lit(naiveSlots).as("pair_slots_naive"),
         lit(dictSlots).as("pair_slots_dict"))
     }),
+    // ---- skewed 2-D layout: proportional scaling vs rank bucketing
+    // under the same hot-region box scan (see the rig comment at
+    // LayoutSkewRows) — the measurement writeZOrderedRanked lacked
+    "bench_layout2d_skew_scaled" -> ((s, _) =>
+      layoutSkewScan(s, layoutSkewPaths(s)._1)),
+    "bench_layout2d_skew_ranked" -> ((s, _) =>
+      layoutSkewScan(s, layoutSkewPaths(s)._2)),
+    "bench_layout2d_skew_guard" -> ((s, _) =>
+      setup(s, "guard_layoutskew") {
+      // same bytes, same answer on both copies
+      val (scaled, ranked) = layoutSkewPaths(s)
+      val a = layoutSkewScan(s, scaled).head()
+      val b = layoutSkewScan(s, ranked).head()
+      if (a != b) throw new IllegalStateException(
+        s"skew layout changed the answer: scaled=$a ranked=$b")
+      // both predicates must reach the parquet scan on the ranked copy
+      val plan = layoutSkewScan(s, ranked)
+        .queryExecution.executedPlan.toString
+      if (!plan.contains("PushedFilters: [") ||
+          plan.contains("PushedFilters: []"))
+        throw new IllegalStateException(
+          "skew layout rig scan lost its pushed filters:\n" +
+            plan.take(2000))
+      // the design claim: under 90%-on-one-slice skew, proportional
+      // scaling collapses the hot mass into ~one curve cell (its row
+      // groups span the whole hot key range — the x predicate prunes
+      // nothing), while rank bucketing keeps per-group stanzas narrow —
+      // assert the >=3x decoded-row recovery the ranked variant claims
+      val sRows = scanOutputRowsOf(layoutSkewScan(s, scaled))
+      val rRows = scanOutputRowsOf(layoutSkewScan(s, ranked))
+      if (rRows * 3 >= sRows) throw new IllegalStateException(
+        s"ranked scan decoded $rRows rows vs scaled $sRows — the >=3x " +
+          "skew-recovery claim failed")
+      System.err.println(s"bench_layout2d_skew_guard: answers equal, " +
+        s"decoded rows scaled=$sRows ranked=$rRows " +
+        s"(${sRows / math.max(rRows, 1)}x recovery)")
+      s.range(1).select(lit(a.getLong(0)).as("rows"),
+        lit(sRows).as("rows_decoded_scaled"),
+        lit(rRows).as("rows_decoded_ranked"))
+    }),
+    // ---- BPE encode at production-ish merge counts: cost must scale
+    // with merge count (vocab-sized stages), not expression depth
+    "bench_bpe_enc64" -> ((s, dir) => bpeEncodeRig(s, dir, 64)),
+    "bench_bpe_enc512" -> ((s, dir) => bpeEncodeRig(s, dir, 512)),
     "bench_dd50k_recall" -> ((s, _) => setup(s, "guard_dd") {
       val exact = graft.operators.Dedup.ngramJaccardPairs(
           dd50k(s), "doc_id", "text", threshold = DdThreshold, n = 3)
@@ -980,9 +1110,25 @@ object Bench {
     * across runs — the spread. Round-7 lesson: untouched >1 s queries
     * swung ±50% between rounds in supposedly isolated children, so a
     * single min with no stated spread over-promises precision; the full
-    * artifact now carries [min, max] per entry. */
+    * artifact now carries [min, max] per entry. Round-10 lesson: a
+    * [min, max] pair alone cannot tell WHICH run ballooned (the 9.38 →
+    * 89.72 s cc450k outlier had to be diagnosed from fork-level GC
+    * numbers), so every steady sample and its per-run GC delta ride
+    * along — `runSecs`/`gcMs` are run-aligned, warmups excluded. */
   final case class QTime(name: String, secs: Double, maxSecs: Double,
-                         err: Option[String])
+                         err: Option[String],
+                         runSecs: Seq[Double] = Nil,
+                         gcMs: Seq[Long] = Nil)
+
+  /** An entry whose steady max exceeds this multiple of its min is
+    * flagged `outlier_runs` in the full artifact (and counted on the
+    * compact line): the repo's own 3x spread standard, applied BY the
+    * artifact instead of by a reader with a calculator. */
+  private[graft] val OutlierSpreadFactor = 3.0
+
+  private[graft] def outlierEntries(results: Seq[QTime]): Seq[QTime] =
+    results.filter(r => r.err.isEmpty && !certificationOnly(r.name) &&
+      r.secs > 0 && r.maxSecs > OutlierSpreadFactor * r.secs)
 
   /** Crossover cohorts: the contenders of one rig, timed INTERLEAVED —
     * A,B,A,B,… in the same child JVM, min (and max) per contender —
@@ -1007,6 +1153,13 @@ object Bench {
     Seq("bench_bpe_naive", "bench_bpe_dict"),
     Seq("bench_layout2d_plain", "bench_layout2d_xclust",
       "bench_layout2d_zorder"),
+    Seq("bench_layout2d_skew_scaled", "bench_layout2d_skew_ranked"),
+    Seq("bench_bpe_enc64", "bench_bpe_enc512"),
+    // ds_curate_capped re-runs ds_curate's full curation chain plus the
+    // cap window — cohorted so the two always share one fork (no
+    // cross-fork re-derivation of the same stages) and their published
+    // delta is measured under one JVM lifetime
+    Seq("ds_curate", "ds_curate_capped"),
     // contract-query twins the docs compare head-to-head: round 7's
     // sim_topk 0.53->0.84 swing on untouched code is exactly the drift
     // interleaving absorbs (members must share a fork family — spec'd)
@@ -1027,7 +1180,8 @@ object Bench {
     "ds_curate_staged", "bench_lsh50k_recall", "bench_dd50k_recall",
     "bench_cc_guard", "bench_asof_guard", "bench_rj_guard",
     "bench_skew_guard", "bench_hh_guard", "bench_layout_guard",
-    "bench_bpe_guard", "bench_layout2d_guard", "txt_bpe_artifact")
+    "bench_bpe_guard", "bench_layout2d_guard",
+    "bench_layout2d_skew_guard", "txt_bpe_artifact")
 
   /** Everything this bench can time: the driver-contract queries plus the
     * bench-only extras. */
@@ -1077,7 +1231,7 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count(_.err.isDefined)
     val total = timedTotal(results)
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = true)}${crossoverField(results)}${claimsFields(results, compact = true)}${certFields(results, compact = true)}"mode":${jstr(mode)},"n_err":$nErr,"full":${jstr(outPath)}}"""
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = true)}${crossoverField(results)}${claimsFields(results, compact = true)}${certFields(results, compact = true)}"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_err":$nErr,"full":${jstr(outPath)}}"""
   }
 
   // same artifact-honesty rule as fastRunsFields: stamp the interleaved-
@@ -1119,10 +1273,10 @@ object Bench {
   private def baselineBreak(warmupOn: Boolean, compact: Boolean): String =
     (warmupOn, compact) match {
       case (true, false) =>
-        """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup + r10 chunked forks; pre-r10 minima are a different timing regime, not comparable","""
-      case (true, true) => """"baseline_break":"r10 chunks+warmup","""
+        """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup + r10 chunked forks + r11 straggler retry (a >3x-spread entry gets 2 extra samples, all recorded); pre-r10 minima are a different timing regime, not comparable","""
+      case (true, true) => """"baseline_break":"r10 chunks+warmup+r11 retry","""
       case (false, false) =>
-        """"baseline_break":"warmup DISABLED this run (SPARK_GRAFT_BENCH_WARMUP=0) — minima include cold first runs; r8 interleaved cohorts + r10 chunked forks","""
+        """"baseline_break":"warmup DISABLED this run (SPARK_GRAFT_BENCH_WARMUP=0) — minima include cold first runs; r8 interleaved cohorts + r10 chunked forks + r11 straggler retry","""
       case (false, true) => """"baseline_break":"warmup off","""
     }
 
@@ -1152,7 +1306,7 @@ object Bench {
     * entries report under cert_secs). */
   private def timedTotal(results: Seq[QTime]): Double =
     results.collect {
-      case QTime(n, t, _, None) if !certificationOnly(n) => t
+      case QTime(n, t, _, None, _, _) if !certificationOnly(n) => t
     }.sum
 
   /** The crossover CONCLUSIONS the docs state, computed INTO the
@@ -1222,7 +1376,7 @@ object Bench {
   // bench_out.json.
   private[graft] def claimsFields(results: Seq[QTime],
                                   compact: Boolean = false): String = {
-    val ok = results.collect { case QTime(n, t, _, None) => n -> t }.toMap
+    val ok = results.collect { case QTime(n, t, _, None, _, _) => n -> t }.toMap
     val eval = claimSpecs.flatMap { case (name, lhs, rhs, factor) =>
       for (l <- ok.get(lhs); r <- ok.get(rhs)) yield name -> (l < factor * r)
     }
@@ -1253,6 +1407,36 @@ object Bench {
     val spread = results.filter(_.err.isEmpty)
       .map(r => jstr(r.name) + s":[${r.secs},${r.maxSecs}]")
       .mkString("{", ",", "}")
+    // per-run seconds + run-aligned GC deltas for every timed entry —
+    // the observability the round-10 wide-spread entries lacked (a
+    // [min,max] pair cannot name the degraded run)
+    val withRuns = results.filter(r => r.err.isEmpty && r.runSecs.nonEmpty)
+    val runsField =
+      if (withRuns.isEmpty) ""
+      else withRuns.map(r => jstr(r.name) +
+          r.runSecs.mkString(":[", ",", "]")).mkString(
+          "\"runs_secs\":{", ",", "},") +
+        withRuns.map(r => jstr(r.name) +
+          r.gcMs.mkString(":[", ",", "]")).mkString(
+          "\"runs_gc_ms\":{", ",", "},")
+    // self-diagnosis: entries over the repo's 3x spread standard are
+    // FLAGGED, with the degraded run named (index into runs) and its GC
+    // delta visible next to it — the artifact says "run 2 of this entry
+    // ballooned and spent 24 s in GC" instead of leaving a reader to
+    // guess. The straggler retry (see runInProcess) adds extra samples
+    // to a flagged entry; nothing is ever dropped or healed silently.
+    val outlierField = {
+      val os = outlierEntries(results)
+      if (os.isEmpty) ""
+      else os.map { r =>
+        val deg =
+          if (r.runSecs.nonEmpty) r.runSecs.indexOf(r.runSecs.max) else -1
+        jstr(r.name) + s""":{"spread_x":${f3(r.maxSecs / r.secs)},""" +
+          s""""degraded_run":$deg,"runs":${
+            r.runSecs.mkString("[", ",", "]")},"gc_ms":${
+            r.gcMs.mkString("[", ",", "]")}}"""
+      }.mkString("\"outlier_runs\":{", ",", "},")
+    }
     // per-fork resource telemetry: which child JVM ran hot is now an
     // artifact fact, not a post-hoc guess (round-9 dd-family lesson)
     val forkField =
@@ -1262,7 +1446,7 @@ object Bench {
       }.mkString("\"fork_telemetry\":{", ",", "},")
     val nErr = results.count(_.err.isDefined)
     val total = timedTotal(results)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = false)}${crossoverField(results)}${claimsFields(results)}${certFields(results, compact = false)}$forkField"mode":${jstr(mode)},"n_err":$nErr}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,$runsField$outlierField"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = false)}${crossoverField(results)}${claimsFields(results)}${certFields(results, compact = false)}$forkField"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_err":$nErr}"""
   }
 
   // ---------------------------------------------------------------------
@@ -1304,7 +1488,7 @@ object Bench {
         "flagged; [min,max] seconds). Hand edits between these markers " +
         "are overwritten by the next full bench run._"
     val claims = {
-      val ok = results.collect { case QTime(n, t, _, None) => n -> t }.toMap
+      val ok = results.collect { case QTime(n, t, _, None, _, _) => n -> t }.toMap
       claimSpecs.flatMap { case (name, lhs, rhs, factor) =>
         for (l <- ok.get(lhs); r <- ok.get(rhs))
           yield s"| `$name` | ${if (l < factor * r) "holds" else "FAILED"} |"
@@ -1359,6 +1543,20 @@ object Bench {
         "and carry NO claim; the conclusion is bench_layout_guard's " +
         "hard >=10x decoded-row reduction (row-group min/max pruning), " +
         "the number a 100 TB scan pays for."),
+      "layoutskew" -> (stamp + "\n\n" +
+        table(Seq("bench_layout2d_skew_scaled",
+          "bench_layout2d_skew_ranked")) + "\n\n" +
+        "Local seconds carry NO claim (overhead-bound warm scans); the " +
+        "conclusion is bench_layout2d_skew_guard's hard >=3x " +
+        "decoded-row recovery: under 90%-on-one-slice key skew, " +
+        "proportional scaling collapses the hot mass into ~one curve " +
+        "cell while rank bucketing keeps row-group stanzas narrow."),
+      "bpeenc" -> (stamp + "\n\n" +
+        table(Seq("bench_bpe_enc64", "bench_bpe_enc512")) + "\n\n" +
+        s"512/64-merge encode cost ratio ${ratio(q("bench_bpe_enc512"), q("bench_bpe_enc64"))}x " +
+        "over the same corpus — encode scales with merge count " +
+        "(vocabulary-sized stages), not expression depth; the " +
+        "pre-batching form could not analyze past ~64 merges at all."),
       "simtwins" -> (stamp + "\n\n" +
         table(Seq("sim_topk", "sim_topk_q8", "sim_topk_lsh",
           "dd_embed_pairs", "dd_embed_lsh")) + "\n\n" +
@@ -1419,16 +1617,21 @@ object Bench {
   private[graft] def renderTsv(results: Seq[QTime]): String =
     results.map { r =>
       val e = r.err.map(_.replaceAll("[\\t\\n\\r]", " ")).getOrElse("")
-      s"${r.name}\t${r.secs}\t${r.maxSecs}\t$e"
+      s"${r.name}\t${r.secs}\t${r.maxSecs}\t$e\t" +
+        s"${r.runSecs.mkString(",")}\t${r.gcMs.mkString(",")}"
     }.mkString("", "\n", "\n")
 
   private[graft] def parseTsv(text: String): Seq[QTime] =
     text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
         val parts = line.split("\t", -1)
-        require(parts.length == 4, s"malformed bench TSV line: $line")
+        require(parts.length == 6, s"malformed bench TSV line: $line")
         QTime(parts(0), parts(1).toDouble, parts(2).toDouble,
-          if (parts(3).isEmpty) None else Some(parts(3)))
+          if (parts(3).isEmpty) None else Some(parts(3)),
+          parts(4).split(",").toIndexedSeq.filter(_.nonEmpty)
+            .map(_.toDouble),
+          parts(5).split(",").toIndexedSeq.filter(_.nonEmpty)
+            .map(_.toLong))
       }.toSeq
 
   /** One fork's resource footprint: cumulative GC wall time and
@@ -1580,13 +1783,26 @@ object Bench {
       val errs = scala.collection.mutable.Map.empty[String, String]
       val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
         .withDefaultValue(Vector.empty)
+      val gcs = scala.collection.mutable.Map.empty[String, Vector[Long]]
+        .withDefaultValue(Vector.empty)
+      // cumulative GC wall time across this JVM's collectors — the
+      // difference across one timed run is that run's GC bill, the
+      // number that distinguishes "the query got slower" from "the JVM
+      // had a GC storm" (round-10's 9.6x cc450k outlier)
+      def gcNowMs(): Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+      }
       def once(name: String): Unit = {
+        val g0 = gcNowMs()
         val t0 = System.nanoTime()
         try { byName(name)(spark, sfDir).count() } catch {
           case e: Throwable => errs.getOrElseUpdate(name,
             s"${e.getClass.getSimpleName}: ${e.getMessage}")
         }
         times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        gcs(name) = gcs(name) :+ (gcNowMs() - g0)
         // drop any cache an operator built for this plan before the next
         // query (or the next run) is timed
         spark.catalog.clearCache()
@@ -1599,7 +1815,8 @@ object Bench {
           // compares and was ~1/3 of the ds family's wall in round 9
           once(unit.head)
           unit.map(n =>
-            QTime(n, times(n).min, times(n).max, errs.get(n)))
+            QTime(n, times(n).min, times(n).max, errs.get(n),
+              times(n), gcs(n)))
         } else {
           // one UNTIMED warmup execution per member first (r8 lesson:
           // the plan's cold first run — analysis, codegen, shuffle-file
@@ -1633,9 +1850,27 @@ object Bench {
                if !errs.contains(name) && runs < 5 &&
                  steady(name).min < StableMinSeconds;
                _ <- 1 to (5 - runs)) once(name)
+          def steadyGc(name: String): Vector[Long] = {
+            val g = gcs(name).drop(warmups.getOrElse(name, 0))
+            if (g.nonEmpty) g else gcs(name)
+          }
+          // straggler retry (round-10 verdict): a steady sample landing
+          // over 3x the min has in every diagnosed case been
+          // environmental (GC storm, driver contention during the
+          // definitive run). Take 2 extra samples so the artifact can
+          // show whether the balloon was a one-off; EVERY sample stays
+          // in runs_secs and the entry is still flagged outlier_runs —
+          // the retry adds evidence, it never heals the record.
+          for (name <- unit
+               if !errs.contains(name) && {
+                 val t = steady(name)
+                 t.nonEmpty && t.min > 0 &&
+                   t.max > OutlierSpreadFactor * t.min
+               }; _ <- 1 to 2) once(name)
           unit.map { name =>
             val ts = steady(name)
-            QTime(name, ts.min, ts.max, errs.get(name))
+            QTime(name, ts.min, ts.max, errs.get(name), ts,
+              steadyGc(name))
           }
         }
       // between units: prompt the JVM to collect, so ContextCleaner can

@@ -157,34 +157,67 @@ object Bpe {
   /** The below-gate merge loop: the (ws, cnt) dict collected once, then
     * classic BPE training over symbol arrays — same total order as the
     * distributed argmax ((max count, lexicographically-least "l r")),
-    * same greedy merge, so the trajectory is bit-identical. Work per
-    * step is O(dict symbols) on one core — at the gate's 500k-word
-    * ceiling that is milliseconds, vs a full Spark job + checkpoint per
-    * merge on the distributed path. */
+    * same greedy merge, so the trajectory is bit-identical.
+    *
+    * Pair counts are maintained INCREMENTALLY (the classic trainer
+    * shape): a merge only touches words containing the chosen pair, so
+    * each step subtracts those words' old pair contributions and adds
+    * the merged ones instead of recounting the dict — per-step cost is
+    * O(dict) cheap containment scans plus O(affected words) hash
+    * updates. The argmax compares counts first and builds the "l r"
+    * tie-break string only on actual count ties, so a production-sized
+    * merge loop (32k+ steps) stays allocation-light. */
   private[graft] def trainDriver(spark: SparkSession, dict: DataFrame,
                                  nMerges: Int): DataFrame = {
-    var words = dict.select("ws", "cnt").collect()
+    val words = dict.select("ws", "cnt").collect()
       .map(r => (r.getString(0).split(" "), r.getLong(1)))
+    val counts = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    def addWord(syms: Array[String], cnt: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        counts.updateWith((syms(i), syms(i + 1)))(
+          o => Some(o.getOrElse(0L) + cnt))
+        i += 1
+      }
+    }
+    def containsPair(syms: Array[String], l: String, r: String): Boolean = {
+      var i = 0
+      while (i < syms.length - 1) {
+        if (syms(i) == l && syms(i + 1) == r) return true
+        i += 1
+      }
+      false
+    }
+    words.foreach { case (syms, cnt) => addWord(syms, cnt) }
     val traj = Vector.newBuilder[(Int, String, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
-      val counts = scala.collection.mutable.HashMap
-        .empty[(String, String), Long]
-      for ((syms, cnt) <- words if syms.length >= 2; i <- 0 until
-           syms.length - 1)
-        counts.updateWith((syms(i), syms(i + 1)))(
-          o => Some(o.getOrElse(0L) + cnt))
-      if (counts.isEmpty) exhausted = true
-      else {
-        // identical total order to the distributed orderBy: pair_count
-        // desc, then "lft rgt" asc
-        val ((l, r), n) = counts.minBy { case ((a, b), c) =>
-          (-c, a + " " + b)
+      // identical total order to the distributed orderBy: pair_count
+      // desc, then "lft rgt" asc (string built only on count ties)
+      var bestL: String = null; var bestR: String = null
+      var bestCnt = 0L
+      for (((a, b), c) <- counts if c > 0) {
+        if (c > bestCnt ||
+            (c == bestCnt && bestL != null &&
+              a + " " + b < bestL + " " + bestR)) {
+          bestL = a; bestR = b; bestCnt = c
         }
-        traj += ((step, l, r, l + r, n))
-        words = words.map { case (syms, cnt) =>
-          (applyMergeDriver(syms, l, r), cnt)
+      }
+      if (bestL == null) exhausted = true
+      else {
+        traj += ((step, bestL, bestR, bestL + bestR, bestCnt))
+        var w = 0
+        while (w < words.length) {
+          val (syms, cnt) = words(w)
+          if (containsPair(syms, bestL, bestR)) {
+            addWord(syms, -cnt)
+            val merged = applyMergeDriver(syms, bestL, bestR)
+            addWord(merged, cnt)
+            words(w) = (merged, cnt)
+          }
+          w += 1
         }
         step += 1
       }

@@ -54,20 +54,60 @@ class BenchSpec extends AnyFunSuite {
 
   test("TSV child protocol round-trips, sanitizing tabs/newlines in errors") {
     val results = Seq(
-      Bench.QTime("q_ok", 1.5, 1.8, None),
+      Bench.QTime("q_ok", 1.5, 1.8, None, Vector(1.8, 1.5, 1.6),
+        Vector(12L, 0L, 3L)),
       Bench.QTime("q_err", 0.25, 0.25,
         Some("Spark\tException:\nline1\rline2")))
     val parsed = Bench.parseTsv(Bench.renderTsv(results))
     assert(parsed.map(r => (r.name, r.secs, r.maxSecs)) ==
       Seq(("q_ok", 1.5, 1.8), ("q_err", 0.25, 0.25)))
     assert(parsed(0).err.isEmpty)
+    // per-run samples and GC deltas survive the child protocol — the
+    // parent renders outlier_runs from THESE, so a silent drop here
+    // would blind the round-11 self-diagnosis
+    assert(parsed(0).runSecs == Seq(1.8, 1.5, 1.6))
+    assert(parsed(0).gcMs == Seq(12L, 0L, 3L))
+    assert(parsed(1).runSecs.isEmpty && parsed(1).gcMs.isEmpty)
     assert(parsed(1).err.contains("Spark Exception: line1 line2"))
   }
 
   test("malformed TSV fails loudly instead of merging garbage") {
     intercept[IllegalArgumentException] {
-      Bench.parseTsv("q_torn\t1.5\t1.6\n") // missing error column
+      Bench.parseTsv("q_torn\t1.5\t1.6\n") // missing columns
     }
+    intercept[IllegalArgumentException] {
+      // the pre-r11 4-column shape: a stale child must fail loudly,
+      // not parse into empty per-run data
+      Bench.parseTsv("q_old\t1.5\t1.6\terr\n")
+    }
+  }
+
+  test("outlier entries are flagged with the degraded run named; " +
+      "certification entries and tight spreads are not") {
+    val results = Seq(
+      // 4x spread, run 1 (0-indexed) is the balloon, with the GC bill
+      Bench.QTime("dd_wide", 2.0, 8.0, None, Vector(2.0, 8.0, 2.1),
+        Vector(5L, 24000L, 7L)),
+      Bench.QTime("q_tight", 1.0, 1.2, None, Vector(1.2, 1.0, 1.1),
+        Vector(0L, 0L, 0L)),
+      // certification entries run once — a "spread" there is meaningless
+      Bench.QTime("bench_cc_guard", 1.0, 9.0, None, Vector(9.0),
+        Vector(0L)))
+    val full = mapper.readTree(Bench.renderFull(results, "sf", "32", 3))
+    val o = full.get("outlier_runs")
+    assert(o != null && o.has("dd_wide") && !o.has("q_tight") &&
+      !o.has("bench_cc_guard"))
+    assert(o.get("dd_wide").get("degraded_run").asInt() == 1)
+    assert(o.get("dd_wide").get("gc_ms").get(1).asLong() == 24000L)
+    assert(o.get("dd_wide").get("spread_x").asDouble() == 4.0)
+    assert(full.get("n_outliers").asInt() == 1)
+    // every timed entry's per-run record lands in the artifact
+    assert(full.get("runs_secs").get("q_tight").get(0).asDouble() == 1.2)
+    assert(full.get("runs_gc_ms").get("dd_wide").get(1).asLong() == 24000L)
+    // the compact line carries the count (budget: names live in full)
+    val compact = mapper.readTree(
+      Bench.renderCompact(results, "sf", "32", 3))
+    assert(compact.get("n_outliers").asInt() == 1)
   }
 
   test("fork classpath is reconstructible in this environment") {
@@ -457,7 +497,13 @@ class BenchSpec extends AnyFunSuite {
       // 2-D layout crossover: arrival vs x-clustered vs z-ordered under
       // a two-predicate box scan + equality/pushdown/decoded-rows guard
       "bench_layout2d_plain", "bench_layout2d_xclust",
-      "bench_layout2d_zorder", "bench_layout2d_guard"))
+      "bench_layout2d_zorder", "bench_layout2d_guard",
+      // skewed 2-D layout crossover: proportional scaling vs rank
+      // bucketing under a hot-region box scan + decoded-rows guard
+      "bench_layout2d_skew_scaled", "bench_layout2d_skew_ranked",
+      "bench_layout2d_skew_guard",
+      // BPE encode scaling: 64 vs 512 merges over the same corpus
+      "bench_bpe_enc64", "bench_bpe_enc512"))
     assert(extras.intersect(SparkEntry.queries.keySet).isEmpty)
     // extras must NOT leak into Verify/oracle accounting
     assert(extras.intersect(SparkEntry.oracleSql.keySet).isEmpty)
