@@ -85,10 +85,13 @@ object Bench {
     // (the asof/rj crossover entries are full-artifact-only: their
     // conclusions ride on the line as claims, and the compact budget
     // is pinned by spec below the harness's stdout-tail window)
+    // (dd_exact rides in the dd family rollup: sub-second, never the
+    // signal entry — the compact line is budgeted and r11's n_outliers
+    // + the minhash_beats_pruned claim needed its chars)
     "bench_dd50k_ngram", "bench_dd50k_ngram_pruned", "bench_dd50k_minhash",
     "dd_clusters", "dd_survivors_exact", "dd_minhash_pairs",
     "dd_ngram_pairs", "dd_simhash_pairs", "dd_embed_lsh", "dd_embed_pairs",
-    "dd_exact", "dd_spans",
+    "dd_spans",
     "ds_mix",
     "ev_asof", "ev_sessionize",
     "mm_features",
@@ -97,7 +100,7 @@ object Bench {
     "sim_kmeans", "sim_topk", "sim_topk_ivf", "sim_topk_lsh",
     "sim_topk_q8",
     "txt_hash_topk", "txt_bm25", "txt_lm_score",
-    "x_cte_exists", "x_intersect", "x_rank_window",
+    "x_cte_exists", "x_rank_window",
   )
 
   // ---------------------------------------------------------------------
@@ -1324,6 +1327,13 @@ object Bench {
         "bench_dd50k_ngram_pruned", "bench_dd50k_ngram", 1.0),
       ("minhash_beats_naive_dd50k",
         "bench_dd50k_minhash", "bench_dd50k_ngram", 1.0),
+      // r10's definitive artifact showed these two at 1.07x parity and
+      // flagged the banding constants; a clean interleaved r11 re-run
+      // measured 1.58x (minhash 6.27 s vs pruned 9.89 s) — the parity
+      // was driver-run noise, so the relationship is CLAIMED now and a
+      // real flip lands in claims_failed instead of a prose footnote
+      ("minhash_beats_pruned_dd50k",
+        "bench_dd50k_minhash", "bench_dd50k_ngram_pruned", 1.0),
       ("dd12k_near_parity",
         "bench_dd12k_minhash", "bench_dd12k_ngram", 1.25),
       ("lsh_beats_brute_50k",
