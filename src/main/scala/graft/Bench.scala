@@ -1338,8 +1338,15 @@ object Bench {
         "bench_dd12k_minhash", "bench_dd12k_ngram", 1.25),
       ("lsh_beats_brute_50k",
         "bench_lsh50k_lsh", "bench_lsh50k_brute", 1.0),
-      ("ivf_beats_brute_50k",
-        "bench_lsh50k_ivf", "bench_lsh50k_brute", 1.0),
+      // r10 flagged this pair's thinned margin; r11 re-measured it in
+      // both regimes — in-process interleaved 1.28x IVF win, forked
+      // cold-JVM 1.00x parity (both overhead-bound: 500 queries x 50k
+      // vectors is ~1 s of work either way). The honest claim at THIS
+      // rig's scale is near-parity (the dd12k precedent); IVF's win is
+      // the scan fraction (nProbe/lists = 0.4% of the corpus touched
+      // per query), which grows with corpus size, not with this rig.
+      ("ivf_brute_near_parity_50k",
+        "bench_lsh50k_ivf", "bench_lsh50k_brute", 1.25),
       ("driver_beats_dist_cc450k",
         "bench_cc450k_driver", "bench_cc450k_dist", 1.0),
       ("cc_skew_within_2x",

@@ -68,6 +68,32 @@ class ParquetStatsSpec extends SparkTestBase {
       s"z-ordered x stanzas should be materially narrower: $zCov vs $pCov")
   }
 
+  test("3-column z-ordered copies audit narrow on EVERY curve dimension") {
+    // the k=3 interleave gives each key 10 bits of curve resolution —
+    // the audit must see materially narrower stanzas than arrival
+    // order on all three columns, or the N-column generalization is
+    // ordering by something other than the keys it claims
+    val zpath = tmp("ps_z3"); val ppath = tmp("ps_z3_plain")
+    val df3 = spark.range(100000).select(
+      pmod(xxhash64(lit("z3x"), col("id")), lit(1024L)).as("x"),
+      pmod(xxhash64(lit("z3y"), col("id")), lit(1024L)).as("y"),
+      pmod(xxhash64(lit("z3w"), col("id")), lit(1024L)).as("w"))
+    ZOrder.writeZOrdered(df3, zpath, Seq("x", "y", "w"), numFiles = 4,
+      opts)
+    df3.repartition(4).write.mode("overwrite").options(opts).parquet(ppath)
+    for (c <- Seq("x", "y", "w")) {
+      val zCov = ParquetStats.meanStanzaCoverage(
+        ParquetStats.rowGroupStats(spark, zpath, c))
+      val pCov = ParquetStats.meanStanzaCoverage(
+        ParquetStats.rowGroupStats(spark, ppath, c))
+      assert(pCov > 0.9,
+        s"arrival-order $c stanzas should span the key space: $pCov")
+      assert(zCov < 0.8 * pCov,
+        s"z3-ordered $c stanzas should be materially narrower: " +
+          s"$zCov vs $pCov")
+    }
+  }
+
   test("a column with no integral stanzas counts as fully overlapping") {
     val path = tmp("ps_str")
     spark.range(1000).select(concat(lit("s"), col("id")).as("s"))
