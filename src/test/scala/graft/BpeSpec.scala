@@ -92,6 +92,33 @@ class BpeSpec extends SparkTestBase {
     assert(driver.length == 6)
   }
 
+  test("the gate's win IS jobs: driver path runs O(1) Spark jobs, " +
+      "the distributed loop O(nMerges)") {
+    // the adaptive gate exists because the distributed loop pays ~2-3
+    // jobs + a checkpoint PER MERGE (32k jobs at a real vocabulary);
+    // count actual job launches on both paths so the claim is pinned,
+    // not narrated
+    val sc = spark.sparkContext
+    def jobsOf(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    val c = corpus("abab abab cdcd", "abab cdcd xyz", "xyz xyz abab")
+    val drv = jobsOf("bpe-gate-driver") {
+      Bpe.train(c, "text", nMerges = 6).collect()
+    }
+    val dist = jobsOf("bpe-gate-dist") {
+      Bpe.train(c, "text", nMerges = 6, smallDictThreshold = 0L).collect()
+    }
+    assert(drv <= 6,
+      s"driver-gated train launched $drv jobs — the O(1)-jobs claim broke")
+    assert(dist >= 12,
+      s"distributed train launched only $dist jobs for 6 merges — " +
+        "did the gate dispatch change?")
+    assert(drv < dist / 2)
+  }
+
   test("512-merge vocabulary: driver-gated train + batched encode clear " +
       "the expression-depth ceiling and match a hand-rolled greedy encoder") {
     // pre-fix, encodeTokenCounts folded EVERY merge into one projection
