@@ -116,9 +116,17 @@ object Prep {
       w >= 0.0 && w <= 1.0), "weights must be in [0, 1]")
     val buckets = 1000000
     val coin = md5Bucket(col(idCol), buckets, salt)
-    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
-      when(col(groupCol) === k, lit(v)).otherwise(acc)
-    }
+    // ONE map-literal lookup node, however many groups: the previous
+    // nested when-chain grew ~3 expression nodes per weights entry, the
+    // same linear-expression-growth ceiling the BPE encode hit — a real
+    // crawl mixture weights THOUSANDS of source domains, which would
+    // blow Catalyst's recursive Column conversion. element_at misses
+    // (group absent from the map) fall to defaultWeight.
+    val w =
+      if (weights.isEmpty) lit(defaultWeight)
+      else coalesce(
+        element_at(typedLit(weights), col(groupCol).cast("string")),
+        lit(defaultWeight))
     df.filter(coin < w * buckets)
   }
 

@@ -146,6 +146,23 @@ class PrepSpec extends SparkTestBase {
       .count() == 0L)
   }
 
+  test("weightedSample at 2000 groups: flat map lookup, no " +
+      "expression-depth ceiling") {
+    // a real crawl mixture weights thousands of source domains; the
+    // pre-fix nested when-chain grew ~3 expression nodes per entry and
+    // would blow Catalyst's recursive Column conversion (the BPE-encode
+    // failure class). The map-literal form is ONE node at any size —
+    // this must build, run, and still honor per-group weights.
+    val w = (0 until 2000).map(i =>
+      s"g$i" -> (if (i % 2 == 0) 1.0 else 0.0)).toMap
+    val df = (0L until 4000L).map(i => (i, s"g${i % 2000}"))
+      .toDF("id", "grp")
+    val kept = Prep.weightedSample(df, "id", "grp", w, defaultWeight = 0.5)
+    assert(kept.count() == 2000L, "even groups keep all, odd drop all")
+    assert(kept.filter(expr("cast(substring(grp, 2) AS int) % 2 = 1"))
+      .count() == 0L)
+  }
+
   test("packSequences: bins respect budget except the straddling doc") {
     val df = (0L until 100L).map(i => (i, 100L)).toDF("doc_id", "n_tok")
     val out = Prep.packSequences(df, "doc_id", "n_tok",
