@@ -162,6 +162,31 @@ class BpeSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("encode stays one lazy projection within a batch; checkpoints " +
+      "appear only between batches") {
+    // the contract queries ship <=16 merges and their oracle plans must
+    // keep the original single-projection shape — no checkpoint leaf;
+    // a >16-merge chain must truncate between batches (LogicalRDD leaf)
+    val c = corpus("ab ab cd")
+    val single = Bpe.encodeTokenCounts(c, "doc_id", "text",
+      Seq(("a", "b"), ("c", "d")))
+    assert(!single.queryExecution.optimizedPlan.toString
+      .contains("LogicalRDD"),
+      "a single-batch encode must not materialize a checkpoint")
+    val merges40 = (0 until 20).flatMap(i =>
+      Seq((s"x$i", s"y$i"), (s"y$i", s"z$i")))
+    val batched = Bpe.encodeTokenCounts(c, "doc_id", "text", merges40)
+    assert(batched.queryExecution.optimizedPlan.toString
+      .contains("LogicalRDD"),
+      "a 40-merge encode must truncate between its batches")
+    // and the batched plan still computes the same counts as one batch
+    val wide = Bpe.encodeTokenCounts(c, "doc_id", "text", merges40,
+        mergesPerStage = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = batched.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == wide)
+  }
+
   test("docs with no alphabetic words produce no row (both engines agree)") {
     val out = Bpe.encodeTokenCounts(corpus("123 !!!", "ok"), "doc_id",
       "text", Seq(("o", "k")))
