@@ -54,12 +54,18 @@ object Similarity {
     * near-identical passages don't fill the context window).
     *
     * Determinism is built the way the k-means trajectory oracle is:
-    * every relevance/diversity cosine and every MMR score is
-    * floor-rounded to 4dp ([[TextAnalysis.round4]] — portable IEEE
-    * floor, not round()) BEFORE each argmax, ties broken by candidate
-    * id, and the `(1−lambda)` complement is computed in double
-    * arithmetic on both engines rather than re-typed as a literal — so
-    * the whole greedy trajectory replays bit-identically in DuckDB.
+    * every relevance/diversity cosine is floor-rounded to 4dp
+    * ([[TextAnalysis.round4]] — portable IEEE floor, not round())
+    * BEFORE each argmax, and ties break by candidate id. The MMR
+    * combine itself runs in EXACT INTEGER space: rel and max_sim are
+    * already 1e-4 multiples, so `λ·rel − (1−λ)·max_sim` lands exactly
+    * on decimal .00005 midpoints whenever λ has few decimal digits —
+    * the one place a 1-ulp double difference between engines flips the
+    * 4th decimal (caught live: one sf0.1 row, 0.2035 vs 0.2036). Both
+    * engines therefore rescale to integer ten-thousandths, combine
+    * with integer λ (λ must carry at most 4 decimal digits), and
+    * floor-divide — identical integers, identical doubles, no
+    * midpoint ambiguity anywhere in the trajectory.
     *
     * Scale shape: the corpus is touched exactly once (the candidate
     * top-N); the k−1 greedy stages run over candidate-sized frames
@@ -71,7 +77,21 @@ object Similarity {
               vecCol: String, k: Int = 4, topN: Int = 16,
               lambda: Double = 0.7): DataFrame = {
     require(k >= 1 && topN >= k, s"need topN >= k >= 1, got k=$k topN=$topN")
+    val lamI = math.round(lambda * 10000).toInt
+    require(math.abs(lamI / 10000.0 - lambda) < 1e-9,
+      s"lambda must have at most 4 decimal digits for the exact-integer " +
+        s"MMR combine: $lambda")
     val r4 = TextAnalysis.round4 _
+    // exact-integer MMR score (see the scaladoc): inputs are 1e-4
+    // multiples, so round() recovers their exact integer form; the
+    // combine and the final half-up 4dp rounding are then pure integer
+    // arithmetic evaluated identically by any engine.
+    // floor((i + 5000)/10000) == floor(i/10000 + 0.5) for integer i —
+    // the same half-up semantics as round4, midpoints decided exactly.
+    def mmrScore(rel: Column, maxSim: Column): Column =
+      floor((lit(lamI) * round(rel * 10000) -
+        lit(10000 - lamI) * round(maxSim * 10000) + 5000) / 10000.0) /
+        10000.0
     val cand = bruteForceTopK(corpus, queries, idCol, vecCol, k = topN)
       .select(col("query_id"), col("neighbor_id").as("cand_id"),
         r4(col("cosine")).as("rel"))
@@ -101,8 +121,7 @@ object Similarity {
             col("c_nsq"), col("s_nsq"))).as("sim"))
         .groupBy("query_id", "cand_id", "rel")
         .agg(max(col("sim")).as("max_sim"))
-        .withColumn("mmr", r4(lit(lambda) * col("rel") -
-          (lit(1.0) - lit(lambda)) * col("max_sim")))
+        .withColumn("mmr", mmrScore(col("rel"), col("max_sim")))
       selected = selected.unionByName(scored
         .withColumn("rn", row_number().over(wMmr))
         .filter(col("rn") === 1)

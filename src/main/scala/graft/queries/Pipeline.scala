@@ -1585,9 +1585,14 @@ object Pipeline {
     * subtraction (re-typing it as a decimal literal would parse to a
     * different double). */
   private def mmrOracleSql(k: Int, topN: Int, lambda: Double): String = {
-    val lam = lambda.toString
     def r4(x: String) = s"floor(($x) * 10000 + 0.5) / 10000"
-    val mmrExpr = r4(s"$lam * rel - (1 - $lam) * max_sim")
+    // exact-integer MMR combine, twin of Similarity.mmrTopK's mmrScore:
+    // rel/max_sim are 1e-4 multiples, so the decimal-midpoint cases the
+    // double form left to 1-ulp engine luck are decided in integer
+    // arithmetic both engines evaluate identically
+    val lamI = math.round(lambda * 10000).toInt
+    val mmrExpr = s"floor(($lamI * round(rel * 10000) - " +
+      s"${10000 - lamI} * round(max_sim * 10000) + 5000) / 10000) / 10000"
     val sb = new StringBuilder
     sb ++= s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
                   FROM embeddings),
