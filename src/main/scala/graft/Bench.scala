@@ -676,17 +676,19 @@ object Bench {
   // the Column->Expression conversion); the batched form's cost must
   // scale with merge count (number of vocab-sized stages), not
   // expression depth — these entries measure exactly that.
-  private var bpeEncTrained: Option[Seq[(String, String)]] = None
+  private val bpeEncTrained =
+    scala.collection.mutable.HashMap.empty[String, Seq[(String, String)]]
   private def bpeEnc512(s: SparkSession, dir: String)
       : Seq[(String, String)] = synchronized {
-    bpeEncTrained.getOrElse {
-      val m = graft.operators.Bpe.train(
+    // keyed on dir (unlike the dir-independent synthetic-rig memos): a
+    // JVM timing two SF dirs must not encode the second corpus with a
+    // tokenizer trained on the first
+    bpeEncTrained.getOrElseUpdate(dir,
+      graft.operators.Bpe.train(
           graft.sources.Tables.load(s, dir, "documents"), "text",
           nMerges = 512)
         .orderBy("step").collect()
-        .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
-      bpeEncTrained = Some(m); m
-    }
+        .map(r => (r.getString(1), r.getString(2))).toIndexedSeq)
   }
   private def bpeEncodeRig(s: SparkSession, dir: String,
                            nMerges: Int): DataFrame =

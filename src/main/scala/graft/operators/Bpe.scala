@@ -159,67 +159,93 @@ object Bpe {
     * distributed argmax ((max count, lexicographically-least "l r")),
     * same greedy merge, so the trajectory is bit-identical.
     *
-    * Pair counts are maintained INCREMENTALLY (the classic trainer
-    * shape): a merge only touches words containing the chosen pair, so
-    * each step subtracts those words' old pair contributions and adds
-    * the merged ones instead of recounting the dict — per-step cost is
-    * O(dict) cheap containment scans plus O(affected words) hash
-    * updates. The argmax compares counts first and builds the "l r"
-    * tie-break string only on actual count ties, so a production-sized
-    * merge loop (32k+ steps) stays allocation-light. */
+    * This is the full incremental trainer shape, sized for the gate's
+    * own motivation (32k merges over a 500k-word dict):
+    *  - an INVERTED OCCURRENCE INDEX (pair -> word ids currently
+    *    containing it) makes each merge touch only affected words — no
+    *    per-merge scan of the dict;
+    *  - the argmax comes from a LAZY MAX-HEAP: every count change
+    *    pushes the new (count, pair) entry, and selection pops stale
+    *    entries (count no longer current) until the top is live — the
+    *    textbook lazy-deletion priority queue, so a step costs
+    *    O(affected words × len × log) instead of O(|pairs|). */
   private[graft] def trainDriver(spark: SparkSession, dict: DataFrame,
                                  nMerges: Int): DataFrame = {
     val words = dict.select("ws", "cnt").collect()
       .map(r => (r.getString(0).split(" "), r.getLong(1)))
     val counts = scala.collection.mutable.HashMap
       .empty[(String, String), Long]
-    def addWord(syms: Array[String], cnt: Long): Unit = {
+    val occurs = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    // max count first; on count ties the LEXICOGRAPHICALLY LEAST
+    // "l r" must win (the distributed orderBy's total order), so the
+    // smaller pair key compares as the LARGER heap element
+    val ord: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String),
+                    b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c
+          else (b._2 + " " + b._3).compareTo(a._2 + " " + a._3)
+        }
+      }
+    val heap =
+      scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    def bump(p: (String, String), delta: Long): Unit = {
+      val v = counts.getOrElse(p, 0L) + delta
+      if (v == 0L) counts.remove(p) else counts(p) = v
+      if (v > 0L) heap.enqueue((v, p._1, p._2))
+    }
+    def indexWord(w: Int): Unit = {
+      val (syms, cnt) = words(w)
       var i = 0
       while (i < syms.length - 1) {
-        counts.updateWith((syms(i), syms(i + 1)))(
-          o => Some(o.getOrElse(0L) + cnt))
+        val p = (syms(i), syms(i + 1))
+        bump(p, cnt)
+        occurs.getOrElseUpdate(
+          p, scala.collection.mutable.Set.empty) += w
         i += 1
       }
     }
-    def containsPair(syms: Array[String], l: String, r: String): Boolean = {
+    def unindexWord(w: Int): Unit = {
+      val (syms, cnt) = words(w)
       var i = 0
       while (i < syms.length - 1) {
-        if (syms(i) == l && syms(i + 1) == r) return true
+        val p = (syms(i), syms(i + 1))
+        bump(p, -cnt)
+        occurs.get(p).foreach(_ -= w)
         i += 1
       }
-      false
     }
-    words.foreach { case (syms, cnt) => addWord(syms, cnt) }
+    words.indices.foreach(indexWord)
+    def popBest(): Option[(String, String, Long)] = {
+      while (heap.nonEmpty) {
+        val (c, l, r) = heap.head
+        val cur = counts.getOrElse((l, r), 0L)
+        if (c == cur && cur > 0L) return Some((l, r, c))
+        heap.dequeue() // stale: the pair's current value (if any)
+                       // was re-pushed when it last changed
+      }
+      None
+    }
     val traj = Vector.newBuilder[(Int, String, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
-      // identical total order to the distributed orderBy: pair_count
-      // desc, then "lft rgt" asc (string built only on count ties)
-      var bestL: String = null; var bestR: String = null
-      var bestCnt = 0L
-      for (((a, b), c) <- counts if c > 0) {
-        if (c > bestCnt ||
-            (c == bestCnt && bestL != null &&
-              a + " " + b < bestL + " " + bestR)) {
-          bestL = a; bestR = b; bestCnt = c
-        }
-      }
-      if (bestL == null) exhausted = true
-      else {
-        traj += ((step, bestL, bestR, bestL + bestR, bestCnt))
-        var w = 0
-        while (w < words.length) {
-          val (syms, cnt) = words(w)
-          if (containsPair(syms, bestL, bestR)) {
-            addWord(syms, -cnt)
-            val merged = applyMergeDriver(syms, bestL, bestR)
-            addWord(merged, cnt)
-            words(w) = (merged, cnt)
+      popBest() match {
+        case None => exhausted = true
+        case Some((l, r, n)) =>
+          traj += ((step, l, r, l + r, n))
+          val affected =
+            occurs.getOrElse((l, r), scala.collection.mutable.Set.empty)
+              .toArray // snapshot: un/re-indexing mutates the set
+          java.util.Arrays.sort(affected)
+          for (w <- affected) {
+            unindexWord(w)
+            words(w) = (applyMergeDriver(words(w)._1, l, r), words(w)._2)
+            indexWord(w)
           }
-          w += 1
-        }
-        step += 1
+          step += 1
       }
     }
     val rows = traj.result()

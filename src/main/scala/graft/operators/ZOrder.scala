@@ -213,21 +213,26 @@ object ZOrder {
     * predicates. */
   def writeZOrderedRanked(df: DataFrame, path: String, cols: Seq[String],
                           numFiles: Int = 16,
-                          buckets: Int = 1024,
+                          buckets: Int = 0,
                           options: Map[String, String] = Map.empty): Unit = {
     require(cols.size >= 2 && cols.size <= 8,
       s"z-order interleaves 2..8 columns, got ${cols.size}")
     val cells = cellsPerDim(cols.size)
-    require(buckets > 1 && buckets <= cells,
+    // default (0) = as many buckets as the arity's bit budget allows,
+    // capped at 1024 — a FIXED default of 1024 would violate the
+    // advertised 2..8-column contract at k >= 5, where cellsPerDim is
+    // 64..16; an explicit buckets value is still validated strictly
+    val b = if (buckets == 0) math.min(1024L, cells).toInt else buckets
+    require(b > 1 && b <= cells,
       s"buckets must be in (1, $cells] for a ${cols.size}-column " +
-        s"interleave (⌊32/k⌋ bits per dimension): $buckets")
+        s"interleave (⌊32/k⌋ bits per dimension): $b")
     val scratch = cols.indices.map(i => s"__z$i")
     scratch.foreach(sc => require(!df.columns.contains(sc),
       s"input already has a $sc column — the bucket scratch columns " +
         "would silently replace it"))
     var cur = df
     for ((c, i) <- cols.zipWithIndex)
-      cur = cur.repartitionByRange(buckets, col(c))
+      cur = cur.repartitionByRange(b, col(c))
         .withColumn(scratch(i), spark_partition_id().cast("long"))
     val z = zorderValueN(scratch.map(col))
     cur.repartitionByRange(numFiles, z).sortWithinPartitions(z)

@@ -1579,11 +1579,12 @@ object Pipeline {
   /** Unrolled greedy-MMR CTE chain replaying
     * [[Similarity.mmrTopK]]'s trajectory step by step: candidate
     * membership ranks by RAW cosine (bruteForceTopK's cut), every
-    * score compared thereafter is floor-rounded to 4dp with id
-    * tie-breaks, and the `(1−lambda)` complement stays an arithmetic
-    * expression so both engines fold it through the same IEEE
-    * subtraction (re-typing it as a decimal literal would parse to a
-    * different double). */
+    * cosine compared thereafter is floor-rounded to 4dp with id
+    * tie-breaks, and the MMR combine runs in exact integer
+    * ten-thousandths with an integer lambda — the twin of
+    * `Similarity.mmrTopK`'s `mmrScore`, so decimal .00005 midpoints
+    * (exactly reachable from 4dp-quantized inputs) are decided by
+    * identical integer arithmetic instead of 1-ulp double luck. */
   private def mmrOracleSql(k: Int, topN: Int, lambda: Double): String = {
     def r4(x: String) = s"floor(($x) * 10000 + 0.5) / 10000"
     // exact-integer MMR combine, twin of Similarity.mmrTopK's mmrScore:

@@ -127,6 +127,14 @@ class ZOrderSpec extends SparkTestBase {
         buckets = 2048)
     }
     assert(e.getMessage.contains("1024"))
+    // the DEFAULT bucket count adapts to the arity's bit budget: at
+    // k=5 (6 bits, 64 cells) a fixed 1024 default would reject every
+    // call — the advertised 2..8-column contract must work untouched
+    val df5 = df.withColumn("a", col("v") % 7)
+      .withColumn("b", col("v") % 11)
+    ZOrder.writeZOrderedRanked(df5, s"$base/r5",
+      Seq("x", "y", "w", "a", "b"), numFiles = 2)
+    assert(spark.read.parquet(s"$base/r5").count() == 20000L)
   }
 
   test("writeZOrderedScaled handles arbitrary key ranges") {
