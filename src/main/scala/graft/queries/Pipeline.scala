@@ -764,6 +764,18 @@ object Pipeline {
         .orderBy("query_id", "step")
     }),
 
+    // the k=8 twin exists to put the CHECKPOINTED greedy path under the
+    // cross-engine gate: k > 4 crosses mmrTopK's every-4-steps plan
+    // truncation (sim_mmr at k=4 never reaches it), so a truncation
+    // that changed values — not just plans — would turn this row red;
+    // 8 unrolled oracle stages replay the longer trajectory exactly
+    "sim_mmr8" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.mmrTopK(corpusPar(e), e.filter(col("vec_id") < 4),
+          "vec_id", "embedding", k = 8, topN = 12, lambda = 0.7)
+        .orderBy("query_id", "step")
+    }),
+
     // query — per-query rows would make the artifact needlessly wide;
     // the banded means still localize a recall regression
     "sim_recall" -> ((s, dir) => {
@@ -1585,7 +1597,8 @@ object Pipeline {
     * `Similarity.mmrTopK`'s `mmrScore`, so decimal .00005 midpoints
     * (exactly reachable from 4dp-quantized inputs) are decided by
     * identical integer arithmetic instead of 1-ulp double luck. */
-  private def mmrOracleSql(k: Int, topN: Int, lambda: Double): String = {
+  private def mmrOracleSql(k: Int, topN: Int, lambda: Double,
+                           nQueries: Int = 8): String = {
     def r4(x: String) = s"floor(($x) * 10000 + 0.5) / 10000"
     // exact-integer MMR combine, twin of Similarity.mmrTopK's mmrScore:
     // rel/max_sim are 1e-4 multiples, so the decimal-midpoint cases the
@@ -1595,9 +1608,18 @@ object Pipeline {
     val mmrExpr = s"floor(($lamI * round(rel * 10000) - " +
       s"${10000 - lamI} * round(max_sim * 10000) + 5000) / 10000) / 10000"
     val sb = new StringBuilder
-    sb ++= s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+    // `v` and `cand` are referenced by EVERY unrolled stage (and each
+    // stage's NOT EXISTS touches the previous selection twice) —
+    // DuckDB may inline non-materialized CTEs and re-evaluate the full
+    // corpus window once per reference, observed as an OOM at k=8 over
+    // the sf0.1 table under memory pressure. AS MATERIALIZED pins each
+    // to one evaluation — the same shape the Spark side gets from
+    // cache()ing the candidate frame.
+    sb ++= s"""WITH v AS MATERIALIZED (
+                  SELECT vec_id, embedding::DOUBLE[] AS e
                   FROM embeddings),
-       q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 8),
+       q AS (SELECT vec_id AS query_id, e FROM v
+             WHERE vec_id < $nQueries),
        ranked AS (
          SELECT q.query_id, c.vec_id AS cand_id,
            list_cosine_similarity(q.e, c.e) AS cos,
@@ -1605,8 +1627,9 @@ object Pipeline {
              ORDER BY list_cosine_similarity(q.e, c.e) DESC,
                       c.vec_id ASC) AS rn
          FROM q JOIN v c ON c.vec_id != q.query_id),
-       cand AS (SELECT query_id, cand_id, ${r4("cos")} AS rel
-                FROM ranked WHERE rn <= $topN),
+       cand AS MATERIALIZED (
+         SELECT query_id, cand_id, ${r4("cos")} AS rel
+         FROM ranked WHERE rn <= $topN),
        sel1 AS (SELECT query_id, cand_id, step, mmr FROM (
            SELECT query_id, cand_id, 1 AS step, rel AS mmr,
              row_number() OVER (PARTITION BY query_id
@@ -2119,6 +2142,8 @@ object Pipeline {
          SELECT doc_id, lang, n_chars FROM ranked
          WHERE spent < 20000 ORDER BY doc_id""",
     "sim_mmr" -> mmrOracleSql(k = 4, topN = 12, lambda = 0.7),
+    "sim_mmr8" -> mmrOracleSql(k = 8, topN = 12, lambda = 0.7,
+      nQueries = 4),
     "sim_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
     "dd_semantic" -> semanticOracleSql(k = 4, iters = 2, threshold = 0.4),
     "sim_topk_ivf" ->
