@@ -129,13 +129,16 @@ object Similarity {
           col("mmr")))
       // `selected` feeds BOTH the next step's anti-join and the final
       // union, so each greedy stage's plan re-embeds every earlier
-      // stage — O(k²) plan re-execution by step k. Truncate the
-      // accumulated union every 4 steps ([[graft.plans.Checkpoints]],
-      // the CC/k-means loop convention) so a caller with k=32 pays
-      // O(k) work over a candidate-sized frame instead. The default
-      // k=4 never reaches a checkpoint (step < k fails at step 4), so
-      // the sim_mmr contract plan — and its oracle — are unchanged.
-      if (step < k && step % 4 == 0)
+      // stage ~3x — O(3^tail) re-execution past the last checkpoint.
+      // Truncate the accumulated union every 2 steps for k > 4
+      // ([[graft.plans.Checkpoints]], the CC/k-means loop convention):
+      // the selection frame is tiny (<= |queries| x k rows), so the
+      // materialize is ~free while the re-execution tail stays <= 2
+      // stages (measured: a 4-step period left sim_mmr8 at 14.5 s vs
+      // sim_mmr's 5.0 s — the tail, not the extra stages, was the
+      // cost). k <= 4 never checkpoints, so the sim_mmr contract plan
+      // stays the original lazy union.
+      if (k > 4 && step < k && step % 2 == 0)
         selected = graft.plans.Checkpoints.truncated(selected)
     }
     selected
