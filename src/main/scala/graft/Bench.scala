@@ -1115,7 +1115,13 @@ object Bench {
     * across runs — the spread. Round-7 lesson: untouched >1 s queries
     * swung ±50% between rounds in supposedly isolated children, so a
     * single min with no stated spread over-promises precision; the full
-    * artifact now carries [min, max] per entry. Round-10 lesson: a
+    * artifact now carries [min, max] per entry. Round-11 lesson: all six
+    * flagged outliers degraded on run index 0 — residual cold-JVM cost
+    * (JIT compile backlog, lazy heap growth) that ONE untimed warmup
+    * execution does not fully absorb, so leading timed runs matching
+    * that systematic pattern are reclassified into `coldSecs`/`coldGcMs`
+    * (recorded, never silently dropped) with a replacement sample taken
+    * per reclassification. Round-10 lesson: a
     * [min, max] pair alone cannot tell WHICH run ballooned (the 9.38 →
     * 89.72 s cc450k outlier had to be diagnosed from fork-level GC
     * numbers), so every steady sample and its per-run GC delta ride
@@ -1123,7 +1129,25 @@ object Bench {
   final case class QTime(name: String, secs: Double, maxSecs: Double,
                          err: Option[String],
                          runSecs: Seq[Double] = Nil,
-                         gcMs: Seq[Long] = Nil)
+                         gcMs: Seq[Long] = Nil,
+                         coldSecs: Seq[Double] = Nil,
+                         coldGcMs: Seq[Long] = Nil)
+
+  /** Cap on leading timed runs reclassified as extended warmup (see
+    * [[QTime]]): the observed cold tail is 1-2 runs
+    * (bench_cc450k_driver was the worst, runs 0 AND 1 in round 11);
+    * past 3 the "cold JVM" hypothesis is wrong and the entry must stay
+    * flagged for a human to read. */
+  private[graft] val MaxColdAbsorb = 3
+
+  /** The cold-JVM signature on a steady-run vector: the LEADING sample
+    * is strictly the worst of the whole vector AND over the 3x spread
+    * standard against the floor of the remaining runs. A mid-vector
+    * balloon (environment straggler) does not match — those stay
+    * flagged as outlier_runs, which is the honest record for them. */
+  private[graft] def isColdHead(t: Vector[Double]): Boolean =
+    t.size >= 3 && t.head == t.max && t.tail.min > 0 &&
+      t.head > OutlierSpreadFactor * t.tail.min
 
   /** An entry whose steady max exceeds this multiple of its min is
     * flagged `outlier_runs` in the full artifact (and counted on the
@@ -1278,8 +1302,8 @@ object Bench {
   private def baselineBreak(warmupOn: Boolean, compact: Boolean): String =
     (warmupOn, compact) match {
       case (true, false) =>
-        """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup + r10 chunked forks + r11 straggler retry (a >3x-spread entry gets 2 extra samples, all recorded); pre-r10 minima are a different timing regime, not comparable","""
-      case (true, true) => """"baseline_break":"r10 chunks+warmup+r11 retry","""
+        """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup + r10 chunked forks + r11 straggler retry (a >3x-spread entry gets 2 extra samples, all recorded) + r12 cold-run absorption (a leading run that is strictly worst and >3x the rest is extended warmup, reclassified into cold_warmup_secs with a replacement sample taken); pre-r10 minima are a different timing regime, not comparable","""
+      case (true, true) => """"baseline_break":"r10 chunks+warmup+r11 retry+r12 cold","""
       case (false, false) =>
         """"baseline_break":"warmup DISABLED this run (SPARK_GRAFT_BENCH_WARMUP=0) — minima include cold first runs; r8 interleaved cohorts + r10 chunked forks + r11 straggler retry","""
       case (false, true) => """"baseline_break":"warmup off","""
@@ -1311,7 +1335,7 @@ object Bench {
     * entries report under cert_secs). */
   private def timedTotal(results: Seq[QTime]): Double =
     results.collect {
-      case QTime(n, t, _, None, _, _) if !certificationOnly(n) => t
+      case QTime(n, t, _, None, _, _, _, _) if !certificationOnly(n) => t
     }.sum
 
   /** The crossover CONCLUSIONS the docs state, computed INTO the
@@ -1395,7 +1419,7 @@ object Bench {
   // bench_out.json.
   private[graft] def claimsFields(results: Seq[QTime],
                                   compact: Boolean = false): String = {
-    val ok = results.collect { case QTime(n, t, _, None, _, _) => n -> t }.toMap
+    val ok = results.collect { case QTime(n, t, _, None, _, _, _, _) => n -> t }.toMap
     val eval = claimSpecs.flatMap { case (name, lhs, rhs, factor) =>
       for (l <- ok.get(lhs); r <- ok.get(rhs)) yield name -> (l < factor * r)
     }
@@ -1438,6 +1462,19 @@ object Bench {
         withRuns.map(r => jstr(r.name) +
           r.gcMs.mkString(":[", ",", "]")).mkString(
           "\"runs_gc_ms\":{", ",", "},")
+    // leading timed runs reclassified as extended warmup (cold-JVM
+    // absorption): chronologically these precede the entry's runs_secs
+    // — recorded here so nothing is silently dropped, with the
+    // run-aligned GC deltas alongside
+    val withCold = results.filter(r => r.err.isEmpty && r.coldSecs.nonEmpty)
+    val coldField =
+      if (withCold.isEmpty) ""
+      else withCold.map(r => jstr(r.name) +
+          r.coldSecs.mkString(":[", ",", "]")).mkString(
+          "\"cold_warmup_secs\":{", ",", "},") +
+        withCold.map(r => jstr(r.name) +
+          r.coldGcMs.mkString(":[", ",", "]")).mkString(
+          "\"cold_warmup_gc_ms\":{", ",", "},")
     // self-diagnosis: entries over the repo's 3x spread standard are
     // FLAGGED, with the degraded run named (index into runs) and its GC
     // delta visible next to it — the artifact says "run 2 of this entry
@@ -1465,7 +1502,12 @@ object Bench {
       }.mkString("\"fork_telemetry\":{", ",", "},")
     val nErr = results.count(_.err.isDefined)
     val total = timedTotal(results)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,$runsField$outlierField"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = false)}${crossoverField(results)}${claimsFields(results)}${certFields(results, compact = false)}$forkField"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_err":$nErr}"""
+    // explicit headline membership (r11 verdict #5): a round-over-round
+    // differ can now tell "dropped from the bench" from "moved to a
+    // family rollup" without reading the Scala
+    val headlineField = headline.filter(n => results.exists(_.name == n))
+      .map(jstr).mkString("\"headline\":[", ",", "],")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,$runsField$coldField$outlierField$headlineField"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = false)}${crossoverField(results)}${claimsFields(results)}${certFields(results, compact = false)}$forkField"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_err":$nErr}"""
   }
 
   // ---------------------------------------------------------------------
@@ -1507,7 +1549,7 @@ object Bench {
         "flagged; [min,max] seconds). Hand edits between these markers " +
         "are overwritten by the next full bench run._"
     val claims = {
-      val ok = results.collect { case QTime(n, t, _, None, _, _) => n -> t }.toMap
+      val ok = results.collect { case QTime(n, t, _, None, _, _, _, _) => n -> t }.toMap
       claimSpecs.flatMap { case (name, lhs, rhs, factor) =>
         for (l <- ok.get(lhs); r <- ok.get(rhs))
           yield s"| `$name` | ${if (l < factor * r) "holds" else "FAILED"} |"
@@ -1637,20 +1679,22 @@ object Bench {
     results.map { r =>
       val e = r.err.map(_.replaceAll("[\\t\\n\\r]", " ")).getOrElse("")
       s"${r.name}\t${r.secs}\t${r.maxSecs}\t$e\t" +
-        s"${r.runSecs.mkString(",")}\t${r.gcMs.mkString(",")}"
+        s"${r.runSecs.mkString(",")}\t${r.gcMs.mkString(",")}\t" +
+        s"${r.coldSecs.mkString(",")}\t${r.coldGcMs.mkString(",")}"
     }.mkString("", "\n", "\n")
 
   private[graft] def parseTsv(text: String): Seq[QTime] =
     text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
         val parts = line.split("\t", -1)
-        require(parts.length == 6, s"malformed bench TSV line: $line")
+        require(parts.length == 8, s"malformed bench TSV line: $line")
+        def ds(i: Int) = parts(i).split(",").toIndexedSeq
+          .filter(_.nonEmpty).map(_.toDouble)
+        def ls(i: Int) = parts(i).split(",").toIndexedSeq
+          .filter(_.nonEmpty).map(_.toLong)
         QTime(parts(0), parts(1).toDouble, parts(2).toDouble,
           if (parts(3).isEmpty) None else Some(parts(3)),
-          parts(4).split(",").toIndexedSeq.filter(_.nonEmpty)
-            .map(_.toDouble),
-          parts(5).split(",").toIndexedSeq.filter(_.nonEmpty)
-            .map(_.toLong))
+          ds(4), ls(5), ds(6), ls(7))
       }.toSeq
 
   /** One fork's resource footprint: cumulative GC wall time and
@@ -1846,13 +1890,20 @@ object Bench {
           if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
             for (name <- unit if !errs.contains(name)) once(name)
           val warmups = times.map { case (k, v) => k -> v.size }.toMap
+          // leading timed runs reclassified as extended warmup (cold-JVM
+          // absorption, r11 verdict #1) — count per name, decided AFTER
+          // the timed runs when steadiness is actually observable
+          val cold = scala.collection.mutable.Map.empty[String, Int]
+            .withDefaultValue(0)
           def steady(name: String): Vector[Double] = {
             // the warmup sample is excluded from min AND max — and from
             // the top-up decision below (r9 advice: judging the top-up
             // on the warmup-inclusive min while reporting the exclusive
             // one let the artifact describe a methodology that differed
-            // from the one that ran)
-            val t = times(name).drop(warmups.getOrElse(name, 0))
+            // from the one that ran); reclassified cold runs are
+            // excluded the same way (they live in coldSecs instead)
+            val t = times(name)
+              .drop(warmups.getOrElse(name, 0) + cold(name))
             if (t.nonEmpty) t else times(name)
           }
           // interleave: run index outermost, so cohort contenders
@@ -1870,7 +1921,8 @@ object Bench {
                  steady(name).min < StableMinSeconds;
                _ <- 1 to (5 - runs)) once(name)
           def steadyGc(name: String): Vector[Long] = {
-            val g = gcs(name).drop(warmups.getOrElse(name, 0))
+            val g = gcs(name)
+              .drop(warmups.getOrElse(name, 0) + cold(name))
             if (g.nonEmpty) g else gcs(name)
           }
           // straggler retry (round-10 verdict): a steady sample landing
@@ -1886,10 +1938,36 @@ object Bench {
                  t.nonEmpty && t.min > 0 &&
                    t.max > OutlierSpreadFactor * t.min
                }; _ <- 1 to 2) once(name)
+          // cold-JVM absorption (r11 verdict #1: every flagged outlier
+          // degraded on run index 0 — one warmup execution does not
+          // fully pay a fresh JVM's JIT backlog, and for driver-heavy
+          // loops the C2 cliff landed as late as the 4th execution).
+          // A leading run that is STRICTLY the worst sample and over
+          // the 3x standard vs the remaining runs is the cold
+          // signature, not an environment straggler (those land at
+          // random indices and stay flagged): reclassify it as
+          // extended warmup and take one replacement sample so the
+          // steady count never shrinks. Capped; every reclassified
+          // sample stays in the artifact under cold_warmup_secs.
+          for (name <- unit if !errs.contains(name)) {
+            var absorbing = true
+            while (absorbing && cold(name) < MaxColdAbsorb) {
+              if (isColdHead(steady(name))) {
+                cold(name) += 1
+                once(name)
+              } else absorbing = false
+            }
+          }
+          def coldOf(name: String): Vector[Double] =
+            times(name).slice(warmups.getOrElse(name, 0),
+              warmups.getOrElse(name, 0) + cold(name))
+          def coldGcOf(name: String): Vector[Long] =
+            gcs(name).slice(warmups.getOrElse(name, 0),
+              warmups.getOrElse(name, 0) + cold(name))
           unit.map { name =>
             val ts = steady(name)
             QTime(name, ts.min, ts.max, errs.get(name), ts,
-              steadyGc(name))
+              steadyGc(name), coldOf(name), coldGcOf(name))
           }
         }
       // between units: prompt the JVM to collect, so ContextCleaner can

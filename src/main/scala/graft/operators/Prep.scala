@@ -120,12 +120,16 @@ object Prep {
     // nested when-chain grew ~3 expression nodes per weights entry, the
     // same linear-expression-growth ceiling the BPE encode hit — a real
     // crawl mixture weights THOUSANDS of source domains, which would
-    // blow Catalyst's recursive Column conversion. element_at misses
-    // (group absent from the map) fall to defaultWeight.
+    // blow Catalyst's recursive Column conversion. try_element_at (not
+    // element_at) on purpose: it is NULL-on-miss in every Spark
+    // version and ANSI mode, where plain element_at only stopped
+    // throwing under ANSI in 3.4 (SPARK-40066) — this op must not
+    // change behavior with the session's ansi flag. Misses (group
+    // absent from the map) fall to defaultWeight via the coalesce.
     val w =
       if (weights.isEmpty) lit(defaultWeight)
       else coalesce(
-        element_at(typedLit(weights), col(groupCol).cast("string")),
+        try_element_at(typedLit(weights), col(groupCol).cast("string")),
         lit(defaultWeight))
     df.filter(coin < w * buckets)
   }

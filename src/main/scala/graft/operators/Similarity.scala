@@ -72,7 +72,13 @@ object Similarity {
     * (|queries| × topN rows, cached) — joins keyed on query_id, window
     * argmax per stage, no corpus re-scan, no driver loop over rows. k
     * and topN are small constants, so the unrolled plan depth is
-    * bounded. Output: (query_id, cand_id, step 1..k, mmr). */
+    * bounded. Output: (query_id, cand_id, step 1..k, mmr).
+    *
+    * @param lambda relevance/diversity trade-off in [0,1]; MUST carry at
+    *               most 4 decimal digits (0.7, 0.25, 0.3333 — not 1.0/3):
+    *               the exact-integer combine rescales λ to integer
+    *               ten-thousandths and rejects anything that does not
+    *               round-trip, throwing IllegalArgumentException. */
   def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int = 4, topN: Int = 16,
               lambda: Double = 0.7): DataFrame = {

@@ -765,7 +765,7 @@ object Pipeline {
     }),
 
     // the k=8 twin exists to put the CHECKPOINTED greedy path under the
-    // cross-engine gate: k > 4 crosses mmrTopK's every-4-steps plan
+    // cross-engine gate: k > 4 crosses mmrTopK's every-2-steps plan
     // truncation (sim_mmr at k=4 never reaches it), so a truncation
     // that changed values — not just plans — would turn this row red;
     // 8 unrolled oracle stages replay the longer trajectory exactly

@@ -80,6 +80,73 @@ class BenchSpec extends AnyFunSuite {
       // not parse into empty per-run data
       Bench.parseTsv("q_old\t1.5\t1.6\terr\n")
     }
+    intercept[IllegalArgumentException] {
+      // the pre-r12 6-column shape (no cold-run columns): same rule
+      Bench.parseTsv("q_r11\t1.5\t1.6\terr\t1.6,1.5\t0,0\n")
+    }
+  }
+
+  test("cold-absorbed runs round-trip the TSV protocol and land in the " +
+      "artifact as cold_warmup_secs, not in the steady record") {
+    val results = Seq(
+      // run 0 was reclassified: steady [1.2, 1.1, 1.15], cold [6.6]
+      Bench.QTime("bench_lsh_like", 1.1, 1.2, None,
+        Vector(1.2, 1.1, 1.15), Vector(0L, 0L, 0L),
+        Vector(6.6), Vector(198L)),
+      Bench.QTime("q_never_cold", 1.0, 1.1, None,
+        Vector(1.1, 1.0), Vector(0L, 0L)))
+    val parsed = Bench.parseTsv(Bench.renderTsv(results))
+    assert(parsed(0).coldSecs == Seq(6.6) &&
+      parsed(0).coldGcMs == Seq(198L))
+    assert(parsed(1).coldSecs.isEmpty && parsed(1).coldGcMs.isEmpty)
+    val full = mapper.readTree(Bench.renderFull(parsed, "sf", "32", 3))
+    assert(full.get("cold_warmup_secs").get("bench_lsh_like")
+      .get(0).asDouble() == 6.6)
+    assert(full.get("cold_warmup_gc_ms").get("bench_lsh_like")
+      .get(0).asLong() == 198L)
+    assert(!full.get("cold_warmup_secs").has("q_never_cold"))
+    // the steady record excludes the cold run, so the entry is NOT a
+    // flagged outlier (the r11 defect this machinery exists to fix)
+    assert(full.get("n_outliers").asInt() == 0)
+    // an entry with no cold runs in the whole set omits the field
+    val none = mapper.readTree(Bench.renderFull(
+      Seq(Bench.QTime("q_a", 1.0, 1.0, None, Vector(1.0), Vector(0L))),
+      "sf", "32", 3))
+    assert(!none.has("cold_warmup_secs"))
+  }
+
+  test("cold-head signature matches the r11 outlier vectors and rejects " +
+      "mid-vector stragglers") {
+    // the six r11 flagged entries all degraded on run 0 — each leading
+    // run matches, and after absorbing it (and for cc450k_driver the
+    // second) the remainder is steady
+    assert(Bench.isColdHead(Vector(6.558, 1.199, 1.154, 1.230, 1.197)))
+    assert(Bench.isColdHead(Vector(33.207, 11.843, 10.613, 9.818, 10.209)))
+    // cc450k_driver needed TWO absorptions: runs 0 and 1 both cold
+    assert(Bench.isColdHead(Vector(8.027, 6.886, 2.056, 2.570, 2.094)))
+    assert(Bench.isColdHead(Vector(6.886, 2.056, 2.570, 2.094)))
+    assert(!Bench.isColdHead(Vector(2.056, 2.570, 2.094)))
+    // a mid-vector balloon is an environment straggler, NOT cold —
+    // stays in the steady record and gets flagged as outlier_runs
+    assert(!Bench.isColdHead(Vector(2.0, 8.0, 2.1)))
+    // a tight vector never absorbs
+    assert(!Bench.isColdHead(Vector(1.2, 1.0, 1.1)))
+    // too few samples to judge a floor: never absorbs
+    assert(!Bench.isColdHead(Vector(9.0, 1.0)))
+  }
+
+  test("full artifact names its headline entries explicitly") {
+    val results = Seq(
+      Bench.QTime("q1_agg", 1.0, 1.0, None, Vector(1.0), Vector(0L)),
+      Bench.QTime("zz_rollup_only", 2.0, 2.0, None, Vector(2.0),
+        Vector(0L)))
+    val full = mapper.readTree(Bench.renderFull(results, "sf", "32", 3))
+    val h = full.get("headline")
+    assert(h != null && h.isArray)
+    val names = (0 until h.size).map(h.get(_).asText())
+    // membership = intersection of the headline list with what ran:
+    // q1_agg is a headline entry, the rollup-only name is not
+    assert(names.contains("q1_agg") && !names.contains("zz_rollup_only"))
   }
 
   test("outlier entries are flagged with the degraded run named; " +
