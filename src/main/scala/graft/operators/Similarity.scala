@@ -105,17 +105,23 @@ object Similarity {
         col(vecCol).as("c_vec"), normSq(col(vecCol)).as("c_nsq")),
         "cand_id")
       .cache()
-    val wRel = Window.partitionBy("query_id")
-      .orderBy(col("rel").desc, col("cand_id").asc)
-    var selected = cand
-      .withColumn("rn", row_number().over(wRel)).filter(col("rn") === 1)
-      .select(col("query_id"), col("cand_id"), lit(1).as("step"),
-        col("rel").as("mmr"))
+    // per-query argmax as a HASH aggregate, not a window: min over the
+    // struct (-score, cand_id) is lexicographically "max score, tie ->
+    // min cand_id" — identical semantics to the row_number()==1 window
+    // (the [[ivfAssign]] nProbe=1 convention) with map-side partials
+    // and no per-step sort+exchange. No -0.0 ambiguity: rel/mmr are
+    // half-up-rounded 1e-4 multiples whose zero is always +0.0, and
+    // cand_id is unique per query so ties cannot occur.
+    def argmax(df: DataFrame, scoreCol: String, step: Int): DataFrame =
+      df.groupBy("query_id")
+        .agg(min_by(struct(col("cand_id"), col(scoreCol)),
+          struct(negate(col(scoreCol)), col("cand_id"))).as("p"))
+        .select(col("query_id"), col("p.cand_id").as("cand_id"),
+          lit(step).as("step"), col(s"p.$scoreCol").as("mmr"))
+    var selected = argmax(cand, "rel", 1)
     val selVecs = cand.select(col("query_id"),
       col("cand_id").as("sel_id"), col("c_vec").as("s_vec"),
       col("c_nsq").as("s_nsq"))
-    val wMmr = Window.partitionBy("query_id")
-      .orderBy(col("mmr").desc, col("cand_id").asc)
     for (step <- 2 to k) {
       val chosen = selected.select("query_id", "cand_id")
       val scored = cand
@@ -128,23 +134,20 @@ object Similarity {
         .groupBy("query_id", "cand_id", "rel")
         .agg(max(col("sim")).as("max_sim"))
         .withColumn("mmr", mmrScore(col("rel"), col("max_sim")))
-      selected = selected.unionByName(scored
-        .withColumn("rn", row_number().over(wMmr))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("cand_id"), lit(step).as("step"),
-          col("mmr")))
+      selected = selected.unionByName(argmax(scored, "mmr", step))
       // `selected` feeds BOTH the next step's anti-join and the final
       // union, so each greedy stage's plan re-embeds every earlier
       // stage ~3x — O(3^tail) re-execution past the last checkpoint.
-      // Truncate the accumulated union every 2 steps for k > 4
+      // Truncate the accumulated union EVERY step
       // ([[graft.plans.Checkpoints]], the CC/k-means loop convention):
-      // the selection frame is tiny (<= |queries| x k rows), so the
-      // materialize is ~free while the re-execution tail stays <= 2
-      // stages (measured: a 4-step period left sim_mmr8 at 14.5 s vs
-      // sim_mmr's 5.0 s — the tail, not the extra stages, was the
-      // cost). k <= 4 never checkpoints, so the sim_mmr contract plan
-      // stays the original lazy union.
-      if (k > 4 && step < k && step % 2 == 0)
+      // the selection frame is tiny (<= |queries| x k rows), so each
+      // materialize is one ~free job while the re-execution tail stays
+      // zero stages. Measured at sf0.1 (r12): the r11 2-step period
+      // left sim_mmr at 4.9 s / sim_mmr8 at 3.9 s; every-step
+      // truncation cut them to 2.1 s / 2.9 s — the tail, not the
+      // checkpoint jobs, was the cost (and r11's own 4-step-period
+      // measurement, 14.5 s, was the same curve further out).
+      if (step < k)
         selected = graft.plans.Checkpoints.truncated(selected)
     }
     selected

@@ -764,10 +764,11 @@ object Pipeline {
         .orderBy("query_id", "step")
     }),
 
-    // the k=8 twin exists to put the CHECKPOINTED greedy path under the
-    // cross-engine gate: k > 4 crosses mmrTopK's every-2-steps plan
-    // truncation (sim_mmr at k=4 never reaches it), so a truncation
-    // that changed values — not just plans — would turn this row red;
+    // the k=8 twin keeps the LONG greedy trajectory under the
+    // cross-engine gate (r12: mmrTopK checkpoints after every step at
+    // any k, so both rows now exercise the truncated path; this one
+    // walks 4 more greedy stages): a truncation that changed values —
+    // not just plans — would turn this row red;
     // 8 unrolled oracle stages replay the longer trajectory exactly
     "sim_mmr8" -> ((s, dir) => {
       val e = embs(s, dir)

@@ -82,11 +82,11 @@ class SimilarityTextSpec extends SparkTestBase {
       .toDF("vec_id", "embedding")
     val k16 = Similarity.mmrTopK(corpus, queries, "vec_id", "embedding",
       k = 16, topN = 20, lambda = 0.7)
-    // the checkpoint every 2 steps (past k=4) keeps the accumulated-union plan
-    // from re-embedding all previous stages: each post-checkpoint step
-    // references the running union ~3x (anti-join + selVecs join +
+    // the per-step checkpoint keeps the accumulated-union plan
+    // from re-embedding all previous stages: each step references the
+    // running union ~3x (anti-join + selVecs join +
     // union), so an UNtruncated k=16 plan is ~3^15 stage references —
-    // millions of nodes, analyzer death. With the 2-step tail the
+    // millions of nodes, analyzer death. With the zero-length tail the
     // final plan is a few thousand nodes CONSTANT in k (measured ~2.7k;
     // k=32 would be the same, only more truncated leaves behind it).
     val planNodes = k16.queryExecution.logical.collect { case n => n }.size
