@@ -570,7 +570,12 @@ class BenchSpec extends AnyFunSuite {
       "bench_layout2d_skew_scaled", "bench_layout2d_skew_ranked",
       "bench_layout2d_skew_guard",
       // BPE encode scaling: 64 vs 512 merges over the same corpus
-      "bench_bpe_enc64", "bench_bpe_enc512"))
+      "bench_bpe_enc64", "bench_bpe_enc512",
+      // r12: kernel encode at production merge counts (8192 vs 1024
+      // over the same synthetic vocab corpus) + the 5M-word/32k-merge
+      // driver-trainer certification behind autoDictGate
+      "bench_bpe_enc8k", "bench_bpe_enc1k_kernel",
+      "bench_bpe_train5m_guard"))
     assert(extras.intersect(SparkEntry.queries.keySet).isEmpty)
     // extras must NOT leak into Verify/oracle accounting
     assert(extras.intersect(SparkEntry.oracleSql.keySet).isEmpty)

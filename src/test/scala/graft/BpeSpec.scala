@@ -92,6 +92,29 @@ class BpeSpec extends SparkTestBase {
     assert(driver.length == 6)
   }
 
+  test("driver and distributed trajectories agree for 24 merges on a " +
+      "dense random corpus (ties, overlaps, multi-char symbols)") {
+    // the r12 trainer rewrite (flat token store, fused pair table,
+    // local delta updates) must stay bit-identical to the distributed
+    // argmax loop; an 8-letter alphabet over 200 words forces count
+    // ties, overlapping runs, and merges that consume earlier merges
+    val rnd = new scala.util.Random(7)
+    val words = Vector.tabulate(200)(_ =>
+      (1 to (4 + rnd.nextInt(6)))
+        .map(_ => ('a' + rnd.nextInt(8)).toChar).mkString)
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("step").collect().map(r => (r.getInt(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    val driver = rows(Bpe.train(docs, "text", nMerges = 24))
+    val dist = rows(Bpe.train(docs, "text", nMerges = 24,
+      smallDictThreshold = 0L))
+    assert(driver == dist)
+    assert(driver.length == 24)
+  }
+
   test("the gate's win IS jobs: driver path runs O(1) Spark jobs, " +
       "the distributed loop O(nMerges)") {
     // the adaptive gate exists because the distributed loop pays ~2-3
@@ -160,6 +183,37 @@ class BpeSpec extends SparkTestBase {
       (i.toLong, ws.map(tokens).sum, ws.length.toLong)
     }.toSeq
     assert(got == expect)
+    // the r12 production path: the mapPartitions rank-loop kernel must
+    // compute the IDENTICAL counts as sequential-order application
+    // (the `tokens` twin above IS sequential order, so this pins the
+    // lowest-rank-first equivalence proof on a real trained table)
+    val gotKernel = Bpe.encodeTokenCounts(docs, "doc_id", "text", merges,
+        kernelThreshold = 0)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotKernel == expect,
+      "kernel encode diverged from sequential-order merge application")
+  }
+
+  test("kernel encode handles overlap and chained-merge edge shapes " +
+      "exactly like the expression path") {
+    // the shapes where greedy/rank-order subtleties live: overlapping
+    // same-symbol runs, a merge consuming an earlier merge's output,
+    // and words untouched by any merge
+    val docs = corpus("aaa aaaa abab", "abc abc xyz", "b a")
+    val merges = Seq(("a", "a"), ("a", "b"), ("ab", "c"))
+    def rows(k: Int) =
+      Bpe.encodeTokenCounts(docs, "doc_id", "text", merges,
+          kernelThreshold = k)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expr = rows(Int.MaxValue) // expression path
+    val kern = rows(0)            // kernel path
+    assert(expr == kern)
+    // paper check: "aaa"->aa,a=2; "aaaa"->aa,aa=2; "abab"->ab,ab=2;
+    // doc0 = 6 tokens / 3 words. "abc"->abc=1 (x2); "xyz"=3 -> doc1 =
+    // 5 / 3. "b"=1, "a"=1 -> doc2 = 2 / 2.
+    assert(kern == Seq((0L, 6L, 3L), (1L, 5L, 3L), (2L, 2L, 2L)))
   }
 
   test("encode stays one lazy projection within a batch; checkpoints " +
