@@ -565,6 +565,9 @@ class BenchSpec extends AnyFunSuite {
       // a two-predicate box scan + equality/pushdown/decoded-rows guard
       "bench_layout2d_plain", "bench_layout2d_xclust",
       "bench_layout2d_zorder", "bench_layout2d_guard",
+      // r12: decoded-rows certification for the k=3 interleave (the
+      // 2-D copy is blind in z the way x-clustering is blind in y)
+      "bench_layout3d_guard",
       // skewed 2-D layout crossover: proportional scaling vs rank
       // bucketing under a hot-region box scan + decoded-rows guard
       "bench_layout2d_skew_scaled", "bench_layout2d_skew_ranked",
