@@ -26,10 +26,16 @@ object Pipeline {
 
   /** Corpus-side split for compute-dense ANN scans: local test parquet is
     * one unsplittable file, so without this the n x |q| cosine work runs
-    * in a single task. Explicit numPartitions ⇒ AQE does not coalesce. */
-  private val LshCorpusParts = 32
+    * in a single task. Explicit numPartitions ⇒ AQE does not coalesce.
+    * Width follows the session (`graft.ann.corpusParts` conf, else
+    * `defaultParallelism`) so a 1,000-core cluster is not capped at the
+    * local rig's 32 tasks; local[32] still resolves to 32. */
+  private[graft] def lshCorpusParts(s: SparkSession): Int = {
+    val conf = s.conf.getOption("graft.ann.corpusParts").map(_.toInt)
+    conf.getOrElse(s.sparkContext.defaultParallelism)
+  }
   private def corpusPar(e: DataFrame): DataFrame =
-    e.repartition(LshCorpusParts, col("vec_id"))
+    e.repartition(lshCorpusParts(e.sparkSession), col("vec_id"))
 
   /** Scratch path for a per-process materialized artifact keyed by a
     * data directory. Two safety properties (round-9 advice):

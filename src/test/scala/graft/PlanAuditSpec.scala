@@ -282,4 +282,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
       "bpe encode must not route through a UDF:\n" + p)
   }
+
+  test("ANN corpus split width follows the session, not a hardcoded 32") {
+    // Local default: the test session runs local[4] ⇒ width 4, so the
+    // corpus scan is never capped at fewer tasks than cores — and, on a
+    // 1,000-core cluster, never at the local rig's 32.
+    assert(graft.queries.Pipeline.lshCorpusParts(spark) ==
+      spark.sparkContext.defaultParallelism)
+    // Conf override wins (cluster operator can pin width explicitly).
+    spark.conf.set("graft.ann.corpusParts", "7")
+    try assert(graft.queries.Pipeline.lshCorpusParts(spark) == 7)
+    finally spark.conf.unset("graft.ann.corpusParts")
+  }
 }
