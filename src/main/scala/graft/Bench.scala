@@ -826,6 +826,13 @@ object Bench {
       // 1.6M edges through the component-min key — the skew hot spot,
       // timed against the uniform-chain control above
       graft.operators.Dedup.connectedComponents(ccSkew(s))),
+    "bench_cc2m_skew_nopre" -> ((s, _) =>
+      // control twin: the SAME skewed graph with the partition-local
+      // union-find pre-pass off — the first shuffle then eats the hub's
+      // 1.6M-edge key raw instead of the per-partition local stars the
+      // pre-pass leaves behind (Dedup.localContract)
+      graft.operators.Dedup.connectedComponentsWithRounds(
+        ccSkew(s), preContract = false)._1),
     "bench_cc_guard" -> ((s, _) => setup(s, "guard_cc") {
       // (a) both paths compute the same fixpoint on the 450k graph.
       // Coverage first: an inner join alone would silently SKIP ids one
@@ -845,19 +852,30 @@ object Bench {
         .filter(col("cluster") =!= col("cluster_dist")).count()
       if (mismatches > 0) throw new IllegalStateException(
         s"driver and distributed CC disagree on $mismatches labels")
-      // (b) star contraction earns its log bound on the 2M chain graph
+      // (b) star contraction earns its log bound on the 2M chain graph.
+      // preContract=false: the bound pins the GLOBAL doubling rounds,
+      // which the partition-local pre-pass would trivialise on this
+      // rig (range-generated chains sit inside partitions and collapse
+      // to local stars before round 1)
       val (_, rounds) = graft.operators.Dedup
-        .connectedComponentsWithRounds(cc2m(s))
+        .connectedComponentsWithRounds(cc2m(s), preContract = false)
       // ceil(log2(diameter)) + 3: seed round + convergence-detection
       // round on top of the doubling (the constant the chain specs pin)
       val diameter = Cc2mSize - 1
       val bound = (64 - java.lang.Long
         .numberOfLeadingZeros(diameter.toLong - 1)) + 3
-      System.err.println(
-        s"bench_cc_guard: rounds=$rounds bound=$bound mismatches=0")
+      // the pre-contracted path must converge at least as fast — its
+      // rounds start from per-partition fixpoint stars
+      val (_, preRounds) = graft.operators.Dedup
+        .connectedComponentsWithRounds(cc2m(s))
+      System.err.println(s"bench_cc_guard: rounds=$rounds " +
+        s"preRounds=$preRounds bound=$bound mismatches=0")
       if (rounds > bound) throw new IllegalStateException(
         s"distributed CC took $rounds rounds on a diameter-$diameter " +
           s"graph — above the ceil(log2)+3 bound of $bound")
+      if (preRounds > rounds) throw new IllegalStateException(
+        s"pre-contracted CC took $preRounds rounds vs $rounds raw — " +
+          "the local pre-pass made global convergence SLOWER")
       // (c) the skew rig contracts to the planted structure: one giant
       // star component + exactly the chain components of the remainder
       // (a skew-mangled contraction would split or merge components)
@@ -873,7 +891,8 @@ object Bench {
       if (skewComps != expectedComps) throw new IllegalStateException(
         s"skew rig produced $skewComps components, expected $expectedComps")
       s.range(1).select(lit(mismatches).as("label_mismatches"),
-        lit(rounds).as("dist_rounds"), lit(bound).as("round_bound"),
+        lit(rounds).as("dist_rounds"), lit(preRounds).as("pre_rounds"),
+        lit(bound).as("round_bound"),
         lit(skewComps).as("skew_components"))
     }),
     // ---- dedup: exact inverted-index Jaccard (naive + stop-shingle
@@ -1330,7 +1349,7 @@ object Bench {
     Seq("bench_lsh50k_brute", "bench_lsh50k_lsh", "bench_lsh50k_ivf",
       "bench_lsh50k_q8"),
     Seq("bench_cc450k_driver", "bench_cc450k_dist"),
-    Seq("bench_cc2m_dist", "bench_cc2m_skew"),
+    Seq("bench_cc2m_dist", "bench_cc2m_skew", "bench_cc2m_skew_nopre"),
     Seq("bench_dd50k_ngram", "bench_dd50k_ngram_pruned",
       "bench_dd50k_minhash"),
     Seq("bench_dd12k_ngram", "bench_dd12k_minhash"),
@@ -1540,6 +1559,12 @@ object Bench {
         "bench_cc450k_driver", "bench_cc450k_dist", 1.0),
       ("cc_skew_within_2x",
         "bench_cc2m_skew", "bench_cc2m_dist", 2.0),
+      // the pre-pass is a narrow in-memory scan that cuts the skew
+      // hub's shuffle key from 1.6M edge rows to ~edges/partition local
+      // stars — it must never LOSE to the raw-edge path on the rig
+      // built to exhibit that hot spot
+      ("precontract_tames_skew_cc2m",
+        "bench_cc2m_skew", "bench_cc2m_skew_nopre", 1.0),
       ("embed_lsh_beats_brute", "dd_embed_lsh", "dd_embed_pairs", 1.0),
       ("index_probe_beats_inline",
         "bench_ddinc_probe", "bench_ddinc_inline", 1.0),
@@ -1732,9 +1757,12 @@ object Bench {
         s"brute/IVF ${ratio(q("bench_lsh50k_brute"), q("bench_lsh50k_ivf"))}x."),
       "cc" -> (stamp + "\n\n" +
         table(Seq("bench_cc450k_driver", "bench_cc450k_dist",
-          "bench_cc2m_dist", "bench_cc2m_skew")) + "\n\n" +
+          "bench_cc2m_dist", "bench_cc2m_skew",
+          "bench_cc2m_skew_nopre")) + "\n\n" +
         s"450k dist/driver ratio ${ratio(q("bench_cc450k_dist"), q("bench_cc450k_driver"))}x " +
-        s"(the adaptive gate's win); 2M skew/uniform ${ratio(q("bench_cc2m_skew"), q("bench_cc2m_dist"))}x."),
+        s"(the adaptive gate's win); 2M skew/uniform ${ratio(q("bench_cc2m_skew"), q("bench_cc2m_dist"))}x; " +
+        s"skew nopre/pre ${ratio(q("bench_cc2m_skew_nopre"), q("bench_cc2m_skew"))}x " +
+        "(the partition-local union-find pre-pass, Dedup.localContract)."),
       "dd50k" -> (stamp + "\n\n" +
         table(Seq("bench_dd50k_ngram", "bench_dd50k_ngram_pruned",
           "bench_dd50k_minhash", "bench_dd12k_ngram",

@@ -1089,12 +1089,150 @@ object Dedup {
     ids.toSeq.sorted.map(id => (id, find(id))).toDF("id", "cluster")
   }
 
+  /** Partition-local union-find contraction: replaces each partition's
+    * edge rows with the star forest of their LOCAL components — one
+    * `(node, local-min)` edge per non-root node. Connectivity-exact:
+    * a star forest has exactly its input edges' connectivity, and the
+    * union over partitions therefore has the full graph's (nodes shared
+    * across partitions stitch the local stars back together in the
+    * global rounds). Entirely NARROW — no shuffle; the win is what it
+    * does to the first shuffle downstream: a partition holding a
+    * near-dup family's clique (the shape LSH pair producers emit, all
+    * of a bucket's pairs from one task) forwards O(nodes) star edges
+    * instead of O(nodes²) pair rows.
+    *
+    * Memory: one open-addressing long→long table over the partition's
+    * DISTINCT endpoints — bounded by partition size the same way a
+    * hash-aggregate build is, except it cannot spill; `maxNodesPerTable`
+    * (default 4M ≈ 64 MB of table arrays) caps it by FLUSHING — the
+    * current table's stars are emitted and a fresh table continues the
+    * stream. Correct because CC(E₁ ∪ E₂) = CC(stars(E₁) ∪ stars(E₂));
+    * a flush boundary only costs contraction quality, never answers.
+    *
+    * Output is canonically oriented (node > local-min root always) with
+    * no self-loops; cross-batch duplicate stars are possible and left
+    * to the caller's `distinct()`. */
+  private[graft] def localContract(edges: DataFrame,
+                                   maxNodesPerTable: Int = 4 << 20): DataFrame = {
+    require(maxNodesPerTable >= 4, "maxNodesPerTable must be at least 4")
+    import edges.sparkSession.implicits._
+    edges.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        new Iterator[(Long, Long)] {
+          private var out: Iterator[(Long, Long)] = Iterator.empty
+          private def advance(): Unit =
+            while (!out.hasNext && it.hasNext) {
+              val t = new CcLocalTable(64)
+              // +2: a union may add two fresh nodes; check before, not mid-row
+              while (it.hasNext && t.size + 2 <= maxNodesPerTable) {
+                val e = it.next()
+                t.union(e._1, e._2)
+              }
+              out = t.starEdges()
+            }
+          override def hasNext: Boolean = { advance(); out.hasNext }
+          override def next(): (Long, Long) = { advance(); out.next() }
+        }
+      }
+      .toDF("u", "v")
+  }
+
+  /** Open-addressing long→long union-find for [[localContract]]: keys
+    * are node ids, values are parent KEYS (growth-safe — slot indices
+    * move on rehash, keys do not). Union keeps the SMALLER root, so a
+    * tree's root is the minimum id ever unioned into it and every
+    * emitted `(node, root)` edge is canonically oriented for free.
+    * Path compression on find keeps chains shallow (same discipline as
+    * [[driverUnionFind]], minus the boxing — the fused-planes lesson
+    * from the BPE trainer's [[PairTable]]). Sentinel is Long.MinValue;
+    * a genuine Long.MinValue node id is rejected up front rather than
+    * silently colliding with the sentinel. */
+  private final class CcLocalTable(initialCap: Int) {
+    private val Empty = Long.MinValue
+    private var cap = Integer.highestOneBit(math.max(initialCap, 16))
+    private var mask = cap - 1
+    private var keys = {
+      val a = new Array[Long](cap); java.util.Arrays.fill(a, Empty); a
+    }
+    private var par = new Array[Long](cap)
+    var size: Int = 0
+    private def home(k: Long): Int = {
+      var h = k * -7046029254386353131L
+      h ^= (h >>> 32)
+      h.toInt & mask
+    }
+    /** Slot of key k, inserting it as its own root if absent. */
+    private def slot(k: Long): Int = {
+      var i = home(k)
+      while (keys(i) != k && keys(i) != Empty) i = (i + 1) & mask
+      if (keys(i) == Empty) {
+        keys(i) = k
+        par(i) = k
+        size += 1
+        if (size * 4 > cap * 3) { grow(); return slot(k) }
+      }
+      i
+    }
+    private def grow(): Unit = {
+      val ok = keys; val op = par
+      cap <<= 1
+      mask = cap - 1
+      keys = new Array[Long](cap); java.util.Arrays.fill(keys, Empty)
+      par = new Array[Long](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != Empty) {
+          var j = home(ok(i))
+          while (keys(j) != Empty) j = (j + 1) & mask
+          keys(j) = ok(i); par(j) = op(i)
+        }
+        i += 1
+      }
+    }
+    /** Root key of k's tree, path-compressing as it goes. */
+    private def find(k: Long): Long = {
+      var root = k
+      var i = slot(root)
+      while (par(i) != root) { root = par(i); i = slot(root) }
+      var cur = k
+      while (cur != root) {
+        val j = slot(cur)
+        val next = par(j)
+        par(j) = root
+        cur = next
+      }
+      root
+    }
+    def union(a: Long, b: Long): Unit = {
+      require(a != Empty && b != Empty,
+        "localContract: node id Long.MinValue collides with the table sentinel")
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) par(slot(rb)) = ra
+      else if (rb < ra) par(slot(ra)) = rb
+    }
+    /** Drain the table as `(node, component-local-min)` star edges,
+      * roots and isolated self-loop nodes excluded. */
+    def starEdges(): Iterator[(Long, Long)] = {
+      val ks = keys // growth is over; indices are stable from here on
+      (0 until cap).iterator
+        .filter(i => ks(i) != Empty)
+        .map { i => val k = ks(i); (k, find(k)) }
+        .filter(e => e._1 != e._2)
+    }
+  }
+
   /** [[connectedComponents]] plus the number of rounds it took — the
-    * round count is what the convergence specs pin. */
+    * round count is what the convergence specs pin. `preContract=false`
+    * skips the partition-local union-find pre-pass (see
+    * [[localContract]]) — the bench's control contender for measuring
+    * what the pre-pass is worth. */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-      maxIter: Int = 50): (DataFrame, Int) =
-    connectedComponentsFromEdges(canonicalEdges(pairs, aCol, bCol), maxIter)
+      maxIter: Int = 50, preContract: Boolean = true): (DataFrame, Int) =
+    connectedComponentsFromEdges(canonicalEdges(pairs, aCol, bCol), maxIter,
+      preContract)
 
   /** Distributed CC over an orientation-normalized edge frame (see
     * [[canonicalEdges]]) — the above-threshold path: ALTERNATING
@@ -1122,9 +1260,23 @@ object Dedup {
     * accumulates degree ~component size) is the documented hot spot of
     * the algorithm — AQE skew-join handling splits those reducers, and
     * the groupBy side is safe (map-side partial min). Frames are
-    * checkpointed with [[graft.plans.Checkpoints]] (lineage AND stats). */
+    * checkpointed with [[graft.plans.Checkpoints]] (lineage AND stats).
+    *
+    * `preContract` (default on) runs [[localContract]] — a NARROW
+    * partition-local union-find pass — before the first global shuffle,
+    * replacing each partition's edge rows with an equivalent local star
+    * forest. Near-dup pair producers emit pairs bucket-by-bucket (an
+    * LSH bucket's candidate pairs materialize inside the task that
+    * grouped the bucket), so the edge stream arrives CLUSTERED: a
+    * duplicate family's clique lands in one partition and the pre-pass
+    * collapses its O(family²) rows to O(family) star edges before
+    * anything shuffles, leaving the rounds to start from near-fixpoint
+    * stars. Semantically transparent (a partition's star forest has
+    * exactly its edges' connectivity — the equality spec pins it);
+    * costs one in-memory pass when the input has no locality. */
   private def connectedComponentsFromEdges(
-      edges0: DataFrame, maxIter: Int): (DataFrame, Int) = {
+      edges0: DataFrame, maxIter: Int,
+      preContract: Boolean = true): (DataFrame, Int) = {
     // materialize the pair stream ONCE: the id-universe scan and the
     // loop-init both derive from this checkpoint — without it an
     // expensive upstream pair pipeline (the LSH dedup query feeding
@@ -1135,8 +1287,16 @@ object Dedup {
     val allIds = edges.select(col("u").as("id"))
       .union(edges.select(col("v").as("id"))).distinct()
     // strict canonical (u > v) edge list for the rounds: self-loops out
+    // (localContract emits none by construction). The distinct() is the
+    // first shuffle either way — the pre-pass shrinks what feeds it
+    // from raw pair rows to at most one star edge per distinct node
+    // per partition, and leaves the rounds starting from near-fixpoint
+    // stars wherever the pair stream arrived clustered.
+    val init =
+      if (preContract) localContract(edges)
+      else edges.filter(col("u") =!= col("v"))
     var (cur, curCount) = graft.plans.Checkpoints.truncatedWithCount(
-      edges.filter(col("u") =!= col("v")).distinct())
+      init.distinct())
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

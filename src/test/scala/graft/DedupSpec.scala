@@ -238,6 +238,59 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.DefaultSmallGraphThreshold == 500 * 1000)
   }
 
+  test("localContract: clique partition collapses to a star") {
+    // one partition holding a 30-node clique (the LSH-bucket pair shape)
+    // must forward exactly n-1 canonical star edges, all at the min id
+    val n = 30
+    val clique = (for (i <- 0 until n; j <- i + 1 until n)
+      yield (100L + j, 100L + i)).toDF("u", "v").coalesce(1)
+    val stars = Dedup.localContract(clique)
+      .as[(Long, Long)].collect().sorted
+    assert(stars.length == n - 1)
+    assert(stars.forall(e => e._2 == 100L && e._1 > 100L))
+    assert(stars.map(_._1).toSet == (101L until 100L + n).toSet)
+  }
+
+  test("localContract: table flush across batches preserves connectivity") {
+    // a 64-node chain through a table capped at 8 nodes: every flush
+    // boundary splits the chain, but the star segments must still union
+    // to ONE component under the full CC
+    val chain = (0L until 63L).map(i => (i + 1, i)).toDF("u", "v").coalesce(1)
+    val stars = Dedup.localContract(chain, maxNodesPerTable = 8)
+    // strictly fewer or equal rows than input, canonical, no self-loops
+    val rows = stars.as[(Long, Long)].collect()
+    assert(rows.forall(e => e._1 > e._2))
+    // connectivity is exact: CC over the contracted frame = one component
+    val cc = Dedup.connectedComponents(
+      stars.select(col("u").as("id_a"), col("v").as("id_b")))
+      .as[(Long, Long)].collect()
+    assert(cc.length == 64)
+    assert(cc.forall(_._2 == 0L))
+  }
+
+  test("localContract rejects the Long.MinValue sentinel id") {
+    val bad = Seq((Long.MinValue, 3L)).toDF("u", "v").coalesce(1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Dedup.localContract(bad).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("CC: preContract on/off produce identical labels (random graph)") {
+    // the pre-pass is a perf lever, not a semantics one — same fixpoint
+    // through both distributed paths, on a graph scattered across
+    // partitions (some locality, some cross-partition stitching)
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(e => e._1 != e._2).toDF("id_a", "id_b").repartition(8)
+    val pre = Dedup.connectedComponentsWithRounds(edges, preContract = true)
+      ._1.as[(Long, Long)].collect().toMap
+    val plain = Dedup.connectedComponentsWithRounds(edges, preContract = false)
+      ._1.as[(Long, Long)].collect().toMap
+    assert(pre == plain)
+    assert(pre.nonEmpty)
+  }
+
   test("adaptive CC: driver union-find equals distributed star contraction") {
     // same random graph through both execution paths (threshold gates):
     // labels must be identical — the gate is a perf decision, not a
