@@ -536,7 +536,7 @@ class BenchSpec extends AnyFunSuite {
       // CC crossover rig: driver vs distributed + equality/round guard,
       // plus the star-heavy skew twin of the 2M-edge graph
       "bench_cc450k_driver", "bench_cc450k_dist", "bench_cc2m_dist",
-      "bench_cc2m_skew", "bench_cc_guard",
+      "bench_cc2m_skew", "bench_cc2m_skew_nopre", "bench_cc_guard",
       // dedup crossover rig: naive/pruned exact vs minhash + recall
       // guard, plus quarter-size twins for the scaling-exponent ratio
       "bench_dd50k_ngram", "bench_dd50k_ngram_pruned",
