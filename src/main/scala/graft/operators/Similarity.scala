@@ -441,6 +441,216 @@ object Similarity {
               floor(x / col(qscaleCol) + 0.5))).cast("byte"))))
   }
 
+  /** Product-quantization codebook training: an independent deterministic
+    * k-means (the [[kmeans]] recipe — lowest-id init, 6dp-rounded means
+    * per iteration, argmin with cid tie-break) in each of `m` disjoint
+    * coordinate subspaces of the embedding. Output: one codebook frame
+    * `(sub, cid, centroid array<double>, c_nsq)` with cids DENSE per
+    * subspace (empty clusters drop out and survivors renumber 0..k'-1 in
+    * original cid order) — dense ids are what lets [[pqTopK]] flatten a
+    * query's lookup table into one contiguous array.
+    *
+    * Why PQ at 100 TB: int8 ([[quantizeInt8]]) shrinks vectors 4x; PQ
+    * shrinks them to `m` BYTES plus one shared m x ksub codebook —
+    * 64 bytes -> 4-8 bytes at dim=64, the difference between an
+    * embedding index that fits executor memory and one that doesn't.
+    * Scale shape: per iteration one broadcast-join assignment pass over
+    * the n x m subvector frame (the codebook is tiny, the corpus never
+    * shuffles for it) and one posexplode mean aggregation — exactly the
+    * [[kmeans]] cost times m, never a pair space.
+    *
+    * Assignment argmin is over `round(c_nsq - 2*dot(sv, c), 6)` — the
+    * squared-L2 argmin with the query-side constant dropped, rounded so
+    * independent engines (the DuckDB oracle replays the full trajectory)
+    * agree at every tie — and runs as a `min(struct(score, cid))` hash
+    * aggregate (map-side partial, no window sort; the MMR argmax lesson).
+    *
+    * Reference analogue: cj-zhukov/datafusion-example has no vector
+    * index; this extends the ANN family the survey demands at the
+    * memory-bound end. */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+              m: Int = 4, ksub: Int = 8, iters: Int = 2): DataFrame = {
+    val dim = vecDim(df, vecCol)
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ksub >= 1 && ksub <= 127,
+      s"ksub=$ksub must fit a tinyint code (1..127)")
+    val subs = pqSubVectors(df, idCol, vecCol, m, dim / m)
+    val w0 = Window.partitionBy("sub").orderBy(col("pq_id").asc)
+    var cents: DataFrame = graft.plans.Checkpoints.truncated(
+      subs.withColumn("rn", row_number().over(w0)).filter(col("rn") <= ksub)
+        .select(col("sub"), (col("rn") - 1).cast("int").as("cid"),
+          transform(col("sv"), x => round(x, 6)).as("centroid")))
+    for (_ <- 1 to iters) {
+      val asg = pqAssign(subs, cents)
+      val sums = subs.join(asg, Seq("pq_id", "sub"))
+        .select(col("sub"), col("cid"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      cents = graft.plans.Checkpoints.truncated(
+        sums.groupBy(col("sub"), col("cid")).agg(
+          transform(array_sort(collect_list(struct(col("pos"),
+              round(col("s") / col("n"), 6).as("mv")))),
+            x => x.getField("mv")).as("centroid")))
+    }
+    // dense per-subspace renumber in original cid order: gaps from
+    // dropped-empty clusters would otherwise break the flat-LUT indexing
+    val wd = Window.partitionBy("sub").orderBy(col("cid").asc)
+    cents.select(col("sub"),
+      (row_number().over(wd) - 1).cast("int").as("cid"),
+      col("centroid"), normSq(col("centroid")).as("c_nsq"))
+  }
+
+  /** The n x m subvector frame PQ operators share: one row per
+    * (vector, subspace), `sv` = coordinates [sub*dsub, (sub+1)*dsub). */
+  private def pqSubVectors(df: DataFrame, idCol: String, vecCol: String,
+                           m: Int, dsub: Int): DataFrame =
+    df.select(col(idCol).as("pq_id"), toDouble(col(vecCol)).as("fv"))
+      .select(col("pq_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("fv"))
+      .select(col("pq_id"), col("sub"),
+        slice(col("fv"), col("sub") * dsub + 1, lit(dsub)).as("sv"))
+
+  /** Nearest-centroid assignment per (vector, subspace): broadcast the
+    * codebook, score every (subvector, centroid) pair, keep the argmin
+    * as a map-side-combinable `min(struct(score, cid))` hash aggregate.
+    * Output: (pq_id, sub, cid). */
+  private def pqAssign(subs: DataFrame, codebooks: DataFrame): DataFrame = {
+    val c = codebooks.select(col("sub"), col("cid"), col("centroid"),
+      normSq(col("centroid")).as("pq_cnsq"))
+    subs.join(broadcast(c), "sub")
+      .select(col("pq_id"), col("sub"), col("cid"),
+        round(col("pq_cnsq") - lit(2.0) * dot(col("sv"), col("centroid")),
+          6).as("score"))
+      .groupBy("pq_id", "sub")
+      .agg(min(struct(col("score"), col("cid"))).as("best"))
+      .select(col("pq_id"), col("sub"), col("best.cid").as("cid"))
+  }
+
+  /** PQ-encode a corpus against trained codebooks: per vector, the m
+    * nearest-centroid codes (`array<tinyint>`, subspace order) plus
+    * `r_nsq`, the reconstruction's squared norm — exact because the
+    * subspaces partition the coordinates, so `||ĉ||² = Σ_sub ||c_sub||²`,
+    * summed in subspace order (a sequential fold over the sub-sorted
+    * list, not an unordered SUM, so the oracle's `list_sum(list(...
+    * ORDER BY sub))` reproduces it bit-for-bit). This frame — m bytes +
+    * one double per vector — IS the index artifact a 100 TB deployment
+    * persists; the raw vectors are only ever read again to re-rank a
+    * shortlist. Output: (idCol, codes, r_nsq). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame): DataFrame = {
+    val dsub = codebooks.select(size(col("centroid"))).head().getInt(0)
+    val m = codebooks.agg(max(col("sub"))).head().getInt(0) + 1
+    val subs = pqSubVectors(df, idCol, vecCol, m, dsub)
+    val withN = pqAssign(subs, codebooks)
+      .join(broadcast(codebooks.select(col("sub"), col("cid"),
+        col("c_nsq"))), Seq("sub", "cid"))
+    withN.groupBy("pq_id")
+      .agg(
+        transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
+          x => x.getField("cid").cast("byte")).as("codes"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("sub"),
+            col("c_nsq").as("nn")))), x => x.getField("nn")),
+          lit(0.0), (a, x) => a + x).as("r_nsq"))
+      .select(col("pq_id").as(idCol), col("codes"), col("r_nsq"))
+  }
+
+  /** ADC (asymmetric distance computation) cosine top-k over a
+    * PQ-encoded corpus: each query precomputes ONE flat lookup table —
+    * `lut[offset(sub) + cid] = dot(q_sub, centroid)` — and every corpus
+    * row is scored with m array reads ([[graft.plans.PqAdc]], codegen'd)
+    * instead of a dim-length dot: at dim=64/m=8 that is 8 lookups vs 64
+    * multiply-adds against rows 64x smaller, which is what an exhaustive
+    * scan costs when 100 TB of vectors have been encoded down to m bytes
+    * each. The corpus side touches only (id, codes, r_nsq); queries and
+    * LUTs broadcast.
+    *
+    * The returned `cosine` is the ADC ESTIMATE (reconstructed-centroid
+    * cosine), floor-rounded to 4dp BEFORE the top-k cut with id
+    * tie-break — the ADC sum is an unordered per-pair reduction in
+    * neither engine's control, so ranking on the quantized value (the
+    * MMR discipline) is what keeps the cut engine-portable. Exactness
+    * loss vs true cosine is the PQ trade measured by the recall query.
+    *
+    * `shortlist > 0` adds the production re-rank: take the top
+    * `shortlist` by ADC, join back the TRUE vectors for just those
+    * rows, and return the exact-cosine top-k — corpus scanned in code
+    * space, full vectors touched only |queries| x shortlist times.
+    * `prebuiltCodes` is the materialized [[pqEncode]] artifact (build
+    * once when the corpus lands, probe per query batch — the minhash
+    * index split). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, codebooks: DataFrame, k: Int = 10,
+             excludeSelf: Boolean = true, shortlist: Int = 0,
+             prebuiltCodes: Option[DataFrame] = None): DataFrame = {
+    // ONE driver action for all codebook metadata (m x ksub rows — the
+    // same bounded-scalar class as ZOrder's min/max row)
+    val counts = codebooks.groupBy(col("sub"))
+      .agg(count(lit(1)).as("n"), max(col("cid")).as("maxcid"),
+        max(size(col("centroid"))).as("dsub"))
+      .orderBy("sub").collect()
+      .map(r => (r.getInt(0), r.getLong(1).toInt, r.getInt(2), r.getInt(3)))
+    val m = counts.length
+    require(counts.map(_._1).sameElements(0 until m),
+      "codebooks must cover contiguous subspaces 0..m-1")
+    require(counts.forall(c => c._3 == c._2 - 1),
+      "codebook cids must be dense per subspace (pqTrain renumbers)")
+    val offsets = counts.map(_._2).scanLeft(0)(_ + _).init.toSeq
+    val dsub = counts.head._4
+
+    val codes = prebuiltCodes
+      .getOrElse(pqEncode(corpus, idCol, vecCol, codebooks))
+      .select(col(idCol).as("neighbor_id"), col("codes"), col("r_nsq"))
+    // one LUT row per query: idx-sorted collect gives the flat array the
+    // PqAdc offsets address
+    val qlut = pqSubVectors(queries, idCol, vecCol, m, dsub)
+      .join(broadcast(codebooks.select(col("sub"), col("cid"),
+        col("centroid"))), "sub")
+      .select(col("pq_id").as("query_id"),
+        (element_at(typedLit(offsets), col("sub") + 1) + col("cid"))
+          .as("idx"),
+        dot(col("sv"), col("centroid")).as("pv"))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("idx"),
+        col("pv")))), x => x.getField("pv")).as("lut"))
+    val qn = queries.select(col(idCol).as("query_id"),
+      normSq(col(vecCol)).as("q_nsq"))
+    val lutFrame = qlut.join(qn, "query_id")
+
+    val scored = codes.crossJoin(broadcast(lutFrame))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+              else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        TextAnalysis.round4(cosineFromParts(
+          graft.plans.VectorExpressions.pqAdc(col("codes"), col("lut"),
+            offsets),
+          col("q_nsq"), col("r_nsq"))).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    if (shortlist <= 0) {
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    } else {
+      require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+      val cand = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+      // exact re-rank: true vectors for shortlist rows only
+      val cv = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec"), normSq(col(vecCol)).as("c_nsq"))
+      val qv = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"), normSq(col(vecCol)).as("q_nsq"))
+      val exact = cand.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          cosineFromParts(dot(col("q_vec"), col("c_vec")),
+            col("q_nsq"), col("c_nsq")).as("cosine"))
+      val w2 = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      exact.withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    }
+  }
+
   /** Random-projection (Johnson–Lindenstrauss) dimensionality reduction:
     * out = (1/sqrt(outDim)) * R v with a deterministic md5-derived
     * uniform[-1,1] matrix R — the standard cheap 4096-d -> 64-d squeeze

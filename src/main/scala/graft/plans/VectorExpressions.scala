@@ -394,6 +394,114 @@ case class VectorEqCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization ADC (asymmetric distance computation) lookup
+  * sum: `value = Σ_{i<m} lut[offsets(i) + codes[i]]` — the inner loop of
+  * PQ top-k search. `codes` is a corpus row's m sub-quantizer codes
+  * (array<tinyint>, dense per-subspace ids); `lut` is one QUERY's
+  * flattened table of per-(subspace, code) partial dot products;
+  * `offsets(i)` is where subspace i's block starts inside `lut`
+  * (cumulative per-subspace codebook sizes — constant after training,
+  * hence a constructor literal like [[VectorSignBuckets]]'s planes).
+  *
+  * Why a custom expression: the HOF spelling
+  * (`aggregate(sequence(...), 0d, (acc,i) -> acc + element_at(...))`)
+  * interprets its lambda per pair — on an all-pairs ADC scan the
+  * interpretation dominates, exactly the [[VectorDot]] story. Here the
+  * whole lookup is m primitive array reads inside whole-stage codegen.
+  *
+  * Null/range semantics: a null input array yields null; a null code or
+  * lut element, a codes array shorter than `offsets`, or a lookup index
+  * outside `lut` also yield null (never a wrong sum — an out-of-range
+  * code means the codes/codebook pairing is inconsistent and must not
+  * silently score). Accumulation is sequential double in subspace order,
+  * matching the oracle's sub-ordered list_sum. */
+case class PqAdc(codes: Expression, lut: Expression, offsets: Seq[Int])
+    extends BinaryExpression {
+  override def left: Expression = codes
+  override def right: Expression = lut
+
+  @transient private lazy val offArr: Array[Int] = offsets.toArray
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val codesOk = codes.dataType match {
+      case ArrayType(ByteType | org.apache.spark.sql.types.IntegerType, _) =>
+        true
+      case _ => false
+    }
+    val lutOk = lut.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (codesOk && lutOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_adc expects (array<tinyint|int>, array<double>), got " +
+          s"${codes.dataType.catalogString}, ${lut.dataType.catalogString}")
+  }
+
+  private def codesAreBytes: Boolean =
+    codes.dataType.asInstanceOf[ArrayType].elementType == ByteType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val c = l.asInstanceOf[ArrayData]
+    val t = r.asInstanceOf[ArrayData]
+    val m = offArr.length
+    if (c.numElements() < m) return null
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      if (c.isNullAt(i)) return null
+      val code = if (codesAreBytes) c.getByte(i).toInt else c.getInt(i)
+      val idx = offArr(i) + code
+      if (code < 0 || idx < 0 || idx >= t.numElements() || t.isNullAt(idx))
+        return null
+      acc += t.getDouble(idx)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val offRef = ctx.addReferenceObj("offsets", offArr, "int[]")
+    val getCode = if (codesAreBytes) "getByte" else "getInt"
+    val m = offArr.length
+    nullSafeCodeGen(ctx, ev, (c, t) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val code = ctx.freshName("code")
+      val idx = ctx.freshName("idx")
+      s"""
+         |if ($c.numElements() < $m) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    if ($c.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    int $code = (int) $c.$getCode($i);
+         |    int $idx = $offRef[$i] + $code;
+         |    if ($code < 0 || $idx < 0 || $idx >= $t.numElements() ||
+         |        $t.isNullAt($idx)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    $acc += $t.getDouble($idx);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(codes = newLeft, lut = newRight)
+}
+
 object VectorExpressions {
   /** Column-level dot product backed by [[VectorDot]]. */
   def vectorDot(a: Column, b: Column): Column =
@@ -416,6 +524,12 @@ object VectorExpressions {
   def vectorProject(v: Column, planes: Seq[Seq[Double]],
                     scale: Double): Column =
     SqlBridge.column(VectorProject(SqlBridge.expression(v), planes, scale))
+
+  /** Column-level PQ lookup sum backed by [[PqAdc]]: codes indexes a
+    * query's flattened LUT at constant per-subspace `offsets`. */
+  def pqAdc(codes: Column, lut: Column, offsets: Seq[Int]): Column =
+    SqlBridge.column(PqAdc(
+      SqlBridge.expression(codes), SqlBridge.expression(lut), offsets))
 
   /** Register `vector_dot(a, b)` / `vector_eq_count(a, b)` for SQL
     * callers on this session (temp-function registry — the SQL analogue

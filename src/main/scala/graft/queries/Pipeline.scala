@@ -37,6 +37,16 @@ object Pipeline {
   private def corpusPar(e: DataFrame): DataFrame =
     e.repartition(lshCorpusParts(e.sparkSession), col("vec_id"))
 
+  /** PQ contract hyperparameters, shared by the Spark queries and the
+    * generated DuckDB oracle: 4 subspaces x 8 centroids x 2 k-means
+    * iterations over the dim-64 embeddings — coarse on purpose (the
+    * oracle unrolls every iteration; the compression/recall trade is
+    * the thing the contract rows measure). */
+  private val PqM = 4
+  private val PqKsub = 8
+  private val PqIters = 2
+  private val PqShortlist = 50
+
   /** Scratch path for a per-process materialized artifact keyed by a
     * data directory. Two safety properties (round-9 advice):
     *  - the key is the FULL sanitized dir path, not its 32-bit hashCode
@@ -501,6 +511,71 @@ object Pipeline {
           "vec_id", "qvec", k = 5)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       brute.join(q8, Seq("query_id", "neighbor_id"), "left")
+        .groupBy((col("query_id") % 32).as("band"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("k"), 4))
+        .orderBy("band")
+    }),
+
+    // product-quantization ANN: corpus encoded to m=4 one-byte codes per
+    // vector (64x smaller than float32 at dim 64 — the memory-bound end
+    // of the ANN family), scored by ADC lookup sums. Fully oracled: the
+    // per-subspace k-means trajectories, the encode, and the 4dp-ranked
+    // ADC cut all replay in DuckDB (the sim_kmeans unrolling pattern)
+    "sim_topk_pq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val books = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = PqM, ksub = PqKsub, iters = PqIters)
+      Similarity.pqTopK(corpusPar(e), e, "vec_id", "embedding", books,
+          k = 5)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // quantization loss of the PQ path: recall@5 vs exact float32 top-5,
+    // banded like sim_recall_q8. The coarse 4x8 codebook (12 bits/vector)
+    // trades recall for 64x compression — this row pins the measured
+    // trade, and the shortlist re-rank in pqTopK is the production lever
+    // that buys recall back (spec-pinned; oracling it would just replay
+    // the brute oracle)
+    "sim_recall_pq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val ep = corpusPar(e)
+      val brute = Similarity.bruteForceTopK(ep, e, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val books = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = PqM, ksub = PqKsub, iters = PqIters)
+      val pq = Similarity.pqTopK(ep, e, "vec_id", "embedding", books, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(pq, Seq("query_id", "neighbor_id"), "left")
+        .groupBy((col("query_id") % 32).as("band"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("k"), 4))
+        .orderBy("band")
+    }),
+
+    // the recall lever, measured: same coarse codes, but pqTopK's
+    // production path — ADC shortlist of 50, exact cosine re-rank of
+    // just those rows (corpus scanned in 4-byte code space; float
+    // vectors touched |queries| x 50 times). Oracled end to end: the
+    // shortlist cut ranks the 4dp ADC estimate, the re-rank the raw
+    // cosine, both with id tie-breaks
+    "sim_recall_pq_rerank" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val ep = corpusPar(e)
+      val brute = Similarity.bruteForceTopK(ep, e, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val books = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = PqM, ksub = PqKsub, iters = PqIters)
+      val pq = Similarity.pqTopK(ep, e, "vec_id", "embedding", books,
+          k = 5, shortlist = PqShortlist)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(pq, Seq("query_id", "neighbor_id"), "left")
         .groupBy((col("query_id") % 32).as("band"))
         .agg(count(lit(1)).as("k"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
@@ -1285,6 +1360,87 @@ object Pipeline {
                        greatest(-127.0, least(127.0, floor(x / s + 0.5))))
                 END AS qv
               FROM sc)"""
+
+  /** DuckDB twin of the full PQ chain (Similarity.pqTrain / pqEncode /
+    * pqTopK): per-subspace k-means unrolled like [[kmeansCtes]] (lowest-id
+    * init, `round(c·c - 2·sv·c, 6)` argmin with cid tie-break, 6dp-rounded
+    * means, dense renumber), then ADC scoring by JOINs — mathematically
+    * identical to the Spark side's flat-LUT lookups; the LUT is a Spark
+    * performance structure, not a semantic one. Sums that Spark performs
+    * as ordered folds (`r_nsq`, the m-term ADC dot) are sub-ordered
+    * `list_sum(list(... ORDER BY sub))` here; the final cut ranks the
+    * floor-4dp cosine with id tie-break on both sides. Ends at `pranked`
+    * (query_id, neighbor_id, cosine, rn). */
+  private def pqCtes(m: Int, ksub: Int, iters: Int): String = {
+    val dsub = 64 / m
+    def asg(name: String, centName: String) =
+      s"""$name AS (SELECT vec_id, sub, cid FROM (
+           SELECT s.vec_id, s.sub, p.cid,
+             row_number() OVER (PARTITION BY s.vec_id, s.sub
+               ORDER BY round(list_dot_product(p.c, p.c)
+                 - 2 * list_dot_product(s.sv, p.c), 6) ASC, p.cid ASC)
+               AS rn
+           FROM sube s JOIN $centName p ON p.sub = s.sub) WHERE rn = 1)"""
+    val sb = new StringBuilder
+    sb ++= s"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS e
+         FROM embeddings),
+       sube AS (SELECT vec_id, s.sub::INT AS sub,
+                  list_slice(e, s.sub::INT * $dsub + 1,
+                    (s.sub::INT + 1) * $dsub) AS sv
+                FROM emb CROSS JOIN unnest(range(0, $m)) AS s(sub)),
+       pcent0 AS (SELECT sub, (rn - 1)::INT AS cid,
+                    list_transform(sv, x -> round(x, 6)) AS c
+                  FROM (SELECT sub, sv, row_number() OVER (
+                          PARTITION BY sub ORDER BY vec_id) AS rn
+                        FROM sube)
+                  WHERE rn <= $ksub)"""
+    for (i <- 1 to iters) {
+      sb ++= s""",
+       ${asg(s"pasg$i", s"pcent${i - 1}")},
+       psums$i AS (SELECT a.sub, a.cid, d.d AS pos,
+                     sum(s.sv[d.d::INT + 1]) AS sm, count(*) AS n
+                   FROM pasg$i a JOIN sube s
+                     ON s.vec_id = a.vec_id AND s.sub = a.sub
+                   CROSS JOIN unnest(range(0, $dsub)) AS d(d)
+                   GROUP BY a.sub, a.cid, d.d),
+       pcent$i AS (SELECT sub, cid, list(round(sm / n, 6) ORDER BY pos)
+                     AS c
+                   FROM psums$i GROUP BY sub, cid)"""
+    }
+    sb ++= s""",
+       pbook AS (SELECT sub,
+                   (row_number() OVER (PARTITION BY sub ORDER BY cid)
+                     - 1)::INT AS cid, c
+                 FROM pcent$iters),
+       ${asg("pasg_f", "pbook")},
+       prn AS (SELECT a.vec_id,
+                 list_sum(list(list_dot_product(b.c, b.c)
+                   ORDER BY a.sub)) AS r_nsq
+               FROM pasg_f a JOIN pbook b
+                 ON b.sub = a.sub AND b.cid = a.cid
+               GROUP BY a.vec_id),
+       pqn AS (SELECT vec_id, list_dot_product(e, e) AS q_nsq FROM emb),
+       pparts AS (SELECT qs.vec_id AS query_id, a.vec_id AS neighbor_id,
+                    a.sub, list_dot_product(qs.sv, b.c) AS pv
+                  FROM pasg_f a
+                  JOIN pbook b ON b.sub = a.sub AND b.cid = a.cid
+                  JOIN sube qs ON qs.sub = a.sub),
+       padc AS (SELECT query_id, neighbor_id,
+                  list_sum(list(pv ORDER BY sub)) AS adcdot
+                FROM pparts WHERE neighbor_id != query_id
+                GROUP BY query_id, neighbor_id),
+       pscored AS (SELECT a.query_id, a.neighbor_id,
+                     floor((CASE WHEN q.q_nsq * r.r_nsq = 0 THEN 0
+                            ELSE a.adcdot / sqrt(q.q_nsq * r.r_nsq) END)
+                       * 10000 + 0.5) / 10000 AS cosine
+                   FROM padc a JOIN pqn q ON q.vec_id = a.query_id
+                   JOIN prn r ON r.vec_id = a.neighbor_id),
+       pranked AS (SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rn
+                   FROM pscored)"""
+    sb.toString
+  }
 
   // word-3-gram shingle fragment over an arbitrary (doc_id, text)
   // relation — the one tokenization rule every dedup oracle shares
@@ -2420,6 +2576,58 @@ object Pipeline {
            round(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0
              END)::DOUBLE / count(*), 4) AS recall
          FROM brute b LEFT JOIN q8 l
+           ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         GROUP BY b.query_id % 32 ORDER BY band""",
+    "sim_topk_pq" ->
+      s"""WITH ${pqCtes(PqM, PqKsub, PqIters)}
+         SELECT query_id, neighbor_id, cosine
+         FROM pranked WHERE rn <= 5 ORDER BY query_id, neighbor_id""",
+    "sim_recall_pq" ->
+      s"""WITH ${pqCtes(PqM, PqKsub, PqIters)},
+         pq5 AS (SELECT query_id, neighbor_id FROM pranked WHERE rn <= 5),
+         bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_cosine_similarity(q.e, c.e) AS cos
+                FROM emb q JOIN emb c ON c.vec_id != q.vec_id),
+         br AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rn
+                FROM bs),
+         brute AS (SELECT query_id, neighbor_id FROM br WHERE rn <= 5)
+         SELECT b.query_id % 32 AS band, count(*) AS k,
+           sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hit,
+           round(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0
+             END)::DOUBLE / count(*), 4) AS recall
+         FROM brute b LEFT JOIN pq5 l
+           ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         GROUP BY b.query_id % 32 ORDER BY band""",
+    "sim_recall_pq_rerank" ->
+      s"""WITH ${pqCtes(PqM, PqKsub, PqIters)},
+         rcand AS (SELECT query_id, neighbor_id FROM pranked
+                   WHERE rn <= $PqShortlist),
+         rex AS (SELECT r.query_id, r.neighbor_id,
+                   list_cosine_similarity(qe.e, ce.e) AS cos
+                 FROM rcand r JOIN emb qe ON qe.vec_id = r.query_id
+                 JOIN emb ce ON ce.vec_id = r.neighbor_id),
+         rrank AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rn
+                   FROM rex),
+         pqr AS (SELECT query_id, neighbor_id FROM rrank WHERE rn <= 5),
+         bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_cosine_similarity(q.e, c.e) AS cos
+                FROM emb q JOIN emb c ON c.vec_id != q.vec_id),
+         br AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rn
+                FROM bs),
+         brute AS (SELECT query_id, neighbor_id FROM br WHERE rn <= 5)
+         SELECT b.query_id % 32 AS band, count(*) AS k,
+           sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hit,
+           round(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0
+             END)::DOUBLE / count(*), 4) AS recall
+         FROM brute b LEFT JOIN pqr l
            ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
          GROUP BY b.query_id % 32 ORDER BY band""",
     "sim_topk" ->

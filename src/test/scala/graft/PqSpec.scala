@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextAnalysis}
+
+/** Product-quantization ANN: codebook shape, encode/ADC semantics, the
+  * flat-LUT indexing under dropped clusters, and the re-rank path. */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 8 vectors in dim 4, m=2 subspaces of 2 coords each: two clean planted
+  // clusters PER SUBSPACE so a ksub=2 trainer recovers them exactly.
+  // Ids 0 and 1 carry DISTINCT patterns in both subspaces — lowest-id
+  // init with duplicate seeds would collapse to one cluster (standard
+  // kmeans drop-empty behavior, faithfully replayed by the oracle)
+  private def corpus = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+    (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+    (2L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+    (3L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+    (4L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+    (5L, Array(0.0f, 1.0f, 0.0f, 1.0f)),
+    (6L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+    (7L, Array(0.0f, 1.0f, 1.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("pqTrain: dense per-subspace cids, centroid length dim/m, c_nsq") {
+    val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      m = 2, ksub = 2, iters = 2).collect()
+    val bySub = books.groupBy(_.getInt(0))
+    assert(bySub.keySet == Set(0, 1))
+    for ((_, rows) <- bySub) {
+      val cids = rows.map(_.getInt(1)).sorted
+      assert(cids.sameElements(cids.indices), "cids must be dense from 0")
+      for (r <- rows) {
+        val c = r.getSeq[Double](2)
+        assert(c.length == 2)
+        assert(math.abs(r.getDouble(3) - c.map(x => x * x).sum) < 1e-12)
+      }
+    }
+  }
+
+  test("pqEncode: m codes per vector, r_nsq is the chosen centroids' norm") {
+    val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      m = 2, ksub = 2, iters = 2)
+    val bookRows = books.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getSeq[Double](2),
+        r.getDouble(3))).toMap
+    val enc = Similarity.pqEncode(corpus, "vec_id", "embedding", books)
+      .collect()
+    assert(enc.length == 8)
+    for (r <- enc) {
+      val codes = r.getSeq[Byte](1)
+      assert(codes.length == 2)
+      val expected = codes.zipWithIndex
+        .map { case (c, s) => bookRows((s, c.toInt))._2 }.sum
+      assert(math.abs(r.getDouble(2) - expected) < 1e-12)
+    }
+  }
+
+  test("pqTopK ADC equals exact cosine when vectors sit ON the centroids") {
+    // the planted corpus is exactly quantizable: every subvector IS a
+    // centroid, so the ADC estimate must equal the true cosine (4dp)
+    val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      m = 2, ksub = 2, iters = 2)
+    val pq = Similarity.pqTopK(corpus, corpus, "vec_id", "embedding",
+      books, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = Similarity.bruteForceTopK(corpus, corpus, "vec_id",
+      "embedding", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        TextAnalysis.round4Value(r.getDouble(2))).toMap
+    assert(pq.size == brute.size)
+    // same pairs need not be chosen under ADC ties, but every shared
+    // pair must carry the identical 4dp cosine — and on this corpus the
+    // cosine VALUES per query must match exactly
+    val pqByQ = pq.groupBy(_._1._1).view
+      .mapValues(_.values.toSeq.sorted).toMap
+    val brByQ = brute.groupBy(_._1._1).view
+      .mapValues(_.values.toSeq.sorted).toMap
+    assert(pqByQ == brByQ)
+  }
+
+  test("pqTopK: prebuilt codes path equals inline, shortlist re-rank exact") {
+    val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      m = 2, ksub = 2, iters = 2)
+    val inline = Similarity.pqTopK(corpus, corpus, "vec_id", "embedding",
+      books, k = 2).collect().toSet
+    val pre = Similarity.pqEncode(corpus, "vec_id", "embedding", books)
+    val probed = Similarity.pqTopK(corpus, corpus, "vec_id", "embedding",
+      books, k = 2, prebuiltCodes = Some(pre)).collect().toSet
+    assert(inline == probed)
+    // shortlist re-rank returns TRUE cosines (unrounded), exact top-k
+    val rr = Similarity.pqTopK(corpus, corpus, "vec_id", "embedding",
+      books, k = 2, shortlist = 7)
+    val brute = Similarity.bruteForceTopK(corpus, corpus, "vec_id",
+      "embedding", k = 2)
+    assert(rr.collect().toSet == brute.collect().toSet)
+  }
+
+  test("pqTrain rejects non-dividing m; pqTopK validates codebook density") {
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(corpus, "vec_id", "embedding", m = 3)
+    }
+    val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      m = 2, ksub = 2, iters = 1)
+    val holey = books.filter(!(col("sub") === 0 && col("cid") === 0))
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(corpus, corpus, "vec_id", "embedding", holey, k = 2)
+    }
+  }
+
+  test("PqAdc expression: lookup sum, out-of-range code -> null") {
+    // Array[Byte] literals arrive as `binary`, so build array<tinyint>
+    // explicitly — the type pqEncode emits
+    val df = Seq(
+      (Array(0, 1), Array(10.0, 20.0, 30.0, 40.0)),
+      (Array(1, 1), Array(10.0, 20.0, 30.0, 40.0)),
+      (Array(0, 9), Array(10.0, 20.0, 30.0, 40.0)))
+      .toDF("icodes", "lut")
+      .withColumn("codes", transform(col("icodes"), _.cast("byte")))
+    val out = df.select(graft.plans.VectorExpressions.pqAdc(
+      col("codes"), col("lut"), Seq(0, 2)).as("v"),
+      graft.plans.VectorExpressions.pqAdc(
+        col("icodes"), col("lut"), Seq(0, 2)).as("vi")).collect()
+    assert(out(0).getDouble(0) == 10.0 + 40.0)
+    assert(out(1).getDouble(0) == 20.0 + 40.0)
+    assert(out(2).isNullAt(0))
+    // int-typed codes take the same path
+    assert(out(0).getDouble(1) == 10.0 + 40.0)
+    assert(out(2).isNullAt(1))
+  }
+}
