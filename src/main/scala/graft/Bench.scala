@@ -88,9 +88,14 @@ object Bench {
     // (dd_exact rides in the dd family rollup: sub-second, never the
     // signal entry — the compact line is budgeted and r11's n_outliers
     // + the minhash_beats_pruned claim needed its chars)
+    // (dd_survivors_exact + dd_simhash_pairs joined it in r12: also
+    // sub-second, and the ivfpq_beats_brute claim needed their chars;
+    // claims read the full artifact, so nothing conclusion-bearing
+    // left the line — the full artifact's `headline` array records
+    // membership for round-over-round diffing)
     "bench_dd50k_ngram", "bench_dd50k_ngram_pruned", "bench_dd50k_minhash",
-    "dd_clusters", "dd_survivors_exact", "dd_minhash_pairs",
-    "dd_ngram_pairs", "dd_simhash_pairs", "dd_embed_lsh", "dd_embed_pairs",
+    "dd_clusters", "dd_minhash_pairs",
+    "dd_ngram_pairs", "dd_embed_lsh", "dd_embed_pairs",
     "dd_spans",
     "ds_mix",
     "ev_asof", "ev_sessionize",
@@ -815,6 +820,19 @@ object Bench {
         synth50k(s), synthQueries(s), "vec_id", "embedding",
         synthPqBooks(s), k = 10, shortlist = 100,
         prebuiltCodes = Some(synthPqCodes(s)))),
+    "bench_lsh50k_ivfpq" -> ((s, _) =>
+      // the composed index: nProbe inverted lists bound WHICH code rows
+      // a query touches (~nProbe/500 of the corpus), PQ bounds the
+      // BYTES each costs — all three artifacts (centroids, lists,
+      // codes) are build-once setup; its window input is candidates
+      // only, so unlike flat PQ a seconds claim is stated — as
+      // near-parity (ivfpq_brute_near_parity_50k): the rig's overhead
+      // floor is ~2 s for every contender
+      graft.operators.Similarity.ivfPqTopK(
+        synth50k(s), synthQueries(s), "vec_id", "embedding",
+        synthCentroids(s), synthPqBooks(s), k = 10, nProbe = IvfProbes,
+        shortlist = 100, prebuiltLists = Some(synthIvfLists(s)),
+        prebuiltCodes = Some(synthPqCodes(s)))),
     "bench_lsh50k_pq_guard" -> ((s, _) => setup(s, "guard_pq") {
       // the 100 TB claim, measured: serialize the float32 corpus and
       // the complete PQ index (codes + codebooks) the way a deployment
@@ -864,6 +882,12 @@ object Bench {
         "pq" -> graft.operators.Similarity.pqTopK(
           synth50k(s), synthQueries(s), "vec_id", "embedding",
           synthPqBooks(s), k = 10, shortlist = 100,
+          prebuiltCodes = Some(synthPqCodes(s))),
+        "ivfpq" -> graft.operators.Similarity.ivfPqTopK(
+          synth50k(s), synthQueries(s), "vec_id", "embedding",
+          synthCentroids(s), synthPqBooks(s), k = 10,
+          nProbe = IvfProbes, shortlist = 100,
+          prebuiltLists = Some(synthIvfLists(s)),
           prebuiltCodes = Some(synthPqCodes(s))))
       val recalls = paths.map { case (name, df) =>
         val r = annRecall(brute, df)
@@ -1414,7 +1438,7 @@ object Bench {
     * later, which is what puts error bars on a crossover RATIO. */
   private[graft] val crossoverCohorts: Seq[Seq[String]] = Seq(
     Seq("bench_lsh50k_brute", "bench_lsh50k_lsh", "bench_lsh50k_ivf",
-      "bench_lsh50k_q8", "bench_lsh50k_pq"),
+      "bench_lsh50k_q8", "bench_lsh50k_pq", "bench_lsh50k_ivfpq"),
     Seq("bench_cc450k_driver", "bench_cc450k_dist"),
     Seq("bench_cc2m_dist", "bench_cc2m_skew", "bench_cc2m_skew_nopre"),
     Seq("bench_dd50k_ngram", "bench_dd50k_ngram_pruned",
@@ -1629,6 +1653,14 @@ object Bench {
       // claim would flip on JVM temperature. PQ's measured conclusions
       // are the footprint ratio (bench_lsh50k_pq_guard, >=6x hard
       // floor) and the recall floor (bench_lsh50k_recall).
+      // IVF-PQ probes bound the window input to ~nProbe/500 of the
+      // corpus, but at 500 queries x 50k the whole path is still
+      // overhead-floor-bound (~2 s for EVERY contender) — measured
+      // 1.09x brute in-process, same adjudication as IVF: near-parity
+      // here, and the win (scan fraction x m-byte rows) grows with
+      // corpus size, not with this rig
+      ("ivfpq_brute_near_parity_50k",
+        "bench_lsh50k_ivfpq", "bench_lsh50k_brute", 1.25),
       ("driver_beats_dist_cc450k",
         "bench_cc450k_driver", "bench_cc450k_dist", 1.0),
       ("cc_skew_within_2x",
@@ -1826,12 +1858,15 @@ object Bench {
     Map(
       "ann50k" -> (stamp + "\n\n" +
         table(Seq("bench_lsh50k_brute", "bench_lsh50k_lsh",
-          "bench_lsh50k_ivf", "bench_lsh50k_q8", "bench_lsh50k_pq")) + "\n\n" +
+          "bench_lsh50k_ivf", "bench_lsh50k_q8", "bench_lsh50k_pq",
+          "bench_lsh50k_ivfpq")) + "\n\n" +
         s"brute/LSH ratio ${ratio(q("bench_lsh50k_brute"), q("bench_lsh50k_lsh"))}x, " +
         s"brute/IVF ${ratio(q("bench_lsh50k_brute"), q("bench_lsh50k_ivf"))}x, " +
         s"brute/PQ ${ratio(q("bench_lsh50k_brute"), q("bench_lsh50k_pq"))}x " +
         "(PQ: 8-byte codes + top-100 exact re-rank; its claim is the " +
-        "footprint guard, not seconds)."),
+        "footprint guard, not seconds), " +
+        s"brute/IVF-PQ ${ratio(q("bench_lsh50k_brute"), q("bench_lsh50k_ivfpq"))}x " +
+        "(probe-bounded ADC scan)."),
       "cc" -> (stamp + "\n\n" +
         table(Seq("bench_cc450k_driver", "bench_cc450k_dist",
           "bench_cc2m_dist", "bench_cc2m_skew",

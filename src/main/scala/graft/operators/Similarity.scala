@@ -583,8 +583,70 @@ object Similarity {
              vecCol: String, codebooks: DataFrame, k: Int = 10,
              excludeSelf: Boolean = true, shortlist: Int = 0,
              prebuiltCodes: Option[DataFrame] = None): DataFrame = {
-    // ONE driver action for all codebook metadata (m x ksub rows — the
-    // same bounded-scalar class as ZOrder's min/max row)
+    val (m, dsub, offsets) = pqMeta(codebooks)
+    val codes = prebuiltCodes
+      .getOrElse(pqEncode(corpus, idCol, vecCol, codebooks))
+      .select(col(idCol).as("neighbor_id"), col("codes"), col("r_nsq"))
+    val lutFrame = pqQueryLut(queries, idCol, vecCol, codebooks,
+      m, dsub, offsets)
+    val scored = codes.crossJoin(broadcast(lutFrame))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+              else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdcCosine(offsets).as("cosine"))
+    pqRank(scored, corpus, queries, idCol, vecCol, k, shortlist)
+  }
+
+  /** IVF-PQ: the composed billion-scale index layout (FAISS's default) —
+    * the coarse quantizer ([[ivfAssign]] lists) bounds WHICH code rows a
+    * query touches, PQ bounds the BYTES each touched row costs. A query
+    * probes `nProbe` inverted lists and ADC-scans only those candidates
+    * (m LUT reads each, [[graft.plans.PqAdc]]) — at 100 TB the scan is
+    * `nProbe/lists` of the corpus in `m`-byte rows, where brute is all
+    * of it in float32. Both index artifacts are build-once inputs
+    * (`prebuiltLists` from [[ivfAssign]], `prebuiltCodes` from
+    * [[pqEncode]]); queries, probes, and LUTs broadcast — the corpus
+    * side never shuffles. The ADC cut ranks the floor-4dp estimate with
+    * id tie-breaks (engine-portable, the [[pqTopK]] discipline);
+    * `shortlist > 0` re-ranks the ADC top-`shortlist` with true vectors
+    * for exact cosines. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, centroids: DataFrame,
+                codebooks: DataFrame, k: Int = 10, nProbe: Int = 3,
+                excludeSelf: Boolean = true, shortlist: Int = 0,
+                cidCol: String = "cid", centCol: String = "centroid",
+                prebuiltLists: Option[DataFrame] = None,
+                prebuiltCodes: Option[DataFrame] = None): DataFrame = {
+    val (m, dsub, offsets) = pqMeta(codebooks)
+    val lists = prebuiltLists
+      .getOrElse(ivfAssign(corpus, idCol, vecCol, centroids, cidCol,
+        centCol))
+      .withColumnRenamed(idCol, "neighbor_id")
+    val probes = ivfAssign(queries, idCol, vecCol, centroids, cidCol,
+        centCol, nProbe)
+      .withColumnRenamed(idCol, "query_id")
+    // probes is queries x nProbe rows — broadcast so the corpus-sized
+    // inverted lists never shuffle (the ivfTopK shape)
+    val cand = broadcast(probes).join(lists, cidCol)
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+              else lit(true))
+      .select("query_id", "neighbor_id").distinct()
+    val codes = prebuiltCodes
+      .getOrElse(pqEncode(corpus, idCol, vecCol, codebooks))
+      .select(col(idCol).as("neighbor_id"), col("codes"), col("r_nsq"))
+    val lutFrame = pqQueryLut(queries, idCol, vecCol, codebooks,
+      m, dsub, offsets)
+    val scored = cand.join(codes, "neighbor_id")
+      .join(broadcast(lutFrame), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdcCosine(offsets).as("cosine"))
+    pqRank(scored, corpus, queries, idCol, vecCol, k, shortlist)
+  }
+
+  /** Codebook metadata in ONE driver action (m x ksub rows — the same
+    * bounded-scalar class as ZOrder's min/max row): subspace count,
+    * subvector dim, and the flat-LUT offsets; validates density. */
+  private def pqMeta(codebooks: DataFrame): (Int, Int, Seq[Int]) = {
     val counts = codebooks.groupBy(col("sub"))
       .agg(count(lit(1)).as("n"), max(col("cid")).as("maxcid"),
         max(size(col("centroid"))).as("dsub"))
@@ -595,14 +657,14 @@ object Similarity {
       "codebooks must cover contiguous subspaces 0..m-1")
     require(counts.forall(c => c._3 == c._2 - 1),
       "codebook cids must be dense per subspace (pqTrain renumbers)")
-    val offsets = counts.map(_._2).scanLeft(0)(_ + _).init.toSeq
-    val dsub = counts.head._4
+    (m, counts.head._4, counts.map(_._2).scanLeft(0)(_ + _).init.toSeq)
+  }
 
-    val codes = prebuiltCodes
-      .getOrElse(pqEncode(corpus, idCol, vecCol, codebooks))
-      .select(col(idCol).as("neighbor_id"), col("codes"), col("r_nsq"))
-    // one LUT row per query: idx-sorted collect gives the flat array the
-    // PqAdc offsets address
+  /** One LUT row per query — `lut[offset(sub)+cid] = dot(q_sub, c)` as a
+    * flat idx-sorted array — plus the query's squared norm. */
+  private def pqQueryLut(queries: DataFrame, idCol: String, vecCol: String,
+                         codebooks: DataFrame, m: Int, dsub: Int,
+                         offsets: Seq[Int]): DataFrame = {
     val qlut = pqSubVectors(queries, idCol, vecCol, m, dsub)
       .join(broadcast(codebooks.select(col("sub"), col("cid"),
         col("centroid"))), "sub")
@@ -613,18 +675,22 @@ object Similarity {
       .groupBy("query_id")
       .agg(transform(array_sort(collect_list(struct(col("idx"),
         col("pv")))), x => x.getField("pv")).as("lut"))
-    val qn = queries.select(col(idCol).as("query_id"),
-      normSq(col(vecCol)).as("q_nsq"))
-    val lutFrame = qlut.join(qn, "query_id")
+    qlut.join(queries.select(col(idCol).as("query_id"),
+      normSq(col(vecCol)).as("q_nsq")), "query_id")
+  }
 
-    val scored = codes.crossJoin(broadcast(lutFrame))
-      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
-              else lit(true))
-      .select(col("query_id"), col("neighbor_id"),
-        TextAnalysis.round4(cosineFromParts(
-          graft.plans.VectorExpressions.pqAdc(col("codes"), col("lut"),
-            offsets),
-          col("q_nsq"), col("r_nsq"))).as("cosine"))
+  /** The floor-4dp ADC cosine over (codes, lut, q_nsq, r_nsq) columns. */
+  private def pqAdcCosine(offsets: Seq[Int]): Column =
+    TextAnalysis.round4(cosineFromParts(
+      graft.plans.VectorExpressions.pqAdc(col("codes"), col("lut"),
+        offsets),
+      col("q_nsq"), col("r_nsq")))
+
+  /** Shared PQ ranking tail: ADC top-k, or ADC top-`shortlist` + exact
+    * re-rank over true vectors when `shortlist > 0`. */
+  private def pqRank(scored: DataFrame, corpus: DataFrame,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, shortlist: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     if (shortlist <= 0) {

@@ -601,6 +601,19 @@ object Pipeline {
         .orderBy("band")
     }),
 
+    // IVF-PQ: the composed billion-scale index (FAISS's default layout)
+    // — nProbe inverted lists bound WHICH code rows a query touches, PQ
+    // bounds the BYTES each costs. Fully oracled: label-centroid lists
+    // (the sim_topk_ivf chain) restrict the PQ ADC pair space via the
+    // injected candidate CTE, same 4dp-ranked cut
+    "sim_topk_ivfpq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 8), "vec_id",
+          "embedding", ivfCentroids(e), pqBooks(s, dir), k = 5,
+          nProbe = 3)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // label centroids: grouped vector mean (oracled on first components)
     "sim_centroids" -> ((s, dir) => {
       Similarity.labelCentroids(embs(s, dir), "label", "embedding")
@@ -1387,8 +1400,16 @@ object Pipeline {
     * as ordered folds (`r_nsq`, the m-term ADC dot) are sub-ordered
     * `list_sum(list(... ORDER BY sub))` here; the final cut ranks the
     * floor-4dp cosine with id tie-break on both sides. Ends at `pranked`
-    * (query_id, neighbor_id, cosine, rn). */
-  private def pqCtes(m: Int, ksub: Int, iters: Int): String = {
+    * (query_id, neighbor_id, cosine, rn).
+    *
+    * Composition hooks for IVF-PQ: `emitEmb = false` skips the leading
+    * `emb` CTE (the caller's chain already defines the identical one —
+    * [[ivfBaseCtes]]); `candCte` injects a `cand(query_id, neighbor_id)`
+    * CTE and restricts the ADC pair space to it — the oracle twin of
+    * probing inverted lists before scoring. */
+  private def pqCtes(m: Int, ksub: Int, iters: Int,
+                     emitEmb: Boolean = true,
+                     candCte: Option[String] = None): String = {
     val dsub = 64 / m
     def asg(name: String, centName: String) =
       s"""$name AS (SELECT vec_id, sub, cid FROM (
@@ -1399,9 +1420,11 @@ object Pipeline {
                AS rn
            FROM sube s JOIN $centName p ON p.sub = s.sub) WHERE rn = 1)"""
     val sb = new StringBuilder
-    sb ++= s"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS e
+    if (emitEmb)
+      sb ++= s"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS e
          FROM embeddings),
-       sube AS (SELECT vec_id, s.sub::INT AS sub,
+       """
+    sb ++= s"""sube AS (SELECT vec_id, s.sub::INT AS sub,
                   list_slice(e, s.sub::INT * $dsub + 1,
                     (s.sub::INT + 1) * $dsub) AS sv
                 FROM emb CROSS JOIN unnest(range(0, $m)) AS s(sub)),
@@ -1436,12 +1459,21 @@ object Pipeline {
                FROM pasg_f a JOIN pbook b
                  ON b.sub = a.sub AND b.cid = a.cid
                GROUP BY a.vec_id),
-       pqn AS (SELECT vec_id, list_dot_product(e, e) AS q_nsq FROM emb),
+       pqn AS (SELECT vec_id, list_dot_product(e, e) AS q_nsq FROM emb)"""
+    for (c <- candCte) sb ++= s""",
+       $c"""
+    // with a candidate frame the ADC pair space is cand-joined (the
+    // inverted-list probe); without it every (query, corpus) pair scores
+    val candJoin = if (candCte.isDefined)
+      "JOIN cand ON cand.query_id = qs.vec_id AND cand.neighbor_id = a.vec_id"
+    else ""
+    sb ++= s""",
        pparts AS (SELECT qs.vec_id AS query_id, a.vec_id AS neighbor_id,
                     a.sub, list_dot_product(qs.sv, b.c) AS pv
                   FROM pasg_f a
                   JOIN pbook b ON b.sub = a.sub AND b.cid = a.cid
-                  JOIN sube qs ON qs.sub = a.sub),
+                  JOIN sube qs ON qs.sub = a.sub
+                  $candJoin),
        padc AS (SELECT query_id, neighbor_id,
                   list_sum(list(pv ORDER BY sub)) AS adcdot
                 FROM pparts WHERE neighbor_id != query_id
@@ -2647,6 +2679,16 @@ object Pipeline {
          FROM brute b LEFT JOIN pqr l
            ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
          GROUP BY b.query_id % 32 ORDER BY band""",
+    "sim_topk_ivfpq" ->
+      s"""WITH $ivfBaseCtes,
+         probes AS (SELECT query_id, cid FROM probes_ranked
+                    WHERE rn <= 3),
+         ${pqCtes(PqM, PqKsub, PqIters, emitEmb = false, candCte = Some(
+           """cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+              FROM probes p JOIN assign a ON a.cid = p.cid
+              WHERE a.vec_id != p.query_id)"""))}
+         SELECT query_id, neighbor_id, cosine
+         FROM pranked WHERE rn <= 5 ORDER BY query_id, neighbor_id""",
     "sim_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          scored AS (

@@ -530,10 +530,10 @@ class BenchSpec extends AnyFunSuite {
   test("bench-only extras exist and are disjoint from the driver contract") {
     val extras = Bench.extraQueries.keySet
     assert(extras == Set(
-      // ANN crossover rig: 5 contenders + recall guard + PQ footprint
+      // ANN crossover rig: 6 contenders + recall guard + PQ footprint
       "bench_lsh50k_brute", "bench_lsh50k_lsh", "bench_lsh50k_ivf",
-      "bench_lsh50k_q8", "bench_lsh50k_pq", "bench_lsh50k_recall",
-      "bench_lsh50k_pq_guard",
+      "bench_lsh50k_q8", "bench_lsh50k_pq", "bench_lsh50k_ivfpq",
+      "bench_lsh50k_recall", "bench_lsh50k_pq_guard",
       // CC crossover rig: driver vs distributed + equality/round guard,
       // plus the star-heavy skew twin of the 2M-edge graph
       "bench_cc450k_driver", "bench_cc450k_dist", "bench_cc2m_dist",

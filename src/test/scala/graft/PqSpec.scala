@@ -111,6 +111,37 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("ivfPqTopK: full-coverage probe equals flat pqTopK; rerank exact") {
+    val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      m = 2, ksub = 2, iters = 2)
+    // 2 coarse cells from the planted labels (vec % 2 splits the two
+    // clean clusters); probing BOTH lists = no candidate pruning, so
+    // the composed result must equal the flat ADC scan
+    val cents = Similarity.labelCentroids(
+      corpus.withColumn("label", col("vec_id") % 2), "label", "embedding")
+      .select(col("label").as("cid"), col("centroid"))
+    val flat = Similarity.pqTopK(corpus, corpus, "vec_id", "embedding",
+      books, k = 3).collect().toSet
+    val composed = Similarity.ivfPqTopK(corpus, corpus, "vec_id",
+      "embedding", cents, books, k = 3, nProbe = 2).collect().toSet
+    assert(composed == flat)
+    // with a shortlist re-rank over full coverage, IVF-PQ returns the
+    // exact brute top-k
+    val rr = Similarity.ivfPqTopK(corpus, corpus, "vec_id", "embedding",
+      cents, books, k = 2, nProbe = 2, shortlist = 7).collect().toSet
+    val brute = Similarity.bruteForceTopK(corpus, corpus, "vec_id",
+      "embedding", k = 2).collect().toSet
+    assert(rr == brute)
+    // nProbe=1 prunes: every neighbor comes from the query's own list
+    val pruned = Similarity.ivfPqTopK(corpus, corpus, "vec_id",
+      "embedding", cents, books, k = 3, nProbe = 1)
+    val lists = Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- pruned.collect())
+      assert(lists(r.getLong(0)) == lists(r.getLong(1)),
+        s"nProbe=1 returned a cross-list neighbor: $r")
+  }
+
   test("PqAdc expression: lookup sum, out-of-range code -> null") {
     // Array[Byte] literals arrive as `binary`, so build array<tinyint>
     // explicitly — the type pqEncode emits
