@@ -34,7 +34,7 @@ class ContractLayoutInvarianceSpec extends SparkTestBase {
     "ds_shuffle", "ds_split", "ds_group_sample", "ds_mix", "ds_pack",
     "dd_exact", "dd_minhash_pairs", "dd_clusters", "dd_spans_cut",
     "txt_bpe", "txt_bpe_tokens", "txt_heavy_hitters",
-    "ev_sessionize", "sim_topk_pq", "x_zorder")
+    "ev_sessionize", "sim_topk_pq", "sim_topk_ivfpq", "x_zorder")
 
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
