@@ -824,10 +824,10 @@ object Bench {
       // the composed index: nProbe inverted lists bound WHICH code rows
       // a query touches (~nProbe/500 of the corpus), PQ bounds the
       // BYTES each costs — all three artifacts (centroids, lists,
-      // codes) are build-once setup; its window input is candidates
-      // only, so unlike flat PQ a seconds claim is stated — as
-      // near-parity (ivfpq_brute_near_parity_50k): the rig's overhead
-      // floor is ~2 s for every contender
+      // codes) are build-once setup. NO seconds claim (see the claims
+      // block comment): the brute ratio flips with JVM temperature at
+      // this rig's overhead floor; recall and footprint are the
+      // measured conclusions
       graft.operators.Similarity.ivfPqTopK(
         synth50k(s), synthQueries(s), "vec_id", "embedding",
         synthCentroids(s), synthPqBooks(s), k = 10, nProbe = IvfProbes,
@@ -1653,14 +1653,14 @@ object Bench {
       // claim would flip on JVM temperature. PQ's measured conclusions
       // are the footprint ratio (bench_lsh50k_pq_guard, >=6x hard
       // floor) and the recall floor (bench_lsh50k_recall).
-      // IVF-PQ probes bound the window input to ~nProbe/500 of the
-      // corpus, but at 500 queries x 50k the whole path is still
-      // overhead-floor-bound (~2 s for EVERY contender) — measured
-      // 1.09x brute in-process, same adjudication as IVF: near-parity
-      // here, and the win (scan fraction x m-byte rows) grows with
-      // corpus size, not with this rig
-      ("ivfpq_brute_near_parity_50k",
-        "bench_lsh50k_ivfpq", "bench_lsh50k_brute", 1.25),
+      // bench_lsh50k_ivfpq also carries NO seconds claim: its ratio to
+      // brute FLIPS with JVM temperature (measured 1.09x in-process,
+      // 1.69x in cold forks — the composed path has ~2x the distinct
+      // stages to JIT), which is exactly the flip-on-temperature the
+      // layout/hh/pq policy exists to keep out of the claims table.
+      // Its measured conclusions are recall@10 = 1.0 in
+      // bench_lsh50k_recall and the pq_guard footprint; the scan-
+      // fraction win grows with corpus size, not with this rig.
       ("driver_beats_dist_cc450k",
         "bench_cc450k_driver", "bench_cc450k_dist", 1.0),
       ("cc_skew_within_2x",

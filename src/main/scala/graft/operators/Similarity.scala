@@ -643,6 +643,65 @@ object Similarity {
     pqRank(scored, corpus, queries, idCol, vecCol, k, shortlist)
   }
 
+  /** A materialized PQ index read back from parquet: codebooks + encoded
+    * corpus, with the build geometry recovered from stamped metadata. */
+  case class PqIndex(books: DataFrame, codes: DataFrame, m: Int, dsub: Int)
+
+  /** Write the PQ index as two parquet dirs (`books/`, `codes/`) under
+    * `path` — the build-once half of the build-once / probe-per-batch
+    * split ([[graft.operators.Dedup.writeMinhashIndex]]'s contract,
+    * applied to ANN): codebooks are trained and the corpus encoded when
+    * it lands; every query batch probes the artifact. The geometry
+    * (m, dsub) is stamped into the codes column's metadata so
+    * [[readPqIndex]] reconstructs it from the artifact itself, and
+    * `sourceTag` records WHICH corpus the codes came from — a probe can
+    * demand the tag back so an index built from different data (stale
+    * artifact, path collision, concurrent writer) fails loudly instead
+    * of silently returning wrong neighbors. */
+  def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   codebooks: DataFrame, path: String,
+                   sourceTag: String = ""): Unit = {
+    val (m, dsub, _) = pqMeta(codebooks) // validates density up front
+    val b = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("pqM", m).putLong("pqDsub", dsub)
+    if (sourceTag.nonEmpty) b.putString("source", sourceTag)
+    val meta = b.build()
+    codebooks.write.mode("overwrite").parquet(s"$path/books")
+    pqEncode(corpus, idCol, vecCol, codebooks)
+      .select(col(idCol), col("codes").as("codes", meta), col("r_nsq"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Read a [[writePqIndex]] artifact back probe-ready. Geometry comes
+    * from the stamped codes metadata — a path that is not a PQ index
+    * fails loudly here, not as a wrong ADC sum in the probe;
+    * `expectedSource` demands the provenance tag stamped at write
+    * time. The returned frames plug into [[pqTopK]]/[[ivfPqTopK]] as
+    * `codebooks` and `prebuiltCodes`. */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  expectedSource: Option[String] = None): PqIndex = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val m = codes.schema("codes").metadata
+    val needed = Seq("pqM", "pqDsub")
+    val missing = needed.filterNot(m.contains)
+    require(missing.isEmpty,
+      s"$path/codes is missing PQ-index metadata " +
+        s"${missing.mkString(", ")} — was it written by writePqIndex?")
+    expectedSource.foreach { want =>
+      val got = if (m.contains("source")) m.getString("source") else ""
+      require(got == want,
+        s"PQ index at $path was built from '$got' but this probe " +
+          s"expects '$want' — refusing to search the wrong corpus")
+    }
+    val books = spark.read.parquet(s"$path/books")
+    val (bm, bdsub, _) = pqMeta(books)
+    require(bm == m.getLong("pqM").toInt && bdsub == m.getLong("pqDsub").toInt,
+      s"PQ index at $path is torn: books geometry (${bm}x$bdsub) does " +
+        s"not match the codes stamp " +
+        s"(${m.getLong("pqM")}x${m.getLong("pqDsub")})")
+    PqIndex(books, codes, bm, bdsub)
+  }
+
   /** Codebook metadata in ONE driver action (m x ksub rows — the same
     * bounded-scalar class as ZOrder's min/max row): subspace count,
     * subvector dim, and the flat-LUT offsets; validates density. */

@@ -614,6 +614,22 @@ object Pipeline {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // the same ADC search through the MATERIALIZED index path: books +
+    // codes written to parquet with geometry/provenance stamps, read
+    // back (stamps demanded), probed — the dd_incremental_idx pattern
+    // for ANN. Same oracle as sim_topk_pq: what this row certifies is
+    // the artifact round trip, not a new algorithm
+    "sim_topk_pq_idx" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val path = scratchPath("graft_pq_index", dir)
+      Similarity.writePqIndex(e, "vec_id", "embedding", pqBooks(s, dir),
+        path, sourceTag = dir)
+      val idx = Similarity.readPqIndex(s, path, expectedSource = Some(dir))
+      Similarity.pqTopK(corpusPar(e), e, "vec_id", "embedding", idx.books,
+          k = 5, prebuiltCodes = Some(idx.codes))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // label centroids: grouped vector mean (oracled on first components)
     "sim_centroids" -> ((s, dir) => {
       Similarity.labelCentroids(embs(s, dir), "label", "embedding")
@@ -2628,6 +2644,12 @@ object Pipeline {
            ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
          GROUP BY b.query_id % 32 ORDER BY band""",
     "sim_topk_pq" ->
+      s"""WITH ${pqCtes(PqM, PqKsub, PqIters)}
+         SELECT query_id, neighbor_id, cosine
+         FROM pranked WHERE rn <= 5 ORDER BY query_id, neighbor_id""",
+    // identical oracle to sim_topk_pq on purpose: the Spark side's
+    // parquet round trip must be value-invisible
+    "sim_topk_pq_idx" ->
       s"""WITH ${pqCtes(PqM, PqKsub, PqIters)}
          SELECT query_id, neighbor_id, cosine
          FROM pranked WHERE rn <= 5 ORDER BY query_id, neighbor_id""",

@@ -142,6 +142,34 @@ class PqSpec extends SparkTestBase {
         s"nProbe=1 returned a cross-list neighbor: $r")
   }
 
+  test("PQ index artifact: round trip, provenance demand, torn detection") {
+    val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      m = 2, ksub = 2, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    Similarity.writePqIndex(corpus, "vec_id", "embedding", books, path,
+      sourceTag = "unit-corpus")
+    val idx = Similarity.readPqIndex(spark, path,
+      expectedSource = Some("unit-corpus"))
+    assert(idx.m == 2 && idx.dsub == 2)
+    // probing through the artifact equals the inline path
+    val inline = Similarity.pqTopK(corpus, corpus, "vec_id", "embedding",
+      books, k = 2).collect().toSet
+    val probed = Similarity.pqTopK(corpus, corpus, "vec_id", "embedding",
+      idx.books, k = 2, prebuiltCodes = Some(idx.codes)).collect().toSet
+    assert(probed == inline)
+    // wrong provenance refuses to serve
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.readPqIndex(spark, path, expectedSource = Some("other"))
+    }
+    assert(ex.getMessage.contains("unit-corpus"))
+    // a plain parquet dir is not an index: fails at read, not in a probe
+    val bare = java.nio.file.Files.createTempDirectory("pq_bare").toString
+    corpus.write.mode("overwrite").parquet(s"$bare/codes")
+    intercept[Exception] {
+      Similarity.readPqIndex(spark, bare)
+    }
+  }
+
   test("PqAdc expression: lookup sum, out-of-range code -> null") {
     // Array[Byte] literals arrive as `binary`, so build array<tinyint>
     // explicitly — the type pqEncode emits
