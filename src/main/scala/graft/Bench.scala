@@ -1484,7 +1484,10 @@ object Bench {
     "bench_skew_guard", "bench_hh_guard", "bench_layout_guard",
     "bench_bpe_guard", "bench_bpe_train5m_guard",
     "bench_layout2d_guard", "bench_layout3d_guard",
-    "bench_layout2d_skew_guard", "txt_bpe_artifact")
+    "bench_layout2d_skew_guard", "txt_bpe_artifact",
+    // artifact write+read+probe round trip, the txt_bpe_artifact class:
+    // its cost is the certification, not a query-time signal
+    "sim_topk_pq_idx")
 
   /** Everything this bench can time: the driver-contract queries plus the
     * bench-only extras. */
