@@ -910,12 +910,17 @@ object Bench {
         smallGraphThreshold = 0)),
     "bench_cc2m_dist" -> ((s, _) =>
       // 2M edges: the probe short-circuits past the gate and the
-      // distributed path runs as it would on a 1000-executor cluster
+      // distributed path runs as it would on a 1000-executor cluster.
+      // r13: the contraction probe sees 41-node chains (ratio ~1, no
+      // big local component) and SKIPS the pre-pass here — recovering
+      // the +14% uniform-graph tax r12 measured
       graft.operators.Dedup.connectedComponents(cc2m(s))),
     "bench_cc2m_skew" -> ((s, _) =>
       // same scale, one giant star-heavy component: the rounds funnel
       // 1.6M edges through the component-min key — the skew hot spot,
-      // timed against the uniform-chain control above
+      // timed against the uniform-chain control above. r13: the
+      // contraction probe sees the per-partition hub component
+      // (~50k nodes) and ENGAGES the pre-pass
       graft.operators.Dedup.connectedComponents(ccSkew(s))),
     "bench_cc2m_skew_nopre" -> ((s, _) =>
       // control twin: the SAME skewed graph with the partition-local
@@ -1412,12 +1417,16 @@ object Bench {
   private[graft] val MaxColdAbsorb = 3
 
   /** The cold-JVM signature on a steady-run vector: the LEADING sample
-    * is strictly the worst of the whole vector AND over the 3x spread
+    * is STRICTLY the worst of the whole vector AND over the 3x spread
     * standard against the floor of the remaining runs. A mid-vector
     * balloon (environment straggler) does not match — those stay
-    * flagged as outlier_runs, which is the honest record for them. */
+    * flagged as outlier_runs, which is the honest record for them.
+    * Strictness matters (r12 advice): `head == max` would let a later
+    * run TYING the head still classify the head as cold, quietly
+    * absorbing a genuine repeated slow mode — a tie means the slowness
+    * recurred, so the entry must stay flagged. */
   private[graft] def isColdHead(t: Vector[Double]): Boolean =
-    t.size >= 3 && t.head == t.max && t.tail.min > 0 &&
+    t.size >= 3 && t.tail.forall(t.head > _) && t.tail.min > 0 &&
       t.head > OutlierSpreadFactor * t.tail.min
 
   /** An entry whose steady max exceeds this multiple of its min is
@@ -1489,6 +1498,120 @@ object Bench {
     // its cost is the certification, not a query-time signal
     "sim_topk_pq_idx")
 
+  /** Designed-to-lose control twins (r12 verdict #1): these exist so
+    * their cohort partner has something to beat — nobody compares their
+    * minima round-over-round, so min-of-N buys nothing on the two most
+    * expensive of them (~99 s and ~41 s of wall per bench for numbers
+    * that only ever appear as a claim's rhs). They keep the untimed
+    * warmup (the one timed sample must still be a warm one, or the
+    * claim's ratio would be flattered by cold-JVM cost on the losing
+    * side) and then run EXACTLY ONCE: no min-of-N, no top-up, no
+    * straggler retry, no cold absorption (all are multi-sample
+    * machinery). Their single sample is honest and flagged — the full
+    * artifact lists them under `single_run_controls`. */
+  private[graft] val singleRunControls: Set[String] =
+    Set("bench_cc2m_skew_nopre", "bench_asof_argmax")
+
+  // ---------------------------------------------------------------------
+  // Certification cache (r12 verdict #1): the 17 certification-only
+  // entries cost ~327 s per bench for results that only change when the
+  // code they certify changes — the single biggest reason the driver's
+  // r12 run outgrew its wall budget (rc 124). A guard's pass is now
+  // cached in a committed JSON file keyed by a hash of the SOURCE FILES
+  // it certifies (+ cpus + sf dir + CertCacheEpoch); an unchanged key
+  // skips the run and reports the cached result, named in
+  // `certification_cached` so nobody reads it as a fresh measurement.
+  // The guard rigs themselves live in THIS file, which changes every
+  // round — hashing Bench.scala would defeat the cache — so rig edits
+  // must bump CertCacheEpoch (the convention is stated here and at the
+  // epoch). Disable with SPARK_GRAFT_BENCH_CERT_CACHE=0, or point the
+  // env var at an alternate cache path.
+  // ---------------------------------------------------------------------
+
+  /** Bump when any certification RIG in Bench.scala changes behavior
+    * (the cache key hashes the certified operator sources, not this
+    * file — see the section comment above). History: 1 = r13. */
+  private[graft] val CertCacheEpoch = 1
+
+  /** The source files whose change invalidates each certification-only
+    * entry's cached pass. Contract-query certifications (defined in
+    * queries/) include their query file too — it carries the trajectory
+    * being certified. Conservative by design: a listed file changing
+    * re-runs the guard even if the edit was a comment. */
+  private[graft] val certSources: Map[String, Seq[String]] = {
+    val sim = Seq("operators/Similarity.scala",
+      "plans/VectorExpressions.scala", "plans/RewriteVectorDot.scala",
+      "functions/VectorFunctions.scala")
+    val zorder = Seq("operators/ZOrder.scala", "operators/ParquetStats.scala")
+    Map(
+      "ds_curate_staged" -> Seq("operators/Curate.scala",
+        "queries/Pipeline.scala"),
+      "bench_lsh50k_recall" -> sim,
+      "bench_lsh50k_pq_guard" -> sim,
+      "bench_dd50k_recall" -> Seq("operators/Dedup.scala"),
+      "bench_cc_guard" -> Seq("operators/Dedup.scala"),
+      "bench_asof_guard" -> Seq("operators/AsOfJoin.scala"),
+      "bench_rj_guard" -> Seq("operators/RangeJoin.scala"),
+      "bench_skew_guard" -> Seq("operators/ScaleJoins.scala"),
+      "bench_hh_guard" -> Seq("operators/TextAnalysis.scala"),
+      "bench_layout_guard" -> zorder,
+      "bench_layout2d_guard" -> zorder,
+      "bench_layout3d_guard" -> zorder,
+      "bench_layout2d_skew_guard" -> zorder,
+      "bench_bpe_guard" -> Seq("operators/Bpe.scala"),
+      "bench_bpe_train5m_guard" -> Seq("operators/Bpe.scala"),
+      "txt_bpe_artifact" -> Seq("operators/Bpe.scala",
+        "queries/Pipeline.scala"),
+      "sim_topk_pq_idx" -> (sim :+ "queries/Pipeline.scala"))
+  }
+
+  private def certCachePath(): Option[Path] =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_CERT_CACHE",
+        "bench_cert_cache.json") match {
+      case "0" => None
+      case p => Some(Paths.get(p))
+    }
+
+  /** Cache key for one certification entry: sha-256 over the epoch, the
+    * run conditions a cached number must share (cpus, sf dir basename),
+    * and the bytes of every certified source file. None when a source
+    * file is unreadable (running outside the repo) — no key, no cache,
+    * the guard runs fresh. */
+  private[graft] def certKey(name: String, cpus: String,
+                             sfDir: String): Option[String] =
+    certSources.get(name).flatMap { files =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update(s"epoch=$CertCacheEpoch;cpus=$cpus;sf=${
+        Paths.get(sfDir).getFileName};".getBytes("UTF-8"))
+      val ok = files.sorted.forall { f =>
+        val p = Paths.get("src", "main", "scala", "graft").resolve(f)
+        if (!Files.isReadable(p)) false
+        else { md.update(Files.readAllBytes(p)); true }
+      }
+      if (ok) Some(md.digest().map(b => f"$b%02x").mkString) else None
+    }
+
+  /** name -> (key, secs). Malformed/missing file = empty cache. */
+  private[graft] def readCertCache(path: Path): Map[String, (String, Double)] =
+    if (!Files.isReadable(path)) Map.empty
+    else try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val root = mapper.readTree(Files.readString(path))
+      import scala.jdk.CollectionConverters._
+      root.fields().asScala.flatMap { e =>
+        val v = e.getValue
+        for (k <- Option(v.get("key")).map(_.asText());
+             s <- Option(v.get("secs")).map(_.asDouble()))
+          yield e.getKey -> (k, s)
+      }.toMap
+    } catch { case _: Throwable => Map.empty }
+
+  private[graft] def renderCertCache(
+      entries: Map[String, (String, Double)]): String =
+    entries.toSeq.sortBy(_._1).map { case (n, (k, s)) =>
+      s"""  ${jstr(n)}: {"key": ${jstr(k)}, "secs": $s}"""
+    }.mkString("{\n", ",\n", "\n}\n")
+
   /** Everything this bench can time: the driver-contract queries plus the
     * bench-only extras. */
   private[graft] def allBenchQueries
@@ -1518,7 +1641,9 @@ object Bench {
                     sfDir: String, cpus: String, runs: Int,
                     mode: String = "fork_per_chunk",
                     outPath: String = "bench_out.json",
-                    warmupOn: Boolean = true): String = {
+                    warmupOn: Boolean = true,
+                    partial: Option[(Int, Int)] = None,
+                    certCached: Set[String] = Set.empty): String = {
     val byName = results.map(r => r.name -> r).toMap
     val shown = headline.filter(byName.contains)
     val shownSet = shown.toSet
@@ -1537,8 +1662,23 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count(_.err.isDefined)
     val total = timedTotal(results)
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = true)}${crossoverField(results)}${claimsFields(results, compact = true)}${certFields(results, compact = true)}"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_err":$nErr,"full":${jstr(outPath)}}"""
+    // r12 verdict #7: the full artifact records cold-head absorptions
+    // but the budget-pinned stdout line only carried n_outliers — a
+    // round with many absorptions would look cleaner than it ran. One
+    // integer: entries with at least one reclassified leading run.
+    val nCold = results.count(r => r.err.isEmpty && r.coldSecs.nonEmpty)
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec",${partialField(partial)}"queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = true)}${crossoverField(results)}${claimsFields(results, compact = true)}${certFields(results, compact = true, certCached)}"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_cold":$nCold,"n_err":$nErr,"full":${jstr(outPath)}}"""
   }
+
+  /** Marker for an INCREMENTALLY-written artifact (r12 verdict #1: the
+    * driver's run timed out at rc 124 and left `parsed: null` — an
+    * artifact only written at the very end certifies nothing when the
+    * wall budget is exceeded). The parent now writes the full artifact
+    * and prints a compact line after EVERY chunk; all but the last
+    * carry this marker so a reader (or the driver's tail parser) can
+    * tell a killed run's best-so-far prefix from a completed run. */
+  private def partialField(partial: Option[(Int, Int)]): String =
+    partial.fold("")(p => s""""partial":"chunk ${p._1}/${p._2}",""")
 
   // same artifact-honesty rule as fastRunsFields: stamp the interleaved-
   // crossover methodology only when at least one cohort actually ran
@@ -1579,8 +1719,8 @@ object Bench {
   private def baselineBreak(warmupOn: Boolean, compact: Boolean): String =
     (warmupOn, compact) match {
       case (true, false) =>
-        """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup + r10 chunked forks + r11 straggler retry (a >3x-spread entry gets 2 extra samples, all recorded) + r12 cold-run absorption (a leading run that is strictly worst and >3x the rest is extended warmup, reclassified into cold_warmup_secs with a replacement sample taken); pre-r10 minima are a different timing regime, not comparable","""
-      case (true, true) => """"baseline_break":"r10 chunks+warmup+r11 retry+r12 cold","""
+        """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup + r10 chunked forks + r11 straggler retry (a >3x-spread entry gets 2 extra samples, all recorded) + r12 cold-run absorption (a leading run that is strictly worst and >3x the rest is extended warmup, reclassified into cold_warmup_secs with a replacement sample taken) + r13 single-run controls (designed-to-lose twins take one warm sample, named in single_run_controls) + r13 cert cache (a guard whose certified sources are hash-unchanged reuses its cached pass, named in certification_cached); pre-r10 minima are a different timing regime, not comparable","""
+      case (true, true) => """"baseline_break":"r10 chunks+warmup+r11 retry+r12 cold+r13 ctrl/cache","""
       case (false, false) =>
         """"baseline_break":"warmup DISABLED this run (SPARK_GRAFT_BENCH_WARMUP=0) — minima include cold first runs; r8 interleaved cohorts + r10 chunked forks + r11 straggler retry","""
       case (false, true) => """"baseline_break":"warmup off","""
@@ -1595,15 +1735,26 @@ object Bench {
   // folding their now-honest one-shot cost (e.g. the CC guard re-runs
   // both contenders on the big graphs) into `value` would read as a
   // ~140 s regression that is actually an accounting change.
-  private def certFields(results: Seq[QTime], compact: Boolean): String = {
+  // cert_secs counts FRESH runs only — wall actually spent this run.
+  // Cache-satisfied entries (r13: code-hash-keyed cert cache) report
+  // their last fresh run's seconds in the queries map but are named in
+  // certification_cached (n_cert_cached on the compact line) so nobody
+  // reads a carried-forward number as this run's measurement.
+  private def certFields(results: Seq[QTime], compact: Boolean,
+                         certCached: Set[String] = Set.empty): String = {
     val present = results.filter(r => certificationOnly(r.name))
       .sortBy(_.name)
     if (present.isEmpty) ""
     else {
-      val secs = present.filter(_.err.isEmpty).map(_.secs).sum
-      if (compact) s""""n_cert":${present.size},"cert_secs":${f3(secs)},"""
+      val fresh = present.filterNot(r => certCached(r.name))
+      val secs = fresh.filter(_.err.isEmpty).map(_.secs).sum
+      val cachedNames = present.map(_.name).filter(certCached)
+      if (compact)
+        s""""n_cert":${present.size},"n_cert_cached":${cachedNames.size},"cert_secs":${f3(secs)},"""
       else s""""certification_only":${
         present.map(r => jstr(r.name)).mkString("[", ",", "]")
+      },"certification_cached":${
+        cachedNames.map(jstr).mkString("[", ",", "]")
       },"cert_secs":$secs,"""
     }
   }
@@ -1639,8 +1790,17 @@ object Bench {
         "bench_dd50k_minhash", "bench_dd50k_ngram_pruned", 1.0),
       ("dd12k_near_parity",
         "bench_dd12k_minhash", "bench_dd12k_ngram", 1.25),
-      ("lsh_beats_brute_50k",
-        "bench_lsh50k_lsh", "bench_lsh50k_brute", 1.0),
+      // r13: restated from `lsh_beats_brute_50k` (band 1.0) BEFORE it
+      // flipped: r12's definitive run passed it by 1.7% (1.805 vs
+      // 1.828 s), a margin a JIT hiccup crosses. The rig's own cost
+      // model (Similarity.scala scaladoc) says 500 queries x 50k
+      // vectors is overhead-bound either way; LSH's win is the
+      // candidate fraction, which grows with corpus size, not with
+      // this rig — so the honest rig-scale claim is near-parity, the
+      // same band and reasoning as ivf_brute below. Restated while
+      // GREEN, per the r12 verdict's no-post-hoc-band-edits rule.
+      ("lsh_brute_near_parity_50k",
+        "bench_lsh50k_lsh", "bench_lsh50k_brute", 1.5),
       // r10 flagged this pair's thinned margin; r11 re-measured it in
       // both regimes — in-process interleaved 1.28x IVF win, forked
       // cold-JVM 1.00x parity (both overhead-bound: 500 queries x 50k
@@ -1750,7 +1910,9 @@ object Bench {
                  sfDir: String, cpus: String, runs: Int,
                  mode: String = "fork_per_chunk",
                  warmupOn: Boolean = true,
-                 forks: Map[String, ForkStats] = Map.empty): String = {
+                 forks: Map[String, ForkStats] = Map.empty,
+                 partial: Option[(Int, Int)] = None,
+                 certCached: Set[String] = Set.empty): String = {
     val qs = results.map { r =>
       jstr(r.name) + ":" + r.err.fold(r.secs.toString)(m => jstr(m))
     }.mkString("{", ",", "}")
@@ -1805,7 +1967,10 @@ object Bench {
     val forkField =
       if (forks.isEmpty) ""
       else forks.toSeq.sortBy(_._1).map { case (chunk, s) =>
-        jstr(chunk) + s""":{"gc_ms":${s.gcMs},"gc_count":${s.gcCount},"heap_peak_mb":${s.heapPeakMb}}"""
+        val load = if (s.loadX100 >= 0)
+          s""","load":${String.format(java.util.Locale.ROOT, "%.2f",
+            Double.box(s.loadX100 / 100.0))}""" else ""
+        jstr(chunk) + s""":{"gc_ms":${s.gcMs},"gc_count":${s.gcCount},"heap_peak_mb":${s.heapPeakMb}$load}"""
       }.mkString("\"fork_telemetry\":{", ",", "},")
     val nErr = results.count(_.err.isDefined)
     val total = timedTotal(results)
@@ -1814,7 +1979,17 @@ object Bench {
     // family rollup" without reading the Scala
     val headlineField = headline.filter(n => results.exists(_.name == n))
       .map(jstr).mkString("\"headline\":[", ",", "],")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,$runsField$coldField$outlierField$headlineField"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = false)}${crossoverField(results)}${claimsFields(results)}${certFields(results, compact = false)}$forkField"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_err":$nErr}"""
+    // single-run designed-to-lose controls present in this result set
+    // (see singleRunControls): their one sample must never be read as
+    // a min-of-N number, so the artifact names them
+    val ctrlField = {
+      val present = singleRunControls.toSeq.sorted
+        .filter(n => results.exists(_.name == n))
+      if (present.isEmpty) ""
+      else present.map(jstr)
+        .mkString("\"single_run_controls\":[", ",", "],")
+    }
+    s"""{"metric":"total","value":$total,"unit":"sec",${partialField(partial)}"queries":$qs,"spread":$spread,$runsField$coldField$outlierField$headlineField$ctrlField"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = false)}${crossoverField(results)}${claimsFields(results)}${certFields(results, compact = false, certCached)}$forkField"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_err":$nErr}"""
   }
 
   // ---------------------------------------------------------------------
@@ -1837,12 +2012,16 @@ object Bench {
   /** The generated markdown blocks, keyed by marker name. Pure function
     * of the results so the spec can pin shape and idempotence. */
   private[graft] def docTables(results: Seq[QTime], sfDir: String,
-                               runs: Int, mode: String): Map[String, String] = {
+                               runs: Int, mode: String,
+                               certCached: Set[String] = Set.empty)
+      : Map[String, String] = {
     val byName = results.map(r => r.name -> r).toMap
     def q(n: String) = byName.get(n)
     def row(n: String): String = q(n) match {
       case Some(r) if r.err.isEmpty =>
-        val cert = if (certificationOnly(n)) " (certification, 1 run)" else ""
+        val cert =
+          if (certCached(n)) " (certification, cached pass)"
+          else if (certificationOnly(n)) " (certification, 1 run)" else ""
         s"| `$n` | ${fmtS(r.secs)} | ${fmtS(r.maxSecs)}$cert |"
       case Some(r) => s"| `$n` | err | ${r.err.get.take(40)} |"
       case None => s"| `$n` | absent | — |"
@@ -1969,8 +2148,9 @@ object Bench {
     }
 
   private def syncDocs(results: Seq[QTime], sfDir: String, runs: Int,
-                       mode: String): Unit = {
-    val tables = docTables(results, sfDir, runs, mode)
+                       mode: String,
+                       certCached: Set[String] = Set.empty): Unit = {
+    val tables = docTables(results, sfDir, runs, mode, certCached)
     for (p <- Seq("README.md", "SCALING.md");
          path = Paths.get(p) if Files.exists(path)) {
       val before = Files.readString(path)
@@ -2019,7 +2199,20 @@ object Bench {
     * minima, proven environmental by a same-code twin in another fork)
     * could not be diagnosed from the artifact because forks recorded no
     * resource numbers — now every bench_out.json carries them. */
-  final case class ForkStats(gcMs: Long, gcCount: Long, heapPeakMb: Long)
+  final case class ForkStats(gcMs: Long, gcCount: Long, heapPeakMb: Long,
+                             loadX100: Long = -1)
+
+  /** 1-minute system load average x100 at call time (-1 when the
+    * platform doesn't expose it). r12 verdict #3: a +12.6% common-entry
+    * drift could not be separated from machine load because no run
+    * recorded load — now every fork's telemetry carries the load the
+    * child observed when it finished, so cross-round second-for-second
+    * comparisons can be load-qualified instead of guessed at. */
+  private def loadAvgX100(): Long = {
+    val l = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    if (l < 0) -1L else math.round(l * 100)
+  }
 
   private def currentForkStats(): ForkStats = {
     import scala.jdk.CollectionConverters._
@@ -2030,12 +2223,12 @@ object Bench {
     val heapPeak = ManagementFactory.getMemoryPoolMXBeans.asScala
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
       .flatMap(p => Option(p.getPeakUsage)).map(_.getUsed).sum
-    ForkStats(gcMs, gcCount, heapPeak / (1024L * 1024L))
+    ForkStats(gcMs, gcCount, heapPeak / (1024L * 1024L), loadAvgX100())
   }
 
   private[graft] def renderTelemetryLine(s: ForkStats): String =
     s"#telemetry\tgc_ms=${s.gcMs}\tgc_count=${s.gcCount}\t" +
-      s"heap_peak_mb=${s.heapPeakMb}"
+      s"heap_peak_mb=${s.heapPeakMb}\tload_x100=${s.loadX100}"
 
   private[graft] def parseTelemetry(text: String): Option[ForkStats] =
     text.linesIterator.find(_.startsWith("#telemetry")).flatMap { line =>
@@ -2044,7 +2237,9 @@ object Bench {
         case _ => None
       }).toMap
       for (g <- kv.get("gc_ms"); c <- kv.get("gc_count");
-           h <- kv.get("heap_peak_mb")) yield ForkStats(g, c, h)
+           h <- kv.get("heap_peak_mb"))
+        // load is optional so an old child's TSV still parses
+        yield ForkStats(g, c, h, kv.getOrElse("load_x100", -1L))
     }
 
   // ---------------------------------------------------------------------
@@ -2223,8 +2418,10 @@ object Bench {
             if (t.nonEmpty) t else times(name)
           }
           // interleave: run index outermost, so cohort contenders
-          // alternate
-          for (_ <- 1 to runs; name <- unit) once(name)
+          // alternate. Designed-to-lose controls take only the FIRST
+          // timed slot of the interleave (see singleRunControls).
+          for (r <- 1 to runs; name <- unit
+               if r == 1 || !singleRunControls(name)) once(name)
           // sub-0.5 s minimums sit at the fresh-JVM noise floor
           // (round-6 lesson: untouched ~200 ms queries swung ±0.2 s
           // round-over-round under min-of-3) — top those up to min-of-5
@@ -2234,6 +2431,7 @@ object Bench {
           // design and stay at the configured count).
           for (name <- unit
                if !errs.contains(name) && runs < 5 &&
+                 !singleRunControls(name) &&
                  steady(name).min < StableMinSeconds;
                _ <- 1 to (5 - runs)) once(name)
           def steadyGc(name: String): Vector[Long] = {
@@ -2249,7 +2447,7 @@ object Bench {
           // in runs_secs and the entry is still flagged outlier_runs —
           // the retry adds evidence, it never heals the record.
           for (name <- unit
-               if !errs.contains(name) && {
+               if !errs.contains(name) && !singleRunControls(name) && {
                  val t = steady(name)
                  t.nonEmpty && t.min > 0 &&
                    t.max > OutlierSpreadFactor * t.min
@@ -2265,7 +2463,8 @@ object Bench {
           // extended warmup and take one replacement sample so the
           // steady count never shrinks. Capped; every reclassified
           // sample stays in the artifact under cold_warmup_secs.
-          for (name <- unit if !errs.contains(name)) {
+          for (name <- unit
+               if !errs.contains(name) && !singleRunControls(name)) {
             var absorbing = true
             while (absorbing && cold(name) < MaxColdAbsorb) {
               if (isColdHead(steady(name))) {
@@ -2416,24 +2615,28 @@ object Bench {
     * shared-session fallback (those numbers lack the JIT/GC isolation
     * the mode label promises — the artifact must say so),
     * "shared_session" when forking was unavailable entirely. */
-  private def runForked(sfDir: String, cpus: String, runs: Int)
+  private def runForked(sfDir: String, cpus: String, runs: Int,
+      exclude: Set[String] = Set.empty,
+      onChunk: (Seq[QTime], Map[String, ForkStats], Int, Int) => Unit =
+        (_, _, _, _) => ())
       : (Seq[QTime], Map[String, ForkStats], String) = {
-    val names = allBenchQueries.keys.toSeq.sorted
+    val names = allBenchQueries.keys.toSeq.filterNot(exclude).sorted
     val chunks = forkChunks(names)
     val cp = forkClasspath()
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
     if (cp.isEmpty || !Files.isExecutable(javaBin)) {
       System.err.println("bench: fork unavailable, falling back in-process")
-      return (runInProcess(sfDir, cpus, runs, None), Map.empty,
+      return (runInProcess(sfDir, cpus, runs,
+        if (exclude.isEmpty) None else Some(names.toSet)), Map.empty,
         "shared_session")
     }
     val logDir = Paths.get("target", "bench-fork")
     Files.createDirectories(logDir)
     val jvmArgs = childJvmArgs()
-    val buf = Seq.newBuilder[QTime]
-    val stats = Map.newBuilder[String, ForkStats]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[QTime]
+    val stats = scala.collection.mutable.Map.empty[String, ForkStats]
     val failed = Seq.newBuilder[String]
-    for ((chunk, qs) <- chunks) {
+    for (((chunk, qs), idx) <- chunks.zipWithIndex) {
       val t0 = System.nanoTime()
       runChild(javaBin.toString, jvmArgs, cp, chunk, qs, sfDir, cpus, runs,
           logDir) match {
@@ -2449,13 +2652,21 @@ object Bench {
           System.err.println(s"bench: chunk $chunk child FAILED " +
             s"(see $logDir/bench_$chunk.log), will re-run in-process")
       }
+      // incremental artifact checkpoint (r12 verdict #1): a run killed
+      // by the harness wall budget leaves the best-so-far prefix as a
+      // parseable artifact + stdout line instead of nothing
+      try onChunk(buf.toVector.sortBy(_.name), stats.toMap,
+        idx + 1, chunks.size)
+      catch { case e: Throwable =>
+        System.err.println(s"bench: progress checkpoint failed: " +
+          e.getMessage) }
     }
     val leftover = failed.result()
     if (leftover.nonEmpty)
       buf ++= runInProcess(sfDir, cpus, runs, Some(leftover.toSet))
     val mode =
       if (leftover.isEmpty) "fork_per_chunk" else "fork_per_chunk_partial"
-    (buf.result().sortBy(_.name), stats.result(), mode)
+    (buf.toVector.sortBy(_.name), stats.toMap, mode)
   }
 
   // ---------------------------------------------------------------------
@@ -2482,26 +2693,67 @@ object Bench {
     }
 
     val fork = forkWanted && only.isEmpty
-    val (results, forks, mode) =
-      if (fork) runForked(sfDir, cpus, runs)
+    // cert cache (full forked runs only — dev slices and the fallback
+    // path neither consult nor seed it): resolve hits up front so they
+    // are excluded from the fork plan and present in every incremental
+    // checkpoint
+    val cachePath = if (fork) certCachePath() else None
+    val cache = cachePath.map(readCertCache).getOrElse(Map.empty)
+    val certHits: Seq[QTime] =
+      (for (name <- certificationOnly.toSeq.sorted
+              if allBenchQueries.contains(name);
+            key <- certKey(name, cpus, sfDir);
+            (cachedKey, secs) <- cache.get(name) if cachedKey == key)
+        yield QTime(name, secs, secs, None)).toVector
+    val cachedNames = certHits.map(_.name).toSet
+    if (cachedNames.nonEmpty)
+      System.err.println(s"bench: cert cache hit for ${cachedNames.size} " +
+        s"guards (skipped): ${cachedNames.toSeq.sorted.mkString(", ")}")
+    val (results0, forks, mode) =
+      if (fork) runForked(sfDir, cpus, runs, cachedNames,
+        onChunk = (soFar, forksSoFar, k, n) => {
+          val withHits = (soFar ++ certHits).sortBy(_.name)
+          Files.writeString(Paths.get(outPath),
+            renderFull(withHits, sfDir, cpus, runs,
+              "fork_per_chunk", warmupOn, forksSoFar,
+              partial = Some((k, n)), certCached = cachedNames) + "\n")
+          println(renderCompact(withHits, sfDir, cpus, runs,
+            "fork_per_chunk", outPath, warmupOn,
+            partial = Some((k, n)), certCached = cachedNames))
+          Console.out.flush()
+        })
       else {
         val rs = runInProcess(sfDir, cpus, runs, only)
         // shared-session runs carry the one JVM's own footprint so even
         // the fallback path is diagnosable
         (rs, Map("shared" -> currentForkStats()), "shared_session")
       }
+    val results = (results0 ++ certHits).sortBy(_.name)
+    // seed/refresh the cache from this run's FRESH green certifications
+    for (path <- cachePath) try {
+      val updated = cache ++ (for {
+        r <- results0 if certificationOnly(r.name) && r.err.isEmpty
+        key <- certKey(r.name, cpus, sfDir)
+      } yield r.name -> (key, r.secs))
+      if (updated != cache)
+        Files.writeString(path, renderCertCache(updated))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: cert cache write failed: ${e.getMessage}") }
     Files.writeString(Paths.get(outPath),
-      renderFull(results, sfDir, cpus, runs, mode, warmupOn, forks) + "\n")
+      renderFull(results, sfDir, cpus, runs, mode, warmupOn, forks,
+        certCached = cachedNames) + "\n")
     // a FULL run regenerates the measured-number blocks in the docs —
     // partial/sliced/extras-off runs must not overwrite them with holes
     // (disable explicitly with SPARK_GRAFT_BENCH_DOCSYNC=0)
     if (only.isEmpty && extrasEnabled && warmupOn &&
         sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCSYNC", "1") != "0")
-      try syncDocs(results, sfDir, runs, mode)
+      try syncDocs(results, sfDir, runs, mode, cachedNames)
       catch { case e: Throwable =>
         System.err.println(s"bench: doc sync failed: ${e.getMessage}") }
     // printed LAST so it lands inside the harness's stdout-tail window
+    // (the incremental per-chunk lines above are all `partial`-marked;
+    // this one is not, which is how a reader tells a completed run)
     println(renderCompact(results, sfDir, cpus, runs, mode, outPath,
-      warmupOn))
+      warmupOn, certCached = cachedNames))
   }
 }

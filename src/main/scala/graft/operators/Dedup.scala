@@ -1138,6 +1138,87 @@ object Dedup {
       .toDF("u", "v")
   }
 
+  /** Per-partition contraction-probe sample for the [[localContract]]
+    * gate: how many edges went in, how many star edges would come out,
+    * and the node count of the largest LOCAL component formed. */
+  private[graft] final case class ProbeStat(edgesIn: Long, starsOut: Long,
+                                            maxComponentNodes: Int)
+
+  /** Bounded sampled probe for the [[localContract]] gate (r12 verdict
+    * #4: the pre-pass cost +14% on the uniform rig where it cannot
+    * win). Runs the SAME union-find table over a bounded prefix of up
+    * to three partitions (first/middle/last — `sc.runJob` on just those
+    * partition ids, never a full-RDD job) of an already-checkpointed
+    * edge frame, and reports per-partition [[ProbeStat]]s for
+    * [[preContractWorthwhile]] to judge.
+    *
+    * Two distinct signals, because the pre-pass wins two distinct ways:
+    *  - EDGE CONTRACTION (starsOut << edgesIn): clique-shaped streams —
+    *    an LSH bucket's O(family²) pair rows collapse to O(family)
+    *    stars, shrinking the first shuffle's bytes;
+    *  - DEGREE CONCENTRATION (one local component spanning a large
+    *    fraction of the partition): hub/star-shaped streams — edge
+    *    count barely contracts (n spokes → n stars, ratio ≈ 1) but
+    *    re-pointing every node at its local min splits the hub's
+    *    downstream groupBy key across partitions, which is the whole
+    *    1.8x skew win (`precontract_tames_skew_cc2m`).
+    * A uniform stream (disjoint pairs / short chains) shows NEITHER —
+    * ratio ≈ 1 and max component ≈ the chain length — and the pass is
+    * skipped. */
+  private[graft] def contractionProbe(edges: DataFrame): Seq[ProbeStat] = {
+    import edges.sparkSession.implicits._
+    val rdd = edges.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].rdd
+    val n = rdd.getNumPartitions
+    if (n == 0) return Nil
+    val parts = Seq(0, n / 2, n - 1).distinct
+    edges.sparkSession.sparkContext.runJob(rdd,
+      (it: Iterator[(Long, Long)]) => {
+        val t = new CcLocalTable(64)
+        var in = 0L
+        while (it.hasNext && in < ProbeEdgeCap) {
+          val e = it.next(); t.union(e._1, e._2); in += 1
+        }
+        var stars = 0L
+        val se = t.starEdges()
+        while (se.hasNext) { se.next(); stars += 1 }
+        ProbeStat(in, stars, t.maxComponentNodes())
+      }, parts).toSeq
+  }
+
+  /** The gate decision over [[contractionProbe]] samples: engage the
+    * pre-pass when ANY probed partition shows either win signal, or
+    * when the probe is inconclusive (too few sampled edges everywhere —
+    * skew immunity is the scale-safe default, and on that little data
+    * the pass costs nothing). */
+  private[graft] def preContractWorthwhile(stats: Seq[ProbeStat]): Boolean =
+    if (stats.forall(_.edgesIn < ProbeMinEdges)) true
+    else stats.exists(s =>
+      s.edgesIn >= ProbeMinEdges &&
+        (s.starsOut.toDouble <= PreContractRatioGate * s.edgesIn ||
+          s.maxComponentNodes >= ProbeComponentGate))
+
+  /** Probe reads at most this many edges per sampled partition — enough
+    * for the signals to be meaningful, bounded so the probe never
+    * becomes the cost it exists to avoid. */
+  private[graft] val ProbeEdgeCap: Long = 100 * 1000
+
+  /** Below this many sampled edges (in every probed partition) the
+    * probe is inconclusive and the pre-pass defaults ON. */
+  private[graft] val ProbeMinEdges: Long = 1024
+
+  /** Edge-contraction gate: engage when starsOut <= gate x edgesIn.
+    * Modest near-dup families already clear it (a 5-doc family's 10
+    * clique edges contract to 4 stars, 0.4x); disjoint-pair and chain
+    * streams sit at ~1.0. */
+  private[graft] val PreContractRatioGate: Double = 0.75
+
+  /** Degree-concentration gate: engage when one local component spans
+    * at least this many nodes. Sits well clear of both rigs: the
+    * uniform control's chains are 41 nodes; the skew rig's
+    * per-partition hub components are ~50k. */
+  private[graft] val ProbeComponentGate: Int = 4096
+
   /** Open-addressing long→long union-find for [[localContract]]: keys
     * are node ids, values are parent KEYS (growth-safe — slot indices
     * move on rehash, keys do not). Union keeps the SMALLER root, so a
@@ -1221,6 +1302,26 @@ object Dedup {
         .map { i => val k = ks(i); (k, find(k)) }
         .filter(e => e._1 != e._2)
     }
+
+    /** Node count of the largest component currently in the table —
+      * [[contractionProbe]]'s degree-concentration signal. Probe-only
+      * (a boxed per-root map over at most ProbeEdgeCap-edge tables),
+      * never on the contraction hot path. */
+    def maxComponentNodes(): Int = {
+      val counts = scala.collection.mutable.HashMap.empty[Long, Int]
+      var i = 0
+      var mx = 0
+      while (i < cap) {
+        if (keys(i) != Empty) {
+          val r = find(keys(i))
+          val c = counts.getOrElse(r, 0) + 1
+          counts(r) = c
+          if (c > mx) mx = c
+        }
+        i += 1
+      }
+      mx
+    }
   }
 
   /** [[connectedComponents]] plus the number of rounds it took — the
@@ -1262,7 +1363,7 @@ object Dedup {
     * the groupBy side is safe (map-side partial min). Frames are
     * checkpointed with [[graft.plans.Checkpoints]] (lineage AND stats).
     *
-    * `preContract` (default on) runs [[localContract]] — a NARROW
+    * `preContract` (default on) ALLOWS [[localContract]] — a NARROW
     * partition-local union-find pass — before the first global shuffle,
     * replacing each partition's edge rows with an equivalent local star
     * forest. Near-dup pair producers emit pairs bucket-by-bucket (an
@@ -1272,8 +1373,13 @@ object Dedup {
     * collapses its O(family²) rows to O(family) star edges before
     * anything shuffles, leaving the rounds to start from near-fixpoint
     * stars. Semantically transparent (a partition's star forest has
-    * exactly its edges' connectivity — the equality spec pins it);
-    * costs one in-memory pass when the input has no locality. */
+    * exactly its edges' connectivity — the equality spec pins it).
+    * Whether the pass actually RUNS is decided by [[contractionProbe]]
+    * (r13, r12 verdict #4): on a stream with no locality the pass is
+    * pure overhead (+14% on the uniform 2M-edge rig), so one bounded
+    * single-partition probe measures the local contraction ratio first
+    * and skips the pass when it would buy nothing. `preContract=false`
+    * skips probe and pass both (the bench's control contender). */
   private def connectedComponentsFromEdges(
       edges0: DataFrame, maxIter: Int,
       preContract: Boolean = true): (DataFrame, Int) = {
@@ -1293,7 +1399,8 @@ object Dedup {
     // per partition, and leaves the rounds starting from near-fixpoint
     // stars wherever the pair stream arrived clustered.
     val init =
-      if (preContract) localContract(edges)
+      if (preContract && preContractWorthwhile(contractionProbe(edges)))
+        localContract(edges)
       else edges.filter(col("u") =!= col("v"))
     var (cur, curCount) = graft.plans.Checkpoints.truncatedWithCount(
       init.distinct())

@@ -661,9 +661,15 @@ object Similarity {
   def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                    codebooks: DataFrame, path: String,
                    sourceTag: String = ""): Unit = {
-    val (m, dsub, _) = pqMeta(codebooks) // validates density up front
+    // validates density/uniform dsub up front; the terminal offset
+    // (total LUT length = Σ per-subspace centroid counts) is stamped
+    // too — m and dsub alone cannot tell codes encoded against one
+    // ksub from books retrained at another (r12 advice: that pairing
+    // passed the torn-check and mis-scored)
+    val (m, dsub, offsets) = pqMeta(codebooks)
     val b = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("pqM", m).putLong("pqDsub", dsub)
+      .putLong("pqLut", offsets.last)
     if (sourceTag.nonEmpty) b.putString("source", sourceTag)
     val meta = b.build()
     codebooks.write.mode("overwrite").parquet(s"$path/books")
@@ -682,7 +688,7 @@ object Similarity {
                   expectedSource: Option[String] = None): PqIndex = {
     val codes = spark.read.parquet(s"$path/codes")
     val m = codes.schema("codes").metadata
-    val needed = Seq("pqM", "pqDsub")
+    val needed = Seq("pqM", "pqDsub", "pqLut")
     val missing = needed.filterNot(m.contains)
     require(missing.isEmpty,
       s"$path/codes is missing PQ-index metadata " +
@@ -694,29 +700,48 @@ object Similarity {
           s"expects '$want' — refusing to search the wrong corpus")
     }
     val books = spark.read.parquet(s"$path/books")
-    val (bm, bdsub, _) = pqMeta(books)
+    val (bm, bdsub, boffsets) = pqMeta(books)
     require(bm == m.getLong("pqM").toInt && bdsub == m.getLong("pqDsub").toInt,
       s"PQ index at $path is torn: books geometry (${bm}x$bdsub) does " +
         s"not match the codes stamp " +
         s"(${m.getLong("pqM")}x${m.getLong("pqDsub")})")
+    // the LUT-length check is what catches books RETRAINED at a
+    // different ksub under the same m/dsub — those codes would index
+    // the wrong block and mis-score (r12 advice)
+    require(boffsets.last.toLong == m.getLong("pqLut"),
+      s"PQ index at $path is torn: books total codebook size " +
+        s"${boffsets.last} does not match the codes stamp " +
+        s"${m.getLong("pqLut")} — the books were retrained after these " +
+        "codes were encoded")
     PqIndex(books, codes, bm, bdsub)
   }
 
   /** Codebook metadata in ONE driver action (m x ksub rows — the same
     * bounded-scalar class as ZOrder's min/max row): subspace count,
-    * subvector dim, and the flat-LUT offsets; validates density. */
+    * subvector dim, and the flat-LUT offsets in FENCE-POST form (m+1
+    * entries, terminal = total LUT length — [[graft.plans.PqAdc]] needs
+    * the per-subspace upper bounds so an overflowing code nulls instead
+    * of reading the next subspace's block; r12 advice). Validates
+    * density AND that dsub is uniform across subspaces — pqSubVectors
+    * slices fixed-width, so a codebook with mixed centroid lengths
+    * would mis-pair coordinates silently. */
   private def pqMeta(codebooks: DataFrame): (Int, Int, Seq[Int]) = {
     val counts = codebooks.groupBy(col("sub"))
       .agg(count(lit(1)).as("n"), max(col("cid")).as("maxcid"),
-        max(size(col("centroid"))).as("dsub"))
+        max(size(col("centroid"))).as("dsub"),
+        min(size(col("centroid"))).as("mindsub"))
       .orderBy("sub").collect()
-      .map(r => (r.getInt(0), r.getLong(1).toInt, r.getInt(2), r.getInt(3)))
+      .map(r => (r.getInt(0), r.getLong(1).toInt, r.getInt(2), r.getInt(3),
+        r.getInt(4)))
     val m = counts.length
     require(counts.map(_._1).sameElements(0 until m),
       "codebooks must cover contiguous subspaces 0..m-1")
     require(counts.forall(c => c._3 == c._2 - 1),
       "codebook cids must be dense per subspace (pqTrain renumbers)")
-    (m, counts.head._4, counts.map(_._2).scanLeft(0)(_ + _).init.toSeq)
+    require(counts.forall(c => c._4 == counts.head._4 && c._5 == c._4),
+      s"codebook centroid lengths must be one uniform dsub, got " +
+        s"${counts.map(c => s"sub ${c._1}: [${c._5},${c._4}]").mkString(", ")}")
+    (m, counts.head._4, counts.map(_._2).scanLeft(0)(_ + _).toSeq)
   }
 
   /** One LUT row per query — `lut[offset(sub)+cid] = dot(q_sub, c)` as a

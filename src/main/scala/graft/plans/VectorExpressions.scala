@@ -399,9 +399,15 @@ case class VectorEqCount(left: Expression, right: Expression)
   * PQ top-k search. `codes` is a corpus row's m sub-quantizer codes
   * (array<tinyint>, dense per-subspace ids); `lut` is one QUERY's
   * flattened table of per-(subspace, code) partial dot products;
-  * `offsets(i)` is where subspace i's block starts inside `lut`
-  * (cumulative per-subspace codebook sizes — constant after training,
-  * hence a constructor literal like [[VectorSignBuckets]]'s planes).
+  * `offsets` is the FENCE-POST form of the per-subspace block starts —
+  * m+1 entries, `offsets(i)` where subspace i's block starts and
+  * `offsets(m)` the total LUT length (cumulative per-subspace codebook
+  * sizes — constant after training, hence a constructor literal like
+  * [[VectorSignBuckets]]'s planes). The terminal entry is load-bearing:
+  * without it, a code exceeding its OWN subspace's codebook size but
+  * still landing inside the flat LUT would silently read another
+  * subspace's entry and return a plausible-but-wrong sum (r12 advice —
+  * only the last subspace's overflow used to fall off the LUT end).
   *
   * Why a custom expression: the HOF spelling
   * (`aggregate(sequence(...), 0d, (acc,i) -> acc + element_at(...))`)
@@ -410,13 +416,19 @@ case class VectorEqCount(left: Expression, right: Expression)
   * whole lookup is m primitive array reads inside whole-stage codegen.
   *
   * Null/range semantics: a null input array yields null; a null code or
-  * lut element, a codes array shorter than `offsets`, or a lookup index
+  * lut element, a codes array shorter than m, a code outside its own
+  * subspace's block `[0, offsets(i+1)-offsets(i))`, or a lookup index
   * outside `lut` also yield null (never a wrong sum — an out-of-range
   * code means the codes/codebook pairing is inconsistent and must not
   * silently score). Accumulation is sequential double in subspace order,
   * matching the oracle's sub-ordered list_sum. */
 case class PqAdc(codes: Expression, lut: Expression, offsets: Seq[Int])
     extends BinaryExpression {
+  require(offsets.length >= 2 &&
+    offsets.zip(offsets.tail).forall { case (a, b) => a < b },
+    s"offsets must be fence-post (m+1 strictly increasing entries, " +
+      s"terminal = LUT length), got $offsets")
+
   override def left: Expression = codes
   override def right: Expression = lut
 
@@ -450,7 +462,7 @@ case class PqAdc(codes: Expression, lut: Expression, offsets: Seq[Int])
   override def nullSafeEval(l: Any, r: Any): Any = {
     val c = l.asInstanceOf[ArrayData]
     val t = r.asInstanceOf[ArrayData]
-    val m = offArr.length
+    val m = offArr.length - 1
     if (c.numElements() < m) return null
     var acc = 0.0
     var i = 0
@@ -458,7 +470,10 @@ case class PqAdc(codes: Expression, lut: Expression, offsets: Seq[Int])
       if (c.isNullAt(i)) return null
       val code = if (codesAreBytes) c.getByte(i).toInt else c.getInt(i)
       val idx = offArr(i) + code
-      if (code < 0 || idx < 0 || idx >= t.numElements() || t.isNullAt(idx))
+      // idx < offArr(i+1) is the per-subspace bound: a code spilling
+      // into the NEXT subspace's block is as wrong as one off the end
+      if (code < 0 || idx >= offArr(i + 1) || idx >= t.numElements() ||
+          t.isNullAt(idx))
         return null
       acc += t.getDouble(idx)
       i += 1
@@ -469,7 +484,7 @@ case class PqAdc(codes: Expression, lut: Expression, offsets: Seq[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val offRef = ctx.addReferenceObj("offsets", offArr, "int[]")
     val getCode = if (codesAreBytes) "getByte" else "getInt"
-    val m = offArr.length
+    val m = offArr.length - 1
     nullSafeCodeGen(ctx, ev, (c, t) => {
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
@@ -484,8 +499,8 @@ case class PqAdc(codes: Expression, lut: Expression, offsets: Seq[Int])
          |    if ($c.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    int $code = (int) $c.$getCode($i);
          |    int $idx = $offRef[$i] + $code;
-         |    if ($code < 0 || $idx < 0 || $idx >= $t.numElements() ||
-         |        $t.isNullAt($idx)) {
+         |    if ($code < 0 || $idx >= $offRef[$i + 1] ||
+         |        $idx >= $t.numElements() || $t.isNullAt($idx)) {
          |      ${ev.isNull} = true;
          |      break;
          |    }
@@ -526,7 +541,10 @@ object VectorExpressions {
     SqlBridge.column(VectorProject(SqlBridge.expression(v), planes, scale))
 
   /** Column-level PQ lookup sum backed by [[PqAdc]]: codes indexes a
-    * query's flattened LUT at constant per-subspace `offsets`. */
+    * query's flattened LUT at constant per-subspace `offsets` —
+    * FENCE-POST form, m+1 entries with the total LUT length last (the
+    * terminal entry bounds the last subspace; interior entries bound
+    * each code to its own block). */
   def pqAdc(codes: Column, lut: Column, offsets: Seq[Int]): Column =
     SqlBridge.column(PqAdc(
       SqlBridge.expression(codes), SqlBridge.expression(lut), offsets))

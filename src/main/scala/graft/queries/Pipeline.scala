@@ -993,6 +993,38 @@ object Pipeline {
       }.reduce(_ union _).orderBy("n_probe")
     }),
 
+    // the same sweep through the COMPOSED billion-scale index (r12
+    // verdict #6): IVF-PQ's nProbe is the identical knob — more lists
+    // probed can only widen the ADC candidate pool — but the cut ranks
+    // the ADC ESTIMATE, so unlike the exact-cosine sweep above the
+    // recall curve is a measured fact, not a lattice guarantee (a
+    // flattering estimate entering at higher nProbe can displace a true
+    // neighbor). Both index halves are prebuilt once and shared across
+    // the sweep (the production build-once / probe-per-batch shape);
+    // oracled per probe level against the full DuckDB PQ replay.
+    "sim_recall_sweep_ivfpq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val books = pqBooks(s, dir)
+      val cents = ivfCentroids(e)
+      val lists = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      val codes = Similarity.pqEncode(e, "vec_id", "embedding", books)
+      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      Seq(1, 2, 4).map { np =>
+        val ipq = Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+            cents, books, k = 5, nProbe = np,
+            prebuiltLists = Some(lists), prebuiltCodes = Some(codes))
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        brute.join(ipq, Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("k"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(lit(np.toLong).as("n_probe"), col("k"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("k"), 4).as("recall"))
+      }.reduce(_ union _).orderBy("n_probe")
+    }),
+
     // Gopher-style repetition filter: duplicate-3-gram fraction and
     // top-bigram share per doc, plus the keep verdict at thresholds that
     // split this corpus ~90/10 (oracled — both metrics are exact
@@ -1495,8 +1527,15 @@ object Pipeline {
                 FROM pparts WHERE neighbor_id != query_id
                 GROUP BY query_id, neighbor_id),
        pscored AS (SELECT a.query_id, a.neighbor_id,
+                     -- factored sqrt(q)*sqrt(r), NOT sqrt(q*r): Spark's
+                     -- cosineFromParts computes the factored form and
+                     -- the two can differ by 1 ulp — enough to flip the
+                     -- floor-4dp cut at a .00005 boundary (r12 advice;
+                     -- the exact cross-engine class the MMR
+                     -- integer-combine caught live)
                      floor((CASE WHEN q.q_nsq * r.r_nsq = 0 THEN 0
-                            ELSE a.adcdot / sqrt(q.q_nsq * r.r_nsq) END)
+                            ELSE a.adcdot / (sqrt(q.q_nsq) * sqrt(r.r_nsq))
+                            END)
                        * 10000 + 0.5) / 10000 AS cosine
                    FROM padc a JOIN pqn q ON q.vec_id = a.query_id
                    JOIN prn r ON r.vec_id = a.neighbor_id),
@@ -2432,6 +2471,48 @@ object Pipeline {
              END)::DOUBLE / count(*), 4) AS recall
          FROM sweep s CROSS JOIN brute b
          LEFT JOIN ivf l ON l.n_probe = s.n_probe
+           AND l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         GROUP BY s.n_probe ORDER BY n_probe""",
+    // the IVF-PQ sweep reuses the full-pair PQ replay (pscored — the
+    // sim_topk_pq oracle's scoring CTE, no injected cand) and slices it
+    // per probe level: candidates from probes_ranked at rn <= n_probe,
+    // then the floor-4dp ADC rank WITHIN each (n_probe, query) slice —
+    // exactly ivfPqTopK's restrict-then-rank order
+    "sim_recall_sweep_ivfpq" ->
+      s"""WITH $ivfBaseCtes,
+         ${pqCtes(PqM, PqKsub, PqIters, emitEmb = false)},
+         sweep AS (SELECT unnest([1, 2, 4]) AS n_probe),
+         pcand AS (SELECT DISTINCT s.n_probe, p.query_id,
+                     a.vec_id AS neighbor_id
+                   FROM sweep s JOIN probes_ranked p ON p.rn <= s.n_probe
+                   JOIN assign a ON a.cid = p.cid
+                   WHERE a.vec_id != p.query_id),
+         psel AS (SELECT c.n_probe, sc.query_id, sc.neighbor_id, sc.cosine
+                  FROM pcand c JOIN pscored sc
+                    ON sc.query_id = c.query_id
+                    AND sc.neighbor_id = c.neighbor_id),
+         prk AS (SELECT n_probe, query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY n_probe, query_id
+                     ORDER BY cosine DESC, neighbor_id ASC) AS rn
+                 FROM psel),
+         ipq AS (SELECT n_probe, query_id, neighbor_id FROM prk
+                 WHERE rn <= 5),
+         b_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        list_cosine_similarity(q.e, c.e) AS cos
+                      FROM emb q JOIN emb c ON c.vec_id != q.vec_id
+                      WHERE q.vec_id < 8),
+         b_ranked AS (SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rn
+                      FROM b_scored),
+         brute AS (SELECT query_id, neighbor_id FROM b_ranked WHERE rn <= 5)
+         SELECT s.n_probe::BIGINT AS n_probe, count(*)::BIGINT AS k,
+           sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hit,
+           round(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0
+             END)::DOUBLE / count(*), 4) AS recall
+         FROM sweep s CROSS JOIN brute b
+         LEFT JOIN ipq l ON l.n_probe = s.n_probe
            AND l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
          GROUP BY s.n_probe ORDER BY n_probe""",
     "dd_minhash_pairs" ->

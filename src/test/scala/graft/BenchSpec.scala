@@ -437,10 +437,10 @@ class BenchSpec extends AnyFunSuite {
       Bench.renderCompact(r, "sf", "4", 3))
     assert(json.get("n_claims").asInt() == 2)
     assert(json.get("claims_failed").size() == 1)
-    assert(json.get("claims_failed").get(0).asText() == "lsh_beats_brute_50k")
+    assert(json.get("claims_failed").get(0).asText() == "lsh_brute_near_parity_50k")
     val full = mapper.readTree(Bench.renderFull(r, "sf", "4", 3))
     assert(full.get("claims").get("prune_beats_naive_dd50k").asBoolean())
-    assert(!full.get("claims").get("lsh_beats_brute_50k").asBoolean())
+    assert(!full.get("claims").get("lsh_brute_near_parity_50k").asBoolean())
     assert(full.get("n_claims_failed").asInt() == 1)
     // factor-based claim: skew within 2x of uniform
     val skew = mapper.readTree(Bench.renderFull(
@@ -487,7 +487,7 @@ class BenchSpec extends AnyFunSuite {
     assert(tables("contract").contains("`ds_curate`"))
     assert(!tables("contract").contains("`bench_lsh50k_brute` | 1.500"))
     // claims render with status
-    assert(tables("contract").contains("| `lsh_beats_brute_50k` | holds |"))
+    assert(tables("contract").contains("| `lsh_brute_near_parity_50k` | holds |"))
 
     val doc =
       """pre
@@ -583,5 +583,161 @@ class BenchSpec extends AnyFunSuite {
     assert(extras.intersect(SparkEntry.queries.keySet).isEmpty)
     // extras must NOT leak into Verify/oracle accounting
     assert(extras.intersect(SparkEntry.oracleSql.keySet).isEmpty)
+  }
+
+  test("cold-head is STRICT: a later run tying the head keeps the entry " +
+      "flagged instead of absorbing it (r12 advice)") {
+    // head ties max via a LATER sample — the slow mode recurred, so
+    // reclassifying the head as warmup would soften a real repeated
+    // slow mode into cold_warmup_secs
+    assert(!Bench.isColdHead(Vector(8.0, 2.0, 8.0)))
+    assert(!Bench.isColdHead(Vector(8.0, 8.0, 2.0)))
+    // strictly-worst head still matches
+    assert(Bench.isColdHead(Vector(8.0, 2.0, 7.9999)))
+  }
+
+  test("compact line counts cold-absorbed entries (n_cold)") {
+    val r = Seq(
+      Bench.QTime("bench_a", 1.0, 1.2, None, Vector(1.2, 1.0, 1.1),
+        Vector(0L, 0L, 0L), coldSecs = Vector(6.6), coldGcMs = Vector(9L)),
+      Bench.QTime("bench_b", 1.0, 1.1, None, Vector(1.1, 1.0, 1.0),
+        Vector(0L, 0L, 0L)))
+    val tree = mapper.readTree(Bench.renderCompact(r, "sf", "32", 3))
+    assert(tree.get("n_cold").asInt() == 1)
+    val none = mapper.readTree(Bench.renderCompact(r.tail, "sf", "32", 3))
+    assert(none.get("n_cold").asInt() == 0)
+  }
+
+  test("single-run controls: real designed-to-lose cohort members, " +
+      "named in the full artifact") {
+    // each control is the rhs (the loser) of at least one claim and a
+    // member of a crossover cohort — single-sampling anything else
+    // would silently weaken a number someone compares
+    for (c <- Bench.singleRunControls) {
+      assert(Bench.allBenchQueries.contains(c), s"$c is not a bench entry")
+      assert(Bench.crossoverCohorts.exists(_.contains(c)),
+        s"$c is not in a cohort")
+      assert(Bench.claimSpecs.exists(_._3 == c),
+        s"$c is not any claim's designed-to-lose side")
+      assert(!Bench.claimSpecs.exists(_._2 == c),
+        s"$c is a claim's lhs — its own number IS compared")
+      assert(!Bench.certificationOnly(c),
+        s"$c is certification-only; the sets must stay disjoint")
+    }
+    val r = Seq(
+      Bench.QTime("bench_asof_argmax", 12.0, 12.0, None, Vector(12.0),
+        Vector(0L)),
+      Bench.QTime("q1_agg", 1.0, 1.0, None, Vector(1.0), Vector(0L)))
+    val full = mapper.readTree(Bench.renderFull(r, "sf", "32", 3))
+    val ctrl = full.get("single_run_controls")
+    assert(ctrl != null && ctrl.size() == 1 &&
+      ctrl.get(0).asText() == "bench_asof_argmax")
+    // absent when no control ran (a BENCH_ONLY slice without them)
+    val none = mapper.readTree(Bench.renderFull(r.tail, "sf", "32", 3))
+    assert(none.get("single_run_controls") == null)
+  }
+
+  test("partial marker distinguishes an incremental checkpoint from a " +
+      "completed run in both artifact forms") {
+    val r = Seq(Bench.QTime("q1_agg", 1.0, 1.0, None))
+    val pc = mapper.readTree(Bench.renderCompact(r, "sf", "32", 3,
+      partial = Some((7, 38))))
+    assert(pc.get("partial").asText() == "chunk 7/38")
+    val pf = mapper.readTree(Bench.renderFull(r, "sf", "32", 3,
+      partial = Some((7, 38))))
+    assert(pf.get("partial").asText() == "chunk 7/38")
+    // a completed run carries NO partial field — its absence is the
+    // completion signal
+    assert(mapper.readTree(Bench.renderCompact(r, "sf", "32", 3))
+      .get("partial") == null)
+    assert(mapper.readTree(Bench.renderFull(r, "sf", "32", 3))
+      .get("partial") == null)
+  }
+
+  test("fork telemetry carries the observed load average and stays " +
+      "backward-compatible without it") {
+    val stats = Bench.ForkStats(1234, 56, 4096, loadX100 = 2750)
+    val text = Bench.renderTsv(Seq(Bench.QTime("q_ok", 1.5, 1.8, None))) +
+      Bench.renderTelemetryLine(stats) + "\n"
+    assert(Bench.parseTelemetry(text).contains(stats))
+    // an old child's line without load_x100 parses with the -1 sentinel
+    val old = "#telemetry\tgc_ms=10\tgc_count=2\theap_peak_mb=64\n"
+    assert(Bench.parseTelemetry(old)
+      .contains(Bench.ForkStats(10, 2, 64, -1)))
+    // render: load present as a decimal, omitted at the sentinel
+    val line = Bench.renderFull(
+      Seq(Bench.QTime("q1_agg", 1.0, 1.0, None)), "sf", "32", 3,
+      forks = Map("dd_1" -> stats, "old" -> Bench.ForkStats(1, 1, 1, -1)))
+    val ft = mapper.readTree(line).get("fork_telemetry")
+    assert(math.abs(ft.get("dd_1").get("load").asDouble() - 27.5) < 1e-9)
+    assert(!ft.get("old").has("load"))
+  }
+
+  test("cert cache: sources map names real cert entries whose files " +
+      "exist; the key moves when a certified source changes") {
+    assert(Bench.certSources.keySet == Bench.certificationOnly,
+      "every certification-only entry needs a source map (and nothing " +
+        "else may have one) — an unmapped guard would never cache, a " +
+        "stale mapping would cache a renamed one forever")
+    for ((n, files) <- Bench.certSources; f <- files)
+      assert(java.nio.file.Files.isReadable(
+        java.nio.file.Paths.get("src", "main", "scala", "graft", f)),
+        s"cert source for $n does not exist: $f")
+    val k1 = Bench.certKey("bench_cc_guard", "32", "/root/testdata/sf0.1")
+    assert(k1.isDefined && k1.get.length == 64)
+    // deterministic
+    assert(Bench.certKey("bench_cc_guard", "32",
+      "/root/testdata/sf0.1") == k1)
+    // run conditions are part of the key: a 4-cpu pass must never
+    // satisfy a 32-cpu run (the r12 burned-artifact lesson)
+    assert(Bench.certKey("bench_cc_guard", "4",
+      "/root/testdata/sf0.1") != k1)
+    assert(Bench.certKey("bench_cc_guard", "32",
+      "/root/testdata/sf0.01") != k1)
+    // different guards with different sources get different keys
+    assert(Bench.certKey("bench_bpe_guard", "32",
+      "/root/testdata/sf0.1") != k1)
+    // unknown entry: no key, no caching
+    assert(Bench.certKey("nope", "32", "sf").isEmpty)
+  }
+
+  test("cert cache file round-trips and malformed input degrades to " +
+      "empty, never to garbage") {
+    val entries = Map(
+      "bench_cc_guard" -> ("ab" * 32, 73.2),
+      "bench_bpe_train5m_guard" -> ("cd" * 32, 64.8))
+    val dir = java.nio.file.Files.createTempDirectory("certcache")
+    val p = dir.resolve("bench_cert_cache.json")
+    java.nio.file.Files.writeString(p, Bench.renderCertCache(entries))
+    // the rendered form is valid JSON
+    mapper.readTree(java.nio.file.Files.readString(p))
+    assert(Bench.readCertCache(p) == entries)
+    // missing file / malformed file -> empty cache
+    assert(Bench.readCertCache(dir.resolve("nope.json")).isEmpty)
+    java.nio.file.Files.writeString(p, "{ not json")
+    assert(Bench.readCertCache(p).isEmpty)
+  }
+
+  test("cache-satisfied certifications are named and excluded from " +
+      "cert_secs (wall actually spent)") {
+    val r = Seq(
+      Bench.QTime("bench_cc_guard", 73.0, 73.0, None),      // cached
+      Bench.QTime("ds_curate_staged", 16.0, 16.0, None),    // fresh
+      Bench.QTime("q1_agg", 1.0, 1.0, None))
+    val cached = Set("bench_cc_guard")
+    val full = mapper.readTree(Bench.renderFull(r, "sf", "32", 3,
+      certCached = cached))
+    val cc = full.get("certification_cached")
+    assert(cc != null && cc.size() == 1 &&
+      cc.get(0).asText() == "bench_cc_guard")
+    // cert_secs counts only the fresh certification
+    assert(math.abs(full.get("cert_secs").asDouble() - 16.0) < 1e-9)
+    // the cached entry's (stale) seconds still appear per-entry
+    assert(full.get("queries").get("bench_cc_guard").asDouble() == 73.0)
+    val compact = mapper.readTree(Bench.renderCompact(r, "sf", "32", 3,
+      certCached = cached))
+    assert(compact.get("n_cert").asInt() == 2)
+    assert(compact.get("n_cert_cached").asInt() == 1)
+    assert(math.abs(compact.get("cert_secs").asDouble() - 16.0) < 1e-9)
   }
 }

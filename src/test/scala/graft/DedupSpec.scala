@@ -291,6 +291,46 @@ class DedupSpec extends SparkTestBase {
     assert(pre.nonEmpty)
   }
 
+  test("contraction probe: clique engages via edge contraction, hub via " +
+      "degree concentration, uniform pairs skip, tiny input defaults ON") {
+    // clique (the LSH-bucket shape): 80 nodes -> 3160 edges -> 79 stars,
+    // ratio ~0.025 — the edge-contraction signal
+    val n = 80
+    val clique = (for (i <- 0 until n; j <- i + 1 until n)
+      yield (100L + j, 100L + i)).toDF("u", "v").coalesce(1)
+    val cs = Dedup.contractionProbe(clique)
+    assert(cs.exists(_.edgesIn >= Dedup.ProbeMinEdges))
+    assert(Dedup.preContractWorthwhile(cs), "a clique stream must engage")
+    // hub star (the cc2m_skew shape): edge count barely contracts
+    // (ratio ~1) but ONE local component spans the partition — the
+    // degree-concentration signal is what must fire
+    val star = (1L to 6000L).map(i => (1000000L + i, 7L))
+      .toDF("u", "v").coalesce(1)
+    val ss = Dedup.contractionProbe(star)
+    assert(ss.exists(s => s.edgesIn >= Dedup.ProbeMinEdges &&
+      s.starsOut.toDouble > Dedup.PreContractRatioGate * s.edgesIn),
+      "the star's ratio must NOT be the engaging signal")
+    assert(ss.exists(_.maxComponentNodes >= Dedup.ProbeComponentGate))
+    assert(Dedup.preContractWorthwhile(ss), "a hub stream must engage")
+    // uniform disjoint pairs (the cc2m_dist regime writ small): ratio
+    // ~1, components of 2 — the pass is pure overhead, skip it
+    val uniform = (0L until 2000L).map(i => (2 * i + 1, 2 * i))
+      .toDF("u", "v").coalesce(1)
+    val us = Dedup.contractionProbe(uniform)
+    assert(!Dedup.preContractWorthwhile(us),
+      "a no-locality stream must skip the pre-pass")
+    // inconclusive (every probed partition under ProbeMinEdges):
+    // default ON — skew immunity is the scale-safe side
+    val tiny = Seq((3L, 1L), (5L, 1L)).toDF("u", "v").coalesce(1)
+    assert(Dedup.preContractWorthwhile(Dedup.contractionProbe(tiny)))
+    // decision is pure over the stats — pin the gates directly
+    import Dedup.ProbeStat
+    assert(Dedup.preContractWorthwhile(Seq(ProbeStat(10000, 400, 50))))
+    assert(Dedup.preContractWorthwhile(Seq(ProbeStat(10000, 10000, 8000))))
+    assert(!Dedup.preContractWorthwhile(Seq(ProbeStat(10000, 10000, 41))))
+    assert(Dedup.preContractWorthwhile(Seq(ProbeStat(10, 10, 2))))
+  }
+
   test("adaptive CC: driver union-find equals distributed star contraction") {
     // same random graph through both execution paths (threshold gates):
     // labels must be identical — the gate is a perf decision, not a

@@ -16,7 +16,7 @@ class EntryContractSpec extends SparkTestBase {
   // pin the exact count so an accidental deletion of a whole query+oracle
   // PAIR can't shrink the contract silently. Update alongside intentional
   // additions.
-  private val ContractSize = 138
+  private val ContractSize = 139
 
   test("the contract holds exactly the expected number of queries") {
     assert(SparkEntry.queries.size == ContractSize,
@@ -61,6 +61,13 @@ class EntryContractSpec extends SparkTestBase {
     assert(line.length < 1800, s"compact bench line too long: ${line.length}")
     assert(line.startsWith("{") && line.endsWith("}"))
     assert(line.contains("\"n_err\":0"))
+    // the r13 incremental checkpoints print partial-marked lines too —
+    // on a timed-out run one of THOSE is what the harness parses, so
+    // the budget must hold with the marker attached
+    val partial = Bench.renderCompact(results, "/root/testdata/sf0.1",
+      "32", 3, partial = Some((37, 38)))
+    assert(partial.length < 1800,
+      s"partial compact line too long: ${partial.length}")
   }
 
   test("bench line records a failing query as err, not a fast success") {

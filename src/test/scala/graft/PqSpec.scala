@@ -172,22 +172,62 @@ class PqSpec extends SparkTestBase {
 
   test("PqAdc expression: lookup sum, out-of-range code -> null") {
     // Array[Byte] literals arrive as `binary`, so build array<tinyint>
-    // explicitly — the type pqEncode emits
+    // explicitly — the type pqEncode emits. Offsets are fence-post:
+    // two subspaces of 2 codes each over a 4-entry LUT -> Seq(0, 2, 4).
     val df = Seq(
       (Array(0, 1), Array(10.0, 20.0, 30.0, 40.0)),
       (Array(1, 1), Array(10.0, 20.0, 30.0, 40.0)),
-      (Array(0, 9), Array(10.0, 20.0, 30.0, 40.0)))
+      (Array(0, 9), Array(10.0, 20.0, 30.0, 40.0)),
+      // the r12-advice case: code 2 exceeds subspace 0's block (size 2)
+      // but 0+2 still lands INSIDE the flat LUT — pre-fix this read
+      // subspace 1's entry (30.0) and returned a wrong sum silently
+      (Array(2, 1), Array(10.0, 20.0, 30.0, 40.0)))
       .toDF("icodes", "lut")
       .withColumn("codes", transform(col("icodes"), _.cast("byte")))
     val out = df.select(graft.plans.VectorExpressions.pqAdc(
-      col("codes"), col("lut"), Seq(0, 2)).as("v"),
+      col("codes"), col("lut"), Seq(0, 2, 4)).as("v"),
       graft.plans.VectorExpressions.pqAdc(
-        col("icodes"), col("lut"), Seq(0, 2)).as("vi")).collect()
+        col("icodes"), col("lut"), Seq(0, 2, 4)).as("vi")).collect()
     assert(out(0).getDouble(0) == 10.0 + 40.0)
     assert(out(1).getDouble(0) == 20.0 + 40.0)
     assert(out(2).isNullAt(0))
+    assert(out(3).isNullAt(0),
+      "a code overflowing its own subspace must null, not read the " +
+        "next subspace's block")
     // int-typed codes take the same path
     assert(out(0).getDouble(1) == 10.0 + 40.0)
     assert(out(2).isNullAt(1))
+    assert(out(3).isNullAt(1))
+    // degenerate offsets are rejected at construction: a single entry
+    // (no terminal bound) and a zero-width subspace block
+    intercept[IllegalArgumentException] {
+      graft.plans.VectorExpressions.pqAdc(col("codes"), col("lut"), Seq(0))
+      ()
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.VectorExpressions.pqAdc(col("codes"), col("lut"),
+        Seq(0, 2, 2))
+      ()
+    }
+  }
+
+  test("readPqIndex rejects codes paired with books retrained at a " +
+      "different ksub (same m/dsub)") {
+    import graft.operators.Similarity
+    val corpus = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 128.0f)))
+      .toDF("id", "vec")
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_retrain").toString
+    val books4 = Similarity.pqTrain(corpus, "id", "vec", m = 2, ksub = 4)
+    Similarity.writePqIndex(corpus, "id", "vec", books4, path)
+    // retrain the BOOKS half only at ksub=8: m and dsub are unchanged,
+    // so the pre-r13 m/dsub torn-check passed this pairing
+    val books8 = Similarity.pqTrain(corpus, "id", "vec", m = 2, ksub = 8)
+    books8.write.mode("overwrite").parquet(s"$path/books")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.readPqIndex(spark, path)
+    }
+    assert(ex.getMessage.contains("retrained"))
   }
 }
