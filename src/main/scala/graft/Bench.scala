@@ -911,9 +911,10 @@ object Bench {
     "bench_cc2m_dist" -> ((s, _) =>
       // 2M edges: the probe short-circuits past the gate and the
       // distributed path runs as it would on a 1000-executor cluster.
-      // r13: the contraction probe sees 41-node chains (ratio ~1, no
-      // big local component) and SKIPS the pre-pass here — recovering
-      // the +14% uniform-graph tax r12 measured
+      // r13: the contraction probe sees 41-node chain components
+      // (local structure, diameter >> 2) and ENGAGES the pre-pass —
+      // measured same-JVM 17.6 s with it vs 25.1 s without; the r12
+      // "+14% uniform tax" was cross-round regime noise
       graft.operators.Dedup.connectedComponents(cc2m(s))),
     "bench_cc2m_skew" -> ((s, _) =>
       // same scale, one giant star-heavy component: the rounds funnel
@@ -1510,7 +1511,13 @@ object Bench {
     * machinery). Their single sample is honest and flagged — the full
     * artifact lists them under `single_run_controls`. */
   private[graft] val singleRunControls: Set[String] =
-    Set("bench_cc2m_skew_nopre", "bench_asof_argmax")
+    Set("bench_cc2m_skew_nopre", "bench_asof_argmax",
+      // r13 widening after the first in-session definitive run still
+      // projected over the driver wall on a slow machine regime: these
+      // two are also strictly designed-to-lose (each is ONLY ever a
+      // claim's rhs — dd50k_ngram loses to pruned AND minhash,
+      // cc450k_dist to the driver path), ~60-80 s/run between them
+      "bench_dd50k_ngram", "bench_cc450k_dist")
 
   // ---------------------------------------------------------------------
   // Certification cache (r12 verdict #1): the 17 certification-only

@@ -1152,19 +1152,25 @@ object Dedup {
     * edge frame, and reports per-partition [[ProbeStat]]s for
     * [[preContractWorthwhile]] to judge.
     *
-    * Two distinct signals, because the pre-pass wins two distinct ways:
+    * The pre-pass wins three distinct ways, and the probe's two
+    * signals cover all of them:
     *  - EDGE CONTRACTION (starsOut << edgesIn): clique-shaped streams —
     *    an LSH bucket's O(family²) pair rows collapse to O(family)
     *    stars, shrinking the first shuffle's bytes;
-    *  - DEGREE CONCENTRATION (one local component spanning a large
-    *    fraction of the partition): hub/star-shaped streams — edge
-    *    count barely contracts (n spokes → n stars, ratio ≈ 1) but
-    *    re-pointing every node at its local min splits the hub's
-    *    downstream groupBy key across partitions, which is the whole
-    *    1.8x skew win (`precontract_tames_skew_cc2m`).
-    * A uniform stream (disjoint pairs / short chains) shows NEITHER —
-    * ratio ≈ 1 and max component ≈ the chain length — and the pass is
-    * skipped. */
+    *  - LOCAL STRUCTURE (a local component of ≥ 3 nodes): any such
+    *    component has diameter ≥ 2, so flattening it to a depth-1 star
+    *    saves global contraction rounds (measured r13, uniform
+    *    41-node-chain rig, same chunk same JVM: 17.6 s with the pass
+    *    vs 25.1 s without — the r12 "+14% uniform tax" read was
+    *    cross-round regime noise, the same class the dd50k bisect
+    *    exposed); the extreme case is a hub component spanning the
+    *    partition, where re-pointing every node at the local min also
+    *    splits the hub's downstream groupBy key (the 1.8x
+    *    `precontract_tames_skew_cc2m` win).
+    * The only stream with NEITHER signal is disjoint pairs (every
+    * local component exactly one edge): stars(E) = E there, so the
+    * pass rewrites the input to itself and is pure scan tax — that is
+    * the shape the probe skips. */
   private[graft] def contractionProbe(edges: DataFrame): Seq[ProbeStat] = {
     import edges.sparkSession.implicits._
     val rdd = edges.select(col("u").cast("long"), col("v").cast("long"))
@@ -1213,11 +1219,12 @@ object Dedup {
     * streams sit at ~1.0. */
   private[graft] val PreContractRatioGate: Double = 0.75
 
-  /** Degree-concentration gate: engage when one local component spans
-    * at least this many nodes. Sits well clear of both rigs: the
-    * uniform control's chains are 41 nodes; the skew rig's
-    * per-partition hub components are ~50k. */
-  private[graft] val ProbeComponentGate: Int = 4096
+  /** Local-structure gate: engage when any probed local component has
+    * at least this many nodes — 3 is the smallest component with
+    * diameter 2, i.e. the smallest whose flattening can save global
+    * rounds. Only a pure disjoint-pair stream (every component one
+    * edge, stars(E) = E) sits below it. */
+  private[graft] val ProbeComponentGate: Int = 3
 
   /** Open-addressing long→long union-find for [[localContract]]: keys
     * are node ids, values are parent KEYS (growth-safe — slot indices

@@ -643,6 +643,140 @@ object Similarity {
     pqRank(scored, corpus, queries, idCol, vecCol, k, shortlist)
   }
 
+  /** Residual frame for residual IVF-PQ: each corpus vector's offset
+    * from its assigned coarse centroid, components rounded 6dp (the
+    * cross-engine trajectory discipline — centroid components are
+    * already 6dp, so the subtraction is the only rounding point).
+    * Residuals are what the production IVF-PQ quantizes (FAISS's
+    * IndexIVFPQ): vectors in one list share their centroid's
+    * neighborhood, so their offsets are smaller and more isotropic than
+    * raw positions — the same m bytes spend their precision on the
+    * part the coarse quantizer didn't already explain. Output:
+    * (idCol, cid, rvec). */
+  def ivfResiduals(corpus: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame, cidCol: String = "cid",
+                   centCol: String = "centroid",
+                   prebuiltLists: Option[DataFrame] = None): DataFrame = {
+    val lists = prebuiltLists
+      .getOrElse(ivfAssign(corpus, idCol, vecCol, centroids, cidCol,
+        centCol))
+    corpus.join(lists, idCol)
+      .join(broadcast(centroids.select(col(cidCol),
+        col(centCol).as("__res_cent"))), cidCol)
+      .select(col(idCol), col(cidCol),
+        zip_with(toDouble(col(vecCol)), col("__res_cent"),
+          (x, c) => round(x - c, 6)).as("rvec"))
+  }
+
+  /** Residual-PQ encode: per vector, the m nearest-residual-codebook
+    * codes plus `x_nsq` — the EXACT squared norm of the full
+    * reconstruction `x̂ = centroid + r̂`, computed per subspace as
+    * `||cent_sub + r̂_sub||²` and summed in subspace order (the
+    * [[pqEncode]] ordered-fold discipline; the coarse centroid slices
+    * the same way the vector does, so the subspace partition is exact).
+    * Carrying the coarse `cid` per row is what lets the query path skip
+    * candidate generation entirely: joining (query, probed-cid) against
+    * codes ON cid IS the inverted-list probe. Output:
+    * (idCol, cid, codes, x_nsq). */
+  def ivfPqResidualEncode(residuals: DataFrame, idCol: String,
+                          centroids: DataFrame, codebooks: DataFrame,
+                          cidCol: String = "cid",
+                          centCol: String = "centroid"): DataFrame = {
+    val dsub = codebooks.select(size(col("centroid"))).head().getInt(0)
+    val m = codebooks.agg(max(col("sub"))).head().getInt(0) + 1
+    val subs = pqSubVectors(residuals, idCol, "rvec", m, dsub)
+    val codes0 = pqAssign(subs, codebooks)
+      .withColumnRenamed("cid", "code")
+      .join(broadcast(codebooks.select(col("sub"),
+        col("cid").as("code"), col("centroid").as("rcent"))),
+        Seq("sub", "code"))
+    val coarse = residuals
+      .select(col(idCol).as("pq_id"), col(cidCol))
+      .join(broadcast(centroids.select(col(cidCol),
+        col(centCol).as("__enc_cent"))), cidCol)
+    codes0.join(coarse, "pq_id")
+      .withColumn("comb",
+        zip_with(slice(col("__enc_cent"), col("sub") * dsub + 1, lit(dsub)),
+          col("rcent"), (a, b) => a + b))
+      .withColumn("xn", normSq(col("comb")))
+      .groupBy("pq_id")
+      .agg(
+        min(col(cidCol)).as(cidCol), // constant per vector
+        transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+          x => x.getField("code").cast("byte")).as("codes"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("sub"),
+            col("xn").as("nn")))), x => x.getField("nn")),
+          lit(0.0), (a, x) => a + x).as("x_nsq"))
+      .select(col("pq_id").as(idCol), col(cidCol), col("codes"),
+        col("x_nsq"))
+  }
+
+  /** RESIDUAL IVF-PQ top-k — the production IVF-PQ (FAISS's
+    * IndexIVFPQ): PQ codebooks are trained on the RESIDUALS to the
+    * coarse centroids ([[ivfResiduals]]), so the m bytes per vector
+    * quantize only the offset the inverted list hasn't already
+    * explained. The ADC estimate decomposes exactly:
+    * `q·x̂ = q·centroid(cid) + q·r̂` — the first term is one dot per
+    * (query, probed list) (nProbe rows per query, broadcast), the
+    * second the usual m LUT reads ([[graft.plans.PqAdc]]) against
+    * residual codebooks; the denominator uses the stored exact
+    * reconstruction norm `x_nsq`. Scale shape: identical to
+    * [[ivfPqTopK]] — the corpus side touches only
+    * (id, cid, codes, x_nsq) and never shuffles; queries, LUTs, and the
+    * q·centroid terms broadcast — plus one structural simplification:
+    * no candidate `distinct` pass, because joining the probed
+    * (query, cid) frame against codes ON cid IS the inverted-list
+    * probe (each neighbor has exactly one cid). Cut ranks the
+    * floor-4dp estimate with id tie-breaks; `shortlist > 0` re-ranks
+    * with true vectors, as in [[pqTopK]]. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String,
+                        centroids: DataFrame, codebooks: DataFrame,
+                        k: Int = 10, nProbe: Int = 3,
+                        excludeSelf: Boolean = true, shortlist: Int = 0,
+                        cidCol: String = "cid",
+                        centCol: String = "centroid",
+                        prebuiltLists: Option[DataFrame] = None,
+                        prebuiltCodes: Option[DataFrame] = None)
+      : DataFrame = {
+    val (m, dsub, offsets) = pqMeta(codebooks)
+    val codes = prebuiltCodes
+      .getOrElse {
+        val lists = prebuiltLists
+          .getOrElse(ivfAssign(corpus, idCol, vecCol, centroids, cidCol,
+            centCol))
+        ivfPqResidualEncode(
+          ivfResiduals(corpus, idCol, vecCol, centroids, cidCol, centCol,
+            Some(lists)),
+          idCol, centroids, codebooks, cidCol, centCol)
+      }
+      .select(col(idCol).as("neighbor_id"), col(cidCol), col("codes"),
+        col("x_nsq"))
+    val probes = ivfAssign(queries, idCol, vecCol, centroids, cidCol,
+        centCol, nProbe)
+      .withColumnRenamed(idCol, "query_id")
+    val qc = probes
+      .join(broadcast(centroids.select(col(cidCol),
+        col(centCol).as("__qc_cent"))), cidCol)
+      .join(queries.select(col(idCol).as("query_id"),
+        toDouble(col(vecCol)).as("__q_f")), "query_id")
+      .select(col("query_id"), col(cidCol),
+        dot(col("__q_f"), col("__qc_cent")).as("qc"))
+    val lutFrame = pqQueryLut(queries, idCol, vecCol, codebooks,
+      m, dsub, offsets)
+    val scored = broadcast(qc).join(codes, cidCol)
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+              else lit(true))
+      .join(broadcast(lutFrame), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        TextAnalysis.round4(cosineFromParts(
+          col("qc") + graft.plans.VectorExpressions.pqAdc(col("codes"),
+            col("lut"), offsets),
+          col("q_nsq"), col("x_nsq"))).as("cosine"))
+    pqRank(scored, corpus, queries, idCol, vecCol, k, shortlist)
+  }
+
   /** A materialized PQ index read back from parquet: codebooks + encoded
     * corpus, with the build geometry recovered from stamped metadata. */
   case class PqIndex(books: DataFrame, codes: DataFrame, m: Int, dsub: Int)

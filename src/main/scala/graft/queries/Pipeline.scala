@@ -125,6 +125,25 @@ object Pipeline {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** RESIDUAL PQ codebooks ([[pqBooks]]'s discipline, FAISS-IVFPQ
+    * geometry): trained on each vector's 6dp-rounded offset from its
+    * assigned coarse centroid — the part of the position the inverted
+    * list hasn't already explained. */
+  private val resBooksMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[org.apache.spark.sql.Row],
+             org.apache.spark.sql.types.StructType)]()
+  private def resBooks(s: SparkSession, dir: String): DataFrame = {
+    val (rows, schema) = resBooksMemo.computeIfAbsent(dir, _ => {
+      val e = embs(s, dir)
+      val b = Similarity.pqTrain(
+        Similarity.ivfResiduals(e, "vec_id", "embedding",
+          ivfCentroids(e)),
+        "vec_id", "rvec", m = PqM, ksub = PqKsub, iters = PqIters)
+      (b.collect(), b.schema)
+    })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** Write-once-per-JVM marker for the merge ARTIFACT
     * (`txt_bpe_artifact`) — cf. [[steadyIdxWritten]]. */
   private val bpeArtifactWritten =
@@ -611,6 +630,23 @@ object Pipeline {
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 8), "vec_id",
           "embedding", ivfCentroids(e), pqBooks(s, dir), k = 5,
           nProbe = 3)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // RESIDUAL IVF-PQ (r13): the production IVF-PQ — codebooks trained
+    // on the residuals to the coarse centroids, so the m bytes per
+    // vector quantize only what the inverted list hasn't explained; the
+    // ADC estimate decomposes exactly as q·cent(cid) + q·r̂ with the
+    // stored exact reconstruction norm in the denominator. Fully
+    // oracled: coarse assignment, 6dp residuals, the per-subspace
+    // k-means trajectories over residuals, encode, per-subspace
+    // reconstruction norms, and the floor-4dp composed cut all replay
+    // in DuckDB
+    "sim_topk_ivfpq_res" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", ivfCentroids(e), resBooks(s, dir),
+          k = 5, nProbe = 3)
         .orderBy("query_id", "neighbor_id")
     }),
 
@@ -1543,6 +1579,120 @@ object Pipeline {
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY cosine DESC, neighbor_id ASC) AS rn
                    FROM pscored)"""
+    sb.toString
+  }
+
+  /** DuckDB twin of the RESIDUAL IVF-PQ chain (Similarity.ivfResiduals /
+    * pqTrain-on-residuals / ivfPqResidualEncode / ivfPqResidualTopK):
+    * 6dp residuals to the coarse centroids, the [[pqCtes]] per-subspace
+    * k-means trajectory replayed over the residual frame, per-subspace
+    * exact reconstruction norms `||cent_sub + r̂_sub||²` summed in sub
+    * order, and the composed floor-4dp cut over
+    * `(q·cent + q·r̂) / (sqrt(q_nsq)·sqrt(x_nsq))`. Expects
+    * [[ivfBaseCtes]] (emb, cent, assign, probes_ranked) upstream; ends
+    * at `rranked (query_id, neighbor_id, cosine, rn)`. The candidate
+    * restriction joins each neighbor's OWN coarse cid against the
+    * query's probed cids — the Spark side's join-on-cid probe. */
+  private def residualIvfPqCtes(m: Int, ksub: Int, iters: Int,
+                                nProbe: Int): String = {
+    val dsub = 64 / m
+    def asg(name: String, centName: String) =
+      s"""$name AS (SELECT vec_id, sub, cid FROM (
+           SELECT s.vec_id, s.sub, p.cid,
+             row_number() OVER (PARTITION BY s.vec_id, s.sub
+               ORDER BY round(list_dot_product(p.c, p.c)
+                 - 2 * list_dot_product(s.sv, p.c), 6) ASC, p.cid ASC)
+               AS rn
+           FROM rsube s JOIN $centName p ON p.sub = s.sub) WHERE rn = 1)"""
+    val sb = new StringBuilder
+    sb ++= s"""probes AS (SELECT query_id, cid FROM probes_ranked
+                  WHERE rn <= $nProbe),
+       remb AS (SELECT e.vec_id, a.cid,
+                  list_transform(range(1, 65),
+                    i -> round(e.e[i] - c.c[i], 6)) AS e
+                FROM emb e JOIN assign a USING (vec_id)
+                JOIN cent c ON c.cid = a.cid),
+       rsube AS (SELECT vec_id, s.sub::INT AS sub,
+                   list_slice(e, s.sub::INT * $dsub + 1,
+                     (s.sub::INT + 1) * $dsub) AS sv
+                 FROM remb CROSS JOIN unnest(range(0, $m)) AS s(sub)),
+       rcent0 AS (SELECT sub, (rn - 1)::INT AS cid,
+                    list_transform(sv, x -> round(x, 6)) AS c
+                  FROM (SELECT sub, sv, row_number() OVER (
+                          PARTITION BY sub ORDER BY vec_id) AS rn
+                        FROM rsube)
+                  WHERE rn <= $ksub)"""
+    for (i <- 1 to iters) {
+      sb ++= s""",
+       ${asg(s"rasg$i", s"rcent${i - 1}")},
+       rsums$i AS (SELECT a.sub, a.cid, d.d AS pos,
+                     sum(s.sv[d.d::INT + 1]) AS sm, count(*) AS n
+                   FROM rasg$i a JOIN rsube s
+                     ON s.vec_id = a.vec_id AND s.sub = a.sub
+                   CROSS JOIN unnest(range(0, $dsub)) AS d(d)
+                   GROUP BY a.sub, a.cid, d.d),
+       rcent$i AS (SELECT sub, cid, list(round(sm / n, 6) ORDER BY pos)
+                     AS c
+                   FROM rsums$i GROUP BY sub, cid)"""
+    }
+    sb ++= s""",
+       rbook AS (SELECT sub,
+                   (row_number() OVER (PARTITION BY sub ORDER BY cid)
+                     - 1)::INT AS cid, c
+                 FROM rcent$iters),
+       ${asg("rasg_f", "rbook")},
+       xnp AS (SELECT a.vec_id, a.sub,
+                 list_dot_product(
+                   list_transform(range(1, $dsub + 1),
+                     i -> cc.c[a.sub * $dsub + i] + b.c[i]),
+                   list_transform(range(1, $dsub + 1),
+                     i -> cc.c[a.sub * $dsub + i] + b.c[i])) AS xn
+               FROM rasg_f a
+               JOIN rbook b ON b.sub = a.sub AND b.cid = a.cid
+               JOIN remb r ON r.vec_id = a.vec_id
+               JOIN cent cc ON cc.cid = r.cid),
+       xnsq AS (SELECT vec_id, list_sum(list(xn ORDER BY sub)) AS x_nsq
+                FROM xnp GROUP BY vec_id),
+       qsube AS (SELECT vec_id, s.sub::INT AS sub,
+                   list_slice(e, s.sub::INT * $dsub + 1,
+                     (s.sub::INT + 1) * $dsub) AS sv
+                 FROM emb CROSS JOIN unnest(range(0, $m)) AS s(sub)
+                 WHERE vec_id < 8),
+       qn AS (SELECT vec_id, list_dot_product(e, e) AS q_nsq
+              FROM emb WHERE vec_id < 8),
+       qcterm AS (SELECT p.query_id, p.cid,
+                    list_dot_product(eq.e, c.c) AS qc
+                  FROM probes p JOIN emb eq ON eq.vec_id = p.query_id
+                  JOIN cent c ON c.cid = p.cid),
+       rparts AS (SELECT qs.vec_id AS query_id, a.vec_id AS neighbor_id,
+                    a.sub, list_dot_product(qs.sv, b.c) AS pv
+                  FROM rasg_f a
+                  JOIN rbook b ON b.sub = a.sub AND b.cid = a.cid
+                  JOIN remb r ON r.vec_id = a.vec_id
+                  JOIN qsube qs ON qs.sub = a.sub
+                  JOIN probes p ON p.query_id = qs.vec_id
+                    AND p.cid = r.cid),
+       radc AS (SELECT query_id, neighbor_id,
+                  list_sum(list(pv ORDER BY sub)) AS adcdot
+                FROM rparts WHERE neighbor_id != query_id
+                GROUP BY query_id, neighbor_id),
+       rscored AS (SELECT a.query_id, a.neighbor_id,
+                     -- factored sqrt(q)*sqrt(x), the cosineFromParts
+                     -- form (see pscored above)
+                     floor((CASE WHEN q.q_nsq * x.x_nsq = 0 THEN 0
+                            ELSE (t.qc + a.adcdot)
+                              / (sqrt(q.q_nsq) * sqrt(x.x_nsq)) END)
+                       * 10000 + 0.5) / 10000 AS cosine
+                   FROM radc a
+                   JOIN qn q ON q.vec_id = a.query_id
+                   JOIN xnsq x ON x.vec_id = a.neighbor_id
+                   JOIN remb rm ON rm.vec_id = a.neighbor_id
+                   JOIN qcterm t ON t.query_id = a.query_id
+                     AND t.cid = rm.cid),
+       rranked AS (SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rn
+                   FROM rscored)"""
     sb.toString
   }
 
@@ -2792,6 +2942,11 @@ object Pipeline {
               WHERE a.vec_id != p.query_id)"""))}
          SELECT query_id, neighbor_id, cosine
          FROM pranked WHERE rn <= 5 ORDER BY query_id, neighbor_id""",
+    "sim_topk_ivfpq_res" ->
+      s"""WITH $ivfBaseCtes,
+         ${residualIvfPqCtes(PqM, PqKsub, PqIters, nProbe = 3)}
+         SELECT query_id, neighbor_id, cosine
+         FROM rranked WHERE rn <= 5 ORDER BY query_id, neighbor_id""",
     "sim_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          scored AS (

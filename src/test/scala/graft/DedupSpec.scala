@@ -291,8 +291,8 @@ class DedupSpec extends SparkTestBase {
     assert(pre.nonEmpty)
   }
 
-  test("contraction probe: clique engages via edge contraction, hub via " +
-      "degree concentration, uniform pairs skip, tiny input defaults ON") {
+  test("contraction probe: clique engages via edge contraction, hub and " +
+      "chains via local structure, disjoint pairs skip, tiny defaults ON") {
     // clique (the LSH-bucket shape): 80 nodes -> 3160 edges -> 79 stars,
     // ratio ~0.025 — the edge-contraction signal
     val n = 80
@@ -303,7 +303,7 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.preContractWorthwhile(cs), "a clique stream must engage")
     // hub star (the cc2m_skew shape): edge count barely contracts
     // (ratio ~1) but ONE local component spans the partition — the
-    // degree-concentration signal is what must fire
+    // local-structure signal is what must fire
     val star = (1L to 6000L).map(i => (1000000L + i, 7L))
       .toDF("u", "v").coalesce(1)
     val ss = Dedup.contractionProbe(star)
@@ -312,13 +312,20 @@ class DedupSpec extends SparkTestBase {
       "the star's ratio must NOT be the engaging signal")
     assert(ss.exists(_.maxComponentNodes >= Dedup.ProbeComponentGate))
     assert(Dedup.preContractWorthwhile(ss), "a hub stream must engage")
-    // uniform disjoint pairs (the cc2m_dist regime writ small): ratio
-    // ~1, components of 2 — the pass is pure overhead, skip it
-    val uniform = (0L until 2000L).map(i => (2 * i + 1, 2 * i))
+    // chains (the cc2m_dist rig shape): ratio ~1 but components of 41
+    // have diameter >> 2, and flattening them saves global rounds —
+    // measured r13 same-JVM: 17.6 s with the pass vs 25.1 s without,
+    // so chains must ENGAGE (the r12 "uniform tax" was regime noise)
+    val chains = (0L until 2050L).filter(i => (i + 1) % 41 != 0)
+      .map(i => (i + 1, i)).toDF("u", "v").coalesce(1)
+    assert(Dedup.preContractWorthwhile(Dedup.contractionProbe(chains)),
+      "a chain stream must engage — flattening saves rounds")
+    // disjoint pairs: every local component is one edge, stars(E) = E,
+    // the pass rewrites the input to itself — the ONLY skip shape
+    val pairs = (0L until 2000L).map(i => (2 * i + 1, 2 * i))
       .toDF("u", "v").coalesce(1)
-    val us = Dedup.contractionProbe(uniform)
-    assert(!Dedup.preContractWorthwhile(us),
-      "a no-locality stream must skip the pre-pass")
+    assert(!Dedup.preContractWorthwhile(Dedup.contractionProbe(pairs)),
+      "a disjoint-pair stream must skip the pre-pass")
     // inconclusive (every probed partition under ProbeMinEdges):
     // default ON — skew immunity is the scale-safe side
     val tiny = Seq((3L, 1L), (5L, 1L)).toDF("u", "v").coalesce(1)
@@ -327,7 +334,8 @@ class DedupSpec extends SparkTestBase {
     import Dedup.ProbeStat
     assert(Dedup.preContractWorthwhile(Seq(ProbeStat(10000, 400, 50))))
     assert(Dedup.preContractWorthwhile(Seq(ProbeStat(10000, 10000, 8000))))
-    assert(!Dedup.preContractWorthwhile(Seq(ProbeStat(10000, 10000, 41))))
+    assert(Dedup.preContractWorthwhile(Seq(ProbeStat(10000, 10000, 41))))
+    assert(!Dedup.preContractWorthwhile(Seq(ProbeStat(10000, 10000, 2))))
     assert(Dedup.preContractWorthwhile(Seq(ProbeStat(10, 10, 2))))
   }
 

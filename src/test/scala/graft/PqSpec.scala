@@ -211,6 +211,57 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("ivfResiduals: rvec is the 6dp-rounded offset from the assigned " +
+      "coarse centroid, cid carried") {
+    val cents = Seq((0, Array(1.0, 0.0, 0.0, 1.0)),
+      (1, Array(0.0, 1.0, 1.0, 0.0))).toDF("cid", "centroid")
+    val res = Similarity.ivfResiduals(corpus, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getSeq[Double](2))))
+      .toMap
+    // vec 4 = (1,0,1,0): cosine 0.5 with both centroids -> min-cid tie
+    // break assigns cid 0; residual = x - cent0
+    assert(res(4L)._1 == 0)
+    assert(res(4L)._2 == Seq(0.0, 0.0, 1.0, -1.0))
+    // vec 0 IS centroid 0: zero residual
+    assert(res(0L)._1 == 0 && res(0L)._2.forall(_ == 0.0))
+  }
+
+  test("residual IVF-PQ: with per-point codebooks the reconstruction is " +
+      "exact — x_nsq equals ||x||² and the composed top-k matches brute") {
+    // ksub = corpus size: after assignment every residual subvector is
+    // its own (6dp-rounded) centroid, so x̂ = cent + r̂ = x exactly and
+    // the ADC estimate degenerates to the true cosine — the identity
+    // that certifies the q·cent + q·r̂ decomposition and the
+    // per-subspace reconstruction norm
+    val cents = Seq((0, Array(1.0, 0.0, 0.0, 1.0)),
+      (1, Array(0.0, 1.0, 1.0, 0.0))).toDF("cid", "centroid")
+    val resid = Similarity.ivfResiduals(corpus, "vec_id", "embedding",
+      cents)
+    val books = Similarity.pqTrain(resid, "vec_id", "rvec",
+      m = 2, ksub = 8, iters = 2)
+    val codes = Similarity.ivfPqResidualEncode(resid, "vec_id", cents,
+      books)
+    val xn = codes.collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val truth = corpus.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => x.toDouble * x).sum).toMap
+    for ((id, n) <- truth)
+      assert(math.abs(xn(id) - n) < 1e-9,
+        s"x_nsq for $id: ${xn(id)} != $n")
+    // probing BOTH lists makes the candidate set complete, so the
+    // exact-reconstruction top-k must equal brute-force cosine top-k
+    val got = Similarity.ivfPqResidualTopK(corpus, corpus, "vec_id",
+        "embedding", cents, books, k = 3, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    val want = Similarity.bruteForceTopK(corpus, corpus, "vec_id",
+        "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    assert(got == want)
+  }
+
   test("readPqIndex rejects codes paired with books retrained at a " +
       "different ksub (same m/dsub)") {
     import graft.operators.Similarity
