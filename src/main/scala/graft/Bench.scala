@@ -261,6 +261,24 @@ object Bench {
       graft.operators.Similarity.pqEncode(
         synth50k(s), "vec_id", "embedding", synthPqBooks(s)))
 
+  /** Residual IVF-PQ index halves for the 50k rig (r13): residuals to
+    * the prebuilt coarse lists, codebooks at the same production
+    * granularity as [[synthPqBooks]], exact-reconstruction-norm codes —
+    * all index-build setup; the recall guard certifies the QUERY path. */
+  private def synthResiduals(s: SparkSession): DataFrame =
+    setup(s, "ann_residuals")(
+      graft.operators.Similarity.ivfResiduals(
+        synth50k(s), "vec_id", "embedding", synthCentroids(s),
+        prebuiltLists = Some(synthIvfLists(s))))
+  private def synthResBooks(s: SparkSession): DataFrame =
+    setup(s, "ann_res_books")(
+      graft.operators.Similarity.pqTrain(
+        synthResiduals(s), "vec_id", "rvec", m = 8, ksub = 64, iters = 2))
+  private def synthResCodes(s: SparkSession): DataFrame =
+    setup(s, "ann_res_codes")(
+      graft.operators.Similarity.ivfPqResidualEncode(
+        synthResiduals(s), "vec_id", synthCentroids(s), synthResBooks(s)))
+
   private def cc450k(s: SparkSession): DataFrame =
     setup(s, "cc450k")(graft.operators.Dedup
       .syntheticComponentEdges(s, Cc450kNodes, Cc450kSize))
@@ -888,7 +906,14 @@ object Bench {
           synthCentroids(s), synthPqBooks(s), k = 10,
           nProbe = IvfProbes, shortlist = 100,
           prebuiltLists = Some(synthIvfLists(s)),
-          prebuiltCodes = Some(synthPqCodes(s))))
+          prebuiltCodes = Some(synthPqCodes(s))),
+        // r13: the residual-codebook production geometry, same probe
+        // count and re-rank depth as the plain composed path above
+        "ivfpq_res" -> graft.operators.Similarity.ivfPqResidualTopK(
+          synth50k(s), synthQueries(s), "vec_id", "embedding",
+          synthCentroids(s), synthResBooks(s), k = 10,
+          nProbe = IvfProbes, shortlist = 100,
+          prebuiltCodes = Some(synthResCodes(s))))
       val recalls = paths.map { case (name, df) =>
         val r = annRecall(brute, df)
         System.err.println(s"bench_lsh50k_recall@10[$name] = $r")
@@ -1535,10 +1560,16 @@ object Bench {
   // env var at an alternate cache path.
   // ---------------------------------------------------------------------
 
-  /** Bump when any certification RIG in Bench.scala changes behavior
-    * (the cache key hashes the certified operator sources, not this
-    * file — see the section comment above). History: 1 = r13. */
+  /** Per-guard rig epoch: bump a guard's entry when ITS rig code in
+    * Bench.scala changes behavior (the cache key hashes the certified
+    * operator sources, not this file — see the section comment above).
+    * Per-guard, not global: one rig edit must not force the driver to
+    * re-run all 17 certifications (~330 s), only the one that changed.
+    * Guards keep the default until first touched. */
   private[graft] val CertCacheEpoch = 1
+  private[graft] val certEpochs: Map[String, Int] = Map(
+    // r13: recall guard extended with the residual IVF-PQ path
+    "bench_lsh50k_recall" -> 2)
 
   /** The source files whose change invalidates each certification-only
     * entry's cached pass. Contract-query certifications (defined in
@@ -1588,7 +1619,8 @@ object Bench {
                              sfDir: String): Option[String] =
     certSources.get(name).flatMap { files =>
       val md = java.security.MessageDigest.getInstance("SHA-256")
-      md.update(s"epoch=$CertCacheEpoch;cpus=$cpus;sf=${
+      md.update(s"epoch=$CertCacheEpoch;rig=${
+        certEpochs.getOrElse(name, 1)};cpus=$cpus;sf=${
         Paths.get(sfDir).getFileName};".getBytes("UTF-8"))
       val ok = files.sorted.forall { f =>
         val p = Paths.get("src", "main", "scala", "graft").resolve(f)
