@@ -1651,6 +1651,23 @@ object Bench {
       s"""  ${jstr(n)}: {"key": ${jstr(k)}, "secs": $s}"""
     }.mkString("{\n", ",\n", "\n}\n")
 
+  /** Cache-hit resolution over PRE-COMPUTED keys: a cached entry
+    * satisfies a guard only when its stored key equals the key computed
+    * at RUN START. Keys are computed once and reused for the end-of-run
+    * cache write too — recomputing there would hash whatever the source
+    * files contain at write time, stamping a mid-run edit's bytes onto
+    * a pass that certified the OLD code. */
+  private[graft] def resolveCertHits(
+      cache: Map[String, (String, Double)],
+      keys: Map[String, String]): (Seq[QTime], Set[String]) = {
+    val hits = keys.toSeq.sortBy(_._1).flatMap { case (n, k) =>
+      cache.get(n).collect {
+        case (ck, secs) if ck == k => QTime(n, secs, secs, None)
+      }
+    }.toVector
+    (hits, hits.map(_.name).toSet)
+  }
+
   /** Everything this bench can time: the driver-contract queries plus the
     * bench-only extras. */
   private[graft] def allBenchQueries
@@ -2738,13 +2755,12 @@ object Bench {
     // checkpoint
     val cachePath = if (fork) certCachePath() else None
     val cache = cachePath.map(readCertCache).getOrElse(Map.empty)
-    val certHits: Seq[QTime] =
-      (for (name <- certificationOnly.toSeq.sorted
-              if allBenchQueries.contains(name);
-            key <- certKey(name, cpus, sfDir);
-            (cachedKey, secs) <- cache.get(name) if cachedKey == key)
-        yield QTime(name, secs, secs, None)).toVector
-    val cachedNames = certHits.map(_.name).toSet
+    // keys captured ONCE, before anything runs (see resolveCertHits)
+    val certKeys: Map[String, String] =
+      if (cachePath.isEmpty) Map.empty
+      else certificationOnly.toSeq.filter(allBenchQueries.contains)
+        .flatMap(n => certKey(n, cpus, sfDir).map(n -> _)).toMap
+    val (certHits, cachedNames) = resolveCertHits(cache, certKeys)
     if (cachedNames.nonEmpty)
       System.err.println(s"bench: cert cache hit for ${cachedNames.size} " +
         s"guards (skipped): ${cachedNames.toSeq.sorted.mkString(", ")}")
@@ -2772,7 +2788,7 @@ object Bench {
     for (path <- cachePath) try {
       val updated = cache ++ (for {
         r <- results0 if certificationOnly(r.name) && r.err.isEmpty
-        key <- certKey(r.name, cpus, sfDir)
+        key <- certKeys.get(r.name) // run-start keys, never recomputed
       } yield r.name -> (key, r.secs))
       if (updated != cache)
         Files.writeString(path, renderCertCache(updated))

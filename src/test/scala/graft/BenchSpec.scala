@@ -718,6 +718,26 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.readCertCache(p).isEmpty)
   }
 
+  test("cert-cache hit resolution: matching run-start key satisfies, " +
+      "stale or missing key runs fresh") {
+    val k1 = Bench.certKey("bench_asof_guard", "32",
+      "/root/testdata/sf0.1").get
+    val k2 = Bench.certKey("bench_rj_guard", "32",
+      "/root/testdata/sf0.1").get
+    val cache = Map(
+      "bench_asof_guard" -> (k1, 12.5),     // fresh key -> hit
+      "bench_rj_guard" -> ("0" * 64, 9.9),  // stale key -> miss
+      "bench_renamed_away" -> (k1, 1.0))    // not asked for -> ignored
+    val keys = Map("bench_asof_guard" -> k1, "bench_rj_guard" -> k2)
+    val (hits, names) = Bench.resolveCertHits(cache, keys)
+    assert(names == Set("bench_asof_guard"))
+    assert(hits.map(h => (h.name, h.secs, h.err)) ==
+      Seq(("bench_asof_guard", 12.5, None)))
+    // empty cache / empty keys degrade to nothing cached
+    assert(Bench.resolveCertHits(Map.empty, keys)._2.isEmpty)
+    assert(Bench.resolveCertHits(cache, Map.empty)._2.isEmpty)
+  }
+
   test("cache-satisfied certifications are named and excluded from " +
       "cert_secs (wall actually spent)") {
     val r = Seq(
