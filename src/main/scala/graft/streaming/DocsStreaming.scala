@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Streaming INGEST for a training-data corpus: the path new documents
+  * take BEFORE they land — quality/language gating, intra-stream
+  * content dedup, and dedup against the already-landed corpus — as one
+  * composed Structured Streaming transform.
+  *
+  * This is the streaming twin of the batch curation chain
+  * ([[graft.operators.Curate.curate]] gates +
+  * [[graft.operators.Dedup.exactByContent]]): at 100 TB you do not
+  * re-curate the lake per crawl drop; you gate and dedup each drop AS
+  * IT ARRIVES and only clean rows ever land. Everything here composes
+  * EXISTING operators — the gates are stateless codegen Column
+  * expressions (safe in streaming by construction), the intra-stream
+  * dedup is watermark-bounded built-in state, and the corpus probe is
+  * a stream-static join against a hash index; no custom state store
+  * logic to get wrong.
+  *
+  * Reference analogue: none — cj-zhukov/datafusion-example is
+  * batch-only; this extends the LLM-pipeline surface the survey
+  * demands at the ingest end. */
+object DocsStreaming {
+
+  /** The landed corpus's content-hash index — the STATIC side the
+    * streaming probe joins. Same hash as
+    * [[graft.operators.Dedup.exactByContent]] (md5 over the raw text
+    * bytes), so "already in the corpus" means exactly what the batch
+    * dedup means by it. Build it once per drop cycle (or maintain it
+    * incrementally — it is one narrow column, ~32 B/doc); a 1B-doc
+    * corpus indexes in ~32 GB of parquet, broadcast-or-shuffle
+    * joinable either way. */
+  def corpusHashIndex(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(md5(col(textCol).cast("binary")).as("content_hash"))
+      .distinct()
+
+  /** Streaming content dedup: keep the FIRST arrival of each distinct
+    * text within the watermark window, and drop anything whose content
+    * already exists in the landed corpus.
+    *
+    * Intra-stream state is bounded by the watermark
+    * (`dropDuplicatesWithinWatermark` — the [[EventsStreaming.dedupeExact]]
+    * argument: only keys younger than the watermark are remembered, so
+    * state is O(docs per window), never O(corpus)). Cross-drop
+    * exactness comes from the corpus probe instead of from unbounded
+    * stream state: a duplicate that re-arrives AFTER the watermark
+    * expired its key is still dropped if its first copy landed. The
+    * probe is a stream-static LEFT OUTER + null-filter (semantically
+    * left-anti; spelled via outer join because stream-static left-anti
+    * is not in Structured Streaming's supported-join matrix while left
+    * outer with a static right side is). */
+  def contentDedup(docs: DataFrame, corpusHashes: Option[DataFrame],
+                   textCol: String = "text", tsCol: String = "ts",
+                   watermark: String = "2 hours"): DataFrame = {
+    val intra = docs
+      .withColumn("content_hash", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+    corpusHashes.fold(intra) { idx =>
+      val marked = idx.select(col("content_hash"),
+        lit(1).as("__in_corpus"))
+      intra.join(marked, Seq("content_hash"), "left_outer")
+        .filter(col("__in_corpus").isNull)
+        .drop("__in_corpus")
+    }
+  }
+
+  /** The composed ingest transform: quality + language gates FIRST
+    * (stateless, codegen, and they shrink what the dedup state must
+    * remember — the batch curation chain's narrow-gates-first rule),
+    * then [[contentDedup]], then token accounting (exact whitespace
+    * count + the BPE-ish estimate) stamped on the survivors so the
+    * landing sink can budget without re-scanning. Returns a streaming
+    * DataFrame ready for `writeStream` (append mode). */
+  def ingest(docs: DataFrame, corpusHashes: Option[DataFrame] = None,
+             textCol: String = "text", tsCol: String = "ts",
+             watermark: String = "2 hours",
+             minQuality: Double = 0.5,
+             keepLangs: Seq[String] = Seq("en")): DataFrame = {
+    val gated = docs.filter(
+      TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
+        TextAnalysis.langId(col(textCol)).isin(keepLangs: _*))
+    contentDedup(gated, corpusHashes, textCol, tsCol, watermark)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("n_tokens_est", TextAnalysis.tokenEstimate(col(textCol)))
+  }
+}
