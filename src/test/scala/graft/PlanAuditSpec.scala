@@ -283,6 +283,39 @@ class PlanAuditSpec extends SparkTestBase {
       "bpe encode must not route through a UDF:\n" + p)
   }
 
+  test("residual IVF-PQ production probe: codes side never shuffles, " +
+      "qc and LUT arrive broadcast") {
+    // the production shape: both index halves prebuilt (build-once /
+    // probe-per-batch), so the QUERY plan must be codes-scan join
+    // broadcast(q·centroid terms) join broadcast(LUTs) + one rank
+    // window — a sort-merge join anywhere means the m-byte code frame
+    // (the whole corpus at 100 TB) is being shuffled per query batch
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Similarity
+    val corpus = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 8 + d) % 17).toFloat / 17f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Array.fill(8)(0.25)), (1, Array.fill(8)(0.75)))
+      .toDF("cid", "centroid")
+    val lists = Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+      .localCheckpoint()
+    val resid = Similarity.ivfResiduals(corpus, "vec_id", "embedding",
+      cents, prebuiltLists = Some(lists))
+    val books = Similarity.pqTrain(resid, "vec_id", "rvec",
+      m = 2, ksub = 4, iters = 1).localCheckpoint()
+    val codes = Similarity.ivfPqResidualEncode(resid, "vec_id", cents,
+      books).localCheckpoint()
+    val p = Similarity.ivfPqResidualTopK(corpus,
+        corpus.filter(col("vec_id") < 4), "vec_id", "embedding",
+        cents, books, k = 3, nProbe = 2, prebuiltCodes = Some(codes))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      "the probe path must never shuffle the code frame:\n" + p)
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).length >= 2,
+      "q·centroid terms and LUTs must both arrive broadcast:\n" + p)
+  }
+
   test("ANN corpus split width follows the session, not a hardcoded 32") {
     // Local default: the test session runs local[4] ⇒ width 4, so the
     // corpus scan is never capped at fewer tasks than cores — and, on a
