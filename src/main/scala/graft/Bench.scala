@@ -2366,13 +2366,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: touch every table + exercise agg/join/codegen paths once
+    // warm-up: touch every table (footer reads — cheap) so schema
+    // resolution and FS setup land outside timed windows. The generic
+    // q1_agg/q_join_inner warmer executions that used to run here
+    // predate the r9 PER-ENTRY untimed warmups and were pure redundancy
+    // by r13 — every entry warms its own plan — at ~3-6 s x 36 child
+    // JVMs of a full-scan agg most chunks never needed (r13 overhead
+    // audit: 58% of chunk wall was non-sample overhead).
     try {
       graft.sources.Tables.all.foreach { t =>
         graft.sources.Tables.load(spark, sfDir, t).limit(1).count()
       }
-      SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
-      SparkEntry.queries.get("q_join_inner").foreach(_(spark, sfDir).count())
       // materialize the synthetic rigs + index artifacts BEFORE timing
       // starts: generation/index build is setup, not signal, and must
       // not land inside whichever contender happens to run first

@@ -1061,6 +1061,37 @@ object Pipeline {
       }.reduce(_ union _).orderBy("n_probe")
     }),
 
+    // the residual index through the same knob (completes the sweep
+    // family: plain IVF, composed IVF-PQ, residual IVF-PQ): both index
+    // halves prebuilt once; the residual codes carry each neighbor's
+    // coarse cid, so no separate inverted-list frame is needed and the
+    // probe is the codes-join itself at every level
+    "sim_recall_sweep_ivfpq_res" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val cents = ivfCentroids(e)
+      val books = resBooks(s, dir)
+      val lists = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      val codes = Similarity.ivfPqResidualEncode(
+        Similarity.ivfResiduals(e, "vec_id", "embedding", cents,
+          prebuiltLists = Some(lists)),
+        "vec_id", cents, books)
+      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      Seq(1, 2, 4).map { np =>
+        val res = Similarity.ivfPqResidualTopK(e, q, "vec_id",
+            "embedding", cents, books, k = 5, nProbe = np,
+            prebuiltCodes = Some(codes))
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        brute.join(res, Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("k"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(lit(np.toLong).as("n_probe"), col("k"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("k"), 4).as("recall"))
+      }.reduce(_ union _).orderBy("n_probe")
+    }),
+
     // Gopher-style repetition filter: duplicate-3-gram fraction and
     // top-bigram share per doc, plus the keep verdict at thresholds that
     // split this corpus ~90/10 (oracled — both metrics are exact
@@ -2947,6 +2978,46 @@ object Pipeline {
          ${residualIvfPqCtes(PqM, PqKsub, PqIters, nProbe = 3)}
          SELECT query_id, neighbor_id, cosine
          FROM rranked WHERE rn <= 5 ORDER BY query_id, neighbor_id""",
+    // the sweep runs the residual chain once at the MAX probe level (4
+    // — rscored is then a superset of every level's candidates, since
+    // a neighbor qualifies at level np iff its coarse cid ranks
+    // <= np for the query) and slices per level before the rank cut —
+    // ivfPqResidualTopK's restrict-then-rank order at each np
+    "sim_recall_sweep_ivfpq_res" ->
+      s"""WITH $ivfBaseCtes,
+         ${residualIvfPqCtes(PqM, PqKsub, PqIters, nProbe = 4)},
+         sweep AS (SELECT unnest([1, 2, 4]) AS n_probe),
+         rsel AS (SELECT s.n_probe, sc.query_id, sc.neighbor_id,
+                    sc.cosine
+                  FROM rscored sc
+                  JOIN remb rm ON rm.vec_id = sc.neighbor_id
+                  JOIN probes_ranked pr ON pr.query_id = sc.query_id
+                    AND pr.cid = rm.cid
+                  JOIN sweep s ON pr.rn <= s.n_probe),
+         rk2 AS (SELECT n_probe, query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY n_probe, query_id
+                     ORDER BY cosine DESC, neighbor_id ASC) AS rn
+                 FROM rsel),
+         ipqres AS (SELECT n_probe, query_id, neighbor_id FROM rk2
+                    WHERE rn <= 5),
+         b_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        list_cosine_similarity(q.e, c.e) AS cos
+                      FROM emb q JOIN emb c ON c.vec_id != q.vec_id
+                      WHERE q.vec_id < 8),
+         b_ranked AS (SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rn
+                      FROM b_scored),
+         brute AS (SELECT query_id, neighbor_id FROM b_ranked WHERE rn <= 5)
+         SELECT s.n_probe::BIGINT AS n_probe, count(*)::BIGINT AS k,
+           sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hit,
+           round(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0
+             END)::DOUBLE / count(*), 4) AS recall
+         FROM sweep s CROSS JOIN brute b
+         LEFT JOIN ipqres l ON l.n_probe = s.n_probe
+           AND l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         GROUP BY s.n_probe ORDER BY n_probe""",
     "sim_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          scored AS (
