@@ -850,6 +850,112 @@ object Similarity {
     PqIndex(books, codes, bm, bdsub)
   }
 
+  /** A materialized RESIDUAL IVF-PQ index read back probe-ready: the
+    * coarse centroids, the residual codebooks, and the encoded corpus —
+    * all three halves of the artifact, because residual codes are only
+    * meaningful against the EXACT coarse set they were encoded under
+    * (the q·centroid term and the residuals themselves both derive from
+    * it; probing against retrained centroids mis-scores silently). */
+  case class IvfPqResidualIndex(centroids: DataFrame, books: DataFrame,
+                                codes: DataFrame, m: Int, dsub: Int)
+
+  /** Deterministic fingerprint of a coarse-centroid frame (k rows — the
+    * bounded-scalar class): sha-256 over the cid-sorted (cid, centroid)
+    * rows at full double precision. Stamped into the residual index's
+    * codes metadata and recomputed at read, so a coarse set that was
+    * retrained IN PLACE (same count, same schema, different values —
+    * the tear count checks cannot see) refuses to serve. */
+  private def centroidFingerprint(centroids: DataFrame, cidCol: String,
+                                  centCol: String): String = {
+    val rows = centroids.select(col(cidCol).cast("int"),
+        toDouble(col(centCol)))
+      .orderBy(col(cidCol)).collect()
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rows.foreach { r =>
+      md.update(s"${r.getInt(0)}:${
+        r.getSeq[Double](1).mkString(",")};".getBytes("UTF-8"))
+    }
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
+  /** Write the residual IVF-PQ index as three parquet dirs (`cents/`,
+    * `books/`, `codes/`) under `path` — [[writePqIndex]]'s contract
+    * extended to the composed index: geometry (m, dsub, total codebook
+    * size), the COARSE SET's count and fingerprint, and the corpus
+    * provenance tag are all stamped into the codes column metadata and
+    * demanded back by [[readIvfPqResidualIndex]]. At 100 TB this
+    * artifact is what persists: m bytes + one cid + one double per
+    * vector, plus two tiny shared frames. */
+  def writeIvfPqResidualIndex(corpus: DataFrame, idCol: String,
+                              vecCol: String, centroids: DataFrame,
+                              codebooks: DataFrame, path: String,
+                              sourceTag: String = "",
+                              cidCol: String = "cid",
+                              centCol: String = "centroid"): Unit = {
+    val (m, dsub, offsets) = pqMeta(codebooks)
+    val cents = centroids.select(col(cidCol), col(centCol))
+    val b = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("pqM", m).putLong("pqDsub", dsub)
+      .putLong("pqLut", offsets.last)
+      .putString("ivfCentsFp", centroidFingerprint(cents, cidCol, centCol))
+    if (sourceTag.nonEmpty) b.putString("source", sourceTag)
+    val meta = b.build()
+    cents.write.mode("overwrite").parquet(s"$path/cents")
+    codebooks.write.mode("overwrite").parquet(s"$path/books")
+    ivfPqResidualEncode(
+      ivfResiduals(corpus, idCol, vecCol, cents, cidCol, centCol),
+      idCol, cents, codebooks, cidCol, centCol)
+      .select(col(idCol), col(cidCol), col("codes").as("codes", meta),
+        col("x_nsq"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Read a [[writeIvfPqResidualIndex]] artifact back probe-ready: every
+    * stamp is demanded — geometry against the books ([[readPqIndex]]'s
+    * torn checks), the coarse-set fingerprint against `cents/` (an
+    * in-place retrain with identical shape refuses to serve), and the
+    * corpus provenance tag. The returned halves plug into
+    * [[ivfPqResidualTopK]] as `centroids`, `codebooks`, and
+    * `prebuiltCodes`. */
+  def readIvfPqResidualIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             expectedSource: Option[String] = None)
+      : IvfPqResidualIndex = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val m = codes.schema("codes").metadata
+    val needed = Seq("pqM", "pqDsub", "pqLut", "ivfCentsFp")
+    val missing = needed.filterNot(m.contains)
+    require(missing.isEmpty,
+      s"$path/codes is missing residual-index metadata " +
+        s"${missing.mkString(", ")} — was it written by " +
+        "writeIvfPqResidualIndex?")
+    expectedSource.foreach { want =>
+      val got = if (m.contains("source")) m.getString("source") else ""
+      require(got == want,
+        s"residual IVF-PQ index at $path was built from '$got' but this " +
+          s"probe expects '$want' — refusing to search the wrong corpus")
+    }
+    val books = spark.read.parquet(s"$path/books")
+    val (bm, bdsub, boffsets) = pqMeta(books)
+    require(bm == m.getLong("pqM").toInt &&
+        bdsub == m.getLong("pqDsub").toInt,
+      s"residual IVF-PQ index at $path is torn: books geometry " +
+        s"(${bm}x$bdsub) does not match the codes stamp " +
+        s"(${m.getLong("pqM")}x${m.getLong("pqDsub")})")
+    require(boffsets.last.toLong == m.getLong("pqLut"),
+      s"residual IVF-PQ index at $path is torn: books total codebook " +
+        s"size ${boffsets.last} does not match the codes stamp " +
+        s"${m.getLong("pqLut")} — the books were retrained after these " +
+        "codes were encoded")
+    val cents = spark.read.parquet(s"$path/cents")
+    val fp = centroidFingerprint(cents, "cid", "centroid")
+    require(fp == m.getString("ivfCentsFp"),
+      s"residual IVF-PQ index at $path is torn: the coarse centroids " +
+        "do not fingerprint-match the set these codes were encoded " +
+        "under — residuals and q·centroid terms would both mis-score")
+    IvfPqResidualIndex(cents, books, codes, bm, bdsub)
+  }
+
   /** Codebook metadata in ONE driver action (m x ksub rows — the same
     * bounded-scalar class as ZOrder's min/max row): subspace count,
     * subvector dim, and the flat-LUT offsets in FENCE-POST form (m+1

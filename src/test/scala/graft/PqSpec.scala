@@ -262,6 +262,56 @@ class PqSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("residual IVF-PQ index: round-trips probe-equal, and an in-place " +
+      "coarse-set retrain (same shape, new values) refuses to serve") {
+    import graft.operators.Similarity
+    val corpus = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 128.0f)))
+      .toDF("id", "vec")
+    val cents = Seq((0, Array(0.1, 0.1, 0.1, 0.1)),
+      (1, Array(0.8, 0.8, 0.8, 0.8))).toDF("cid", "centroid")
+    val resid = Similarity.ivfResiduals(corpus, "id", "vec", cents)
+    val books = Similarity.pqTrain(resid, "id", "rvec", m = 2, ksub = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("respq_idx").toString
+    Similarity.writeIvfPqResidualIndex(corpus, "id", "vec", cents, books,
+      path, sourceTag = "unit")
+    val idx = Similarity.readIvfPqResidualIndex(spark, path,
+      expectedSource = Some("unit"))
+    // the artifact path computes the same neighbors as the direct path
+    val q = corpus.filter(col("id") < 3)
+    val direct = Similarity.ivfPqResidualTopK(corpus, q, "id", "vec",
+        cents, books, k = 3, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val viaIdx = Similarity.ivfPqResidualTopK(corpus, q, "id", "vec",
+        idx.centroids, idx.books, k = 3, nProbe = 2,
+        prebuiltCodes = Some(idx.codes))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(direct == viaIdx && direct.nonEmpty)
+    // wrong provenance refuses
+    intercept[IllegalArgumentException] {
+      Similarity.readIvfPqResidualIndex(spark, path,
+        expectedSource = Some("other"))
+    }
+    // in-place coarse retrain: SAME count, SAME schema, different
+    // values — the tear the count-style checks cannot see; the
+    // fingerprint must catch it
+    Seq((0, Array(0.2, 0.2, 0.2, 0.2)), (1, Array(0.7, 0.7, 0.7, 0.7)))
+      .toDF("cid", "centroid")
+      .write.mode("overwrite").parquet(s"$path/cents")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.readIvfPqResidualIndex(spark, path)
+    }
+    assert(ex.getMessage.contains("fingerprint"))
+    // a bare parquet dir is not an index
+    val bare = java.nio.file.Files
+      .createTempDirectory("respq_bare").toString
+    corpus.write.mode("overwrite").parquet(s"$bare/codes")
+    intercept[Exception] {
+      Similarity.readIvfPqResidualIndex(spark, bare)
+    }
+  }
+
   test("readPqIndex rejects codes paired with books retrained at a " +
       "different ksub (same m/dsub)") {
     import graft.operators.Similarity
