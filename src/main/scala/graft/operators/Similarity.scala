@@ -682,8 +682,11 @@ object Similarity {
                           centroids: DataFrame, codebooks: DataFrame,
                           cidCol: String = "cid",
                           centCol: String = "centroid"): DataFrame = {
-    val dsub = codebooks.select(size(col("centroid"))).head().getInt(0)
-    val m = codebooks.agg(max(col("sub"))).head().getInt(0) + 1
+    // pqMeta, not ad-hoc head() probes: a codebook with a missing
+    // subspace or mixed centroid lengths must throw here, not mis-slice
+    // silently (r13 verdict — this path used to bypass the density and
+    // uniform-dsub checks ivfPqResidualTopK gets via pqMeta)
+    val (m, dsub, _) = pqMeta(codebooks)
     val subs = pqSubVectors(residuals, idCol, "rvec", m, dsub)
     val codes0 = pqAssign(subs, codebooks)
       .withColumnRenamed("cid", "code")
@@ -708,6 +711,20 @@ object Similarity {
           transform(array_sort(collect_list(struct(col("sub"),
             col("xn").as("nn")))), x => x.getField("nn")),
           lit(0.0), (a, x) => a + x).as("x_nsq"))
+      // exactly m collected codes per id, enforced in the same job — a
+      // residuals frame with >1 row per id (e.g. prebuiltLists built at
+      // nProbe > 1) fans the pq_id join out, collects duplicate
+      // subspace entries, and double-counts x_nsq (r13 advice); the
+      // when-guard costs nothing on the green path and fails loudly
+      // instead of mis-encoding
+      .withColumn("codes",
+        when(size(col("codes")) === lit(m), col("codes"))
+          .otherwise(raise_error(format_string(
+            s"ivfPqResidualEncode: id %s collected %s codes, expected $m" +
+              " — the residuals frame must have exactly one row per id" +
+              " (build lists at nProbe=1)",
+            col("pq_id").cast("string"),
+            size(col("codes")).cast("string")))))
       .select(col("pq_id").as(idCol), col(cidCol), col("codes"),
         col("x_nsq"))
   }
@@ -822,11 +839,17 @@ object Similarity {
                   expectedSource: Option[String] = None): PqIndex = {
     val codes = spark.read.parquet(s"$path/codes")
     val m = codes.schema("codes").metadata
-    val needed = Seq("pqM", "pqDsub", "pqLut")
-    val missing = needed.filterNot(m.contains)
+    val missing = Seq("pqM", "pqDsub").filterNot(m.contains)
     require(missing.isEmpty,
       s"$path/codes is missing PQ-index metadata " +
         s"${missing.mkString(", ")} — was it written by writePqIndex?")
+    // a geometry-stamped artifact without the LUT-size stamp is a
+    // pre-r13 write, not a foreign path — name the remedy (r13 advice:
+    // the generic "was it written by writePqIndex?" misled here)
+    require(m.contains("pqLut"),
+      s"PQ index at $path predates the LUT-size stamp (pqLut): the " +
+        "m/dsub-only torn check cannot catch books retrained at a " +
+        "different ksub — rebuild the artifact with writePqIndex")
     expectedSource.foreach { want =>
       val got = if (m.contains("source")) m.getString("source") else ""
       require(got == want,
@@ -871,9 +894,16 @@ object Similarity {
         toDouble(col(centCol)))
       .orderBy(col(cidCol)).collect()
     val md = java.security.MessageDigest.getInstance("SHA-256")
+    // hash the raw IEEE-754 bits, not Double.toString — the decimal
+    // rendering changed to shortest-repr in JDK 19, so a string-based
+    // fingerprint written and read under different JDKs could
+    // spuriously report an intact index as torn (r13 advice)
     rows.foreach { r =>
-      md.update(s"${r.getInt(0)}:${
-        r.getSeq[Double](1).mkString(",")};".getBytes("UTF-8"))
+      val buf = java.nio.ByteBuffer.allocate(4 + r.getSeq[Double](1).length * 8)
+      buf.putInt(r.getInt(0))
+      r.getSeq[Double](1).foreach(d =>
+        buf.putLong(java.lang.Double.doubleToLongBits(d)))
+      md.update(buf.array())
     }
     md.digest().map(b => f"$b%02x").mkString
   }
@@ -893,19 +923,25 @@ object Similarity {
                               cidCol: String = "cid",
                               centCol: String = "centroid"): Unit = {
     val (m, dsub, offsets) = pqMeta(codebooks)
-    val cents = centroids.select(col(cidCol), col(centCol))
+    // normalize the coarse frame to (cid, centroid) at write time —
+    // the artifact's on-disk names are part of its contract, so a
+    // caller's custom cidCol/centCol must not leak into cents/ (read
+    // recomputes the fingerprint against the canonical names; r13
+    // advice: a custom-named write used to fail read-back)
+    val cents = centroids.select(col(cidCol).as("cid"),
+      col(centCol).as("centroid"))
     val b = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("pqM", m).putLong("pqDsub", dsub)
       .putLong("pqLut", offsets.last)
-      .putString("ivfCentsFp", centroidFingerprint(cents, cidCol, centCol))
+      .putString("ivfCentsFp", centroidFingerprint(cents, "cid", "centroid"))
     if (sourceTag.nonEmpty) b.putString("source", sourceTag)
     val meta = b.build()
     cents.write.mode("overwrite").parquet(s"$path/cents")
     codebooks.write.mode("overwrite").parquet(s"$path/books")
     ivfPqResidualEncode(
-      ivfResiduals(corpus, idCol, vecCol, cents, cidCol, centCol),
-      idCol, cents, codebooks, cidCol, centCol)
-      .select(col(idCol), col(cidCol), col("codes").as("codes", meta),
+      ivfResiduals(corpus, idCol, vecCol, cents),
+      idCol, cents, codebooks)
+      .select(col(idCol), col("cid"), col("codes").as("codes", meta),
         col("x_nsq"))
       .write.mode("overwrite").parquet(s"$path/codes")
   }

@@ -424,10 +424,10 @@ case class VectorEqCount(left: Expression, right: Expression)
   * matching the oracle's sub-ordered list_sum. */
 case class PqAdc(codes: Expression, lut: Expression, offsets: Seq[Int])
     extends BinaryExpression {
-  require(offsets.length >= 2 &&
+  require(offsets.length >= 2 && offsets.head == 0 &&
     offsets.zip(offsets.tail).forall { case (a, b) => a < b },
-    s"offsets must be fence-post (m+1 strictly increasing entries, " +
-      s"terminal = LUT length), got $offsets")
+    s"offsets must be fence-post (m+1 strictly increasing entries " +
+      s"starting at 0, terminal = LUT length), got $offsets")
 
   override def left: Expression = codes
   override def right: Expression = lut

@@ -209,6 +209,13 @@ class PqSpec extends SparkTestBase {
         Seq(0, 2, 2))
       ()
     }
+    // a non-zero leading offset would shift every lookup and (if
+    // negative) read before the LUT — rejected at construction too
+    intercept[IllegalArgumentException] {
+      graft.plans.VectorExpressions.pqAdc(col("codes"), col("lut"),
+        Seq(-2, 2, 4))
+      ()
+    }
   }
 
   test("ivfResiduals: rvec is the 6dp-rounded offset from the assigned " +
@@ -310,6 +317,69 @@ class PqSpec extends SparkTestBase {
     intercept[Exception] {
       Similarity.readIvfPqResidualIndex(spark, bare)
     }
+  }
+
+  test("ivfPqResidualEncode validates the codebook via pqMeta and " +
+      "refuses a fanned-out residuals frame") {
+    val cents = Seq((0, Array(1.0, 0.0, 0.0, 1.0)),
+      (1, Array(0.0, 1.0, 1.0, 0.0))).toDF("cid", "centroid")
+    val resid = Similarity.ivfResiduals(corpus, "vec_id", "embedding",
+      cents)
+    val books = Similarity.pqTrain(resid, "vec_id", "rvec",
+      m = 2, ksub = 2, iters = 2)
+    // non-contiguous subspaces (sub 1 dropped): used to mis-slice via
+    // the ad-hoc max(sub)+1 probe; must now throw through pqMeta
+    val holey = books.filter(col("sub") === 0)
+      .union(books.filter(col("sub") === 1)
+        .withColumn("sub", lit(2)))
+    val ex1 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqResidualEncode(resid, "vec_id", cents, holey)
+    }
+    assert(ex1.getMessage.contains("contiguous"))
+    // mixed per-subspace centroid lengths: same class of silent
+    // mis-slice, same gate
+    val mixed = books.withColumn("centroid",
+      when(col("sub") === 1, slice(col("centroid"), 1, 1))
+        .otherwise(col("centroid")))
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqResidualEncode(resid, "vec_id", cents, mixed)
+    }
+    assert(ex2.getMessage.contains("uniform dsub"))
+    // residuals built from nProbe=2 lists carry 2 rows per id — the
+    // encode groupBy would collect 2m subspace entries and double-count
+    // x_nsq; the in-job guard must raise, not mis-encode
+    val fanned = Similarity.ivfResiduals(corpus, "vec_id", "embedding",
+      cents, prebuiltLists = Some(Similarity.ivfAssign(corpus, "vec_id",
+        "embedding", cents, nProbe = 2)))
+    val ex3 = intercept[Exception] {
+      Similarity.ivfPqResidualEncode(fanned, "vec_id", cents, books)
+        .collect()
+    }
+    assert(ex3.getMessage.contains("one row per id"),
+      s"unexpected error: ${ex3.getMessage}")
+  }
+
+  test("residual IVF-PQ index written under custom cid/centroid column " +
+      "names reads back (artifact names are canonical)") {
+    val corpus = (0 until 16).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 64.0f)))
+      .toDF("id", "vec")
+    val cents = Seq((0, Array(0.1, 0.1, 0.1, 0.1)),
+      (1, Array(0.8, 0.8, 0.8, 0.8))).toDF("bucket", "center")
+    val resid = Similarity.ivfResiduals(corpus, "id", "vec", cents,
+      cidCol = "bucket", centCol = "center")
+    val books = Similarity.pqTrain(resid, "id", "rvec", m = 2, ksub = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("respq_custom").toString
+    Similarity.writeIvfPqResidualIndex(corpus, "id", "vec", cents, books,
+      path, cidCol = "bucket", centCol = "center")
+    val idx = Similarity.readIvfPqResidualIndex(spark, path)
+    assert(idx.centroids.columns.toSeq == Seq("cid", "centroid"))
+    val got = Similarity.ivfPqResidualTopK(corpus, corpus.limit(2), "id",
+        "vec", idx.centroids, idx.books, k = 3, nProbe = 2,
+        prebuiltCodes = Some(idx.codes))
+      .count()
+    assert(got > 0)
   }
 
   test("readPqIndex rejects codes paired with books retrained at a " +
