@@ -992,6 +992,54 @@ object Similarity {
     IvfPqResidualIndex(cents, books, codes, bm, bdsub)
   }
 
+  /** Incremental append to a [[writeIvfPqResidualIndex]] artifact —
+    * FAISS's add-with-ids applied to the parquet-backed index, and the
+    * operation that makes the artifact affordable at 100 TB: a new
+    * crawl drop encodes ONLY its own rows against the index's OWN
+    * cents/books (every stamp verified first through
+    * [[readIvfPqResidualIndex]] — appending under retrained centroids
+    * or books refuses before writing a byte) and appends to `codes/`.
+    * The shared halves are immutable by construction: residual codes
+    * are only meaningful against the exact coarse set they were encoded
+    * under, so growing the index never rewrites existing codes — cost
+    * is O(|newDocs|) encode + one id-column scan for the duplicate
+    * check, never O(corpus).
+    *
+    * `requireNewIds` (default on) scans the existing codes' id column
+    * (nothing else — parquet prunes to one column) against the
+    * broadcast new batch and refuses on overlap: a re-delivered drop
+    * would otherwise surface the same neighbor twice in every probe.
+    * Turn it off only when the caller's id discipline already
+    * guarantees disjointness and the column scan is not worth it. */
+  def appendIvfPqResidualIndex(newDocs: DataFrame, idCol: String,
+                               vecCol: String, path: String,
+                               expectedSource: Option[String] = None,
+                               requireNewIds: Boolean = true): Unit = {
+    val spark = newDocs.sparkSession
+    val idx = readIvfPqResidualIndex(spark, path, expectedSource)
+    val diskIdCol = idx.codes.columns.head
+    if (requireNewIds) {
+      val overlap = idx.codes.select(col(diskIdCol).as("__idx_id"))
+        .join(broadcast(newDocs.select(col(idCol).as("__idx_id"))
+          .distinct()), "__idx_id")
+        .limit(1).count()
+      require(overlap == 0,
+        s"appendIvfPqResidualIndex: the batch shares ids with the " +
+          s"index at $path — a re-delivered drop would duplicate " +
+          "neighbors in every probe (set requireNewIds = false only " +
+          "if upstream id discipline guarantees disjointness)")
+    }
+    // re-stamp the new files with the artifact's OWN codes metadata —
+    // verified identical to the books/cents on disk by the read above
+    val meta = idx.codes.schema("codes").metadata
+    ivfPqResidualEncode(
+      ivfResiduals(newDocs, idCol, vecCol, idx.centroids),
+      idCol, idx.centroids, idx.books)
+      .select(col(idCol).as(diskIdCol), col("cid"),
+        col("codes").as("codes", meta), col("x_nsq"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** Codebook metadata in ONE driver action (m x ksub rows — the same
     * bounded-scalar class as ZOrder's min/max row): subspace count,
     * subvector dim, and the flat-LUT offsets in FENCE-POST form (m+1

@@ -650,6 +650,57 @@ object Pipeline {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // incremental append to the residual IVF-PQ artifact (r14): half
+    // the corpus is indexed from scratch, the other half arrives as a
+    // "crawl drop" and is appended — encoded against the artifact's OWN
+    // stamped cents/books (fingerprint-verified first), existing codes
+    // never rewritten. The composed artifact must probe identically to
+    // the from-scratch chain on the full corpus, which is exactly what
+    // the oracle computes (same SQL as sim_topk_ivfpq_res) — so a green
+    // row certifies FAISS-style add-with-ids, the operation that makes
+    // the index affordable when a 100 TB corpus grows
+    "sim_topk_ivfpq_res_inc" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val path = scratchPath("graft_respq_inc", dir)
+      Similarity.writeIvfPqResidualIndex(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        ivfCentroids(e), resBooks(s, dir), path, sourceTag = dir)
+      Similarity.appendIvfPqResidualIndex(
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", path,
+        expectedSource = Some(dir))
+      val idx = Similarity.readIvfPqResidualIndex(s, path,
+        expectedSource = Some(dir))
+      Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", idx.centroids, idx.books, k = 5,
+          nProbe = 3, prebuiltCodes = Some(idx.codes))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // the recall lever on the residual index (r14): ADC shortlist of 50
+    // through ivfPqResidualTopK's production path, exact cosine re-rank
+    // of just those rows — sim_recall_pq_rerank's shape composed with
+    // the residual chain, oracled end to end (residual trajectory,
+    // shortlist cut on the floor-4dp estimate, raw-cosine re-rank, both
+    // with id tie-breaks)
+    "sim_recall_ivfpq_res_rerank" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ipq = Similarity.ivfPqResidualTopK(e, q, "vec_id", "embedding",
+          ivfCentroids(e), resBooks(s, dir), k = 5, nProbe = 3,
+          shortlist = PqShortlist)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(ipq, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id").as("band"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("k"), 4))
+        .orderBy("band")
+    }),
+
     // the same ADC search through the MATERIALIZED index path: books +
     // codes written to parquet with geometry/provenance stamps, read
     // back (stamps demanded), probed — the dd_incremental_idx pattern
@@ -2978,6 +3029,45 @@ object Pipeline {
          ${residualIvfPqCtes(PqM, PqKsub, PqIters, nProbe = 3)}
          SELECT query_id, neighbor_id, cosine
          FROM rranked WHERE rn <= 5 ORDER BY query_id, neighbor_id""",
+    // the incremental-append row's oracle IS the from-scratch residual
+    // chain on the full corpus: base+appended codes matching it is the
+    // property the row certifies
+    "sim_topk_ivfpq_res_inc" ->
+      s"""WITH $ivfBaseCtes,
+         ${residualIvfPqCtes(PqM, PqKsub, PqIters, nProbe = 3)}
+         SELECT query_id, neighbor_id, cosine
+         FROM rranked WHERE rn <= 5 ORDER BY query_id, neighbor_id""",
+    "sim_recall_ivfpq_res_rerank" ->
+      s"""WITH $ivfBaseCtes,
+         ${residualIvfPqCtes(PqM, PqKsub, PqIters, nProbe = 3)},
+         rcand AS (SELECT query_id, neighbor_id FROM rranked
+                   WHERE rn <= $PqShortlist),
+         rex AS (SELECT r.query_id, r.neighbor_id,
+                   list_cosine_similarity(qe.e, ce.e) AS cos
+                 FROM rcand r JOIN emb qe ON qe.vec_id = r.query_id
+                 JOIN emb ce ON ce.vec_id = r.neighbor_id),
+         rrank2 AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rn
+                    FROM rex),
+         ipqr AS (SELECT query_id, neighbor_id FROM rrank2 WHERE rn <= 5),
+         bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_cosine_similarity(q.e, c.e) AS cos
+                FROM emb q JOIN emb c ON c.vec_id != q.vec_id
+                WHERE q.vec_id < 8),
+         br AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rn
+                FROM bs),
+         brute AS (SELECT query_id, neighbor_id FROM br WHERE rn <= 5)
+         SELECT b.query_id AS band, count(*) AS k,
+           sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hit,
+           round(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0
+             END)::DOUBLE / count(*), 4) AS recall
+         FROM brute b LEFT JOIN ipqr l
+           ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         GROUP BY b.query_id ORDER BY band""",
     // the sweep runs the residual chain once at the MAX probe level (4
     // — rscored is then a superset of every level's candidates, since
     // a neighbor qualifies at level np iff its coarse cid ranks

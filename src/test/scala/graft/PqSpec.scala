@@ -382,6 +382,60 @@ class PqSpec extends SparkTestBase {
     assert(got > 0)
   }
 
+  test("appendIvfPqResidualIndex: base+append probes equal a " +
+      "from-scratch index on the union; retrained cents and duplicate " +
+      "ids refuse") {
+    val corpus = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 128.0f)))
+      .toDF("id", "vec")
+    val cents = Seq((0, Array(0.1, 0.1, 0.1, 0.1)),
+      (1, Array(0.8, 0.8, 0.8, 0.8))).toDF("cid", "centroid")
+    val resid = Similarity.ivfResiduals(corpus, "id", "vec", cents)
+    val books = Similarity.pqTrain(resid, "id", "rvec", m = 2, ksub = 4)
+    val base = corpus.filter(col("id") % 2 === 0)
+    val drop = corpus.filter(col("id") % 2 === 1)
+    val incPath = java.nio.file.Files
+      .createTempDirectory("respq_inc").toString
+    val fullPath = java.nio.file.Files
+      .createTempDirectory("respq_full").toString
+    Similarity.writeIvfPqResidualIndex(base, "id", "vec", cents, books,
+      incPath, sourceTag = "unit")
+    Similarity.appendIvfPqResidualIndex(drop, "id", "vec", incPath,
+      expectedSource = Some("unit"))
+    Similarity.writeIvfPqResidualIndex(corpus, "id", "vec", cents, books,
+      fullPath, sourceTag = "unit")
+    val q = corpus.filter(col("id") < 3)
+    def probe(path: String) = {
+      val idx = Similarity.readIvfPqResidualIndex(spark, path)
+      Similarity.ivfPqResidualTopK(corpus, q, "id", "vec",
+          idx.centroids, idx.books, k = 3, nProbe = 2,
+          prebuiltCodes = Some(idx.codes))
+        .select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().toSet
+    }
+    assert(probe(incPath) == probe(fullPath) && probe(incPath).nonEmpty,
+      "incrementally appended index must probe identically to a " +
+        "from-scratch build on the union corpus")
+    // a re-delivered drop (overlapping ids) refuses before writing
+    val ex1 = intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqResidualIndex(drop, "id", "vec", incPath)
+    }
+    assert(ex1.getMessage.contains("shares ids"))
+    // appending under an in-place coarse retrain refuses via the
+    // fingerprint (the codes about to be appended would mis-score
+    // against every existing probe)
+    Seq((0, Array(0.2, 0.2, 0.2, 0.2)), (1, Array(0.7, 0.7, 0.7, 0.7)))
+      .toDF("cid", "centroid")
+      .write.mode("overwrite").parquet(s"$incPath/cents")
+    val more = (100 until 104).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 512.0f)))
+      .toDF("id", "vec")
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqResidualIndex(more, "id", "vec", incPath)
+    }
+    assert(ex2.getMessage.contains("fingerprint"))
+  }
+
   test("readPqIndex rejects codes paired with books retrained at a " +
       "different ksub (same m/dsub)") {
     import graft.operators.Similarity
