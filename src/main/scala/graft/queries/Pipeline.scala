@@ -1426,6 +1426,29 @@ object Pipeline {
         .select("doc_id", "text", "bucket", "split").orderBy("doc_id")
     }),
 
+    // streaming INGEST, certified through its batch collapse (r14 — the
+    // ev_attrib argument applied to docs): DocsStreaming.ingestBatch
+    // shares the gate / corpus-probe / token-accounting code with the
+    // streaming transform verbatim and replaces only the watermarked
+    // keep-first state with its order-explicit batch equivalent
+    // (keep lowest (ts, doc_id) per content_hash). Landed corpus =
+    // every 5th doc's hashes; the rest arrive as the drop with a
+    // deterministic doc_id-derived arrival time. The oracle replays
+    // gates, keep-first, the anti-probe, and both token counts
+    "ds_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val landed = d.filter(col("doc_id") % 5 === 0)
+      val drop = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+      graft.streaming.DocsStreaming.ingestBatch(drop,
+          Some(graft.streaming.DocsStreaming.corpusHashIndex(landed,
+            "text")))
+        .select(col("doc_id"), col("content_hash"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_tokens_est").cast("long").as("n_tokens_est"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal metadata plumbing (oracled: byte length + checksum)
     "mm_meta" -> ((s, dir) => {
       Multimodal.attachPayload(docs(s, dir), "text", "image/png")
@@ -2874,6 +2897,78 @@ object Pipeline {
                 WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
          FROM dec2 JOIN corpus c ON dec2.doc_id = c.doc_id
          WHERE kept = 1 ORDER BY dec2.doc_id"""),
+    // the batch collapse of streaming ingest: quality+lang gates over
+    // the non-landed docs, keep-first (lowest doc_id — arrival order is
+    // doc_id-derived) per content hash, anti-probe against the landed
+    // hashes, token accounting. Quality/lang expressions are the
+    // curateDecisionCtes twins over the drop relation.
+    "ds_ingest" ->
+      """WITH landed AS (SELECT DISTINCT md5(text) AS content_hash
+             FROM documents WHERE doc_id % 5 = 0),
+         dm AS (SELECT doc_id, text,
+                  string_split_regex(trim(text), '\s+') AS toks,
+                  length(text) AS len
+                FROM documents WHERE doc_id % 5 != 0),
+         qual AS (
+           SELECT doc_id,
+             floor(((CASE WHEN len(toks) BETWEEN 10 AND 10000
+                 THEN 1.0 ELSE 0.3 END) * 0.4
+               + least(round(len(list_filter(toks, x -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','it','that',
+                    'for','on','with','as','at','by','this'], lower(x))))::DOUBLE /
+                 greatest(len(toks), 1), 4) * 5.0, 1.0) * 0.3
+               + round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE /
+                 greatest(len, 1), 4) * 0.3) * 10000 + 0.5) / 10000 AS quality
+           FROM dm),
+         lt AS (SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '\s+') AS ltoks
+                FROM dm),
+         ls AS (
+           SELECT doc_id,
+             len(list_filter(ltoks, x -> list_contains(
+               ['der','die','das','und','ist','nicht','mit','ein'], x)))::DOUBLE
+               / greatest(len(ltoks), 1) AS s_de,
+             len(list_filter(ltoks, x -> list_contains(
+               ['the','and','of','to','in','is','that','with'], x)))::DOUBLE
+               / greatest(len(ltoks), 1) AS s_en,
+             len(list_filter(ltoks, x -> list_contains(
+               ['el','la','los','y','es','no','con','una'], x)))::DOUBLE
+               / greatest(len(ltoks), 1) AS s_es,
+             len(list_filter(ltoks, x -> list_contains(
+               ['le','la','les','et','est','pas','avec','une'], x)))::DOUBLE
+               / greatest(len(ltoks), 1) AS s_fr,
+             len(list_filter(ltoks, x -> list_contains(
+               ['的','是','不','了','在','和','有','我'], x)))::DOUBLE
+               / greatest(len(ltoks), 1) AS s_zh
+           FROM lt),
+         lang AS (
+           SELECT doc_id,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                  WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+                  WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+                  WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS lang_pred
+           FROM ls),
+         gated AS (
+           SELECT m.doc_id, m.text, md5(m.text) AS content_hash
+           FROM dm m JOIN qual q USING (doc_id) JOIN lang l USING (doc_id)
+           WHERE q.quality >= 0.5 AND l.lang_pred = 'en'),
+         kept AS (
+           SELECT doc_id, text, content_hash FROM (
+             SELECT *, row_number() OVER (PARTITION BY content_hash
+                 ORDER BY doc_id ASC) AS rn
+             FROM gated) WHERE rn = 1),
+         fresh AS (
+           SELECT k.doc_id, k.text, k.content_hash
+           FROM kept k LEFT JOIN landed l ON l.content_hash = k.content_hash
+           WHERE l.content_hash IS NULL)
+         SELECT doc_id, content_hash,
+           len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+           greatest(
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')),
+             ceil(length(text) / 4)::INT)::BIGINT AS n_tokens_est
+         FROM fresh ORDER BY doc_id""",
     "mm_audio" ->
       """SELECT doc_id,
            8000 AS sample_rate,

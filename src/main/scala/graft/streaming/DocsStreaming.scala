@@ -38,6 +38,20 @@ object DocsStreaming {
     corpus.select(md5(col(textCol).cast("binary")).as("content_hash"))
       .distinct()
 
+  /** Materialize the corpus-hash index as a BUCKETED table on
+    * `content_hash` — the layout that makes the per-micro-batch probe
+    * affordable: a stream-static join re-plans the static side every
+    * batch, and an unbucketed index pays a full shuffle exchange each
+    * time; a bucketed scan already satisfies the join's partitioning,
+    * so only the (small) micro-batch side ever exchanges
+    * (plan-pinned in DocsStreamingSpec). Rebuild per drop cycle or
+    * grow with appends — either way the 100 TB cost moves to
+    * write-once instead of shuffle-per-batch. */
+  def writeCorpusHashIndex(corpus: DataFrame, textCol: String,
+                           table: String, buckets: Int = 32): Unit =
+    graft.operators.ScaleJoins.writeBucketed(
+      corpusHashIndex(corpus, textCol), table, "content_hash", buckets)
+
   /** Streaming content dedup: keep the FIRST arrival of each distinct
     * text within the watermark window, and drop anything whose content
     * already exists in the landed corpus.
@@ -60,14 +74,23 @@ object DocsStreaming {
       .withColumn("content_hash", md5(col(textCol).cast("binary")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
-    corpusHashes.fold(intra) { idx =>
+    corpusProbe(intra, corpusHashes)
+  }
+
+  /** The landed-corpus probe half of [[contentDedup]]: drop rows whose
+    * content_hash exists in the index (stream-static left-outer +
+    * null-filter — see [[contentDedup]] for why not left-anti). Shared
+    * by the streaming path and [[ingestBatch]] so the two can never
+    * disagree about what "already landed" means. */
+  private def corpusProbe(docs: DataFrame,
+                          corpusHashes: Option[DataFrame]): DataFrame =
+    corpusHashes.fold(docs) { idx =>
       val marked = idx.select(col("content_hash"),
         lit(1).as("__in_corpus"))
-      intra.join(marked, Seq("content_hash"), "left_outer")
+      docs.join(marked, Seq("content_hash"), "left_outer")
         .filter(col("__in_corpus").isNull)
         .drop("__in_corpus")
     }
-  }
 
   /** The composed ingest transform: quality + language gates FIRST
     * (stateless, codegen, and they shrink what the dedup state must
@@ -80,12 +103,54 @@ object DocsStreaming {
              textCol: String = "text", tsCol: String = "ts",
              watermark: String = "2 hours",
              minQuality: Double = 0.5,
-             keepLangs: Seq[String] = Seq("en")): DataFrame = {
-    val gated = docs.filter(
+             keepLangs: Seq[String] = Seq("en")): DataFrame =
+    tokenAccounting(
+      contentDedup(gate(docs, textCol, minQuality, keepLangs),
+        corpusHashes, textCol, tsCol, watermark),
+      textCol)
+
+  /** The deterministic BATCH COLLAPSE of [[ingest]] — the same gates,
+    * the same corpus probe, the same token accounting, with the one
+    * streaming-only mechanic (watermarked keep-first state) replaced by
+    * its order-explicit batch equivalent: keep the row with the lowest
+    * (tsCol, idCol) per content_hash. `dropDuplicatesWithinWatermark`
+    * keeps whichever copy ARRIVES first, which a batch plan has no
+    * notion of — the window spelling pins arrival order to the data so
+    * the result is replayable (and oracle-able: the `ds_ingest`
+    * CORRECTNESS row runs exactly this against DuckDB). Everything else
+    * is shared code, so a green batch row certifies the transform the
+    * stream executes, minus only state-expiry mechanics — the
+    * `ev_attrib` batch-collapse argument applied to ingest. */
+  def ingestBatch(docs: DataFrame, corpusHashes: Option[DataFrame] = None,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  tsCol: String = "ts",
+                  minQuality: Double = 0.5,
+                  keepLangs: Seq[String] = Seq("en")): DataFrame = {
+    val hashed = gate(docs, textCol, minQuality, keepLangs)
+      .withColumn("content_hash", md5(col(textCol).cast("binary")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash")
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val kept = hashed
+      .withColumn("__arrival", row_number().over(w))
+      .filter(col("__arrival") === 1)
+      .drop("__arrival")
+    tokenAccounting(corpusProbe(kept, corpusHashes), textCol)
+  }
+
+  /** Stateless quality + language gates — first in both paths: they are
+    * pure codegen and they shrink what the dedup state (streaming) or
+    * the keep-first window (batch) must hold. */
+  private def gate(docs: DataFrame, textCol: String, minQuality: Double,
+                   keepLangs: Seq[String]): DataFrame =
+    docs.filter(
       TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
         TextAnalysis.langId(col(textCol)).isin(keepLangs: _*))
-    contentDedup(gated, corpusHashes, textCol, tsCol, watermark)
+
+  /** Exact whitespace token count + the BPE-ish estimate, stamped on
+    * survivors so the landing sink can budget without re-scanning. */
+  private def tokenAccounting(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
       .withColumn("n_tokens_est", TextAnalysis.tokenEstimate(col(textCol)))
-  }
 }

@@ -85,4 +85,85 @@ class DocsStreamingSpec extends SparkTestBase {
       assert(s >= 0.5, s"quality gate fixture drifted: $s")
     } finally q.stop()
   }
+
+  test("ingestBatch is the stream's batch collapse: same survivors, " +
+      "same stamps, on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, goodText("landed"))).toDF("doc_id", "text")
+    val idx = DocsStreaming.corpusHashIndex(corpus, "text")
+      .localCheckpoint()
+    val rows = Seq(
+      (1L, t0, goodText("a")),
+      (2L, t0, goodText("a")),      // intra-drop duplicate of 1
+      (3L, t0, goodText("landed")), // already landed
+      (4L, t0, "short junk"),       // fails the quality gate
+      (5L, t0, goodText("b")))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = DocsStreaming.ingest(docs, Some(idx))
+      .writeStream.format("memory").queryName("ib_test")
+      .outputMode("append").start()
+    val streamed = try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      spark.sql(
+        "select doc_id, content_hash, n_tokens, n_tokens_est from ib_test")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          r.getInt(3))).toSet
+    } finally q.stop()
+    val batch = DocsStreaming.ingestBatch(
+        rows.toDF("doc_id", "ts", "text"), Some(idx))
+      .select("doc_id", "content_hash", "n_tokens", "n_tokens_est")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3))).toSet
+    assert(batch == streamed && batch.map(_._1) == Set(1L, 5L),
+      s"batch collapse diverged: stream=$streamed batch=$batch")
+  }
+
+  test("bucketed corpus-hash index: the probe join scans the static " +
+      "side with no exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = spark.range(2000)
+        .select(col("id").as("doc_id"),
+          concat(lit("text body number "), col("id")).as("text"))
+      DocsStreaming.writeCorpusHashIndex(corpus, "text",
+        "graft_corpus_hashes", buckets = 4)
+      val idx = spark.table("graft_corpus_hashes")
+      // half the drop (ids 1750..1999) is already landed, half is new
+      val drop = spark.range(500)
+        .select((col("id") + 1750).as("doc_id"),
+          concat(lit("text body number "), col("id") + 1750).as("text"),
+          lit(t0).as("ts"))
+      val out = DocsStreaming.ingestBatch(drop, Some(idx),
+        minQuality = 0.0, keepLangs = Seq("en", "und"))
+      val plan = out.queryExecution.executedPlan.toString
+      // the probe's static side must come straight off the bucketed
+      // scan: exchanges elsewhere (the drop side repartitioning to
+      // match, the keep-first window) are fine, but none may sit
+      // between the join and the index scan — at 100 TB that exchange
+      // would re-shuffle the whole index once per micro-batch. In the
+      // printed tree an exchange feeding the scan prints directly
+      // above it, so the lines between are the structural check.
+      val lines = plan.split("\n").toSeq
+      val scanIdx = lines.indexWhere(_.contains("graft_corpus_hashes"))
+      assert(scanIdx >= 0, "expected a scan of the bucketed index:\n" + plan)
+      val above = lines.slice(math.max(0, scanIdx - 3), scanIdx)
+      assert(!above.exists(_.contains("Exchange")),
+        "the bucketed index scan must not be re-shuffled per batch:\n" +
+          plan)
+      // contrast: the unbucketed frame probe pays that exchange
+      val plain = DocsStreaming.ingestBatch(drop,
+        Some(DocsStreaming.corpusHashIndex(corpus, "text")),
+        minQuality = 0.0, keepLangs = Seq("en", "und"))
+      val plainPlan = plain.queryExecution.executedPlan.toString
+      assert(plainPlan.contains("Exchange hashpartitioning(content_hash"),
+        "contrast fixture drifted — expected the unbucketed probe to " +
+          "shuffle the index:\n" + plainPlan)
+      assert(out.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_corpus_hashes")
+    }
+  }
 }
