@@ -412,6 +412,35 @@ object Similarity {
     cents
   }
 
+  /** [[kmeans]] trained on a deterministic md5-rank sample of `sampleN`
+    * vectors — the 100 TB coarse-quantizer discipline: every [[kmeans]]
+    * iteration is a FULL-corpus assignment pass, so training cost is
+    * O(corpus × iters); a coarse quantizer's quality saturates long
+    * before the sample does (FAISS trains IVF coarse centroids on ~30k
+    * points per centroid), so iterate over a bounded sample and pay the
+    * corpus only for the one final assignment the caller runs anyway
+    * ([[ivfAssign]]). The sample is the `sampleN` lowest
+    * md5("kms:" ++ id) ranks (id tie-break) — a seeded pseudo-uniform
+    * draw, replayable across runs and ENGINES (the hash-sample-init
+    * rule applied to the training set; the `sim_kmeans_sampled` oracle
+    * replays the whole trajectory in DuckDB). The take-N is a
+    * TakeOrdered (per-partition top-N, no global sort) and the sample
+    * is checkpoint-materialized once, so the per-iteration cost scales
+    * with sampleN, not the corpus. */
+  def kmeansSampled(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                    sampleN: Int, iters: Int = 5,
+                    init: String = "lowest-id",
+                    salt: String = "kms:"): DataFrame = {
+    require(sampleN >= k,
+      s"sampleN=$sampleN must be >= k=$k (every centroid needs a seed)")
+    val sample = df.select(col(idCol), col(vecCol))
+      .orderBy(md5(concat(lit(salt), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+      .limit(sampleN)
+    kmeans(graft.plans.Checkpoints.truncated(sample), idCol, vecCol, k,
+      iters, init)
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|v_i| / 127,
     * q_i = floor(v_i / scale + 0.5) clamped to [-127, 127], stored as
     * `array<tinyint>` + the double scale — 4x smaller than float32 on

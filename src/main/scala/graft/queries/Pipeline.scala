@@ -1039,6 +1039,27 @@ object Pipeline {
         .orderBy("cid")
     }),
 
+    // sampled coarse-quantizer training (r14): the kmeans iterations
+    // run over a 32-vector md5-rank sample, then ONE full-corpus
+    // assignment — the discipline that makes coarse training affordable
+    // at 100 TB (per-iteration cost scales with sampleN, not corpus).
+    // Oracled exactly like sim_kmeans: DuckDB draws the same sample
+    // (md5 strings sort identically), walks the same 6dp trajectory,
+    // and assigns the full corpus at the end
+    "sim_kmeans_sampled" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.kmeansSampled(e, "vec_id", "embedding",
+        k = 4, sampleN = 32, iters = 2)
+      val counts = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+        .groupBy("cid").agg(count(lit(1)).as("n_members"))
+      cents.join(counts, Seq("cid"), "left")
+        .select(col("cid"),
+          round(element_at(col("centroid"), 1), 6).as("c1"),
+          round(element_at(col("centroid"), 2), 6).as("c2"),
+          coalesce(col("n_members"), lit(0L)).as("n_members"))
+        .orderBy("cid")
+    }),
+
     // IVF recall vs the exact top-5 (the probes/k tradeoff, measured)
     "sim_recall_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -2078,35 +2099,47 @@ object Pipeline {
     * final (vec_id, cid) assignment against `cent$iters`. Shared prefix
     * of the `sim_kmeans` and `dd_semantic` oracles so the two can never
     * disagree about what "the same k-means" means. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
-    def asgSql(name: String, centName: String) =
+  private def kmeansCtes(k: Int, iters: Int,
+                         sampleN: Option[Int] = None): String = {
+    def asgSql(name: String, centName: String, rel: String) =
       s"""$name AS (SELECT vec_id, cid FROM (
-           SELECT emb.vec_id, p.cid,
-             row_number() OVER (PARTITION BY emb.vec_id
-               ORDER BY list_cosine_similarity(emb.e, p.c) DESC, p.cid)
+           SELECT $rel.vec_id, p.cid,
+             row_number() OVER (PARTITION BY $rel.vec_id
+               ORDER BY list_cosine_similarity($rel.e, p.c) DESC, p.cid)
                AS rn
-           FROM emb CROSS JOIN $centName p) WHERE rn = 1)"""
+           FROM $rel CROSS JOIN $centName p) WHERE rn = 1)"""
+    // with sampleN, training iterates over the md5-rank sample only
+    // (kmeansSampled's train set); the final assignment is always the
+    // FULL corpus — the one corpus pass the sampled trainer keeps
+    val rel = if (sampleN.isDefined) "train" else "emb"
     val sb = new StringBuilder
     sb ++= s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e
-         FROM embeddings),
+         FROM embeddings)"""
+    sampleN.foreach { n =>
+      sb ++= s""",
+       train AS (SELECT vec_id, e FROM emb
+                 ORDER BY md5('kms:' || vec_id::VARCHAR) ASC, vec_id ASC
+                 LIMIT $n)"""
+    }
+    sb ++= s""",
        cent0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT
                    AS cid,
                    list_transform(e, x -> round(x, 6)) AS c
-                 FROM (SELECT vec_id, e FROM emb ORDER BY vec_id
+                 FROM (SELECT vec_id, e FROM $rel ORDER BY vec_id
                        LIMIT $k))"""
     for (i <- 1 to iters) {
       sb ++= s""",
-       ${asgSql(s"asg$i", s"cent${i - 1}")},
-       sums$i AS (SELECT a.cid, d.d AS pos, sum(emb.e[d.d+1]) AS s,
+       ${asgSql(s"asg$i", s"cent${i - 1}", rel)},
+       sums$i AS (SELECT a.cid, d.d AS pos, sum($rel.e[d.d+1]) AS s,
                     count(*) AS n
-                  FROM asg$i a JOIN emb ON emb.vec_id = a.vec_id
+                  FROM asg$i a JOIN $rel ON $rel.vec_id = a.vec_id
                   CROSS JOIN unnest(range(0,64)) AS d(d)
                   GROUP BY a.cid, d.d),
        cent$i AS (SELECT cid, list(round(s / n, 6) ORDER BY pos) AS c
                   FROM sums$i GROUP BY cid)"""
     }
     sb ++= s""",
-       ${asgSql("asg_final", s"cent$iters")}"""
+       ${asgSql("asg_final", s"cent$iters", "emb")}"""
     sb.toString
   }
 
@@ -2265,8 +2298,9 @@ object Pipeline {
        ${bpeEncodeCtes(n)}
        SELECT doc_id, n_tokens, n_words FROM btok ORDER BY doc_id"""
 
-  private def kmeansOracleSql(k: Int, iters: Int): String =
-    s"""${kmeansCtes(k, iters)},
+  private def kmeansOracleSql(k: Int, iters: Int,
+                              sampleN: Option[Int] = None): String =
+    s"""${kmeansCtes(k, iters, sampleN)},
        cnt AS (SELECT cid, count(*) AS n_members FROM asg_final
                GROUP BY cid)
        SELECT c.cid, round(c.c[1], 6) AS c1, round(c.c[2], 6) AS c2,
@@ -2667,6 +2701,8 @@ object Pipeline {
     "sim_mmr8" -> mmrOracleSql(k = 8, topN = 12, lambda = 0.7,
       nQueries = 4),
     "sim_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
+    "sim_kmeans_sampled" -> kmeansOracleSql(k = 4, iters = 2,
+      sampleN = Some(32)),
     "dd_semantic" -> semanticOracleSql(k = 4, iters = 2, threshold = 0.4),
     "sim_topk_ivf" ->
       s"""WITH ${ivfCtes(nProbe = 3)}

@@ -224,6 +224,36 @@ class SimilarityTextSpec extends SparkTestBase {
     assert(asg(10L) == asg(11L) && asg(0L) != asg(10L))
   }
 
+  test("kmeansSampled: degenerate sample (>= corpus) equals plain " +
+      "kmeans; sampleN < k refuses") {
+    val data = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.95f, 0.05f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.0f)), (11L, Array(0.1f, 0.9f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    // sampleN >= n: the md5-rank take-N keeps every row, so the sampled
+    // trainer must walk the exact trajectory of the full trainer
+    val full = Similarity.kmeans(data, "vec_id", "embedding", k = 2,
+        iters = 3)
+      .orderBy("cid").collect().map(_.toString).toSeq
+    val sampled = Similarity.kmeansSampled(data, "vec_id", "embedding",
+        k = 2, sampleN = 5, iters = 3)
+      .orderBy("cid").collect().map(_.toString).toSeq
+    assert(sampled == full)
+    // a real subsample still separates the two planted groups: the
+    // final full-corpus assignment is what certifies training quality
+    val cents = Similarity.kmeansSampled(data, "vec_id", "embedding",
+      k = 2, sampleN = 3, iters = 3)
+    val asg = Similarity.ivfAssign(data, "vec_id", "embedding", cents)
+      .as[(Long, Int)].collect().toMap
+    assert(asg(0L) == asg(1L) && asg(1L) == asg(2L))
+    assert(asg(10L) == asg(11L) && asg(0L) != asg(10L))
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansSampled(data, "vec_id", "embedding", k = 4,
+        sampleN = 3)
+    }
+  }
+
   test("kmeans hash-sample init: inertia non-increasing, beats lowest-id " +
       "when low ids collapse into one cluster") {
     // adversarial for lowest-id: ids 0..9 are ALL in the x-cluster, so
