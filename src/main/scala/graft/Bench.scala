@@ -137,6 +137,13 @@ object Bench {
   private val SynthQueryStride = 100 // 500 queries: id % stride == 0
   private val SynthClusters = 500    // syntheticClusteredCorpus default
   private val IvfProbes = 2
+  // coarse-quantizer training rig (r14): full-corpus kmeans iterations
+  // vs kmeansSampled on a 2k md5-rank sample, both ending in the SAME
+  // full-corpus assignment — the delta isolates training cost, the
+  // thing that must scale with the sample (not the corpus) at 100 TB
+  private val KmK = 16
+  private val KmIters = 4
+  private val KmSampleN = 2048
   private val Cc450kNodes = 460000L  // chain components of 46 -> 450k edges
   private val Cc450kSize = 46
   private val Cc2mNodes = 2050000L   // chain components of 41 -> 2M edges
@@ -851,6 +858,28 @@ object Bench {
         synthCentroids(s), synthPqBooks(s), k = 10, nProbe = IvfProbes,
         shortlist = 100, prebuiltLists = Some(synthIvfLists(s)),
         prebuiltCodes = Some(synthPqCodes(s)))),
+    // ---- coarse-quantizer training: full-corpus iterations vs sampled
+    // (r14). Both contenders END with the identical full-corpus
+    // assignment rollup, so the measured delta is training cost alone —
+    // kmeans runs KmIters assignment passes over all 50k vectors,
+    // kmeansSampled over a 2k md5-rank sample (4% of the rows per
+    // iteration). The kmeans-internal per-iteration checkpoints run
+    // inside the timed window (construction IS the work).
+    "bench_km50k_full" -> ((s, _) => {
+      val cents = graft.operators.Similarity.kmeans(
+        synth50k(s), "vec_id", "embedding", k = KmK, iters = KmIters)
+      graft.operators.Similarity.ivfAssign(
+        synth50k(s), "vec_id", "embedding", cents)
+        .groupBy("cid").count()
+    }),
+    "bench_km50k_sampled" -> ((s, _) => {
+      val cents = graft.operators.Similarity.kmeansSampled(
+        synth50k(s), "vec_id", "embedding", k = KmK,
+        sampleN = KmSampleN, iters = KmIters)
+      graft.operators.Similarity.ivfAssign(
+        synth50k(s), "vec_id", "embedding", cents)
+        .groupBy("cid").count()
+    }),
     "bench_lsh50k_pq_guard" -> ((s, _) => setup(s, "guard_pq") {
       // the 100 TB claim, measured: serialize the float32 corpus and
       // the complete PQ index (codes + codebooks) the way a deployment
@@ -1479,6 +1508,7 @@ object Bench {
     Seq("bench_dd50k_ngram", "bench_dd50k_ngram_pruned",
       "bench_dd50k_minhash"),
     Seq("bench_dd12k_ngram", "bench_dd12k_minhash"),
+    Seq("bench_km50k_full", "bench_km50k_sampled"),
     Seq("bench_ddinc_inline", "bench_ddinc_probe"),
     Seq("bench_asof_argmax", "bench_asof_union"),
     Seq("bench_skew_plain", "bench_skew_salted"),
@@ -1542,7 +1572,11 @@ object Bench {
       // two are also strictly designed-to-lose (each is ONLY ever a
       // claim's rhs — dd50k_ngram loses to pruned AND minhash,
       // cc450k_dist to the driver path), ~60-80 s/run between them
-      "bench_dd50k_ngram", "bench_cc450k_dist")
+      "bench_dd50k_ngram", "bench_cc450k_dist",
+      // r14: full-corpus coarse training exists only as the sampled
+      // trainer's claim rhs (KmIters full assignment passes, ~25x the
+      // sampled trainer's per-iteration rows)
+      "bench_km50k_full")
 
   // ---------------------------------------------------------------------
   // Certification cache (r12 verdict #1): the 17 certification-only
@@ -1699,7 +1733,8 @@ object Bench {
                     outPath: String = "bench_out.json",
                     warmupOn: Boolean = true,
                     partial: Option[(Int, Int)] = None,
-                    certCached: Set[String] = Set.empty): String = {
+                    certCached: Set[String] = Set.empty,
+                    loadQualified: Set[String] = Set.empty): String = {
     val byName = results.map(r => r.name -> r).toMap
     val shown = headline.filter(byName.contains)
     val shownSet = shown.toSet
@@ -1723,7 +1758,10 @@ object Bench {
     // round with many absorptions would look cleaner than it ran. One
     // integer: entries with at least one reclassified leading run.
     val nCold = results.count(r => r.err.isEmpty && r.coldSecs.nonEmpty)
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec",${partialField(partial)}"queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = true)}${crossoverField(results)}${claimsFields(results, compact = true)}${certFields(results, compact = true, certCached)}"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_cold":$nCold,"n_err":$nErr,"full":${jstr(outPath)}}"""
+    // r13 verdict #3: the compact line also counts entries timed under
+    // external load (the full artifact names them in load_qualified)
+    val nLoadq = loadQualified.count(n => results.exists(_.name == n))
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec",${partialField(partial)}"queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = true)}${crossoverField(results)}${claimsFields(results, compact = true)}${certFields(results, compact = true, certCached)}"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_cold":$nCold,"n_loadq":$nLoadq,"n_err":$nErr,"full":${jstr(outPath)}}"""
   }
 
   /** Marker for an INCREMENTALLY-written artifact (r12 verdict #1: the
@@ -1775,8 +1813,11 @@ object Bench {
   private def baselineBreak(warmupOn: Boolean, compact: Boolean): String =
     (warmupOn, compact) match {
       case (true, false) =>
-        """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup + r10 chunked forks + r11 straggler retry (a >3x-spread entry gets 2 extra samples, all recorded) + r12 cold-run absorption (a leading run that is strictly worst and >3x the rest is extended warmup, reclassified into cold_warmup_secs with a replacement sample taken) + r13 single-run controls (designed-to-lose twins take one warm sample, named in single_run_controls) + r13 cert cache (a guard whose certified sources are hash-unchanged reuses its cached pass, named in certification_cached); pre-r10 minima are a different timing regime, not comparable","""
-      case (true, true) => """"baseline_break":"r10 chunks+warmup+r11 retry+r12 cold+r13 ctrl/cache","""
+        """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup + r10 chunked forks + r11 straggler retry (a >3x-spread entry gets 2 extra samples, all recorded) + r12 cold-run absorption (a leading run that is strictly worst and >3x the rest is extended warmup, reclassified into cold_warmup_secs with a replacement sample taken) + r13 single-run controls (designed-to-lose twins take one warm sample, named in single_run_controls) + r13 cert cache (a guard whose certified sources are hash-unchanged reuses its cached pass, named in certification_cached) + r14 load qualification (entries timed in a fork that observed 1-min load above 1.25x the core count are named in load_qualified and excluded from round-over-round deltas); pre-r10 minima are a different timing regime, not comparable","""
+      // the compact line is budget-pinned (<1800 chars): the break
+      // marker names the regime rounds and defers the method list to
+      // the full artifact's self-describing baseline_break
+      case (true, true) => """"baseline_break":"r10-14; see full","""
       case (false, false) =>
         """"baseline_break":"warmup DISABLED this run (SPARK_GRAFT_BENCH_WARMUP=0) — minima include cold first runs; r8 interleaved cohorts + r10 chunked forks + r11 straggler retry","""
       case (false, true) => """"baseline_break":"warmup off","""
@@ -1844,6 +1885,11 @@ object Bench {
       // real flip lands in claims_failed instead of a prose footnote
       ("minhash_beats_pruned_dd50k",
         "bench_dd50k_minhash", "bench_dd50k_ngram_pruned", 1.0),
+      // r14: training on the 2k sample must beat 4 full-corpus
+      // iteration passes — both contenders pay the same final
+      // full-corpus assignment, so the ratio is pure training cost
+      ("sampled_kmeans_beats_full_km50k",
+        "bench_km50k_sampled", "bench_km50k_full", 1.0),
       ("dd12k_near_parity",
         "bench_dd12k_minhash", "bench_dd12k_ngram", 1.25),
       // r13: restated from `lsh_beats_brute_50k` (band 1.0) BEFORE it
@@ -1968,7 +2014,8 @@ object Bench {
                  warmupOn: Boolean = true,
                  forks: Map[String, ForkStats] = Map.empty,
                  partial: Option[(Int, Int)] = None,
-                 certCached: Set[String] = Set.empty): String = {
+                 certCached: Set[String] = Set.empty,
+                 loadQualified: Set[String] = Set.empty): String = {
     val qs = results.map { r =>
       jstr(r.name) + ":" + r.err.fold(r.secs.toString)(m => jstr(m))
     }.mkString("{", ",", "}")
@@ -2045,7 +2092,16 @@ object Bench {
       else present.map(jstr)
         .mkString("\"single_run_controls\":[", ",", "],")
     }
-    s"""{"metric":"total","value":$total,"unit":"sec",${partialField(partial)}"queries":$qs,"spread":$spread,$runsField$coldField$outlierField$headlineField$ctrlField"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = false)}${crossoverField(results)}${claimsFields(results)}${certFields(results, compact = false, certCached)}$forkField"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_err":$nErr}"""
+    // entries timed in a child whose observed load crossed the
+    // contention threshold (see loadQualifyThresholdX100): named so
+    // round-over-round deltas can exclude them (bench_compare.py does)
+    val loadField = {
+      val present = loadQualified.toSeq.sorted
+        .filter(n => results.exists(_.name == n))
+      s""""load_threshold_x100":${loadQualifyThresholdX100(cpus)},""" +
+        present.map(jstr).mkString("\"load_qualified\":[", ",", "],")
+    }
+    s"""{"metric":"total","value":$total,"unit":"sec",${partialField(partial)}"queries":$qs,"spread":$spread,$runsField$coldField$outlierField$headlineField$ctrlField$loadField"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = false)}${crossoverField(results)}${claimsFields(results)}${certFields(results, compact = false, certCached)}$forkField"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_err":$nErr}"""
   }
 
   // ---------------------------------------------------------------------
@@ -2063,6 +2119,27 @@ object Bench {
   private def ratio(num: Option[QTime], den: Option[QTime]): String =
     (for (n <- num; d <- den; if n.err.isEmpty && d.err.isEmpty && d.secs > 0)
       yield String.format(java.util.Locale.ROOT, "%.2f", Double.box(n.secs / d.secs)))
+      .getOrElse("n/a")
+
+  /** The chronologically FIRST timed sample of an entry — interleave
+    * slot r=1, the one block a single-run control also ran in. Cold
+    * absorption moves reclassified leading runs into coldSecs, so the
+    * true slot-1 sample is coldSecs.head when any were reclassified. */
+  private def firstTimed(t: QTime): Option[Double] =
+    t.coldSecs.headOption.orElse(t.runSecs.headOption)
+
+  /** Ratio from ONE interleaved block (r13 verdict: the dd50k table
+    * divided a single-run control's only sample — whatever machine
+    * regime it landed in — by a min-of-5 denominator spanning regimes,
+    * inflating the printed multiplier ~50% over the same-regime bisect).
+    * Both samples here come from interleave slot r=1 of the same child
+    * JVM, so regime lands on numerator and denominator equally. */
+  private def sameBlockRatio(num: Option[QTime], den: Option[QTime])
+      : String =
+    (for (n <- num; d <- den; if n.err.isEmpty && d.err.isEmpty;
+          nv <- firstTimed(n); dv <- firstTimed(d); if dv > 0)
+      yield String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(nv / dv)))
       .getOrElse("n/a")
 
   /** The generated markdown blocks, keyed by marker name. Pure function
@@ -2113,19 +2190,34 @@ object Bench {
         table(Seq("bench_cc450k_driver", "bench_cc450k_dist",
           "bench_cc2m_dist", "bench_cc2m_skew",
           "bench_cc2m_skew_nopre")) + "\n\n" +
-        s"450k dist/driver ratio ${ratio(q("bench_cc450k_dist"), q("bench_cc450k_driver"))}x " +
-        s"(the adaptive gate's win); 2M skew/uniform ${ratio(q("bench_cc2m_skew"), q("bench_cc2m_dist"))}x; " +
-        s"skew nopre/pre ${ratio(q("bench_cc2m_skew_nopre"), q("bench_cc2m_skew"))}x " +
-        "(the partition-local union-find pre-pass, Dedup.localContract)."),
+        s"450k dist/driver same-block ratio ${sameBlockRatio(q("bench_cc450k_dist"), q("bench_cc450k_driver"))}x " +
+        s"(the adaptive gate's win); 2M skew/uniform ${ratio(q("bench_cc2m_skew"), q("bench_cc2m_dist"))}x (min/min); " +
+        s"skew nopre/pre same-block ${sameBlockRatio(q("bench_cc2m_skew_nopre"), q("bench_cc2m_skew"))}x " +
+        "(the partition-local union-find pre-pass, Dedup.localContract; " +
+        "same-block ratios pair a single-run control's sample with its " +
+        "contender's slot-1 sample from the same interleave)."),
       "dd50k" -> (stamp + "\n\n" +
         table(Seq("bench_dd50k_ngram", "bench_dd50k_ngram_pruned",
           "bench_dd50k_minhash", "bench_dd12k_ngram",
           "bench_dd12k_minhash")) + "\n\n" +
-        s"naive/pruned ratio ${ratio(q("bench_dd50k_ngram"), q("bench_dd50k_ngram_pruned"))}x, " +
-        s"naive/minhash ${ratio(q("bench_dd50k_ngram"), q("bench_dd50k_minhash"))}x; " +
-        s"12.5k->50k scaling: naive x${ratio(q("bench_dd50k_ngram"), q("bench_dd12k_ngram"))}, " +
+        "Ratios against the single-run naive control come from ONE " +
+        "interleaved block (slot-1 sample over slot-1 sample, same " +
+        "child JVM — r13 verdict: a control's only sample over a " +
+        "min-of-5 mixes machine regimes): " +
+        s"naive/pruned same-block ratio ${sameBlockRatio(q("bench_dd50k_ngram"), q("bench_dd50k_ngram_pruned"))}x, " +
+        s"naive/minhash same-block ${sameBlockRatio(q("bench_dd50k_ngram"), q("bench_dd50k_minhash"))}x; " +
+        s"12.5k->50k scaling (min/min, both contenders multi-run): " +
+        s"naive x${ratio(q("bench_dd50k_ngram"), q("bench_dd12k_ngram"))}, " +
         s"minhash x${ratio(q("bench_dd50k_minhash"), q("bench_dd12k_minhash"))} " +
         "(4x docs: the df^2 term vs shingle-linear signatures)."),
+      "kmrig" -> (stamp + "\n\n" +
+        table(Seq("bench_km50k_full", "bench_km50k_sampled")) + "\n\n" +
+        s"full/sampled same-block training ratio ${sameBlockRatio(q("bench_km50k_full"), q("bench_km50k_sampled"))}x " +
+        s"at k=$KmK, $KmIters iterations, ${KmSampleN} of 50k vectors " +
+        "sampled — both contenders end with the identical full-corpus " +
+        "assignment, so the delta is training cost alone; at 100 TB " +
+        "the sampled trainer's per-iteration cost is fixed while the " +
+        "full trainer's grows with the corpus."),
       "ddinc" -> (stamp + "\n\n" +
         table(Seq("bench_ddinc_inline", "bench_ddinc_probe")) + "\n\n" +
         s"inline-recompute/index-probe ratio ${ratio(q("bench_ddinc_inline"), q("bench_ddinc_probe"))}x " +
@@ -2133,7 +2225,7 @@ object Bench {
         "O(batch) cost is the whole point)."),
       "asofrig" -> (stamp + "\n\n" +
         table(Seq("bench_asof_union", "bench_asof_argmax")) + "\n\n" +
-        s"argmax/union ratio ${ratio(q("bench_asof_argmax"), q("bench_asof_union"))}x " +
+        s"argmax/union same-block ratio ${sameBlockRatio(q("bench_asof_argmax"), q("bench_asof_union"))}x " +
         "at ~8k views x 500 purchases per key; the argmax side grows " +
         "with pairs-per-key, the union side with rows."),
       "rjrig" -> (stamp + "\n\n" +
@@ -2677,9 +2769,9 @@ object Bench {
     * "shared_session" when forking was unavailable entirely. */
   private def runForked(sfDir: String, cpus: String, runs: Int,
       exclude: Set[String] = Set.empty,
-      onChunk: (Seq[QTime], Map[String, ForkStats], Int, Int) => Unit =
-        (_, _, _, _) => ())
-      : (Seq[QTime], Map[String, ForkStats], String) = {
+      onChunk: (Seq[QTime], Map[String, ForkStats], Set[String], Int, Int)
+          => Unit = (_, _, _, _, _) => ())
+      : (Seq[QTime], Map[String, ForkStats], String, Set[String]) = {
     val names = allBenchQueries.keys.toSeq.filterNot(exclude).sorted
     val chunks = forkChunks(names)
     val cp = forkClasspath()
@@ -2688,7 +2780,7 @@ object Bench {
       System.err.println("bench: fork unavailable, falling back in-process")
       return (runInProcess(sfDir, cpus, runs,
         if (exclude.isEmpty) None else Some(names.toSet)), Map.empty,
-        "shared_session")
+        "shared_session", Set.empty)
     }
     val logDir = Paths.get("target", "bench-fork")
     Files.createDirectories(logDir)
@@ -2696,6 +2788,19 @@ object Bench {
     val buf = scala.collection.mutable.ArrayBuffer.empty[QTime]
     val stats = scala.collection.mutable.Map.empty[String, ForkStats]
     val failed = Seq.newBuilder[String]
+    // load-qualification (r13 verdict #3: the fork telemetry RECORDS
+    // the observed load average, but no policy acted on it — on a box
+    // whose load swings 3x run to run that is the difference between a
+    // bisect and a shrug): entries timed in a chunk whose child
+    // observed load above the threshold are named in the artifact
+    // (`load_qualified`) and excluded from round-over-round deltas by
+    // tools/bench_compare.py. Flagged, never dropped — their samples
+    // stay in every field they always occupied.
+    def loadQualifiedSoFar(): Set[String] =
+      chunks.collect { case (chunk, qs)
+          if stats.get(chunk).exists(s =>
+            s.loadX100 >= 0 && s.loadX100 > loadQualifyThresholdX100(cpus))
+        => qs }.flatten.toSet
     for (((chunk, qs), idx) <- chunks.zipWithIndex) {
       val t0 = System.nanoTime()
       runChild(javaBin.toString, jvmArgs, cp, chunk, qs, sfDir, cpus, runs,
@@ -2716,7 +2821,7 @@ object Bench {
       // by the harness wall budget leaves the best-so-far prefix as a
       // parseable artifact + stdout line instead of nothing
       try onChunk(buf.toVector.sortBy(_.name), stats.toMap,
-        idx + 1, chunks.size)
+        loadQualifiedSoFar(), idx + 1, chunks.size)
       catch { case e: Throwable =>
         System.err.println(s"bench: progress checkpoint failed: " +
           e.getMessage) }
@@ -2726,8 +2831,16 @@ object Bench {
       buf ++= runInProcess(sfDir, cpus, runs, Some(leftover.toSet))
     val mode =
       if (leftover.isEmpty) "fork_per_chunk" else "fork_per_chunk_partial"
-    (buf.toVector.sortBy(_.name), stats.toMap, mode)
+    (buf.toVector.sortBy(_.name), stats.toMap, mode, loadQualifiedSoFar())
   }
+
+  /** Load threshold in load_x100 units: a 1-minute load average above
+    * 1.25x the bench's own core count means the box was running
+    * substantially more than the bench itself (local[32] saturates at
+    * ~cpus runnable threads) — the external-contention signature, not a
+    * heavy rig. Entries timed under it are load-qualified. */
+  private[graft] def loadQualifyThresholdX100(cpus: String): Long =
+    scala.util.Try(cpus.trim.toInt).getOrElse(4) * 125L
 
   // ---------------------------------------------------------------------
 
@@ -2768,24 +2881,27 @@ object Bench {
     if (cachedNames.nonEmpty)
       System.err.println(s"bench: cert cache hit for ${cachedNames.size} " +
         s"guards (skipped): ${cachedNames.toSeq.sorted.mkString(", ")}")
-    val (results0, forks, mode) =
+    val (results0, forks, mode, loadQualified) =
       if (fork) runForked(sfDir, cpus, runs, cachedNames,
-        onChunk = (soFar, forksSoFar, k, n) => {
+        onChunk = (soFar, forksSoFar, loadqSoFar, k, n) => {
           val withHits = (soFar ++ certHits).sortBy(_.name)
           Files.writeString(Paths.get(outPath),
             renderFull(withHits, sfDir, cpus, runs,
               "fork_per_chunk", warmupOn, forksSoFar,
-              partial = Some((k, n)), certCached = cachedNames) + "\n")
+              partial = Some((k, n)), certCached = cachedNames,
+              loadQualified = loadqSoFar) + "\n")
           println(renderCompact(withHits, sfDir, cpus, runs,
             "fork_per_chunk", outPath, warmupOn,
-            partial = Some((k, n)), certCached = cachedNames))
+            partial = Some((k, n)), certCached = cachedNames,
+            loadQualified = loadqSoFar))
           Console.out.flush()
         })
       else {
         val rs = runInProcess(sfDir, cpus, runs, only)
         // shared-session runs carry the one JVM's own footprint so even
         // the fallback path is diagnosable
-        (rs, Map("shared" -> currentForkStats()), "shared_session")
+        (rs, Map("shared" -> currentForkStats()), "shared_session",
+          Set.empty[String])
       }
     val results = (results0 ++ certHits).sortBy(_.name)
     // seed/refresh the cache from this run's FRESH green certifications
@@ -2800,7 +2916,7 @@ object Bench {
       System.err.println(s"bench: cert cache write failed: ${e.getMessage}") }
     Files.writeString(Paths.get(outPath),
       renderFull(results, sfDir, cpus, runs, mode, warmupOn, forks,
-        certCached = cachedNames) + "\n")
+        certCached = cachedNames, loadQualified = loadQualified) + "\n")
     // a FULL run regenerates the measured-number blocks in the docs —
     // partial/sliced/extras-off runs must not overwrite them with holes
     // (disable explicitly with SPARK_GRAFT_BENCH_DOCSYNC=0)
@@ -2813,6 +2929,6 @@ object Bench {
     // (the incremental per-chunk lines above are all `partial`-marked;
     // this one is not, which is how a reader tells a completed run)
     println(renderCompact(results, sfDir, cpus, runs, mode, outPath,
-      warmupOn, certCached = cachedNames))
+      warmupOn, certCached = cachedNames, loadQualified = loadQualified))
   }
 }

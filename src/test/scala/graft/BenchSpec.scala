@@ -281,10 +281,13 @@ class BenchSpec extends AnyFunSuite {
       Seq(Bench.QTime("q1_agg", 1.0, 1.0, None)), "sf", "4", 3))
     val full = mapper.readTree(Bench.renderFull(
       Seq(Bench.QTime("q1_agg", 1.0, 1.0, None)), "sf", "4", 3))
-    for (tree <- Seq(compact, full)) {
-      val brk = tree.get("baseline_break")
-      assert(brk != null && brk.asText().contains("warmup"))
-    }
+    // the full artifact self-describes the whole method list; the
+    // budget-pinned compact line names the regime rounds and defers
+    // (r14: the list outgrew the <1800-char stdout window)
+    assert(full.get("baseline_break").asText().contains("warmup"))
+    val cbrk = compact.get("baseline_break")
+    assert(cbrk != null && cbrk.asText().contains("r10-14") &&
+      cbrk.asText().contains("full"))
     // with the warmup disabled, the marker must describe THAT run, not
     // the methodology that never executed (r9 advice)
     val offFull = mapper.readTree(Bench.renderFull(
@@ -459,7 +462,11 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("doc sync: marker blocks are replaced from results, idempotently") {
-    def qt(n: String, s: Double) = Bench.QTime(n, s, s + 0.5, None)
+    // runSecs carries the per-run samples newest docs ratios need: the
+    // slot-1 (same-interleave-block) sample is s + 0.5, the min is s —
+    // so same-block ratios divide the +0.5 samples, min/min the minima
+    def qt(n: String, s: Double) =
+      Bench.QTime(n, s, s + 0.5, None, runSecs = Seq(s + 0.5, s))
     val results = Seq(
       qt("bench_lsh50k_brute", 1.5), qt("bench_lsh50k_lsh", 0.8),
       qt("bench_lsh50k_ivf", 1.1), qt("bench_lsh50k_q8", 1.6),
@@ -468,6 +475,7 @@ class BenchSpec extends AnyFunSuite {
       qt("bench_dd50k_ngram", 21.0), qt("bench_dd50k_ngram_pruned", 11.0),
       qt("bench_dd50k_minhash", 8.8), qt("bench_dd12k_ngram", 3.9),
       qt("bench_dd12k_minhash", 3.6),
+      qt("bench_km50k_full", 9.5), qt("bench_km50k_sampled", 2.5),
       qt("bench_ddinc_inline", 1.9), qt("bench_ddinc_probe", 1.6),
       qt("sim_topk", 0.8), qt("sim_topk_q8", 0.8), qt("sim_topk_lsh", 0.9),
       qt("dd_embed_pairs", 0.9), qt("dd_embed_lsh", 0.5),
@@ -475,12 +483,19 @@ class BenchSpec extends AnyFunSuite {
     val tables = Bench.docTables(results, "/root/testdata/sf0.1", 3,
       "fork_per_chunk")
     // every block the docs reference exists
-    for (k <- Seq("ann50k", "cc", "dd50k", "ddinc", "simtwins", "contract"))
+    for (k <- Seq("ann50k", "cc", "dd50k", "ddinc", "kmrig", "simtwins",
+        "contract"))
       assert(tables.contains(k), s"missing doc table $k")
     // numbers come from the results, ratios computed
     assert(tables("ann50k").contains("1.500"))
     assert(tables("ann50k").contains("brute/LSH ratio 1.88x"))
-    assert(tables("dd50k").contains("naive/pruned ratio 1.91x"))
+    // single-run-control ratios pair slot-1 samples: 21.5 / 11.5
+    assert(tables("dd50k").contains(
+      "naive/pruned same-block ratio 1.87x"))
+    // multi-run pairs still publish min/min: 21.0 / 3.9
+    assert(tables("dd50k").contains("naive x5.38"))
+    assert(tables("kmrig").contains(
+      "full/sampled same-block training ratio 3.33x"))
     // contract table only counts contract queries, not bench extras
     // (sim_topk*, dd_embed*, ds_curate, q1_agg = 7 contract entries here)
     assert(tables("contract").contains("7 entries"))
@@ -543,6 +558,9 @@ class BenchSpec extends AnyFunSuite {
       "bench_dd50k_ngram", "bench_dd50k_ngram_pruned",
       "bench_dd50k_minhash", "bench_dd50k_recall",
       "bench_dd12k_ngram", "bench_dd12k_minhash",
+      // coarse-quantizer training crossover: full-corpus kmeans
+      // iterations vs the md5-rank-sampled trainer, same final assign
+      "bench_km50k_full", "bench_km50k_sampled",
       // incremental dedup crossover: inline corpus recompute vs the
       // contract query's materialized-index probe path
       "bench_ddinc_inline", "bench_ddinc_probe",
@@ -583,6 +601,32 @@ class BenchSpec extends AnyFunSuite {
     assert(extras.intersect(SparkEntry.queries.keySet).isEmpty)
     // extras must NOT leak into Verify/oracle accounting
     assert(extras.intersect(SparkEntry.oracleSql.keySet).isEmpty)
+  }
+
+  test("load qualification: flagged entries named in the full artifact, " +
+      "counted on the compact line, threshold scales with cores") {
+    val r = Seq(
+      Bench.QTime("bench_a", 1.0, 1.2, None, Vector(1.2, 1.0)),
+      Bench.QTime("bench_b", 2.0, 2.1, None, Vector(2.1, 2.0)))
+    val full = mapper.readTree(Bench.renderFull(r, "sf", "32", 3,
+      loadQualified = Set("bench_b", "not_in_results")))
+    // named (results-present only) + the threshold that flagged them
+    assert(full.get("load_qualified").size() == 1)
+    assert(full.get("load_qualified").get(0).asText() == "bench_b")
+    assert(full.get("load_threshold_x100").asLong() == 32L * 125L)
+    // the field is ALWAYS present (empty = policy ran, nothing flagged)
+    val clean = mapper.readTree(Bench.renderFull(r, "sf", "32", 3))
+    assert(clean.get("load_qualified") != null &&
+      clean.get("load_qualified").size() == 0)
+    val compact = mapper.readTree(Bench.renderCompact(r, "sf", "32", 3,
+      loadQualified = Set("bench_b")))
+    assert(compact.get("n_loadq").asInt() == 1)
+    assert(mapper.readTree(Bench.renderCompact(r, "sf", "32", 3))
+      .get("n_loadq").asInt() == 0)
+    // threshold: 1.25x the core count, in load_x100 units; a
+    // non-numeric cpus string falls back to the 4-core default
+    assert(Bench.loadQualifyThresholdX100("4") == 500L)
+    assert(Bench.loadQualifyThresholdX100("junk") == 500L)
   }
 
   test("cold-head is STRICT: a later run tying the head keeps the entry " +

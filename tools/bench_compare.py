@@ -41,11 +41,21 @@ def main(old_path, new_path, threshold=1.5):
                   "(driver wrapper, not the full artifact)")
     cert = set(old.get("certification_only", [])) | \
         set(new.get("certification_only", []))
+    # entries timed in a fork that observed external load (r14
+    # `load_qualified`): their seconds are a contention artifact, not a
+    # code signal — excluded from the delta table on either side
+    loadq = set(old.get("load_qualified", [])) | \
+        set(new.get("load_qualified", []))
+    if loadq:
+        print(f"note: {len(loadq)} load-qualified entr"
+              f"{'y' if len(loadq) == 1 else 'ies'} excluded "
+              f"(fork observed load over threshold): "
+              f"{', '.join(sorted(loadq))}")
     oq = {k: v for k, v in old.get("queries", {}).items()
           if isinstance(v, (int, float))}
     nq = {k: v for k, v in new.get("queries", {}).items()
           if isinstance(v, (int, float))}
-    shared = sorted(set(oq) & set(nq) - cert)
+    shared = sorted(set(oq) & set(nq) - cert - loadq)
     rows = []
     for n in shared:
         a, b = oq[n], nq[n]
