@@ -1550,9 +1550,11 @@ object Bench {
     "bench_bpe_guard", "bench_bpe_train5m_guard",
     "bench_layout2d_guard", "bench_layout3d_guard",
     "bench_layout2d_skew_guard", "txt_bpe_artifact",
-    // artifact write+read+probe round trip, the txt_bpe_artifact class:
-    // its cost is the certification, not a query-time signal
-    "sim_topk_pq_idx")
+    // artifact write+read+probe round trips, the txt_bpe_artifact
+    // class: their cost is the certification, not a query-time signal
+    // (r14: the incremental-append row writes the base index, appends
+    // the second half, and re-reads — 3 parquet round trips/execution)
+    "sim_topk_pq_idx", "sim_topk_ivfpq_res_inc")
 
   /** Designed-to-lose control twins (r12 verdict #1): these exist so
     * their cohort partner has something to beat — nobody compares their
@@ -1634,7 +1636,8 @@ object Bench {
       "bench_bpe_train5m_guard" -> Seq("operators/Bpe.scala"),
       "txt_bpe_artifact" -> Seq("operators/Bpe.scala",
         "queries/Pipeline.scala"),
-      "sim_topk_pq_idx" -> (sim :+ "queries/Pipeline.scala"))
+      "sim_topk_pq_idx" -> (sim :+ "queries/Pipeline.scala"),
+      "sim_topk_ivfpq_res_inc" -> (sim :+ "queries/Pipeline.scala"))
   }
 
   private def certCachePath(): Option[Path] =

@@ -1069,6 +1069,52 @@ object Similarity {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** Compact a [[writeIvfPqResidualIndex]] artifact's `codes/` after a
+    * run of [[appendIvfPqResidualIndex]] drops — the maintenance half
+    * of add-with-ids: every append lands as its own parquet files, and
+    * a year of daily drops leaves thousands of small files whose
+    * per-file open/footer cost dominates the probe scan long before
+    * data volume does. Rewrites codes/ at `targetPartitions` (default:
+    * the session's shuffle parallelism), REPARTITIONED BY `cid` so each
+    * inverted list lands contiguously — the probe's cid equi-join then
+    * reads the fewest row groups per probed list. Stamps are preserved
+    * verbatim (the read path verified them before the rewrite) and the
+    * swap is staged: the new files land in `codes__compact/`, the old
+    * dir is replaced only after the write succeeds, so a crash leaves
+    * the original artifact intact, never a half-written codes/. */
+  def compactIvfPqResidualIndex(spark: org.apache.spark.sql.SparkSession,
+                                path: String,
+                                targetPartitions: Int = 0): Unit = {
+    val idx = readIvfPqResidualIndex(spark, path) // every stamp verified
+    val n = if (targetPartitions > 0) targetPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val meta = idx.codes.schema("codes").metadata
+    val diskIdCol = idx.codes.columns.head
+    val staged = s"$path/codes__compact"
+    idx.codes
+      .repartition(n, col("cid"))
+      .select(col(diskIdCol), col("cid"), col("codes").as("codes", meta),
+        col("x_nsq"))
+      .write.mode("overwrite").parquet(staged)
+    // staged swap via the filesystem the path actually lives on (works
+    // for file:// and any Hadoop-compatible store)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(staged).getFileSystem(conf)
+    val live = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val old = new org.apache.hadoop.fs.Path(s"$path/codes__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(live, old),
+      s"compactIvfPqResidualIndex: could not stage out $live")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), live)) {
+      // put the original back before failing — the artifact must never
+      // be left without a live codes/
+      fs.rename(old, live)
+      throw new IllegalStateException(
+        s"compactIvfPqResidualIndex: could not swap $staged into place")
+    }
+    fs.delete(old, true)
+  }
+
   /** Codebook metadata in ONE driver action (m x ksub rows — the same
     * bounded-scalar class as ZOrder's min/max row): subspace count,
     * subvector dim, and the flat-LUT offsets in FENCE-POST form (m+1

@@ -120,6 +120,51 @@ class DocsStreamingSpec extends SparkTestBase {
       s"batch collapse diverged: stream=$streamed batch=$batch")
   }
 
+  test("bucketed corpus-hash index: a LIVE micro-batch probes it " +
+      "without re-shuffling the static side") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = spark.range(2000)
+        .select(col("id").as("doc_id"),
+          concat(lit("text body number "), col("id")).as("text"))
+      DocsStreaming.writeCorpusHashIndex(corpus, "text",
+        "graft_corpus_hashes_live", buckets = 4)
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val docs = mem.toDF().toDF("doc_id", "ts", "text")
+      val out = DocsStreaming.contentDedup(docs,
+        Some(spark.table("graft_corpus_hashes_live")))
+      val q = out.writeStream.format("memory").queryName("bq_live")
+        .outputMode("append").start()
+      try {
+        mem.addData((5000L, t0, goodText("fresh")),
+          (10L, t0, "text body number 10")) // already landed
+        q.processAllAvailable()
+        assert(spark.sql("select doc_id from bq_live").as[Long]
+          .collect().toSeq == Seq(5000L))
+        // the plan the micro-batch ACTUALLY executed: the bucketed
+        // scan must not sit under an Exchange — at 100 TB that
+        // exchange would re-shuffle the whole index every batch
+        val baos = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(baos, true, "UTF-8")) {
+          q.explain(extended = false)
+        }
+        val plan = baos.toString("UTF-8")
+        assert(plan.contains("graft_corpus_hashes_live"),
+          "expected the micro-batch plan to scan the bucketed index:\n"
+            + plan)
+        val lines = plan.split("\n").toSeq
+        val scanIdx = lines.indexWhere(_.contains("graft_corpus_hashes_live"))
+        val above = lines.slice(math.max(0, scanIdx - 3), scanIdx)
+        assert(!above.exists(_.contains("Exchange")),
+          "the live micro-batch re-shuffled the bucketed index:\n" + plan)
+      } finally q.stop()
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_corpus_hashes_live")
+    }
+  }
+
   test("bucketed corpus-hash index: the probe join scans the static " +
       "side with no exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -436,6 +436,56 @@ class PqSpec extends SparkTestBase {
     assert(ex2.getMessage.contains("fingerprint"))
   }
 
+  test("compactIvfPqResidualIndex: append-fragmented codes rewrite to " +
+      "fewer, cid-contiguous files; probes and stamps unchanged") {
+    val corpus = (0 until 48).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 192.0f)))
+      .toDF("id", "vec")
+    val cents = Seq((0, Array(0.05, 0.05, 0.05, 0.05)),
+      (1, Array(0.9, 0.9, 0.9, 0.9))).toDF("cid", "centroid")
+    val resid = Similarity.ivfResiduals(corpus, "id", "vec", cents)
+    val books = Similarity.pqTrain(resid, "id", "rvec", m = 2, ksub = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("respq_compact").toString
+    Similarity.writeIvfPqResidualIndex(
+      corpus.filter(col("id") < 16), "id", "vec", cents, books, path,
+      sourceTag = "unit")
+    // six daily drops, each its own append (its own parquet files)
+    for (lo <- 16 until 48 by 6)
+      Similarity.appendIvfPqResidualIndex(
+        corpus.filter(col("id") >= lo && col("id") < lo + 6),
+        "id", "vec", path)
+    def parquetFiles(): Int = {
+      val d = new java.io.File(s"$path/codes")
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    def probe() = {
+      val idx = Similarity.readIvfPqResidualIndex(spark, path,
+        expectedSource = Some("unit"))
+      Similarity.ivfPqResidualTopK(corpus, corpus.filter(col("id") < 3),
+          "id", "vec", idx.centroids, idx.books, k = 3, nProbe = 2,
+          prebuiltCodes = Some(idx.codes))
+        .select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().toSet
+    }
+    val before = probe()
+    val filesBefore = parquetFiles()
+    Similarity.compactIvfPqResidualIndex(spark, path,
+      targetPartitions = 2)
+    assert(parquetFiles() < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> " +
+        s"${parquetFiles()})")
+    assert(!new java.io.File(s"$path/codes__compact").exists() &&
+      !new java.io.File(s"$path/codes__old").exists(),
+      "staging dirs must be gone after the swap")
+    // stamps survived (read demands them all) and probes are identical
+    assert(probe() == before && before.nonEmpty)
+    // a second compaction is a no-op-safe rewrite, not an error
+    Similarity.compactIvfPqResidualIndex(spark, path,
+      targetPartitions = 2)
+    assert(probe() == before)
+  }
+
   test("readPqIndex rejects codes paired with books retrained at a " +
       "different ksub (same m/dsub)") {
     import graft.operators.Similarity
