@@ -1079,9 +1079,14 @@ object Similarity {
     * inverted list lands contiguously — the probe's cid equi-join then
     * reads the fewest row groups per probed list. Stamps are preserved
     * verbatim (the read path verified them before the rewrite) and the
-    * swap is staged: the new files land in `codes__compact/`, the old
-    * dir is replaced only after the write succeeds, so a crash leaves
-    * the original artifact intact, never a half-written codes/. */
+    * swap is staged: the new files land in `codes__compact/` and only
+    * replace `codes/` after the write succeeds, so a crash during the
+    * REWRITE leaves the original artifact untouched. The two renames of
+    * the swap itself are not jointly atomic (no Hadoop filesystem
+    * offers a dir exchange): a crash in that window leaves the intact
+    * original at `codes__old/` and the intact rewrite at
+    * `codes__compact/` — rename either back to `codes/` to recover;
+    * nothing is ever deleted before its replacement is live. */
   def compactIvfPqResidualIndex(spark: org.apache.spark.sql.SparkSession,
                                 path: String,
                                 targetPartitions: Int = 0): Unit = {

@@ -52,6 +52,22 @@ object DocsStreaming {
     graft.operators.ScaleJoins.writeBucketed(
       corpusHashIndex(corpus, textCol), table, "content_hash", buckets)
 
+  /** Grow the bucketed index with a landed batch's hashes — the
+    * per-drop maintenance step: the batch's (deduped) hashes append as
+    * new files in the SAME bucketing spec (Spark validates the spec
+    * against the table, so a mismatched bucket count refuses), and the
+    * next micro-batch's probe sees them with the same exchange-free
+    * scan. O(batch) work; the corpus-sized index is never rewritten.
+    * A hash already present lands again (the probe is existence-only,
+    * so duplicates cost bytes, not correctness) — feed this the
+    * SURVIVORS the ingest admitted, which are new-to-corpus by
+    * construction. */
+  def appendCorpusHashes(landed: DataFrame, textCol: String,
+                         table: String, buckets: Int = 32): Unit =
+    corpusHashIndex(landed, textCol).write.mode("append")
+      .bucketBy(buckets, "content_hash").sortBy("content_hash")
+      .format("parquet").saveAsTable(table)
+
   /** Streaming content dedup: keep the FIRST arrival of each distinct
     * text within the watermark window, and drop anything whose content
     * already exists in the landed corpus.

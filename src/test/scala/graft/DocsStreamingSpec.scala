@@ -158,6 +158,27 @@ class DocsStreamingSpec extends SparkTestBase {
         val above = lines.slice(math.max(0, scanIdx - 3), scanIdx)
         assert(!above.exists(_.contains("Exchange")),
           "the live micro-batch re-shuffled the bucketed index:\n" + plan)
+        // grow the index with the admitted survivor, then re-deliver
+        // it: the appended hash must drop the duplicate, and the probe
+        // must STILL scan the grown index without an exchange
+        DocsStreaming.appendCorpusHashes(
+          Seq((5000L, goodText("fresh"))).toDF("doc_id", "text"),
+          "text", "graft_corpus_hashes_live", buckets = 4)
+        mem.addData((5001L, t0, goodText("fresh")))
+        q.processAllAvailable()
+        assert(spark.sql("select doc_id from bq_live").as[Long]
+          .collect().toSeq == Seq(5000L),
+          "a re-delivered survivor must drop against the grown index")
+        val baos2 = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(baos2, true, "UTF-8")) {
+          q.explain(extended = false)
+        }
+        val lines2 = baos2.toString("UTF-8").split("\n").toSeq
+        val scan2 = lines2.indexWhere(_.contains("graft_corpus_hashes_live"))
+        assert(scan2 >= 0 && !lines2.slice(math.max(0, scan2 - 3), scan2)
+          .exists(_.contains("Exchange")),
+          "the grown index must still probe exchange-free:\n" +
+            lines2.mkString("\n"))
       } finally q.stop()
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
