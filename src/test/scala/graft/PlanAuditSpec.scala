@@ -283,6 +283,26 @@ class PlanAuditSpec extends SparkTestBase {
       "bpe encode must not route through a UDF:\n" + p)
   }
 
+  test("ds_ingest: keep-first windows by content_hash (never a global " +
+      "window) and the exact-token gates stay in the scan stage") {
+    val p = plan("ds_ingest")
+    // the keep-first cut must be a hash-partitioned window — a window
+    // with an empty partition spec serializes the whole drop through
+    // one task at 100 TB. In the printed plan the partition columns
+    // lead the windowspecdefinition, so the spec must OPEN with
+    // content_hash (a global window opens with the ORDER BY columns)
+    val spec = "windowspecdefinition\\(([^)]*)\\)".r
+      .findFirstMatchIn(p).map(_.group(1))
+    assert(spec.exists(_.trim.startsWith("content_hash")),
+      s"keep-first window must partition by content_hash, got spec " +
+        s"'${spec.getOrElse("<none>")}':\n" + p)
+    // the landed-hash probe is a left join keyed on content_hash; no
+    // corpus-side cartesian anywhere in the chain
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the ingest chain must stay equi-keyed:\n" + p)
+  }
+
   test("residual IVF-PQ production probe: codes side never shuffles, " +
       "qc and LUT arrive broadcast") {
     // the production shape: both index halves prebuilt (build-once /
