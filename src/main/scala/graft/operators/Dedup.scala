@@ -472,6 +472,45 @@ object Dedup {
     add.signatures.unpersist()
   }
 
+  /** Compact a [[writeMinhashIndex]] artifact after a run of
+    * [[appendToMinhashIndex]] drops — the maintenance twin of
+    * [[graft.operators.Similarity.compactIvfPqResidualIndex]]: every
+    * append lands its own parquet files in all THREE dirs, and a year
+    * of daily drops leaves thousands of small files whose per-file
+    * open/footer cost dominates the probe long before data volume does.
+    * Each frame rewrites at `targetPartitions` (default: the session's
+    * shuffle parallelism), repartitioned by its PROBE key — hashes by
+    * content_hash, buckets by (band, bucket), signatures by id — so the
+    * incremental probe's joins read the fewest row groups per key. All
+    * stamps are preserved verbatim (the read path verified them before
+    * the rewrite) and each dir replaces via
+    * [[ArtifactMaintenance.stagedSwap]] (crash-safe; dirs swap
+    * independently, and since compaction never changes rows a crash
+    * between dirs leaves a mixed-layout but data-identical index). */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          targetPartitions: Int = 0): Unit = {
+    val idx = readMinhashIndex(spark, path) // stamps verified
+    val n = if (targetPartitions > 0) targetPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sigMeta = idx.signatures.schema("signature").metadata
+    val sigId = idx.signatures.columns.find(_ != "signature").get
+    ArtifactMaintenance.stagedSwap(spark, s"$path/hashes") { staged =>
+      idx.hashes.repartition(n, col("content_hash"))
+        .write.mode("overwrite").parquet(staged)
+    }
+    ArtifactMaintenance.stagedSwap(spark, s"$path/signatures") { staged =>
+      idx.signatures
+        .repartition(n, col(sigId))
+        .select(col(sigId), col("signature").as("signature", sigMeta))
+        .write.mode("overwrite").parquet(staged)
+    }
+    ArtifactMaintenance.stagedSwap(spark, s"$path/buckets") { staged =>
+      idx.buckets.repartition(n, col("band"), col("bucket"))
+        .write.mode("overwrite").parquet(staged)
+    }
+  }
+
   /** Continuous-ingest dedup: the probe-then-append cycle as a
     * Structured Streaming sink. Each micro-batch is probed against the
     * index AS OF that batch ([[incrementalSurvivors]]), the survivors

@@ -1079,14 +1079,8 @@ object Similarity {
     * inverted list lands contiguously — the probe's cid equi-join then
     * reads the fewest row groups per probed list. Stamps are preserved
     * verbatim (the read path verified them before the rewrite) and the
-    * swap is staged: the new files land in `codes__compact/` and only
-    * replace `codes/` after the write succeeds, so a crash during the
-    * REWRITE leaves the original artifact untouched. The two renames of
-    * the swap itself are not jointly atomic (no Hadoop filesystem
-    * offers a dir exchange): a crash in that window leaves the intact
-    * original at `codes__old/` and the intact rewrite at
-    * `codes__compact/` — rename either back to `codes/` to recover;
-    * nothing is ever deleted before its replacement is live. */
+    * rewrite replaces `codes/` via [[ArtifactMaintenance.stagedSwap]]
+    * (crash-safe: nothing is deleted before its replacement is live). */
   def compactIvfPqResidualIndex(spark: org.apache.spark.sql.SparkSession,
                                 path: String,
                                 targetPartitions: Int = 0): Unit = {
@@ -1095,29 +1089,13 @@ object Similarity {
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val meta = idx.codes.schema("codes").metadata
     val diskIdCol = idx.codes.columns.head
-    val staged = s"$path/codes__compact"
-    idx.codes
-      .repartition(n, col("cid"))
-      .select(col(diskIdCol), col("cid"), col("codes").as("codes", meta),
-        col("x_nsq"))
-      .write.mode("overwrite").parquet(staged)
-    // staged swap via the filesystem the path actually lives on (works
-    // for file:// and any Hadoop-compatible store)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(staged).getFileSystem(conf)
-    val live = new org.apache.hadoop.fs.Path(s"$path/codes")
-    val old = new org.apache.hadoop.fs.Path(s"$path/codes__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(live, old),
-      s"compactIvfPqResidualIndex: could not stage out $live")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), live)) {
-      // put the original back before failing — the artifact must never
-      // be left without a live codes/
-      fs.rename(old, live)
-      throw new IllegalStateException(
-        s"compactIvfPqResidualIndex: could not swap $staged into place")
+    ArtifactMaintenance.stagedSwap(spark, s"$path/codes") { staged =>
+      idx.codes
+        .repartition(n, col("cid"))
+        .select(col(diskIdCol), col("cid"), col("codes").as("codes", meta),
+          col("x_nsq"))
+        .write.mode("overwrite").parquet(staged)
     }
-    fs.delete(old, true)
   }
 
   /** Codebook metadata in ONE driver action (m x ksub rows — the same

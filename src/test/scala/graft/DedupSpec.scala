@@ -494,6 +494,48 @@ class DedupSpec extends SparkTestBase {
     assert(b2.select("doc_id").as[Long].collect().toSeq == Seq(21L))
   }
 
+  test("compactMinhashIndex: append-fragmented dirs rewrite to fewer " +
+      "files; probes, stamps, and append-afterwards all keep working") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mh-compact")
+    val path = tmp.resolve("index").toString
+    val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val C = "red orange yellow green blue indigo violet cyan magenta teal pink grey"
+    val D = "north south east west up down left right front back over under"
+    val E = "one two three four five six seven eight nine ten eleven twelve"
+    Dedup.writeMinhashIndex(Seq((1L, A)).toDF("doc_id", "text"),
+      "doc_id", "text", path, sourceTag = "unit")
+    // three daily drops, each its own append
+    for ((id, txt) <- Seq((10L, C), (11L, D), (12L, E)))
+      Dedup.appendToMinhashIndex(Seq((id, txt)).toDF("doc_id", "text"),
+        "doc_id", "text", path)
+    def files(sub: String): Int =
+      new java.io.File(s"$path/$sub").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    def probe() = Dedup.incrementalSurvivors(
+        Seq((20L, A), (21L, C.replace("grey", "zz")),
+          (22L, "totally fresh words nothing shared with any corpus doc at all"))
+          .toDF("doc_id", "text"),
+        Dedup.readMinhashIndex(spark, path, expectedSource = Some("unit")),
+        "doc_id", "text", threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSeq
+    val before = probe()
+    val filesBefore = Seq("hashes", "signatures", "buckets").map(files)
+    Dedup.compactMinhashIndex(spark, path, targetPartitions = 1)
+    val filesAfter = Seq("hashes", "signatures", "buckets").map(files)
+    assert(filesAfter.zip(filesBefore).forall { case (a, b) => a < b },
+      s"every dir must shrink: $filesBefore -> $filesAfter")
+    assert(probe() == before && before == Seq(22L))
+    // stamps survived (read demands them) and the index still GROWS:
+    // append after compaction, and the new doc dedups later arrivals
+    Dedup.appendToMinhashIndex(Seq((30L, "brand new appended doc words "
+      + "for the post compaction growth check here")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    val idx2 = Dedup.readMinhashIndex(spark, path,
+      expectedSource = Some("unit"))
+    assert((idx2.numHashes, idx2.bands) == ((64, 16)))
+    assert(idx2.hashes.count() == 5)
+  }
+
   test("minhash index provenance: a probe expecting a different source refuses") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mh-prov")
     val path = tmp.resolve("index").toString
