@@ -880,6 +880,30 @@ object Bench {
         synth50k(s), "vec_id", "embedding", cents)
         .groupBy("cid").count()
     }),
+    "bench_km50k_guard" -> ((s, _) => setup(s, "guard_km") {
+      // "the sampled trainer is faster" only counts at stated quality:
+      // full-corpus inertia (1 - cosine to the assigned centroid,
+      // summed) under the sampled centroids must stay within 10% of the
+      // full trainer's. Fully deterministic (md5 corpus, md5 sample,
+      // 6dp trajectories), so the band cannot flip on JVM temperature —
+      // measured 1.0102x on the rig
+      val sim = graft.operators.Similarity
+      val full = sim.kmeans(synth50k(s), "vec_id", "embedding",
+        k = KmK, iters = KmIters)
+      val sampled = sim.kmeansSampled(synth50k(s), "vec_id", "embedding",
+        k = KmK, sampleN = KmSampleN, iters = KmIters)
+      val fi = sim.kmeansInertia(synth50k(s), "vec_id", "embedding", full)
+      val si = sim.kmeansInertia(synth50k(s), "vec_id", "embedding",
+        sampled)
+      System.err.println(
+        f"bench_km50k_guard: inertia full=$fi%.3f sampled=$si%.3f " +
+          f"ratio=${si / fi}%.4f")
+      if (!(si <= 1.10 * fi)) throw new IllegalStateException(
+        f"sampled-trainer quality floor failed: inertia $si%.3f vs " +
+          f"full $fi%.3f (> 1.10x)")
+      s.range(1).select(lit(fi).as("inertia_full"),
+        lit(si).as("inertia_sampled"))
+    }),
     "bench_lsh50k_pq_guard" -> ((s, _) => setup(s, "guard_pq") {
       // the 100 TB claim, measured: serialize the float32 corpus and
       // the complete PQ index (codes + codebooks) the way a deployment
@@ -1545,7 +1569,8 @@ object Bench {
   private[graft] val certificationOnly: Set[String] = Set(
     "ds_curate_staged", "bench_lsh50k_recall", "bench_lsh50k_pq_guard",
     "bench_dd50k_recall",
-    "bench_cc_guard", "bench_asof_guard", "bench_rj_guard",
+    "bench_cc_guard", "bench_km50k_guard",
+    "bench_asof_guard", "bench_rj_guard",
     "bench_skew_guard", "bench_hh_guard", "bench_layout_guard",
     "bench_bpe_guard", "bench_bpe_train5m_guard",
     "bench_layout2d_guard", "bench_layout3d_guard",
@@ -1622,6 +1647,7 @@ object Bench {
         "queries/Pipeline.scala"),
       "bench_lsh50k_recall" -> sim,
       "bench_lsh50k_pq_guard" -> sim,
+      "bench_km50k_guard" -> sim,
       "bench_dd50k_recall" -> Seq("operators/Dedup.scala"),
       "bench_cc_guard" -> Seq("operators/Dedup.scala"),
       "bench_asof_guard" -> Seq("operators/AsOfJoin.scala"),
@@ -2214,13 +2240,17 @@ object Bench {
         s"minhash x${ratio(q("bench_dd50k_minhash"), q("bench_dd12k_minhash"))} " +
         "(4x docs: the df^2 term vs shingle-linear signatures)."),
       "kmrig" -> (stamp + "\n\n" +
-        table(Seq("bench_km50k_full", "bench_km50k_sampled")) + "\n\n" +
+        table(Seq("bench_km50k_full", "bench_km50k_sampled",
+          "bench_km50k_guard")) + "\n\n" +
         s"full/sampled same-block training ratio ${sameBlockRatio(q("bench_km50k_full"), q("bench_km50k_sampled"))}x " +
         s"at k=$KmK, $KmIters iterations, ${KmSampleN} of 50k vectors " +
         "sampled — both contenders end with the identical full-corpus " +
         "assignment, so the delta is training cost alone; at 100 TB " +
         "the sampled trainer's per-iteration cost is fixed while the " +
-        "full trainer's grows with the corpus."),
+        "full trainer's grows with the corpus. The win only counts at " +
+        "stated quality: bench_km50k_guard THROWS if full-corpus " +
+        "inertia under the sampled centroids exceeds 1.10x the full " +
+        "trainer's (deterministic rig; measured 1.0102x)."),
       "ddinc" -> (stamp + "\n\n" +
         table(Seq("bench_ddinc_inline", "bench_ddinc_probe")) + "\n\n" +
         s"inline-recompute/index-probe ratio ${ratio(q("bench_ddinc_inline"), q("bench_ddinc_probe"))}x " +

@@ -902,6 +902,58 @@ object Similarity {
     PqIndex(books, codes, bm, bdsub)
   }
 
+  /** Incremental append to a [[writePqIndex]] artifact — the flat-PQ
+    * twin of [[appendIvfPqResidualIndex]]: the batch encodes against
+    * the artifact's OWN books (every stamp verified first through
+    * [[readPqIndex]] — appending under retrained books refuses before
+    * writing a byte) and appends to `codes/`. Same duplicate-id guard,
+    * same O(batch) cost shape. */
+  def appendPqIndex(newDocs: DataFrame, idCol: String, vecCol: String,
+                    path: String,
+                    expectedSource: Option[String] = None,
+                    requireNewIds: Boolean = true): Unit = {
+    val spark = newDocs.sparkSession
+    val idx = readPqIndex(spark, path, expectedSource)
+    val diskIdCol = idx.codes.columns.head
+    if (requireNewIds) {
+      val overlap = idx.codes.select(col(diskIdCol).as("__idx_id"))
+        .join(broadcast(newDocs.select(col(idCol).as("__idx_id"))
+          .distinct()), "__idx_id")
+        .limit(1).count()
+      require(overlap == 0,
+        s"appendPqIndex: the batch shares ids with the index at $path " +
+          "— a re-delivered drop would duplicate neighbors in every " +
+          "probe (set requireNewIds = false only if upstream id " +
+          "discipline guarantees disjointness)")
+    }
+    val meta = idx.codes.schema("codes").metadata
+    pqEncode(newDocs, idCol, vecCol, idx.books)
+      .select(col(idCol).as(diskIdCol), col("codes").as("codes", meta),
+        col("r_nsq"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Compact a [[writePqIndex]] artifact's `codes/` after a run of
+    * [[appendPqIndex]] drops — flat-PQ twin of
+    * [[compactIvfPqResidualIndex]]. The flat scan has no probe key, so
+    * the rewrite just normalizes file sizes at `targetPartitions`
+    * (default: the session's shuffle parallelism); stamps preserved,
+    * swap via [[ArtifactMaintenance.stagedSwap]]. */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String, targetPartitions: Int = 0): Unit = {
+    val idx = readPqIndex(spark, path) // stamps verified
+    val n = if (targetPartitions > 0) targetPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val meta = idx.codes.schema("codes").metadata
+    val diskIdCol = idx.codes.columns.head
+    ArtifactMaintenance.stagedSwap(spark, s"$path/codes") { staged =>
+      idx.codes.repartition(n)
+        .select(col(diskIdCol), col("codes").as("codes", meta),
+          col("r_nsq"))
+        .write.mode("overwrite").parquet(staged)
+    }
+  }
+
   /** A materialized RESIDUAL IVF-PQ index read back probe-ready: the
     * coarse centroids, the residual codebooks, and the encoded corpus —
     * all three halves of the artifact, because residual codes are only

@@ -559,8 +559,9 @@ class BenchSpec extends AnyFunSuite {
       "bench_dd50k_minhash", "bench_dd50k_recall",
       "bench_dd12k_ngram", "bench_dd12k_minhash",
       // coarse-quantizer training crossover: full-corpus kmeans
-      // iterations vs the md5-rank-sampled trainer, same final assign
-      "bench_km50k_full", "bench_km50k_sampled",
+      // iterations vs the md5-rank-sampled trainer, same final assign,
+      // plus the deterministic inertia-parity quality guard
+      "bench_km50k_full", "bench_km50k_sampled", "bench_km50k_guard",
       // incremental dedup crossover: inline corpus recompute vs the
       // contract query's materialized-index probe path
       "bench_ddinc_inline", "bench_ddinc_probe",

@@ -436,6 +436,46 @@ class PqSpec extends SparkTestBase {
     assert(ex2.getMessage.contains("fingerprint"))
   }
 
+  test("appendPqIndex + compactPqIndex: the flat index grows O(batch), " +
+      "duplicate ids refuse, compaction keeps probes equal") {
+    val corpus = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 128.0f)))
+      .toDF("id", "vec")
+    val books = Similarity.pqTrain(corpus, "id", "vec", m = 2, ksub = 4)
+    val incPath = java.nio.file.Files
+      .createTempDirectory("pq_inc").toString
+    val fullPath = java.nio.file.Files
+      .createTempDirectory("pq_full").toString
+    Similarity.writePqIndex(corpus.filter(col("id") < 16), "id", "vec",
+      books, incPath, sourceTag = "unit")
+    for (lo <- 16 until 32 by 8)
+      Similarity.appendPqIndex(
+        corpus.filter(col("id") >= lo && col("id") < lo + 8),
+        "id", "vec", incPath, expectedSource = Some("unit"))
+    Similarity.writePqIndex(corpus, "id", "vec", books, fullPath)
+    def probe(path: String) = {
+      val idx = Similarity.readPqIndex(spark, path)
+      Similarity.pqTopK(corpus, corpus.filter(col("id") < 3), "id",
+          "vec", idx.books, k = 3, prebuiltCodes = Some(idx.codes))
+        .select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().toSet
+    }
+    assert(probe(incPath) == probe(fullPath) && probe(incPath).nonEmpty,
+      "base+append must probe identically to a from-scratch build")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendPqIndex(corpus.filter(col("id") < 2), "id", "vec",
+        incPath)
+    }
+    assert(ex.getMessage.contains("shares ids"))
+    val before = probe(incPath)
+    val filesBefore = new java.io.File(s"$incPath/codes").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    Similarity.compactPqIndex(spark, incPath, targetPartitions = 1)
+    val filesAfter = new java.io.File(s"$incPath/codes").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesAfter < filesBefore && probe(incPath) == before)
+  }
+
   test("compactIvfPqResidualIndex: append-fragmented codes rewrite to " +
       "fewer, cid-contiguous files; probes and stamps unchanged") {
     val corpus = (0 until 48).map(i =>
