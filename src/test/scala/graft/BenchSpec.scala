@@ -496,6 +496,17 @@ class BenchSpec extends AnyFunSuite {
     assert(tables("dd50k").contains("naive x5.38"))
     assert(tables("kmrig").contains(
       "full/sampled same-block training ratio 3.33x"))
+    // cold absorption moves a contender's slot-1 sample into coldSecs;
+    // the same-block ratio must still divide by that TRUE slot-1 value
+    // (here 40.0), not by the post-absorption runSecs head
+    val coldTables = Bench.docTables(results.map {
+      case r if r.name == "bench_dd50k_ngram_pruned" =>
+        r.copy(runSecs = Seq(11.5, 11.0), coldSecs = Seq(40.0))
+      case r => r
+    }, "/root/testdata/sf0.1", 3, "fork_per_chunk")
+    assert(coldTables("dd50k").contains(
+      "naive/pruned same-block ratio 0.54x"), // 21.5 / 40.0
+      "same-block ratio must use the cold-reclassified slot-1 sample")
     // contract table only counts contract queries, not bench extras
     // (sim_topk*, dd_embed*, ds_curate, q1_agg = 7 contract entries here)
     assert(tables("contract").contains("7 entries"))
