@@ -169,6 +169,21 @@ class PartitionInvarianceSpec extends SparkTestBase {
     }
   }
 
+  test("kmeansSampled: the sampled trainer survives any layout (the " +
+      "take-N is fully ordered — md5 rank + id tie-break)") {
+    val vecs = (0 until 60).map { i =>
+      val id = (i * 53L + 7L) % 499L
+      val c = i % 3
+      (id, s"g$c", Array(c * 10.0f + (i % 5) * 0.01f,
+        c * -6.0f + (i % 7) * 0.01f))
+    }.toDF("id", "grp", "vec")
+    assertInvariant(vecs, "kmeansSampled") { df =>
+      val cents = Similarity.kmeansSampled(df, "id", "vec", k = 3,
+        sampleN = 20, iters = 3)
+      Similarity.ivfAssign(df, "id", "vec", cents).join(cents, "cid")
+    }
+  }
+
   test("capPerGroup: the kept set survives any layout") {
     val rows = (0 until 90).map { i =>
       val id = (i * 67L + 13L) % 997L
