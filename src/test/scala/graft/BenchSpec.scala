@@ -573,6 +573,10 @@ class BenchSpec extends AnyFunSuite {
       // iterations vs the md5-rank-sampled trainer, same final assign,
       // plus the deterministic inertia-parity quality guard
       "bench_km50k_full", "bench_km50k_sampled", "bench_km50k_guard",
+      // training-only scale ladder at 50k and 200k vectors (the
+      // dd12k/dd50k pattern applied to coarse-quantizer training)
+      "bench_km50k_full_train", "bench_km50k_sampled_train",
+      "bench_km200k_full_train", "bench_km200k_sampled_train",
       // incremental dedup crossover: inline corpus recompute vs the
       // contract query's materialized-index probe path
       "bench_ddinc_inline", "bench_ddinc_probe",
