@@ -2068,13 +2068,16 @@ object Bench {
       // the compact line is budget-pinned (<1800 chars) against the
       // worst case of EVERY claim failing — cap the named list and
       // count the rest, so growing claimSpecs can never overflow the
-      // harness stdout window (the full artifact names them all)
+      // harness stdout window (the full artifact names them all). The
+      // overflow count rides in its own numeric field so every array
+      // entry is a REAL claim name a machine consumer can trust (r14
+      // advice: the synthetic "+N more" element looked like a claim)
       val failedNames = eval.collect { case (n, false) => n }
-      val shown = failedNames.take(8).map(jstr) ++
-        (if (failedNames.size > 8)
-           Seq(jstr(s"+${failedNames.size - 8} more")) else Nil)
+      val shown = failedNames.take(8).map(jstr)
+      val more = if (failedNames.size > 8)
+        s""""claims_failed_more":${failedNames.size - 8},""" else ""
       s""""n_claims":${eval.size},"claims_failed":${
-        shown.mkString("[", ",", "]")},"""
+        shown.mkString("[", ",", "]")},$more"""
     } else {
       val body = eval.map { case (n, v) => jstr(n) + ":" + v }
         .mkString("{", ",", "}")

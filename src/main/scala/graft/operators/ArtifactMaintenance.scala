@@ -19,11 +19,22 @@ object ArtifactMaintenance {
     * the two renames of the swap are not jointly atomic (no Hadoop
     * filesystem offers a dir exchange), so a crash in that window
     * leaves the intact original at `<live>__old` and the intact
-    * rewrite at `<live>__compact` — rename either back to recover;
-    * nothing is deleted before its replacement is live. */
+    * rewrite at `<live>__compact` — nothing is deleted before its
+    * replacement is live, and the next call SELF-HEALS that state at
+    * entry (r14 advice: recovery used to be manual) by renaming the
+    * original back before proceeding.
+    *
+    * Filesystem assumption: dir rename must be a cheap metadata
+    * operation (HDFS, local FS). On object stores (S3A) Hadoop rename
+    * is copy+delete — non-atomic and O(data) — so neither the
+    * crash-safety window nor the cheap-swap cost model holds there;
+    * object-store deployments should front the artifact with a
+    * rename-atomic layer (HDFS, a manifest/commit-marker scheme) rather
+    * than calling this against s3a:// paths directly. */
   private[operators] def stagedSwap(spark: SparkSession, live: String)
                                    (write: String => Unit): Unit = {
     val staged = live + "__compact"
+    healCrashState(spark, live)
     write(staged)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(staged).getFileSystem(conf)
@@ -40,5 +51,31 @@ object ArtifactMaintenance {
         s"stagedSwap: could not swap $staged into place at $livePath")
     }
     fs.delete(old, true)
+  }
+
+  /** Detect and repair the documented [[stagedSwap]] crash state —
+    * live dir missing, `<live>__old` present (a previous swap staged
+    * the original out and died before staging the rewrite in): rename
+    * the intact original back so the next read/rewrite proceeds
+    * normally (r14 advice: recovery used to be manual, and the next
+    * compaction failed at "could not stage out" instead of
+    * self-healing). Any orphaned `<live>__compact` dir is left for the
+    * next rewrite to overwrite. Returns true when a repair was made.
+    * Called at [[stagedSwap]] entry and by each artifact's compaction
+    * entry point BEFORE it reads the artifact (the read would otherwise
+    * fail on the missing live dir). */
+  private[operators] def healCrashState(spark: SparkSession,
+                                        live: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val livePath = new org.apache.hadoop.fs.Path(live)
+    val fs = livePath.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(live + "__old")
+    if (!fs.exists(livePath) && fs.exists(old)) {
+      require(fs.rename(old, livePath),
+        s"healCrashState: found crash state (no live dir, $old " +
+          s"present) but could not rename the original back to " +
+          s"$livePath — manual recovery required")
+      true
+    } else false
   }
 }

@@ -490,6 +490,10 @@ object Dedup {
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String,
                           targetPartitions: Int = 0): Unit = {
+    // repair a swap that crashed mid-exchange on any of the three dirs
+    // before reading (the read would otherwise fail on a missing dir)
+    for (d <- Seq("hashes", "signatures", "buckets"))
+      ArtifactMaintenance.healCrashState(spark, s"$path/$d")
     val idx = readMinhashIndex(spark, path) // stamps verified
     val n = if (targetPartitions > 0) targetPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt

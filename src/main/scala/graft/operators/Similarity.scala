@@ -941,6 +941,9 @@ object Similarity {
     * swap via [[ArtifactMaintenance.stagedSwap]]. */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
                      path: String, targetPartitions: Int = 0): Unit = {
+    // repair a swap that crashed mid-exchange before reading (the read
+    // below would otherwise fail on the missing live dir)
+    ArtifactMaintenance.healCrashState(spark, s"$path/codes")
     val idx = readPqIndex(spark, path) // stamps verified
     val n = if (targetPartitions > 0) targetPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -962,6 +965,14 @@ object Similarity {
     * it; probing against retrained centroids mis-scores silently). */
   case class IvfPqResidualIndex(centroids: DataFrame, books: DataFrame,
                                 codes: DataFrame, m: Int, dsub: Int)
+
+  /** Fingerprint-algorithm version stamped alongside `ivfCentsFp`:
+    * bump when [[centroidFingerprint]]'s byte derivation changes, so a
+    * recompute-vs-stamp mismatch can tell "the artifact tore" from
+    * "the algorithm moved under an intact artifact" (r14 advice — the
+    * v1→v2 string-to-raw-bits switch made every pre-v2 artifact report
+    * a false tear). v2 = raw IEEE-754 bits. */
+  private val CentroidFpVersion = 2L
 
   /** Deterministic fingerprint of a coarse-centroid frame (k rows — the
     * bounded-scalar class): sha-256 over the cid-sorted (cid, centroid)
@@ -1015,6 +1026,13 @@ object Similarity {
       .putLong("pqM", m).putLong("pqDsub", dsub)
       .putLong("pqLut", offsets.last)
       .putString("ivfCentsFp", centroidFingerprint(cents, "cid", "centroid"))
+      // fingerprint-ALGORITHM version (r14 advice): v2 = raw IEEE-754
+      // bits. A mismatch on an artifact WITHOUT this key means the
+      // algorithm changed since it was written (v1 string-rendered
+      // doubles), not that the artifact tore — read distinguishes the
+      // two so an intact pre-v2 index gets a rebuild/restamp message
+      // instead of a false tear report.
+      .putLong("ivfCentsFpV", CentroidFpVersion)
     if (sourceTag.nonEmpty) b.putString("source", sourceTag)
     val meta = b.build()
     cents.write.mode("overwrite").parquet(s"$path/cents")
@@ -1066,10 +1084,28 @@ object Similarity {
         "codes were encoded")
     val cents = spark.read.parquet(s"$path/cents")
     val fp = centroidFingerprint(cents, "cid", "centroid")
-    require(fp == m.getString("ivfCentsFp"),
-      s"residual IVF-PQ index at $path is torn: the coarse centroids " +
-        "do not fingerprint-match the set these codes were encoded " +
-        "under — residuals and q·centroid terms would both mis-score")
+    if (fp != m.getString("ivfCentsFp")) {
+      // distinguish a real tear from a fingerprint-ALGORITHM change
+      // over an intact artifact (r14 advice): a stamp written by an
+      // older fingerprint version cannot match the current recompute
+      // no matter how intact the centroids are — name that cause and
+      // its remedy instead of reporting a tear
+      if (!m.contains("ivfCentsFpV") ||
+          m.getLong("ivfCentsFpV") != CentroidFpVersion) {
+        val got = if (m.contains("ivfCentsFpV"))
+          s"v${m.getLong("ivfCentsFpV")}" else "pre-versioning (v1)"
+        throw new IllegalArgumentException(
+          s"residual IVF-PQ index at $path was stamped with " +
+            s"fingerprint algorithm $got but this reader computes " +
+            s"v$CentroidFpVersion — the artifact is likely intact; " +
+            "rebuild it with writeIvfPqResidualIndex (or restamp the " +
+            "codes metadata) to certify it under the current algorithm")
+      }
+      throw new IllegalArgumentException(
+        s"residual IVF-PQ index at $path is torn: the coarse centroids " +
+          "do not fingerprint-match the set these codes were encoded " +
+          "under — residuals and q·centroid terms would both mis-score")
+    }
     IvfPqResidualIndex(cents, books, codes, bm, bdsub)
   }
 
@@ -1136,6 +1172,9 @@ object Similarity {
   def compactIvfPqResidualIndex(spark: org.apache.spark.sql.SparkSession,
                                 path: String,
                                 targetPartitions: Int = 0): Unit = {
+    // repair a swap that crashed mid-exchange before reading (the read
+    // below would otherwise fail on the missing live dir)
+    ArtifactMaintenance.healCrashState(spark, s"$path/codes")
     val idx = readIvfPqResidualIndex(spark, path) // every stamp verified
     val n = if (targetPartitions > 0) targetPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt

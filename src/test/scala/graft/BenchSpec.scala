@@ -451,6 +451,24 @@ class BenchSpec extends AnyFunSuite {
       "sf", "4", 3))
     assert(skew.get("claims").get("cc_skew_within_2x").asBoolean())
     assert(skew.get("n_claims_failed").asInt() == 0)
+    // overflow past the 8-name cap: the array carries REAL claim names
+    // only, the remainder rides in the numeric claims_failed_more field
+    // (r14 advice: a synthetic "+N more" element looked like a name)
+    val allFail = Bench.claimSpecs.flatMap { case (_, l, rr, _) =>
+      Seq(qt(l, 1000.0), qt(rr, 0.001)) }.distinctBy(_.name)
+    val vals = allFail.map(q => q.name -> q.secs).toMap
+    val expFailed = Bench.claimSpecs.collect {
+      case (n, l, rr, f) if !(vals(l) < f * vals(rr)) => n }
+    // the construction must genuinely exercise the overflow branch —
+    // if claimSpecs ever shrinks below 9 failable claims, revisit this
+    assert(expFailed.size > 8)
+    val flood = mapper.readTree(Bench.renderCompact(allFail, "sf", "4", 3))
+    assert(flood.get("n_claims").asInt() == Bench.claimSpecs.size)
+    val shownNames = (0 until flood.get("claims_failed").size())
+      .map(flood.get("claims_failed").get(_).asText())
+    assert(shownNames == expFailed.take(8))
+    assert(shownNames.forall(names.contains))
+    assert(flood.get("claims_failed_more").asInt() == expFailed.size - 8)
     // missing or errored operands: claim omitted entirely, never guessed
     val errd = Seq(qt("bench_dd50k_ngram_pruned", 10.0),
       Bench.QTime("bench_dd50k_ngram", 0.0, 0.0, Some("boom")))

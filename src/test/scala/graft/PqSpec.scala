@@ -545,4 +545,74 @@ class PqSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("retrained"))
   }
+
+  test("fingerprint version stamp: a mismatch on a pre-versioning " +
+      "artifact names the algorithm change, not a tear (r14 advice)") {
+    val corpus = (0 until 16).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 64.0f)))
+      .toDF("id", "vec")
+    val cents = Seq((0, Array(0.1, 0.1, 0.1, 0.1)),
+      (1, Array(0.8, 0.8, 0.8, 0.8))).toDF("cid", "centroid")
+    val resid = Similarity.ivfResiduals(corpus, "id", "vec", cents)
+    val books = Similarity.pqTrain(resid, "id", "rvec", m = 2, ksub = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("respq_fpv").toString
+    Similarity.writeIvfPqResidualIndex(corpus, "id", "vec", cents, books,
+      path)
+    // simulate a pre-versioning write: same intact data, but the codes
+    // metadata carries a fingerprint the CURRENT algorithm cannot
+    // reproduce (v1 string-rendered doubles) and no version key
+    val codes = spark.read.parquet(s"$path/codes").localCheckpoint(true)
+    val m0 = codes.schema("codes").metadata
+    val legacy = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("pqM", m0.getLong("pqM"))
+      .putLong("pqDsub", m0.getLong("pqDsub"))
+      .putLong("pqLut", m0.getLong("pqLut"))
+      .putString("ivfCentsFp", "0" * 64)
+      .build()
+    codes.select(col("id"), col("cid"),
+        col("codes").as("codes", legacy), col("x_nsq"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.readIvfPqResidualIndex(spark, path)
+    }
+    assert(ex.getMessage.contains("fingerprint algorithm") &&
+      ex.getMessage.contains("rebuild"),
+      s"expected the algorithm-change message, got: ${ex.getMessage}")
+    assert(!ex.getMessage.contains("torn"))
+  }
+
+  test("compaction self-heals the staged-swap crash state: live dir " +
+      "missing, __old present (r14 advice)") {
+    val corpus = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 128.0f)))
+      .toDF("id", "vec")
+    val books = Similarity.pqTrain(corpus, "id", "vec", m = 2, ksub = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_heal").toString
+    Similarity.writePqIndex(corpus, "id", "vec", books, path,
+      sourceTag = "unit")
+    def probe() = {
+      val idx = Similarity.readPqIndex(spark, path,
+        expectedSource = Some("unit"))
+      Similarity.pqTopK(corpus, corpus.filter(col("id") < 3), "id",
+          "vec", idx.books, k = 3, prebuiltCodes = Some(idx.codes))
+        .select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().toSet
+    }
+    val before = probe()
+    // simulate a swap that crashed between its two renames: the intact
+    // original sits at codes__old, an orphaned rewrite at
+    // codes__compact, and there is NO live codes dir
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.move(dir.resolve("codes"),
+      dir.resolve("codes__old"))
+    java.nio.file.Files.createDirectory(dir.resolve("codes__compact"))
+    // the next compaction heals at entry (pre-heal, its read failed on
+    // the missing live dir) and completes normally
+    Similarity.compactPqIndex(spark, path, targetPartitions = 1)
+    assert(probe() == before && before.nonEmpty)
+    assert(!java.nio.file.Files.exists(dir.resolve("codes__old")) &&
+      !java.nio.file.Files.exists(dir.resolve("codes__compact")))
+  }
 }
