@@ -149,6 +149,16 @@ object Bench {
   private val KmIters = 4
   private val KmSampleN = 2048
   private val Km200kN = 200000L
+  // counted-metric band for bench_bpe_enc_guard (r15, replacing the
+  // noise-fragile seconds claim enc8k_tracks_passes_not_merges): the
+  // 8192-merge kernel may execute at most this many times the 1024-
+  // merge kernel's per-word lowest-rank scan passes on the same corpus.
+  // The merge TABLE grows 8x; the executed passes grow only by merges
+  // that newly APPLY (bounded by word length). Measured on the rig:
+  // 1.050x (12,399,772 -> 13,022,677 passes; deterministic — same
+  // corpus, same merges, counted not timed); band 1.4 clears it by
+  // 1.33x, above the r14 verdict's 1.3x minimum margin.
+  private val BpeEncPassRatioBand = 1.4
   private val Cc450kNodes = 460000L  // chain components of 46 -> 450k edges
   private val Cc450kSize = 46
   private val Cc2mNodes = 2050000L   // chain components of 41 -> 2M edges
@@ -1407,17 +1417,86 @@ object Bench {
     // r12: the kernel encode path at production merge counts. enc8k
     // runs the full 8192-merge table (over the kernelThreshold, so the
     // mapPartitions rank-loop engages); the 1k twin runs the SAME
-    // kernel on the same corpus with an eighth of the table — the
-    // claim is that kernel cost tracks per-word merge PASSES (bounded
-    // by word length), not merge-table size, which is what makes 32k+
-    // vocabularies encodable in ~one vocab pass instead of ~2,000
-    // checkpointed expression stages.
+    // kernel on the same corpus with an eighth of the table. What makes
+    // 32k+ vocabularies encodable in ~one vocab pass instead of ~2,000
+    // checkpointed expression stages is that kernel cost tracks
+    // per-word merge PASSES (bounded by word length), not merge-table
+    // size — since r15 that statement is certified by
+    // bench_bpe_enc_guard's COUNTED pass ratio, not by these seconds
+    // (see the policy note at claimSpecs: the r12-r14 seconds claim
+    // flipped on JVM temperature in the r14 artifact of record).
     "bench_bpe_enc8k" -> ((s, _) =>
       graft.operators.Bpe.encodeTokenCounts(bpeSynthCorpus(s), "doc_id",
         "text", bpeSynthMerges(s))),
     "bench_bpe_enc1k_kernel" -> ((s, _) =>
       graft.operators.Bpe.encodeTokenCounts(bpeSynthCorpus(s), "doc_id",
         "text", bpeSynthMerges(s).take(1024), kernelThreshold = 0)),
+
+    // r15: the counted-metric restatement of the r12 seconds claim
+    // `enc8k_tracks_passes_not_merges`, which FAILED in the r14
+    // artifact of record at 1.97x vs its 1.5 band while a same-evening
+    // builder run measured it green — a claim two same-day runs
+    // disagree on is JVM noise, not a conclusion (the hh/layout/
+    // bpe_guard policy, now applied here too; the enc1k denominator's
+    // own spread was [6.80, 14.71] s). The kernel's scaling statement
+    // is about WORK: per word it runs lowest-rank scan PASSES
+    // (<= applied merges + 1 <= word length), so an 8x merge table may
+    // only grow the executed pass count by the extra merges that now
+    // APPLY — bounded by word length — never by table size. This guard
+    // counts the passes deterministically and hard-asserts
+    // (a) kernel == expression-path answers at 1024 merges on a
+    // deterministic subsample (the BpeSpec 512-merge equality pin,
+    // promoted into the rig at production size), (b) the theory bound
+    // passes <= total symbols, and (c) the 8k/1k pass ratio within
+    // [[BpeEncPassRatioBand]] — a counted ratio JVM temperature cannot
+    // flip. Seconds for the enc8k/enc1k twins stay REPORTED, unclaimed.
+    "bench_bpe_enc_guard" -> ((s, _) => setup(s, "guard_bpe_enc") {
+      import graft.operators.Bpe
+      val words = bpeSynthCorpus(s)
+        .select(explode(Bpe.normalizeWords(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .distinct()
+        .localCheckpoint()
+      val merges = bpeSynthMerges(s)
+      val sub = words.filter(abs(xxhash64(col("word"))) % 16 === 0)
+        .localCheckpoint()
+      val exprSub = Bpe.batchedVocab(sub, merges.take(1024))
+        .localCheckpoint()
+      val kernSub = Bpe.kernelVocab(sub, merges.take(1024))
+        .localCheckpoint()
+      val disagree = exprSub.except(kernSub).count() +
+        kernSub.except(exprSub).count()
+      if (disagree > 0) throw new IllegalStateException(
+        s"bpe enc kernel disagrees with the expression path on " +
+          s"$disagree (word, n_tok) rows at 1024 merges")
+      val acc1 = s.sparkContext.longAccumulator("bpe_passes_1k")
+      val acc8 = s.sparkContext.longAccumulator("bpe_passes_8k")
+      Bpe.kernelVocab(words, merges.take(1024), Some(acc1))
+        .agg(sum(col("n_tok"))).collect()
+      Bpe.kernelVocab(words, merges, Some(acc8))
+        .agg(sum(col("n_tok"))).collect()
+      val totalSyms = words.select(sum(length(col("word"))))
+        .collect()(0).getLong(0)
+      if (acc8.value > totalSyms) throw new IllegalStateException(
+        s"bpe enc kernel executed ${acc8.value} passes at 8192 merges " +
+          s"over $totalSyms total symbols — the passes-bounded-by-word-" +
+          "length invariant failed")
+      val ratio = acc8.value.toDouble / math.max(acc1.value, 1L)
+      if (ratio > BpeEncPassRatioBand) throw new IllegalStateException(
+        s"bpe enc kernel pass count grew ${ratio}x from 1024 to 8192 " +
+          s"merges (band $BpeEncPassRatioBand) — kernel work is " +
+          "tracking merge-table size, not per-word applied merges")
+      System.err.println(s"bench_bpe_enc_guard: answers equal on " +
+        s"${kernSub.count()} subsampled words; passes 1k=${acc1.value} " +
+        s"8k=${acc8.value} (${math.round(ratio * 1000) / 1000.0}x, " +
+        s"band $BpeEncPassRatioBand; table grew 8x), " +
+        s"total symbols=$totalSyms")
+      s.range(1).select(lit(acc1.value).as("passes_1k"),
+        lit(acc8.value).as("passes_8k"),
+        lit(totalSyms).as("total_symbols"),
+        lit(math.round(ratio * 10000) / 10000.0)
+          .as("pass_ratio_8k_over_1k"))
+    }),
 
     "bench_bpe_train5m_guard" -> ((s, _) => setup(s, "guard_bpe5m") {
       // r12 gate-widening certification (r11 verdict #2): the driver
@@ -1600,7 +1679,7 @@ object Bench {
     "bench_cc_guard", "bench_km50k_guard",
     "bench_asof_guard", "bench_rj_guard",
     "bench_skew_guard", "bench_hh_guard", "bench_layout_guard",
-    "bench_bpe_guard", "bench_bpe_train5m_guard",
+    "bench_bpe_guard", "bench_bpe_train5m_guard", "bench_bpe_enc_guard",
     "bench_layout2d_guard", "bench_layout3d_guard",
     "bench_layout2d_skew_guard", "txt_bpe_artifact",
     // artifact write+read+probe round trips, the txt_bpe_artifact
@@ -1690,6 +1769,7 @@ object Bench {
       "bench_layout2d_skew_guard" -> zorder,
       "bench_bpe_guard" -> Seq("operators/Bpe.scala"),
       "bench_bpe_train5m_guard" -> Seq("operators/Bpe.scala"),
+      "bench_bpe_enc_guard" -> Seq("operators/Bpe.scala"),
       "txt_bpe_artifact" -> Seq("operators/Bpe.scala",
         "queries/Pipeline.scala"),
       "sim_topk_pq_idx" -> (sim :+ "queries/Pipeline.scala"),
@@ -2019,13 +2099,19 @@ object Bench {
       ("bucketed_beats_theta_rj",
         "bench_rj_bucketed", "bench_rj_theta", 1.0),
       ("salted_beats_plain_skew_noaqe",
-        "bench_skew_salted", "bench_skew_plain", 1.0),
-      // r12: kernel encode cost tracks per-word merge PASSES (bounded
-      // by word length), not merge-table size — 8192 merges measured
-      // 1.05x the 1024-merge twin on the same corpus/kernel; the claim
-      // leaves headroom for rank-map cache effects at 8x table size
-      ("enc8k_tracks_passes_not_merges",
-        "bench_bpe_enc8k", "bench_bpe_enc1k_kernel", 1.5))
+        "bench_skew_salted", "bench_skew_plain", 1.0))
+  // The BPE encode rig (bench_bpe_enc8k / bench_bpe_enc1k_kernel)
+  // carries NO seconds claim since r15: its r12-r14 claim
+  // `enc8k_tracks_passes_not_merges` (band 1.5) FAILED in the r14
+  // artifact of record at 1.97x while a same-evening run measured it
+  // green — and the denominator's own spread was [6.80, 14.71] s, a
+  // 2.2x swing no band survives. The kernel's conclusion is EXECUTED
+  // PASSES, and bench_bpe_enc_guard asserts it as a hard n_err: the
+  // 8192-merge kernel must stay within BpeEncPassRatioBand of the
+  // 1024-merge kernel's counted per-word scan passes (answers checked
+  // against the expression path first) — the layout/hh/bpe_guard
+  // counted-metric policy. The twins stay timed and interleaved so
+  // their seconds remain visible, just unclaimed.
   // The layout rig (bench_layout_*) carries NO seconds claim, same
   // policy as bench_hh_*: on local[32] with a warm page cache a ~1 GB
   // scan is overhead-dominated (measured ~0.24 s plain vs ~0.22 s

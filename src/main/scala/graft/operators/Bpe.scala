@@ -687,24 +687,34 @@ object Bpe {
     val words = occ.select("word").distinct()
     val vocab =
       if (merges.size > kernelThreshold) kernelVocab(words, merges)
-      else {
-        val batches = merges.grouped(mergesPerStage).toVector
-        var syms = words.withColumn("ws", symbolize(col("word")))
-        for ((batch, i) <- batches.zipWithIndex) {
-          syms = syms.withColumn("ws", batch.foldLeft(col("ws")) {
-            case (c, (l, r)) => applyMerge(c, lit(l), lit(r))
-          })
-          // truncate between batches only — a single-batch chain stays
-          // lazy
-          if (i < batches.size - 1)
-            syms = graft.plans.Checkpoints.truncated(syms)
-        }
-        syms.select(col("word"), size(split(col("ws"), " ")).as("n_tok"))
-      }
+      else batchedVocab(words, merges, mergesPerStage)
     occ.join(vocab, "word")
       .groupBy(col(idCol))
       .agg(sum(col("k") * col("n_tok")).as("n_tokens"),
         sum(col("k")).as("n_words"))
+  }
+
+  /** The expression-path vocabulary derivation behind
+    * [[encodeTokenCounts]]'s default path: (word) -> (word, n_tok) by
+    * applying the merges in training order as batched [[applyMerge]]
+    * projections with checkpoint truncation between batches (see the
+    * cost model in [[encodeTokenCounts]]'s scaladoc). Exposed at
+    * private[graft] so the bench guard can pin kernel == batched on the
+    * same words frame at production merge counts. */
+  private[graft] def batchedVocab(words: DataFrame,
+                                  merges: Seq[(String, String)],
+                                  mergesPerStage: Int = 16): DataFrame = {
+    val batches = merges.grouped(mergesPerStage).toVector
+    var syms = words.withColumn("ws", symbolize(col("word")))
+    for ((batch, i) <- batches.zipWithIndex) {
+      syms = syms.withColumn("ws", batch.foldLeft(col("ws")) {
+        case (c, (l, r)) => applyMerge(c, lit(l), lit(r))
+      })
+      // truncate between batches only — a single-batch chain stays lazy
+      if (i < batches.size - 1)
+        syms = graft.plans.Checkpoints.truncated(syms)
+    }
+    syms.select(col("word"), size(split(col("ws"), " ")).as("n_tok"))
   }
 
   /** The mapPartitions word-merge kernel behind [[encodeTokenCounts]]'s
@@ -715,7 +725,10 @@ object Bpe {
     * identical to sequential application, where the later duplicate
     * finds nothing left to merge. */
   private[graft] def kernelVocab(words: DataFrame,
-                                 merges: Seq[(String, String)]): DataFrame = {
+                                 merges: Seq[(String, String)],
+                                 passCounter: Option[
+                                   org.apache.spark.util.LongAccumulator] =
+                                   None): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
     val ranks: Map[String, Map[String, Int]] = merges.zipWithIndex
@@ -733,6 +746,13 @@ object Bpe {
         while (ci < w.length) { syms += w.substring(ci, ci + 1); ci += 1 }
         var done = syms.length < 2
         while (!done) {
+          // one PASS = one lowest-rank scan over the word's symbols;
+          // per word, passes <= applied merges + 1 <= word length — the
+          // counted metric behind bench_bpe_enc_guard's table-size-
+          // flatness certification (task-retry overcount is the usual
+          // accumulator caveat; the guard runs one deterministic local
+          // job)
+          passCounter.foreach(_.add(1L))
           // lowest-rank adjacent pair present
           var best = Int.MaxValue
           var bi = -1

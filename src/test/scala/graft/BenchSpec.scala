@@ -631,7 +631,11 @@ class BenchSpec extends AnyFunSuite {
       // over the same synthetic vocab corpus) + the 5M-word/32k-merge
       // driver-trainer certification behind autoDictGate
       "bench_bpe_enc8k", "bench_bpe_enc1k_kernel",
-      "bench_bpe_train5m_guard"))
+      "bench_bpe_train5m_guard",
+      // r15: the counted-metric certification that replaced the
+      // noise-fragile enc8k seconds claim (executed kernel passes at
+      // 1024 vs 8192 merges + answer equality vs the expression path)
+      "bench_bpe_enc_guard"))
     assert(extras.intersect(SparkEntry.queries.keySet).isEmpty)
     // extras must NOT leak into Verify/oracle accounting
     assert(extras.intersect(SparkEntry.oracleSql.keySet).isEmpty)

@@ -216,6 +216,26 @@ class BpeSpec extends SparkTestBase {
     assert(kern == Seq((0L, 6L, 3L), (1L, 5L, 3L), (2L, 2L, 2L)))
   }
 
+  test("kernelVocab pass counter: one count per lowest-rank scan, " +
+      "bounded by word length (the bench_bpe_enc_guard metric)") {
+    // paper counts — "aaaa" under [(a,a),(aa,aa)]: pass 1 applies
+    // (a,a) greedily -> [aa,aa], pass 2 applies (aa,aa) -> [aaaa],
+    // length 1 terminates WITHOUT a third scan = 2 passes. "ab" under
+    // the same table: pass 1 finds no pair = 1 pass. "a": too short to
+    // enter the loop = 0 passes. Total 3; every word satisfies
+    // passes <= word length.
+    val words = Seq("aaaa", "ab", "a").toDF("word")
+    val merges = Seq(("a", "a"), ("aa", "aa"))
+    val acc = spark.sparkContext.longAccumulator("passes")
+    // collect WITHOUT a global sort: orderBy's range partitioner runs a
+    // sampling pass that evaluates the kernel a second time and doubles
+    // the accumulator (the guard aggregates for the same reason)
+    val out = Bpe.kernelVocab(words, merges, Some(acc))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+    assert(out == Seq(("a", 1), ("aaaa", 1), ("ab", 2)))
+    assert(acc.value == 3L)
+  }
+
   test("encode stays one lazy projection within a batch; checkpoints " +
       "appear only between batches") {
     // the contract queries ship <=16 merges and their oracle plans must
