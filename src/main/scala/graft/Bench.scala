@@ -1686,7 +1686,9 @@ object Bench {
     // class: their cost is the certification, not a query-time signal
     // (r14: the incremental-append row writes the base index, appends
     // the second half, and re-reads — 3 parquet round trips/execution)
-    "sim_topk_pq_idx", "sim_topk_ivfpq_res_inc")
+    // (r15: the deletion row writes the full index, deletes half, and
+    // re-reads — same artifact-round-trip class)
+    "sim_topk_pq_idx", "sim_topk_ivfpq_res_inc", "sim_topk_ivfpq_res_del")
 
   /** Designed-to-lose control twins (r12 verdict #1): these exist so
     * their cohort partner has something to beat — nobody compares their
@@ -1773,7 +1775,8 @@ object Bench {
       "txt_bpe_artifact" -> Seq("operators/Bpe.scala",
         "queries/Pipeline.scala"),
       "sim_topk_pq_idx" -> (sim :+ "queries/Pipeline.scala"),
-      "sim_topk_ivfpq_res_inc" -> (sim :+ "queries/Pipeline.scala"))
+      "sim_topk_ivfpq_res_inc" -> (sim :+ "queries/Pipeline.scala"),
+      "sim_topk_ivfpq_res_del" -> (sim :+ "queries/Pipeline.scala"))
   }
 
   private def certCachePath(): Option[Path] =

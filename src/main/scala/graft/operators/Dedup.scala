@@ -472,6 +472,60 @@ object Dedup {
     add.signatures.unpersist()
   }
 
+  /** Delete documents from a [[writeMinhashIndex]] artifact by id —
+    * the minhash twin of
+    * [[graft.operators.Similarity.deleteFromIvfPqResidualIndex]]
+    * (right-to-be-forgotten): stamps are verified first through
+    * [[readMinhashIndex]], then each of the three dirs (hashes,
+    * signatures, buckets) is rewritten WITHOUT the given ids via a
+    * left-anti join on its own id column and swapped in crash-safe via
+    * [[ArtifactMaintenance.stagedSwap]] (dirs swap independently; a
+    * crash between dirs leaves a consistent-per-dir index whose next
+    * delete of the same ids is a no-op for the dirs already done).
+    * Hyperparameter stamps are preserved verbatim. Ids absent from the
+    * index are a no-op. Returns the number of documents removed
+    * (signature rows — one per doc).
+    *
+    * Cost shape: parquet immutability makes any delete a full rewrite
+    * of all three dirs — batch deletion requests and apply them in one
+    * pass (or fold them into the next [[compactMinhashIndex]] window)
+    * at production scale. */
+  def deleteFromMinhashIndex(ids: DataFrame, idCol: String,
+                             path: String): Long = {
+    val spark = ids.sparkSession
+    val idx = readMinhashIndex(spark, path) // stamps verified
+    val sigMeta = idx.signatures.schema("signature").metadata
+    val sigId = idx.signatures.columns.find(_ != "signature").get
+    val bktId = idx.buckets.columns
+      .find(c => c != "band" && c != "bucket").get
+    val hashId = idx.hashes.columns.find(_ != "content_hash").get
+    // materialize the id set first: it may derive from the index
+    // itself, and the swaps rename the dirs the plan would re-read
+    val del = ids.select(col(idCol).as("__del_id")).distinct()
+      .localCheckpoint()
+    val before = idx.signatures.count() // footer stats, not a scan
+    ArtifactMaintenance.stagedSwap(spark, s"$path/hashes") { staged =>
+      idx.hashes
+        .join(del.select(col("__del_id").as(hashId)), Seq(hashId),
+          "left_anti")
+        .write.mode("overwrite").parquet(staged)
+    }
+    ArtifactMaintenance.stagedSwap(spark, s"$path/signatures") { staged =>
+      idx.signatures
+        .join(del.select(col("__del_id").as(sigId)), Seq(sigId),
+          "left_anti")
+        .select(col(sigId), col("signature").as("signature", sigMeta))
+        .write.mode("overwrite").parquet(staged)
+    }
+    ArtifactMaintenance.stagedSwap(spark, s"$path/buckets") { staged =>
+      idx.buckets
+        .join(del.select(col("__del_id").as(bktId)), Seq(bktId),
+          "left_anti")
+        .write.mode("overwrite").parquet(staged)
+    }
+    before - spark.read.parquet(s"$path/signatures").count()
+  }
+
   /** Compact a [[writeMinhashIndex]] artifact after a run of
     * [[appendToMinhashIndex]] drops — the maintenance twin of
     * [[graft.operators.Similarity.compactIvfPqResidualIndex]]: every

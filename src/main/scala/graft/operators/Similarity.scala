@@ -933,6 +933,43 @@ object Similarity {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** Delete rows from a [[writePqIndex]] artifact by id — FAISS's
+    * `remove_ids` applied to the parquet-backed index (the
+    * right-to-be-forgotten operation): every stamp is verified first
+    * through [[readPqIndex]], then `codes/` is rewritten WITHOUT the
+    * given ids via a left-anti join and swapped in crash-safe
+    * ([[ArtifactMaintenance.stagedSwap]] — nothing is deleted before
+    * the replacement is live). Stamps are preserved verbatim; the
+    * books half is untouched (codes encoded under it remain valid).
+    * Ids absent from the index are a no-op, mirroring remove_ids.
+    * Returns the number of code rows removed (both counts are parquet
+    * footer-stat reads, not scans).
+    *
+    * Cost shape: parquet immutability makes any delete a full codes/
+    * rewrite — O(index), like FAISS's array compaction. At 100 TB
+    * batch deletion requests and apply them in one pass (or fold them
+    * into the next [[compactPqIndex]] window) rather than rewriting
+    * per id. */
+  def deleteFromPqIndex(ids: DataFrame, idCol: String, path: String,
+                        expectedSource: Option[String] = None): Long = {
+    val spark = ids.sparkSession
+    val idx = readPqIndex(spark, path, expectedSource)
+    val diskIdCol = idx.codes.columns.head
+    val meta = idx.codes.schema("codes").metadata
+    // materialize the id set first: it may derive from the index
+    // itself, and the swap renames the dir the plan would re-read
+    val del = ids.select(col(idCol).as(diskIdCol)).distinct()
+      .localCheckpoint()
+    val before = idx.codes.count()
+    ArtifactMaintenance.stagedSwap(spark, s"$path/codes") { staged =>
+      idx.codes.join(del, Seq(diskIdCol), "left_anti")
+        .select(col(diskIdCol), col("codes").as("codes", meta),
+          col("r_nsq"))
+        .write.mode("overwrite").parquet(staged)
+    }
+    before - spark.read.parquet(s"$path/codes").count()
+  }
+
   /** Compact a [[writePqIndex]] artifact's `codes/` after a run of
     * [[appendPqIndex]] drops — flat-PQ twin of
     * [[compactIvfPqResidualIndex]]. The flat scan has no probe key, so
@@ -1155,6 +1192,39 @@ object Similarity {
       .select(col(idCol).as(diskIdCol), col("cid"),
         col("codes").as("codes", meta), col("x_nsq"))
       .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Delete rows from a [[writeIvfPqResidualIndex]] artifact by id —
+    * [[deleteFromPqIndex]]'s residual twin (FAISS `remove_ids`): every
+    * stamp (geometry, LUT size, coarse-centroid fingerprint,
+    * provenance) is verified first through [[readIvfPqResidualIndex]],
+    * then `codes/` is rewritten without the given ids via a left-anti
+    * join and swapped in crash-safe. The cents/books halves are
+    * untouched — surviving codes remain meaningful against the exact
+    * coarse set they were encoded under. The on-disk layout of the
+    * surviving rows is preserved (no repartition: the anti-join maps
+    * files ~1:1, so a cid-clustered layout from
+    * [[compactIvfPqResidualIndex]] survives a delete). Ids absent from
+    * the index are a no-op. Returns the number of code rows removed.
+    * Same 100 TB batching advice as [[deleteFromPqIndex]]. */
+  def deleteFromIvfPqResidualIndex(ids: DataFrame, idCol: String,
+                                   path: String,
+                                   expectedSource: Option[String] = None)
+      : Long = {
+    val spark = ids.sparkSession
+    val idx = readIvfPqResidualIndex(spark, path, expectedSource)
+    val diskIdCol = idx.codes.columns.head
+    val meta = idx.codes.schema("codes").metadata
+    val del = ids.select(col(idCol).as(diskIdCol)).distinct()
+      .localCheckpoint()
+    val before = idx.codes.count()
+    ArtifactMaintenance.stagedSwap(spark, s"$path/codes") { staged =>
+      idx.codes.join(del, Seq(diskIdCol), "left_anti")
+        .select(col(diskIdCol), col("cid"),
+          col("codes").as("codes", meta), col("x_nsq"))
+        .write.mode("overwrite").parquet(staged)
+    }
+    before - spark.read.parquet(s"$path/codes").count()
   }
 
   /** Compact a [[writeIvfPqResidualIndex]] artifact's `codes/` after a

@@ -676,6 +676,36 @@ object Pipeline {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // deletion from the residual IVF-PQ artifact (r15): the index is
+    // built on the FULL corpus, then the odd-id half is deleted
+    // (FAISS remove_ids — anti-join + crash-safe staged rewrite,
+    // cents/books untouched), and the surviving index is probed. The
+    // oracle computes the from-scratch residual chain on the full
+    // corpus restricted to surviving (even-id) neighbors before the
+    // top-5 cut — exactly what a from-scratch index on the survivors
+    // under the SAME cents/books would score — so a green row
+    // certifies that deleted ids are truly gone and the surviving
+    // codes still rank identically (nothing re-encoded, nothing
+    // mis-scored)
+    "sim_topk_ivfpq_res_del" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val path = scratchPath("graft_respq_del", dir)
+      Similarity.writeIvfPqResidualIndex(e, "vec_id", "embedding",
+        ivfCentroids(e), resBooks(s, dir), path, sourceTag = dir)
+      val removed = Similarity.deleteFromIvfPqResidualIndex(
+        e.filter(col("vec_id") % 2 === 1).select("vec_id"), "vec_id",
+        path, expectedSource = Some(dir))
+      require(removed > 0,
+        s"res_del rig deleted $removed rows — the rig corpus must " +
+          "contain odd ids")
+      val idx = Similarity.readIvfPqResidualIndex(s, path,
+        expectedSource = Some(dir))
+      Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", idx.centroids, idx.books, k = 5,
+          nProbe = 3, prebuiltCodes = Some(idx.codes))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // the recall lever on the residual index (r14): ADC shortlist of 50
     // through ivfPqResidualTopK's production path, exact cosine re-rank
     // of just those rows — sim_recall_pq_rerank's shape composed with
@@ -3168,6 +3198,20 @@ object Pipeline {
          ${residualIvfPqCtes(PqM, PqKsub, PqIters, nProbe = 3)}
          SELECT query_id, neighbor_id, cosine
          FROM rranked WHERE rn <= 5 ORDER BY query_id, neighbor_id""",
+    // the deletion row's oracle IS the from-scratch residual chain on
+    // the full corpus with the candidate space restricted to the
+    // SURVIVING (even-id) neighbors before the top-5 cut: cents/books
+    // were trained on the full corpus and a delete never re-encodes,
+    // so survivors must score exactly as they did pre-delete
+    "sim_topk_ivfpq_res_del" ->
+      s"""WITH $ivfBaseCtes,
+         ${residualIvfPqCtes(PqM, PqKsub, PqIters, nProbe = 3)}
+         SELECT query_id, neighbor_id, cosine FROM (
+           SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS rn2
+           FROM rscored WHERE neighbor_id % 2 = 0)
+         WHERE rn2 <= 5 ORDER BY query_id, neighbor_id""",
     "sim_recall_ivfpq_res_rerank" ->
       s"""WITH $ivfBaseCtes,
          ${residualIvfPqCtes(PqM, PqKsub, PqIters, nProbe = 3)},

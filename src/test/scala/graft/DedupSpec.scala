@@ -536,6 +536,46 @@ class DedupSpec extends SparkTestBase {
     assert(idx2.hashes.count() == 5)
   }
 
+  test("deleteFromMinhashIndex: a forgotten doc stops gating later " +
+      "batches; re-delete is a no-op; stamps and probes keep working") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mh-del")
+    val path = tmp.resolve("index").toString
+    val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val C = "red orange yellow green blue indigo violet cyan magenta teal pink grey"
+    val D = "north south east west up down left right front back over under"
+    Dedup.writeMinhashIndex(
+      Seq((1L, A), (10L, C), (11L, D)).toDF("doc_id", "text"),
+      "doc_id", "text", path, sourceTag = "unit")
+    def probeNearC(): Seq[Long] = Dedup.incrementalSurvivors(
+        Seq((20L, C.replace("grey", "zz"))).toDF("doc_id", "text"),
+        Dedup.readMinhashIndex(spark, path, expectedSource = Some("unit")),
+        "doc_id", "text", threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSeq
+    // pre-delete: the near-dup of indexed doc 10 (C) is gated out
+    assert(probeNearC().isEmpty)
+    // right-to-be-forgotten: doc 10 leaves all three dirs
+    val removed = Dedup.deleteFromMinhashIndex(
+      Seq(10L).toDF("doc_id"), "doc_id", path)
+    assert(removed == 1L)
+    val idx = Dedup.readMinhashIndex(spark, path,
+      expectedSource = Some("unit"))
+    assert((idx.numHashes, idx.bands, idx.mode) ==
+      ((64, 16, Dedup.HashMode.Xx)), "stamps must survive the rewrite")
+    assert(idx.hashes.count() == 2 && idx.signatures.count() == 2)
+    assert(idx.buckets.filter(col(idx.buckets.columns
+      .find(c => c != "band" && c != "bucket").get) === 10L).count() == 0,
+      "deleted id must leave the buckets dir too")
+    // post-delete: the same near-dup now SURVIVES (nothing remembers C)
+    assert(probeNearC() == Seq(20L))
+    // idempotent, and absent ids are a no-op
+    assert(Dedup.deleteFromMinhashIndex(
+      Seq(10L, 999L).toDF("doc_id"), "doc_id", path) == 0L)
+    // the index still grows after a delete
+    Dedup.appendToMinhashIndex(Seq((30L, C)).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    assert(probeNearC().isEmpty, "re-admitted content must gate again")
+  }
+
   test("minhash index provenance: a probe expecting a different source refuses") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mh-prov")
     val path = tmp.resolve("index").toString

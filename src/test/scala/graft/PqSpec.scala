@@ -546,6 +546,83 @@ class PqSpec extends SparkTestBase {
     assert(ex.getMessage.contains("retrained"))
   }
 
+  test("deleteFromIvfPqResidualIndex: delete-then-probe equals a " +
+      "from-scratch index on the survivors; deleted ids never " +
+      "surface; re-delete is a no-op") {
+    val corpus = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 128.0f)))
+      .toDF("id", "vec")
+    val cents = Seq((0, Array(0.1, 0.1, 0.1, 0.1)),
+      (1, Array(0.8, 0.8, 0.8, 0.8))).toDF("cid", "centroid")
+    val resid = Similarity.ivfResiduals(corpus, "id", "vec", cents)
+    val books = Similarity.pqTrain(resid, "id", "rvec", m = 2, ksub = 4)
+    val delPath = java.nio.file.Files
+      .createTempDirectory("respq_del").toString
+    val survPath = java.nio.file.Files
+      .createTempDirectory("respq_surv").toString
+    Similarity.writeIvfPqResidualIndex(corpus, "id", "vec", cents, books,
+      delPath, sourceTag = "unit")
+    val removed = Similarity.deleteFromIvfPqResidualIndex(
+      corpus.filter(col("id") % 2 === 1).select("id"), "id", delPath,
+      expectedSource = Some("unit"))
+    assert(removed == 16L)
+    // from-scratch index on the SURVIVORS under the same cents/books —
+    // the semantics a delete must land on (nothing re-encoded)
+    Similarity.writeIvfPqResidualIndex(
+      corpus.filter(col("id") % 2 === 0), "id", "vec", cents, books,
+      survPath, sourceTag = "unit")
+    def probe(path: String) = {
+      val idx = Similarity.readIvfPqResidualIndex(spark, path,
+        expectedSource = Some("unit"))
+      Similarity.ivfPqResidualTopK(corpus, corpus.filter(col("id") < 3),
+          "id", "vec", idx.centroids, idx.books, k = 3, nProbe = 2,
+          prebuiltCodes = Some(idx.codes))
+        .select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().toSet
+    }
+    val got = probe(delPath)
+    assert(got == probe(survPath) && got.nonEmpty,
+      "deleted index must probe identically to a from-scratch build " +
+        "on the surviving corpus")
+    assert(got.forall(_._2 % 2 == 0),
+      s"a deleted (odd) id surfaced as a neighbor: $got")
+    // idempotent: the same delete again removes nothing
+    assert(Similarity.deleteFromIvfPqResidualIndex(
+      corpus.filter(col("id") % 2 === 1).select("id"), "id",
+      delPath) == 0L)
+    // stamps survived the rewrite (read demands every one)
+    val idx2 = Similarity.readIvfPqResidualIndex(spark, delPath,
+      expectedSource = Some("unit"))
+    assert(idx2.codes.count() == 16L)
+  }
+
+  test("deleteFromPqIndex: flat twin — rows gone from probes, count " +
+      "returned, stamps preserved") {
+    val corpus = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 128.0f)))
+      .toDF("id", "vec")
+    val books = Similarity.pqTrain(corpus, "id", "vec", m = 2, ksub = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_del").toString
+    Similarity.writePqIndex(corpus, "id", "vec", books, path,
+      sourceTag = "unit")
+    val removed = Similarity.deleteFromPqIndex(
+      corpus.filter(col("id") >= 24).select("id"), "id", path,
+      expectedSource = Some("unit"))
+    assert(removed == 8L)
+    val idx = Similarity.readPqIndex(spark, path,
+      expectedSource = Some("unit"))
+    assert(idx.codes.count() == 24L)
+    val got = Similarity.pqTopK(corpus, corpus.filter(col("id") < 3),
+        "id", "vec", idx.books, k = 5, prebuiltCodes = Some(idx.codes))
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got.nonEmpty && got.forall(_ < 24L),
+      s"a deleted id surfaced as a neighbor: $got")
+    // ids absent from the index are a no-op
+    assert(Similarity.deleteFromPqIndex(
+      Seq(999L).toDF("id"), "id", path) == 0L)
+  }
+
   test("fingerprint version stamp: a mismatch on a pre-versioning " +
       "artifact names the algorithm change, not a tear (r14 advice)") {
     val corpus = (0 until 16).map(i =>
