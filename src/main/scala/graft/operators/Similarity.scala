@@ -827,6 +827,147 @@ object Similarity {
     * corpus, with the build geometry recovered from stamped metadata. */
   case class PqIndex(books: DataFrame, codes: DataFrame, m: Int, dsub: Int)
 
+  // ------------------------------------------------------------------
+  // id-membership Bloom sidecar (r15): every persisted index carries an
+  // `idbloom/` dir — a [[Sketches.bloomBuild]] filter over the codes id
+  // column — so the append duplicate guard can certify a CLEAN drop
+  // without touching codes/ at all. Bloom's no-false-negative contract
+  // makes the fast-path refusal sound: "no bit hit" IS "definitely not
+  // in the index"; only maybe-hits fall through to the pruned id-column
+  // scan. The sidecar is advisory for every other purpose — a missing
+  // or unreadable idbloom/ (pre-r15 artifact, torn write) degrades to
+  // the full pre-bloom scan, never to a wrong answer.
+  // ------------------------------------------------------------------
+
+  /** Bits for the id bloom: ~10 bits/key (k=3 -> ~1.7% fp), floored at
+    * 64 Kbit, capped at 32 Mbit (a <=1M-row (word, mask) frame — still
+    * comfortably broadcastable). Past ~3M ids the fp rate rises and
+    * appends degrade gracefully toward the pre-bloom scan (maybe-hits
+    * fall through); the rebuilds at write/compact/delete keep the
+    * sidecar sized to the corpus it serves. */
+  private def idBloomBits(n: Long): Int =
+    math.min(math.max(1L << 16, n * 10L), 1L << 25).toInt
+
+  private def idBloomPath(path: String): String = s"$path/idbloom"
+
+  /** (Re)build the sidecar from an id frame — called by the index
+    * writers, compactions, and deletions (a bloom cannot subtract, so
+    * delete rebuilds from the survivors). */
+  private def writeIdBloom(ids: DataFrame, idCol: String,
+                           bloomDir: String, n: Long): Unit =
+    Sketches.bloomBuild(ids.select(col(idCol)), idCol,
+        bits = idBloomBits(n), k = 3)
+      .write.mode("overwrite").parquet(bloomDir)
+
+  /** Rebuild the sidecar from the JUST-WRITTEN codes dir — one pruned
+    * id-column read of data whose footers are hot; count comes from
+    * the same frame's footer stats. */
+  private def rebuildIdBloomFromCodes(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val ids = spark.read.parquet(s"$path/codes")
+    val diskIdCol = ids.columns.head
+    writeIdBloom(ids.select(col(diskIdCol)), diskIdCol,
+      idBloomPath(path), ids.count())
+  }
+
+  /** The sidecar, if present AND well-formed (stamps validate) —
+    * anything else is None: the guard then takes the full scan, which
+    * is always sound. */
+  private def readIdBloom(spark: org.apache.spark.sql.SparkSession,
+                          bloomDir: String): Option[DataFrame] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(bloomDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val df = spark.read.parquet(bloomDir)
+        Sketches.bloomParams(df) // demand the stamps
+        Some(df)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** What the duplicate guard actually did — the spec hook behind the
+    * clean-append-never-scans-codes certification. */
+  private[graft] final case class DupCheckStats(bloomUsed: Boolean,
+                                                maybeHits: Long,
+                                                scannedCodes: Boolean)
+
+  /** The append-time duplicate-id refusal, bloom-gated (r15): probe
+    * the batch against the broadcast sidecar first — ids with no bit
+    * hit are DEFINITELY new (no false negatives), so a clean drop
+    * never constructs a codes/ scan at all; only maybe-hits fall
+    * through to a left_semi probe from the (small) maybe side against
+    * the pruned id column, join strategy left to AQE (r14 advice: the
+    * old guard force-broadcast the whole batch, which at crawl-drop
+    * scale fails as a broadcast/driver OOM instead of the named
+    * refusal). Without a sidecar (pre-r15 artifact, torn bloom) the
+    * guard degrades to the full id-column scan — same refusal, more
+    * IO. */
+  private[graft] def requireDisjointIds(
+      spark: org.apache.spark.sql.SparkSession, codes: DataFrame,
+      diskIdCol: String, batchIds: DataFrame, path: String,
+      opName: String): DupCheckStats = {
+    val batch = batchIds.select(col(diskIdCol)).distinct()
+    def refuse(): Nothing = throw new IllegalArgumentException(
+      s"$opName: the batch shares ids with the index at $path — a " +
+        "re-delivered drop would duplicate neighbors in every probe " +
+        "(set requireNewIds = false only if upstream id discipline " +
+        "guarantees disjointness)")
+    readIdBloom(spark, idBloomPath(path)) match {
+      case Some(bloom) =>
+        val maybe = Sketches.bloomMightContain(bloom, batch, diskIdCol)
+          .filter(col("might_contain")).select(col(diskIdCol))
+          .localCheckpoint()
+        val nMaybe = maybe.count()
+        if (nMaybe == 0L) DupCheckStats(bloomUsed = true, 0L,
+          scannedCodes = false)
+        else {
+          if (maybe.join(codes.select(col(diskIdCol)), Seq(diskIdCol),
+              "left_semi").limit(1).count() > 0) refuse()
+          DupCheckStats(bloomUsed = true, nMaybe, scannedCodes = true)
+        }
+      case None =>
+        if (batch.join(codes.select(col(diskIdCol)), Seq(diskIdCol),
+            "left_semi").limit(1).count() > 0) refuse()
+        DupCheckStats(bloomUsed = false, -1L, scannedCodes = true)
+    }
+  }
+
+  /** Fold a batch's ids into the sidecar (blooms union losslessly by
+    * bitwise OR). Called BEFORE the codes append: a crash between the
+    * two leaves only spurious extra bits (maybe-hits that fall through
+    * to a scan finding nothing), never a stale bloom that would miss an
+    * indexed id. A legacy artifact without a sidecar is upgraded from
+    * the full id column union the batch — the LAST corpus-sized id
+    * read it ever pays (unless `upgradeLegacy` is false: the caller
+    * opted out of scans via requireNewIds = false). */
+  private def mergeIdBloom(spark: org.apache.spark.sql.SparkSession,
+                           batchIds: DataFrame, diskIdCol: String,
+                           path: String, codes: DataFrame,
+                           upgradeLegacy: Boolean): Unit = {
+    val bloomDir = idBloomPath(path)
+    readIdBloom(spark, bloomDir) match {
+      case Some(old) =>
+        val (bits, k) = Sketches.bloomParams(old)
+        val meta = old.schema("mask").metadata
+        val merged = old.unionByName(
+            Sketches.bloomBuild(batchIds.select(col(diskIdCol)),
+              diskIdCol, bits, k))
+          .groupBy(col("word")).agg(expr("bit_or(mask)").as("mask"))
+          .select(col("word"), col("mask").as("mask", meta))
+          .localCheckpoint() // sever from the dir about to be swapped
+        ArtifactMaintenance.stagedSwap(spark, bloomDir) { staged =>
+          merged.write.mode("overwrite").parquet(staged)
+        }
+      case None if upgradeLegacy =>
+        val all = codes.select(col(diskIdCol))
+          .unionByName(batchIds.select(col(diskIdCol)))
+        writeIdBloom(all, diskIdCol, bloomDir, all.count())
+      case None => // requireNewIds = false on a legacy artifact: the
+        // caller opted out of corpus-sized reads; stay legacy
+    }
+  }
+
   /** Write the PQ index as two parquet dirs (`books/`, `codes/`) under
     * `path` — the build-once half of the build-once / probe-per-batch
     * split ([[graft.operators.Dedup.writeMinhashIndex]]'s contract,
@@ -856,6 +997,7 @@ object Similarity {
     pqEncode(corpus, idCol, vecCol, codebooks)
       .select(col(idCol), col("codes").as("codes", meta), col("r_nsq"))
       .write.mode("overwrite").parquet(s"$path/codes")
+    rebuildIdBloomFromCodes(corpus.sparkSession, path)
   }
 
   /** Read a [[writePqIndex]] artifact back probe-ready. Geometry comes
@@ -915,17 +1057,14 @@ object Similarity {
     val spark = newDocs.sparkSession
     val idx = readPqIndex(spark, path, expectedSource)
     val diskIdCol = idx.codes.columns.head
-    if (requireNewIds) {
-      val overlap = idx.codes.select(col(diskIdCol).as("__idx_id"))
-        .join(broadcast(newDocs.select(col(idCol).as("__idx_id"))
-          .distinct()), "__idx_id")
-        .limit(1).count()
-      require(overlap == 0,
-        s"appendPqIndex: the batch shares ids with the index at $path " +
-          "— a re-delivered drop would duplicate neighbors in every " +
-          "probe (set requireNewIds = false only if upstream id " +
-          "discipline guarantees disjointness)")
-    }
+    val batchIds = newDocs.select(col(idCol).as(diskIdCol))
+    if (requireNewIds)
+      requireDisjointIds(spark, idx.codes, diskIdCol, batchIds, path,
+        "appendPqIndex")
+    // sidecar first, codes second: a crash between the two leaves only
+    // spurious bloom bits, never an indexed id the bloom would miss
+    mergeIdBloom(spark, batchIds, diskIdCol, path, idx.codes,
+      upgradeLegacy = requireNewIds)
     val meta = idx.codes.schema("codes").metadata
     pqEncode(newDocs, idCol, vecCol, idx.books)
       .select(col(idCol).as(diskIdCol), col("codes").as("codes", meta),
@@ -967,6 +1106,9 @@ object Similarity {
           col("r_nsq"))
         .write.mode("overwrite").parquet(staged)
     }
+    // a bloom cannot subtract: rebuild the sidecar from the survivors
+    // (also what lets a deleted id be RE-ADDED without a stale maybe)
+    rebuildIdBloomFromCodes(spark, path)
     before - spark.read.parquet(s"$path/codes").count()
   }
 
@@ -992,6 +1134,10 @@ object Similarity {
           col("r_nsq"))
         .write.mode("overwrite").parquet(staged)
     }
+    // compaction is the natural resize point for the id-bloom sidecar:
+    // rebuild it from the compacted codes so its fp rate tracks the
+    // corpus the guard actually serves
+    rebuildIdBloomFromCodes(spark, path)
   }
 
   /** A materialized RESIDUAL IVF-PQ index read back probe-ready: the
@@ -1080,6 +1226,7 @@ object Similarity {
       .select(col(idCol), col("cid"), col("codes").as("codes", meta),
         col("x_nsq"))
       .write.mode("overwrite").parquet(s"$path/codes")
+    rebuildIdBloomFromCodes(corpus.sparkSession, path)
   }
 
   /** Read a [[writeIvfPqResidualIndex]] artifact back probe-ready: every
@@ -1156,15 +1303,19 @@ object Similarity {
     * The shared halves are immutable by construction: residual codes
     * are only meaningful against the exact coarse set they were encoded
     * under, so growing the index never rewrites existing codes — cost
-    * is O(|newDocs|) encode + one id-column scan for the duplicate
-    * check, never O(corpus).
+    * is O(|newDocs|) encode + a duplicate check that is O(batch) on the
+    * bloom fast path, never O(corpus).
     *
-    * `requireNewIds` (default on) scans the existing codes' id column
-    * (nothing else — parquet prunes to one column) against the
-    * broadcast new batch and refuses on overlap: a re-delivered drop
-    * would otherwise surface the same neighbor twice in every probe.
-    * Turn it off only when the caller's id discipline already
-    * guarantees disjointness and the column scan is not worth it. */
+    * `requireNewIds` (default on) refuses on id overlap: a re-delivered
+    * drop would otherwise surface the same neighbor twice in every
+    * probe. Since r15 the check probes the `idbloom/` sidecar first
+    * (see [[requireDisjointIds]]) — a clean drop certifies "all new"
+    * against the broadcast bloom without touching codes/ at all (no
+    * false negatives); only maybe-hits fall through to a pruned
+    * id-column scan, left_semi from the batch side, strategy chosen by
+    * AQE (r14 advice: no force-broadcast of the batch). Turn it off
+    * only when the caller's id discipline already guarantees
+    * disjointness. */
   def appendIvfPqResidualIndex(newDocs: DataFrame, idCol: String,
                                vecCol: String, path: String,
                                expectedSource: Option[String] = None,
@@ -1172,17 +1323,14 @@ object Similarity {
     val spark = newDocs.sparkSession
     val idx = readIvfPqResidualIndex(spark, path, expectedSource)
     val diskIdCol = idx.codes.columns.head
-    if (requireNewIds) {
-      val overlap = idx.codes.select(col(diskIdCol).as("__idx_id"))
-        .join(broadcast(newDocs.select(col(idCol).as("__idx_id"))
-          .distinct()), "__idx_id")
-        .limit(1).count()
-      require(overlap == 0,
-        s"appendIvfPqResidualIndex: the batch shares ids with the " +
-          s"index at $path — a re-delivered drop would duplicate " +
-          "neighbors in every probe (set requireNewIds = false only " +
-          "if upstream id discipline guarantees disjointness)")
-    }
+    val batchIds = newDocs.select(col(idCol).as(diskIdCol))
+    if (requireNewIds)
+      requireDisjointIds(spark, idx.codes, diskIdCol, batchIds, path,
+        "appendIvfPqResidualIndex")
+    // sidecar first, codes second: a crash between the two leaves only
+    // spurious bloom bits, never an indexed id the bloom would miss
+    mergeIdBloom(spark, batchIds, diskIdCol, path, idx.codes,
+      upgradeLegacy = requireNewIds)
     // re-stamp the new files with the artifact's OWN codes metadata —
     // verified identical to the books/cents on disk by the read above
     val meta = idx.codes.schema("codes").metadata
@@ -1224,6 +1372,8 @@ object Similarity {
           col("codes").as("codes", meta), col("x_nsq"))
         .write.mode("overwrite").parquet(staged)
     }
+    // a bloom cannot subtract: rebuild the sidecar from the survivors
+    rebuildIdBloomFromCodes(spark, path)
     before - spark.read.parquet(s"$path/codes").count()
   }
 
@@ -1257,6 +1407,8 @@ object Similarity {
           col("x_nsq"))
         .write.mode("overwrite").parquet(staged)
     }
+    // compaction is the natural resize point for the id-bloom sidecar
+    rebuildIdBloomFromCodes(spark, path)
   }
 
   /** Codebook metadata in ONE driver action (m x ksub rows — the same

@@ -132,6 +132,18 @@ object Sketches {
         col("mask").as("mask", stamp("bf_bits" -> bits, "bf_k" -> k)))
   }
 
+  /** The (bits, k) parameters stamped by [[bloomBuild]] into the mask
+    * column metadata — throws on a frame that is not a stamped Bloom
+    * filter (the index-sidecar readers use this to validate before
+    * trusting a fast-path 'definitely new'). */
+  private[operators] def bloomParams(filter: DataFrame): (Int, Int) = {
+    val b = stamped(filter, "mask", "bf_bits")
+    val k = stamped(filter, "mask", "bf_k")
+    require(b.isDefined && k.isDefined,
+      "frame is not a bloomBuild artifact: missing bf_bits/bf_k stamps")
+    (b.get, k.get)
+  }
+
   /** Membership probe: true iff all k bits are set — no false negatives
     * (PROTECTED by the parameter stamp: probing with the wrong bits/k is
     * the one way to manufacture a false negative, and it now throws),

@@ -623,6 +623,75 @@ class PqSpec extends SparkTestBase {
       Seq(999L).toDF("id"), "id", path) == 0L)
   }
 
+  test("bloom-gated append guard: a clean drop never scans codes/, a " +
+      "real duplicate still refuses, a legacy artifact degrades to " +
+      "the scan and upgrades on first append") {
+    val corpus = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 128.0f)))
+      .toDF("id", "vec")
+    val books = Similarity.pqTrain(corpus, "id", "vec", m = 2, ksub = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_bloom").toString
+    Similarity.writePqIndex(corpus, "id", "vec", books, path,
+      sourceTag = "unit")
+    assert(new java.io.File(s"$path/idbloom").exists(),
+      "writePqIndex must write the id-bloom sidecar")
+    val idx = Similarity.readPqIndex(spark, path,
+      expectedSource = Some("unit"))
+    // a clean drop: every id misses the bloom -> "definitely new"
+    // certified WITHOUT constructing a codes/ scan at all (the helper
+    // returns before any plan over `codes` exists — scannedCodes is
+    // the structural witness)
+    val clean = Similarity.requireDisjointIds(spark, idx.codes, "id",
+      Seq(100L, 101L, 102L).toDF("id"), path, "test")
+    assert(clean.bloomUsed && !clean.scannedCodes && clean.maybeHits == 0)
+    // a real duplicate: bloom maybe-hit falls through to the pruned
+    // id-column probe and refuses with the same named message
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.requireDisjointIds(spark, idx.codes, "id",
+        Seq(5L, 200L).toDF("id"), path, "test")
+    }
+    assert(ex.getMessage.contains("shares ids"))
+    // end-to-end: clean append lands and FOLDS ITS IDS INTO the bloom —
+    // re-delivering the same drop refuses via the sidecar's maybe path
+    val drop = (32 until 40).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 160.0f)))
+      .toDF("id", "vec")
+    Similarity.appendPqIndex(drop, "id", "vec", path,
+      expectedSource = Some("unit"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.appendPqIndex(drop, "id", "vec", path)
+    }
+    assert(ex2.getMessage.contains("shares ids"))
+    // legacy artifact (pre-r15: no sidecar): guard degrades to the full
+    // id-column scan — same refusal, more IO — and the next clean
+    // append UPGRADES it
+    def rmBloom(): Unit = {
+      val d = new java.io.File(s"$path/idbloom")
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    rmBloom()
+    val legacy = Similarity.requireDisjointIds(spark,
+      Similarity.readPqIndex(spark, path).codes, "id",
+      Seq(500L).toDF("id"), path, "test")
+    assert(!legacy.bloomUsed && legacy.scannedCodes)
+    val drop2 = (40 until 44).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 176.0f)))
+      .toDF("id", "vec")
+    Similarity.appendPqIndex(drop2, "id", "vec", path)
+    assert(new java.io.File(s"$path/idbloom").exists(),
+      "a requireNewIds append on a legacy artifact must upgrade it")
+    // the upgraded sidecar covers BASE + both drops: re-delivery of any
+    // of them refuses, and a genuinely clean drop stays scan-free
+    val again = Similarity.requireDisjointIds(spark,
+      Similarity.readPqIndex(spark, path).codes, "id",
+      Seq(900L, 901L).toDF("id"), path, "test")
+    assert(again.bloomUsed && !again.scannedCodes)
+    intercept[IllegalArgumentException] {
+      Similarity.appendPqIndex(drop2, "id", "vec", path)
+    }
+  }
+
   test("fingerprint version stamp: a mismatch on a pre-versioning " +
       "artifact names the algorithm change, not a tear (r14 advice)") {
     val corpus = (0 until 16).map(i =>
