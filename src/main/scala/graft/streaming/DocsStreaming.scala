@@ -68,6 +68,41 @@ object DocsStreaming {
       .bucketBy(buckets, "content_hash").sortBy("content_hash")
       .format("parquet").saveAsTable(table)
 
+  /** Compact the bucketed corpus-hash index — the maintenance twin of
+    * [[graft.operators.Dedup.compactMinhashIndex]] for the third
+    * persisted artifact: every [[appendCorpusHashes]] drop lands its
+    * own files per bucket (and may re-land hashes already present —
+    * the probe is existence-only, so duplicates cost bytes, not
+    * correctness), so a run of drops accumulates small files and
+    * duplicate rows. Rewrites the table as DISTINCT hashes in the same
+    * bucket spec (pass a different `buckets` to deliberately resize —
+    * the data is being rewritten anyway), staged through
+    * `<table>__compact` so the index is never dropped before its
+    * replacement is fully written: a crash between the final DROP and
+    * RENAME leaves the intact rewrite at the staging name, and the
+    * next call self-heals it back (the
+    * [[graft.operators.ArtifactMaintenance]] contract, spelled in
+    * catalog operations because bucketing lives in table metadata,
+    * not in the dir layout). The compacted table still satisfies the
+    * probe join's partitioning — the exchange-free micro-batch scan is
+    * spec-pinned in DocsStreamingSpec. */
+  def compactCorpusHashIndex(spark: org.apache.spark.sql.SparkSession,
+                             table: String, buckets: Int = 32): Unit = {
+    val staged = table + "__compact"
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(staged))
+      // the documented crash window of a previous compaction: the
+      // rewrite is intact at the staging name — promote it and return
+      { spark.sql(s"ALTER TABLE $staged RENAME TO $table"); return }
+    require(spark.catalog.tableExists(table),
+      s"compactCorpusHashIndex: no corpus-hash index table '$table'")
+    spark.sql(s"DROP TABLE IF EXISTS $staged") // orphan from a crash
+    graft.operators.ScaleJoins.writeBucketed(
+      spark.table(table).distinct(), staged, "content_hash", buckets)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staged RENAME TO $table")
+  }
+
   /** Streaming content dedup: keep the FIRST arrival of each distinct
     * text within the watermark window, and drop anything whose content
     * already exists in the landed corpus.

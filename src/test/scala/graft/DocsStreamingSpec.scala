@@ -232,4 +232,70 @@ class DocsStreamingSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS graft_corpus_hashes")
     }
   }
+
+  test("compactCorpusHashIndex: duplicate hashes and small files fold " +
+      "away, the probe stays exchange-free, the crash window self-heals") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val table = "graft_corpus_hashes_cpt"
+    try {
+      val corpus = spark.range(1000)
+        .select(col("id").as("doc_id"),
+          concat(lit("text body number "), col("id")).as("text"))
+      DocsStreaming.writeCorpusHashIndex(corpus, "text", table,
+        buckets = 4)
+      // three drops, two of them RE-LANDING already-present hashes
+      // (append admits duplicates by design — existence-only probe)
+      val drop = corpus.filter(col("doc_id") < 300)
+      for (_ <- 0 until 2)
+        DocsStreaming.appendCorpusHashes(drop, "text", table, buckets = 4)
+      DocsStreaming.appendCorpusHashes(
+        Seq((5000L, "a brand new doc body")).toDF("doc_id", "text"),
+        "text", table, buckets = 4)
+      val distinctBefore = spark.table(table).distinct().count()
+      assert(spark.table(table).count() == 1001L + 600L &&
+        distinctBefore == 1001L,
+        "rig must contain duplicate hash rows before compaction")
+      val filesBefore = spark.table(table).inputFiles.length
+      DocsStreaming.compactCorpusHashIndex(spark, table, buckets = 4)
+      // row count == distinct count, fewer files, same hash set
+      assert(spark.table(table).count() == 1001L)
+      assert(spark.table(table).inputFiles.length < filesBefore,
+        s"compaction must shrink the file count ($filesBefore -> " +
+          s"${spark.table(table).inputFiles.length})")
+      // the compacted table still probes exchange-free
+      val probe = DocsStreaming.ingestBatch(
+        spark.range(100)
+          .select((col("id") + 950).as("doc_id"),
+            concat(lit("text body number "), col("id") + 950).as("text"),
+            lit(t0).as("ts")),
+        Some(spark.table(table)), minQuality = 0.0,
+        keepLangs = Seq("en", "und"))
+      val lines = probe.queryExecution.executedPlan.toString.split("\n")
+        .toSeq
+      val scanIdx = lines.indexWhere(_.contains(table))
+      assert(scanIdx >= 0)
+      assert(!lines.slice(math.max(0, scanIdx - 3), scanIdx)
+        .exists(_.contains("Exchange")),
+        "the compacted index must still probe without an exchange:\n" +
+          lines.mkString("\n"))
+      assert(probe.count() == 50L) // 950..999 landed, 1000..1049 new
+      // the index still grows after compaction (bucket spec intact)
+      DocsStreaming.appendCorpusHashes(
+        Seq((6000L, "another fresh doc body")).toDF("doc_id", "text"),
+        "text", table, buckets = 4)
+      assert(spark.table(table).count() == 1002L)
+      // crash window: a previous compaction died between DROP and
+      // RENAME — the intact rewrite sits at the staging name and the
+      // next call promotes it
+      spark.sql(s"ALTER TABLE $table RENAME TO ${table}__compact")
+      DocsStreaming.compactCorpusHashIndex(spark, table, buckets = 4)
+      assert(spark.catalog.tableExists(table) &&
+        !spark.catalog.tableExists(s"${table}__compact"))
+      assert(spark.table(table).count() == 1002L)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__compact")
+    }
+  }
 }
