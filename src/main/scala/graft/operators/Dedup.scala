@@ -645,30 +645,46 @@ object Dedup {
     sums.select(col(idCol), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming distance <= maxHamming, using the
-    * 4x16-bit chunk pigeonhole: pairs within hamming 3 share at least one
-    * exact 16-bit chunk, so candidates come from a chunk-equality join. */
+  /** Hamming-banded near-dup pairs over an EXISTING 64-bit fingerprint
+    * column — the 4x16-bit chunk pigeonhole shared by [[simhashPairs]]
+    * (text) and [[Multimodal.imageDedupPairs]] (pixels, r15): pairs
+    * within hamming <= 3 differ in at most 3 of the 4 chunks, so they
+    * share at least one exact 16-bit chunk and candidates come from a
+    * chunk-equality join; the hamming filter runs BEFORE the distinct
+    * so the dedup shuffle carries only true near-pairs, not every
+    * chunk collision. maxHamming > 3 would make the pigeonhole
+    * incomplete (a 4-chunk split guarantees a shared chunk only up to
+    * 3 flipped bits) — refused rather than silently lossy. */
+  def hammingPairs(fp: DataFrame, idCol: String, fpCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming $maxHamming outside [0, 3]: the 4x16-bit chunk " +
+        "pigeonhole only guarantees recall up to hamming 3 — band " +
+        "more chunks (or brute-force) for a looser threshold")
+    val chunks = fp.select(col(idCol), col(fpCol), posexplode(
+      array((0 until 4).map(c =>
+        shiftright(col(fpCol), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    val l = chunks.select(col("chunk_idx"), col("chunk"),
+      col(idCol).as("id_a"), col(fpCol).as("fp_a"))
+    val r = chunks.select(col("chunk_idx"), col("chunk"),
+      col(idCol).as("id_b"), col(fpCol).as("fp_b"))
+    l.join(r, Seq("chunk_idx", "chunk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming, via
+    * [[hammingPairs]]' chunk pigeonhole over the [[simhash]]
+    * fingerprints. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
                    mode: HashMode = HashMode.Xx): DataFrame = {
     // fingerprints feed both join sides — cache, don't recompute
     val fp = simhash(df, idCol, textCol, mode).cache()
-    val chunks = fp.select(col(idCol), col("simhash"), posexplode(
-      array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
-    val l = chunks.select(col("chunk_idx"), col("chunk"),
-      col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val r = chunks.select(col("chunk_idx"), col("chunk"),
-      col(idCol).as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("chunk_idx", "chunk")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      // hamming is a cheap codegen'd bit_count: filter BEFORE the distinct
-      // so the dedup shuffle carries only true near-pairs, not every
-      // chunk collision
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    hammingPairs(fp, idCol, "simhash", maxHamming)
   }
 
   // ------------------------------------------------- exact n-gram jaccard

@@ -92,7 +92,13 @@ object MediaCodec {
     * reverse the per-scanline filter, then reduce to channel means.
     * Returns None for any other PNG flavor (16-bit, palette, interlaced)
     * or malformed bytes — callers fall back to dimensions-only. */
-  def pngDecode(b: Array[Byte]): Option[Decoded] = {
+  /** Full pixel decode: IHDR parse, IDAT inflate, scanline unfilter —
+    * everything [[pngDecode]] does, stopping before the channel-mean
+    * reduction. Returns (width, height, channels, row-major interleaved
+    * 8-bit samples). The perceptual-hash path ([[Multimodal]]
+    * aHash/dHash) needs the actual pixels, not their means. */
+  def pngDecodePixels(b: Array[Byte])
+      : Option[(Int, Int, Int, Array[Byte])] = {
     if (!b.startsWith(PngSig)) return None
     var pos = 8
     var w = 0; var h = 0; var bitDepth = 0; var colorType = -1
@@ -166,16 +172,20 @@ object MediaCodec {
       }
       y += 1
     }
-
-    val sums = new Array[Double](channels)
-    var i = 0
-    while (i < img.length) {
-      sums(i % channels) += (img(i) & 0xFF)
-      i += 1
-    }
-    val nPix = (w.toLong * h).toDouble
-    Some(Decoded(w, h, channels, sums.map(_ / nPix)))
+    Some((w, h, channels, img))
   }
+
+  def pngDecode(b: Array[Byte]): Option[Decoded] =
+    pngDecodePixels(b).map { case (w, h, channels, img) =>
+      val sums = new Array[Double](channels)
+      var i = 0
+      while (i < img.length) {
+        sums(i % channels) += (img(i) & 0xFF)
+        i += 1
+      }
+      val nPix = (w.toLong * h).toDouble
+      Decoded(w, h, channels, sums.map(_ / nPix))
+    }
 
   // ------------------------------------------------------------- PNG encode
 
@@ -223,6 +233,42 @@ object MediaCodec {
         rawData(o + 2) = (b & 0xFF).toByte
         x += 1
       }
+      y += 1
+    }
+    val def_ = new Deflater()
+    def_.setInput(rawData); def_.finish()
+    val buf = new Array[Byte](rawData.length + 1024)
+    val compLen = def_.deflate(buf)
+    def_.end()
+    chunk(out, "IDAT", buf.take(compLen))
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Minimal real PNG from explicit pixels: 8-bit GRAYSCALE (color
+    * type 0), non-interlaced, filter 0 — `pixels` is row-major, length
+    * w*h. The perceptual-hash rig plants gradient images through this
+    * so the mm_dedup oracle can predict every decoded sample. */
+  def pngEncodeGray(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && pixels.length == w * h,
+      s"invalid gray image: ${w}x$h with ${pixels.length} samples")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, 8)
+    val ihdr = new Array[Byte](13)
+    def put32(off: Int, v: Int): Unit = {
+      ihdr(off) = ((v >>> 24) & 0xFF).toByte
+      ihdr(off + 1) = ((v >>> 16) & 0xFF).toByte
+      ihdr(off + 2) = ((v >>> 8) & 0xFF).toByte
+      ihdr(off + 3) = (v & 0xFF).toByte
+    }
+    put32(0, w); put32(4, h)
+    ihdr(8) = 8; ihdr(9) = 0 // bit depth 8, color type 0 (gray)
+    chunk(out, "IHDR", ihdr)
+    val stride = 1 + w
+    val rawData = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(pixels, y * w, rawData, y * stride + 1, w)
       y += 1
     }
     val def_ = new Deflater()

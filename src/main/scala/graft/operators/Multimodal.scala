@@ -63,6 +63,94 @@ object Multimodal {
     }
   }
 
+  /** Perceptual image fingerprints (aHash + dHash) over PNG payloads —
+    * the near-dup IMAGE detection piece of the dedup family (r15):
+    * decode ([[MediaCodec.pngDecodePixels]], real pixels), reduce to
+    * integer luma, box-resample to a 9x8 grid, derive two 64-bit
+    * fingerprints:
+    *
+    *  - `dhash` (gradient structure): bit (cy*8+cx) set iff
+    *    grid(cx+1, cy) > grid(cx, cy) — brightness-invariant, the
+    *    workhorse for crawl near-dups (rescaled/re-encoded copies keep
+    *    their gradient signs)
+    *  - `ahash` (brightness structure): bit (cy*8+cx) set iff
+    *    grid(cx, cy) * 64 > sum over the 8x8 sub-grid (columns 0..7 —
+    *    integer comparison, no division)
+    *
+    * Everything is integer-exact by construction — fixed-point rec601
+    * luma ((77r + 150g + 29b) >> 8) for RGB(A), channel 0 for
+    * gray(+alpha), floor box means (pixel px maps to cell
+    * floor(px*9/w), cell value floor(sum/count)) — so the mm_dedup
+    * oracle replays the fingerprints bit for bit. Bit 63 is never set
+    * (both hashes carry 63 bits): fingerprints stay non-negative,
+    * which keeps every engine's BIGINT shift/xor semantics identical
+    * (the bloomBuild 1L<<63 lesson). Undecodable payloads are dropped
+    * (corrupt media must not poison the pair space). Output:
+    * (idCol, ahash, dhash). */
+  def imageHashes(df: DataFrame, idCol: String = "doc_id",
+                  payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, png) =>
+        MediaCodec.pngDecodePixels(png).map { case (w, h, ch, img) =>
+          // integer luma per pixel
+          def luma(px: Int, py: Int): Int = {
+            val o = (py * w + px) * ch
+            if (ch >= 3) {
+              val r = img(o) & 0xFF; val g = img(o + 1) & 0xFF
+              val b = img(o + 2) & 0xFF
+              (77 * r + 150 * g + 29 * b) >> 8
+            } else img(o) & 0xFF
+          }
+          // box-resample to 9x8: sums/counts per cell, floor means
+          val sum = Array.ofDim[Long](8, 9)
+          val cnt = Array.ofDim[Long](8, 9)
+          var py = 0
+          while (py < h) {
+            val cy = (py.toLong * 8 / h).toInt
+            var px = 0
+            while (px < w) {
+              val cx = (px.toLong * 9 / w).toInt
+              sum(cy)(cx) += luma(px, py)
+              cnt(cy)(cx) += 1
+              px += 1
+            }
+            py += 1
+          }
+          val grid = Array.tabulate(8, 9)((cy, cx) =>
+            (sum(cy)(cx) / math.max(cnt(cy)(cx), 1L)).toInt)
+          var dhash = 0L
+          var ahash = 0L
+          var tot = 0L
+          for (cy <- 0 until 8; cx <- 0 until 8) tot += grid(cy)(cx)
+          for (cy <- 0 until 8; cx <- 0 until 8) {
+            val j = cy * 8 + cx
+            if (j < 63) { // bit 63 stays clear on both hashes
+              if (grid(cy)(cx + 1) > grid(cy)(cx)) dhash |= 1L << j
+              if (grid(cy)(cx).toLong * 64 > tot) ahash |= 1L << j
+            }
+          }
+          (id, ahash, dhash)
+        }
+      }).toDF(idCol, "ahash", "dhash")
+  }
+
+  /** Near-duplicate image pairs: [[imageHashes]] dhash fingerprints
+    * through [[Dedup.hammingPairs]]' 4x16-bit chunk pigeonhole —
+    * exactly the simhashPairs machinery applied to pixels, so the pair
+    * space is only materialized inside chunk-colliding buckets (never
+    * n^2) and recall is exact up to hamming 3. Output:
+    * (id_a, id_b, hamming). */
+  def imageDedupPairs(df: DataFrame, idCol: String = "doc_id",
+                      payloadCol: String = "payload",
+                      maxHamming: Int = 3): DataFrame = {
+    // fingerprints feed both join sides — cache, don't re-decode
+    val fp = imageHashes(df, idCol, payloadCol).cache()
+    Dedup.hammingPairs(fp, idCol, "dhash", maxHamming)
+  }
+
   /** Batch-wise featurization over partitions: pulls (id, type, payload)
     * in fixed-size batches — the same shape a vectorized (Arrow/pandas)
     * UDF has — so a real decoder can amortize model/codec init per batch

@@ -1613,6 +1613,58 @@ object Pipeline {
           chanSum(3).as("sum_b"))
         .orderBy("doc_id")
     }),
+
+    // perceptual-hash IMAGE dedup (r15): each doc gets a REAL grayscale
+    // PNG (18x16, 2x2-constant boxes) whose 9x8 luma grid walks +-5 per
+    // planted gradient bit — group = doc_id % 16 decides the pattern,
+    // docs with doc_id % 3 == 0 flip one bit (doc_id % 63), so
+    // same-group pairs sit at hamming <= 2 (near-dups) and cross-group
+    // pairs far above the band. The Spark side runs the full production
+    // chain: pngEncodeGray -> pngDecodePixels -> integer luma ->
+    // 9x8 box resample -> aHash/dHash -> hammingPairs chunk pigeonhole.
+    // The oracle rebuilds both fingerprints CLOSED-FORM from doc_id
+    // (prefix-sum of the planted bits) and brute-forces the pair join —
+    // the row is green only if decode(encode(x)), the integer resample,
+    // both hash derivations, and the banded recall are ALL bit-exact.
+    // Sliced to doc_id < 1000 so the oracle's n^2 pair space stays
+    // bounded at every sf (the Spark side never materializes n^2).
+    "mm_dedup" -> ((s, dir) => {
+      val pngUdf = udf((id: Long) => {
+        val g = (id % 16).toInt
+        val grid = Array.ofDim[Int](8, 9)
+        for (cy <- 0 until 8) {
+          grid(cy)(0) = 100 + ((g * 13 + cy * 7) % 40)
+          for (cx <- 0 until 8) {
+            val j = cy * 8 + cx
+            val bit = j < 63 && {
+              (((g * 131 + j * 37) % 7) < 3) ^
+                (id % 3 == 0 && j == (id % 63).toInt)
+            }
+            grid(cy)(cx + 1) = grid(cy)(cx) + (if (bit) 5 else -5)
+          }
+        }
+        val px = new Array[Byte](18 * 16)
+        for (py <- 0 until 16; pxx <- 0 until 18)
+          px(py * 18 + pxx) = grid(py / 2)(pxx / 2).toByte
+        graft.operators.MediaCodec.pngEncodeGray(18, 16, px)
+      })
+      val withPayload = docs(s, dir).filter(col("doc_id") < 1000)
+        .select(col("doc_id"))
+        .withColumn("payload", pngUdf(col("doc_id")))
+      val fp = Multimodal.imageHashes(withPayload, "doc_id", "payload")
+        .cache()
+      graft.operators.Dedup.hammingPairs(fp, "doc_id", "dhash",
+          maxHamming = 3)
+        .join(fp.select(col("doc_id").as("id_a"),
+          col("ahash").as("ah_a")), "id_a")
+        .join(fp.select(col("doc_id").as("id_b"),
+          col("ahash").as("ah_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming_d"),
+          bit_count(col("ah_a").bitwiseXOR(col("ah_b"))).cast("int")
+            .as("hamming_a"))
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   /** DuckDB twin of Similarity.quantizeInt8 over the embeddings table:
@@ -3734,6 +3786,54 @@ object Pipeline {
       """SELECT doc_id, octet_length(text::BLOB)::BIGINT AS byte_len,
            md5(text) AS checksum
          FROM documents ORDER BY doc_id""",
+    // the perceptual-hash rig's fingerprints, rebuilt CLOSED-FORM from
+    // doc_id (planted gradient bits + their prefix sums — see the
+    // mm_dedup query comment), then a brute-force pair join: matches
+    // Spark's decode->resample->hash->banded chain only if every stage
+    // is bit-exact. Bit 63 is never set on either hash, so BIGINT
+    // shifts/xor agree across engines.
+    "mm_dedup" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 16)::BIGINT AS g
+               FROM documents WHERE doc_id < 1000),
+         bits AS (SELECT d.doc_id, j.j,
+             CASE WHEN (d.doc_id % 3 = 0 AND j.j = d.doc_id % 63)
+                  THEN 1 - (CASE WHEN ((d.g*131 + j.j*37) % 7) < 3
+                            THEN 1 ELSE 0 END)
+                  ELSE (CASE WHEN ((d.g*131 + j.j*37) % 7) < 3
+                        THEN 1 ELSE 0 END)
+             END::BIGINT AS bit
+           FROM d CROSS JOIN unnest(range(0, 63)) AS j(j)),
+         dh AS (SELECT doc_id, sum(bit << j)::BIGINT AS dhash
+                FROM bits GROUP BY doc_id),
+         gridc AS (SELECT cy.cy, cx.cx
+                   FROM unnest(range(0, 8)) AS cy(cy)
+                   CROSS JOIN unnest(range(0, 8)) AS cx(cx)),
+         pre AS (SELECT d.doc_id, c.cy, c.cx,
+                   COALESCE(sum(b.bit), 0) AS sb
+                 FROM d CROSS JOIN gridc c
+                 LEFT JOIN bits b ON b.doc_id = d.doc_id
+                   AND b.j >= c.cy*8 AND b.j < c.cy*8 + c.cx
+                 GROUP BY d.doc_id, c.cy, c.cx),
+         cells AS (SELECT p.doc_id, p.cy, p.cx,
+                     100 + ((d.g*13 + p.cy*7) % 40)
+                       + 5*(2*p.sb - p.cx) AS v
+                   FROM pre p JOIN d ON d.doc_id = p.doc_id),
+         tots AS (SELECT doc_id, sum(v) AS tot FROM cells
+                  GROUP BY doc_id),
+         ah AS (SELECT c.doc_id,
+                  sum(CASE WHEN c.cy*8 + c.cx < 63 AND c.v*64 > t.tot
+                      THEN 1::BIGINT << (c.cy*8 + c.cx)
+                      ELSE 0 END)::BIGINT AS ahash
+                FROM cells c JOIN tots t ON t.doc_id = c.doc_id
+                GROUP BY c.doc_id),
+         fp AS (SELECT dh.doc_id, dh.dhash, ah.ahash
+                FROM dh JOIN ah ON ah.doc_id = dh.doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.dhash, b.dhash))::INT AS hamming_d,
+           bit_count(xor(a.ahash, b.ahash))::INT AS hamming_a
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         ORDER BY id_a, id_b""",
   )
 
   /** Shared CTE chain (corpus → … → dec2) for the ds_curate and
