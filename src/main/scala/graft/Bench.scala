@@ -1591,7 +1591,12 @@ object Bench {
                          runSecs: Seq[Double] = Nil,
                          gcMs: Seq[Long] = Nil,
                          coldSecs: Seq[Double] = Nil,
-                         coldGcMs: Seq[Long] = Nil)
+                         coldGcMs: Seq[Long] = Nil,
+                         // extra samples appended by the straggler
+                         // retry (r15: made an explicit artifact fact —
+                         // the retry was invisible except as a longer
+                         // runs vector)
+                         retrySamples: Int = 0)
 
   /** Cap on leading timed runs reclassified as extended warmup (see
     * [[QTime]]): the observed cold tail is 1-2 runs
@@ -2002,7 +2007,7 @@ object Bench {
     * entries report under cert_secs). */
   private def timedTotal(results: Seq[QTime]): Double =
     results.collect {
-      case QTime(n, t, _, None, _, _, _, _) if !certificationOnly(n) => t
+      case q if q.err.isEmpty && !certificationOnly(q.name) => q.secs
     }.sum
 
   /** The crossover CONCLUSIONS the docs state, computed INTO the
@@ -2148,7 +2153,7 @@ object Bench {
   // bench_out.json.
   private[graft] def claimsFields(results: Seq[QTime],
                                   compact: Boolean = false): String = {
-    val ok = results.collect { case QTime(n, t, _, None, _, _, _, _) => n -> t }.toMap
+    val ok = results.collect { case q if q.err.isEmpty => q.name -> q.secs }.toMap
     val eval = claimSpecs.flatMap { case (name, lhs, rhs, factor) =>
       for (l <- ok.get(lhs); r <- ok.get(rhs)) yield name -> (l < factor * r)
     }
@@ -2230,7 +2235,8 @@ object Bench {
         val deg =
           if (r.runSecs.nonEmpty) r.runSecs.indexOf(r.runSecs.max) else -1
         jstr(r.name) + s""":{"spread_x":${f3(r.maxSecs / r.secs)},""" +
-          s""""degraded_run":$deg,"runs":${
+          s""""degraded_run":$deg,"retry_samples":${r.retrySamples},""" +
+          s""""runs":${
             r.runSecs.mkString("[", ",", "]")},"gc_ms":${
             r.gcMs.mkString("[", ",", "]")}}"""
       }.mkString("\"outlier_runs\":{", ",", "},")
@@ -2338,7 +2344,7 @@ object Bench {
         "flagged; [min,max] seconds). Hand edits between these markers " +
         "are overwritten by the next full bench run._"
     val claims = {
-      val ok = results.collect { case QTime(n, t, _, None, _, _, _, _) => n -> t }.toMap
+      val ok = results.collect { case q if q.err.isEmpty => q.name -> q.secs }.toMap
       claimSpecs.flatMap { case (name, lhs, rhs, factor) =>
         for (l <- ok.get(lhs); r <- ok.get(rhs))
           yield s"| `$name` | ${if (l < factor * r) "holds" else "FAILED"} |"
@@ -2508,21 +2514,25 @@ object Bench {
       val e = r.err.map(_.replaceAll("[\\t\\n\\r]", " ")).getOrElse("")
       s"${r.name}\t${r.secs}\t${r.maxSecs}\t$e\t" +
         s"${r.runSecs.mkString(",")}\t${r.gcMs.mkString(",")}\t" +
-        s"${r.coldSecs.mkString(",")}\t${r.coldGcMs.mkString(",")}"
+        s"${r.coldSecs.mkString(",")}\t${r.coldGcMs.mkString(",")}\t" +
+        s"${r.retrySamples}"
     }.mkString("", "\n", "\n")
 
   private[graft] def parseTsv(text: String): Seq[QTime] =
     text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
         val parts = line.split("\t", -1)
-        require(parts.length == 8, s"malformed bench TSV line: $line")
+        // 8-column lines are pre-r15 children (no retry_samples column)
+        require(parts.length == 8 || parts.length == 9,
+          s"malformed bench TSV line: $line")
         def ds(i: Int) = parts(i).split(",").toIndexedSeq
           .filter(_.nonEmpty).map(_.toDouble)
         def ls(i: Int) = parts(i).split(",").toIndexedSeq
           .filter(_.nonEmpty).map(_.toLong)
         QTime(parts(0), parts(1).toDouble, parts(2).toDouble,
           if (parts(3).isEmpty) None else Some(parts(3)),
-          ds(4), ls(5), ds(6), ls(7))
+          ds(4), ls(5), ds(6), ls(7),
+          if (parts.length > 8) parts(8).toInt else 0)
       }.toSeq
 
   /** One fork's resource footprint: cumulative GC wall time and
@@ -2781,13 +2791,19 @@ object Bench {
           // definitive run). Take 2 extra samples so the artifact can
           // show whether the balloon was a one-off; EVERY sample stays
           // in runs_secs and the entry is still flagged outlier_runs —
-          // the retry adds evidence, it never heals the record.
+          // the retry adds evidence, it never heals the record. r15
+          // (r14 verdict #7, the x_sample 5.1x case): the retry count
+          // is now an explicit artifact fact (retry_samples inside
+          // outlier_runs), so a reader can see the policy FIRED rather
+          // than inferring it from a longer runs vector.
+          val retried = scala.collection.mutable.Map.empty[String, Int]
+            .withDefaultValue(0)
           for (name <- unit
                if !errs.contains(name) && !singleRunControls(name) && {
                  val t = steady(name)
                  t.nonEmpty && t.min > 0 &&
                    t.max > OutlierSpreadFactor * t.min
-               }; _ <- 1 to 2) once(name)
+               }; _ <- 1 to 2) { retried(name) += 1; once(name) }
           // cold-JVM absorption (r11 verdict #1: every flagged outlier
           // degraded on run index 0 — one warmup execution does not
           // fully pay a fresh JVM's JIT backlog, and for driver-heavy
@@ -2818,7 +2834,8 @@ object Bench {
           unit.map { name =>
             val ts = steady(name)
             QTime(name, ts.min, ts.max, errs.get(name), ts,
-              steadyGc(name), coldOf(name), coldGcOf(name))
+              steadyGc(name), coldOf(name), coldGcOf(name),
+              retrySamples = retried(name))
           }
         }
       // between units: prompt the JVM to collect, so ContextCleaner can

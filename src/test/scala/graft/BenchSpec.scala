@@ -98,6 +98,13 @@ class BenchSpec extends AnyFunSuite {
     val parsed = Bench.parseTsv(Bench.renderTsv(results))
     assert(parsed(0).coldSecs == Seq(6.6) &&
       parsed(0).coldGcMs == Seq(198L))
+    // retry_samples rides the 9th TSV column; an 8-column pre-r15
+    // child line still parses (count defaults to 0)
+    assert(Bench.parseTsv(Bench.renderTsv(Seq(Bench.QTime(
+      "q_retried", 1.0, 4.0, None, Vector(1.0, 4.0, 1.1, 1.0, 1.0),
+      retrySamples = 2)))).head.retrySamples == 2)
+    assert(Bench.parseTsv(
+      "q_old8\t1.5\t1.6\t\t1.6,1.5\t0,0\t\t\n").head.retrySamples == 0)
     assert(parsed(1).coldSecs.isEmpty && parsed(1).coldGcMs.isEmpty)
     val full = mapper.readTree(Bench.renderFull(parsed, "sf", "32", 3))
     assert(full.get("cold_warmup_secs").get("bench_lsh_like")
@@ -152,9 +159,10 @@ class BenchSpec extends AnyFunSuite {
   test("outlier entries are flagged with the degraded run named; " +
       "certification entries and tight spreads are not") {
     val results = Seq(
-      // 4x spread, run 1 (0-indexed) is the balloon, with the GC bill
+      // 4x spread, run 1 (0-indexed) is the balloon, with the GC bill;
+      // the straggler retry appended 2 samples (r15: an artifact fact)
       Bench.QTime("dd_wide", 2.0, 8.0, None, Vector(2.0, 8.0, 2.1),
-        Vector(5L, 24000L, 7L)),
+        Vector(5L, 24000L, 7L), retrySamples = 2),
       Bench.QTime("q_tight", 1.0, 1.2, None, Vector(1.2, 1.0, 1.1),
         Vector(0L, 0L, 0L)),
       // certification entries run once — a "spread" there is meaningless
@@ -167,6 +175,8 @@ class BenchSpec extends AnyFunSuite {
     assert(o.get("dd_wide").get("degraded_run").asInt() == 1)
     assert(o.get("dd_wide").get("gc_ms").get(1).asLong() == 24000L)
     assert(o.get("dd_wide").get("spread_x").asDouble() == 4.0)
+    // the retry is visible, not inferred from a longer runs vector
+    assert(o.get("dd_wide").get("retry_samples").asInt() == 2)
     assert(full.get("n_outliers").asInt() == 1)
     // every timed entry's per-run record lands in the artifact
     assert(full.get("runs_secs").get("q_tight").get(0).asDouble() == 1.2)
