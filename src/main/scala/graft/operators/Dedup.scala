@@ -646,24 +646,37 @@ object Dedup {
   }
 
   /** Hamming-banded near-dup pairs over an EXISTING 64-bit fingerprint
-    * column — the 4x16-bit chunk pigeonhole shared by [[simhashPairs]]
-    * (text) and [[Multimodal.imageDedupPairs]] (pixels, r15): pairs
-    * within hamming <= 3 differ in at most 3 of the 4 chunks, so they
-    * share at least one exact 16-bit chunk and candidates come from a
-    * chunk-equality join; the hamming filter runs BEFORE the distinct
-    * so the dedup shuffle carries only true near-pairs, not every
-    * chunk collision. maxHamming > 3 would make the pigeonhole
-    * incomplete (a 4-chunk split guarantees a shared chunk only up to
-    * 3 flipped bits) — refused rather than silently lossy. */
+    * column — the chunk pigeonhole shared by [[simhashPairs]] (text)
+    * and [[Multimodal.imageDedupPairs]] (pixels, r15): split the 64
+    * bits into `maxHamming + 1` chunks (the classic 4x16 at the
+    * default band 3); a pair within the band flips at most
+    * `maxHamming` chunks, so it shares at least one EXACT chunk and
+    * candidates come from a chunk-equality join — recall is exact at
+    * EVERY band (multi-index Hamming, Norouzi et al. 2012), and the
+    * hamming filter runs BEFORE the distinct so the dedup shuffle
+    * carries only true near-pairs, not every chunk collision. Looser
+    * bands cost more, not less recall: chunk width 64/(maxHamming+1)
+    * shrinks, so each chunk carries fewer bits of discrimination and
+    * collision buckets grow — at band 7 an 8-bit chunk has only 256
+    * values. Bands above 31 would leave 1-bit chunks (every doc
+    * collides with half the corpus); refused as meaningless —
+    * brute-force the pair space instead. */
   def hammingPairs(fp: DataFrame, idCol: String, fpCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"maxHamming $maxHamming outside [0, 3]: the 4x16-bit chunk " +
-        "pigeonhole only guarantees recall up to hamming 3 — band " +
-        "more chunks (or brute-force) for a looser threshold")
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming $maxHamming outside [0, 31]: banding past 31 leaves " +
+        "1-bit chunks with no discrimination — brute-force the pair " +
+        "space for a looser threshold")
+    val nChunks = maxHamming + 1
+    // chunk c covers fingerprint bits [off(c), off(c+1)) from the LSB;
+    // widths differ by at most one bit so no chunk is starved
+    val offsets = (0 to nChunks).map(i => i * 64 / nChunks)
     val chunks = fp.select(col(idCol), col(fpCol), posexplode(
-      array((0 until 4).map(c =>
-        shiftright(col(fpCol), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      array((0 until nChunks).map { c =>
+        val w = offsets(c + 1) - offsets(c)
+        val mask = if (w >= 64) -1L else (1L << w) - 1L
+        shiftright(col(fpCol), offsets(c)).bitwiseAND(lit(mask))
+      }: _*)))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
     val l = chunks.select(col("chunk_idx"), col("chunk"),
       col(idCol).as("id_a"), col(fpCol).as("fp_a"))

@@ -87,21 +87,70 @@ object DocsStreaming {
     * probe join's partitioning — the exchange-free micro-batch scan is
     * spec-pinned in DocsStreamingSpec. */
   def compactCorpusHashIndex(spark: org.apache.spark.sql.SparkSession,
-                             table: String, buckets: Int = 32): Unit = {
+                             table: String, buckets: Int = 32): Unit =
+    rewriteCorpusHashIndex(spark, table, buckets)(_.distinct())
+
+  /** Remove forgotten content from the corpus-hash index — the
+    * right-to-be-forgotten twin of
+    * [[graft.operators.Dedup.deleteFromMinhashIndex]] for the fourth
+    * persisted artifact: without it, re-submitted content whose
+    * original was deleted from the lake would be dropped by the ingest
+    * probe forever (the index remembers a doc the corpus no longer
+    * has). Rewrites the table WITHOUT the given docs' content hashes
+    * (left-anti on md5, same hash rule as the probe), deduplicated,
+    * same bucket spec, via the same staged/self-healing swap as
+    * [[compactCorpusHashIndex]]. Returns the number of hash rows
+    * removed.
+    *
+    * Caller contract: the hash index is content-only (no doc ids), so
+    * pass content that NO surviving doc still carries — if a kept doc
+    * shares the forgotten doc's exact text, deleting the hash would
+    * re-admit duplicates of content that still exists; anti-join the
+    * forgotten docs against the surviving corpus first when that can
+    * happen. */
+  def deleteCorpusHashes(forgotten: DataFrame, textCol: String,
+                         table: String, buckets: Int = 32): Long = {
+    val spark = forgotten.sparkSession
+    healCorpusHashIndex(spark, table) // the count below needs a live table
+    // materialize: the staged swap drops the table the plan reads
+    val gone = corpusHashIndex(forgotten, textCol).localCheckpoint()
+    val before = spark.table(table).count()
+    rewriteCorpusHashIndex(spark, table, buckets)(
+      _.join(gone, Seq("content_hash"), "left_anti").distinct())
+    before - spark.table(table).count()
+  }
+
+  /** Shared staged rewrite for the bucketed corpus-hash table
+    * (compaction and deletion): write the transformed index to
+    * `<table>__compact` in the same bucket spec, then DROP + RENAME —
+    * the index is never dropped before its replacement is fully
+    * written, and the crash window between DROP and RENAME self-heals
+    * at the next call (the [[graft.operators.ArtifactMaintenance]]
+    * contract in catalog operations, because bucketing lives in table
+    * metadata, not the dir layout). */
+  private def rewriteCorpusHashIndex(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      buckets: Int)(transform: DataFrame => DataFrame): Unit = {
     val staged = table + "__compact"
-    if (!spark.catalog.tableExists(table) &&
-        spark.catalog.tableExists(staged))
-      // the documented crash window of a previous compaction: the
-      // rewrite is intact at the staging name — promote it and return
-      { spark.sql(s"ALTER TABLE $staged RENAME TO $table"); return }
+    healCorpusHashIndex(spark, table)
     require(spark.catalog.tableExists(table),
-      s"compactCorpusHashIndex: no corpus-hash index table '$table'")
+      s"rewriteCorpusHashIndex: no corpus-hash index table '$table'")
     spark.sql(s"DROP TABLE IF EXISTS $staged") // orphan from a crash
     graft.operators.ScaleJoins.writeBucketed(
-      spark.table(table).distinct(), staged, "content_hash", buckets)
+      transform(spark.table(table)), staged, "content_hash", buckets)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $staged RENAME TO $table")
   }
+
+  /** The documented crash window of [[rewriteCorpusHashIndex]] — index
+    * table missing, intact result at `<table>__compact` — promoted
+    * back at entry of every maintenance call (a heal never skips the
+    * calling operation's own transform). */
+  private def healCorpusHashIndex(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(table + "__compact"))
+      spark.sql(s"ALTER TABLE ${table}__compact RENAME TO $table")
 
   /** Streaming content dedup: keep the FIRST arrival of each distinct
     * text within the watermark window, and drop anything whose content

@@ -61,6 +61,42 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("hammingPairs: generalized banding equals brute force at every " +
+      "band, including negative fingerprints and wide distances") {
+    // hand-built fingerprints with known pairwise distances, including
+    // bit 63 (negative longs — the arithmetic-shift sign-extension
+    // hazard the chunk mask must cut) and distances that straddle the
+    // narrow-chunk splits of loose bands
+    val fps: Seq[(Long, Long)] = Seq(
+      (0L, 0L),
+      (1L, (1L << 0) | (1L << 10) | (1L << 20) | (1L << 30) | (1L << 40)),
+      (2L, -1L),                 // all 64 bits
+      (3L, 1L << 1),
+      (4L, java.lang.Long.MIN_VALUE)) // bit 63 only
+    val df = fps.toDF("id", "fp")
+    def brute(band: Int): Set[(Long, Long, Int)] =
+      (for {
+        (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= band
+      } yield (ia, ib, h)).toSet
+    for (band <- Seq(0, 1, 3, 5, 8, 31)) {
+      val got = Dedup.hammingPairs(df, "id", "fp", band)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(got == brute(band),
+        s"band $band: got $got expected ${brute(band)}")
+    }
+    // identical fingerprints pair at band 0 (1 chunk = whole-fp join)
+    val dup = (fps :+ (9L, -1L)).toDF("id", "fp")
+    assert(Dedup.hammingPairs(dup, "id", "fp", 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2L, 9L)))
+    // bands past 31 refuse (1-bit chunks discriminate nothing)
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(df, "id", "fp", 32)
+    }
+  }
+
   test("ngramJaccardPairs computes exact jaccard via inverted index") {
     val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         threshold = 0.3, n = 3)

@@ -298,4 +298,56 @@ class DocsStreamingSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS ${table}__compact")
     }
   }
+
+  test("deleteCorpusHashes: forgotten content stops gating re-ingest; " +
+      "absent hashes are a no-op; the probe stays exchange-free") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val table = "graft_corpus_hashes_del"
+    try {
+      val corpus = spark.range(500)
+        .select(col("id").as("doc_id"),
+          concat(lit("text body number "), col("id")).as("text"))
+      DocsStreaming.writeCorpusHashIndex(corpus, "text", table,
+        buckets = 4)
+      def probe(ids: Seq[Long]): Seq[Long] = DocsStreaming.ingestBatch(
+          ids.map(i => (i + 9000, s"text body number $i", t0))
+            .toDF("doc_id", "text", "ts"),
+          Some(spark.table(table)), minQuality = 0.0,
+          keepLangs = Seq("en", "und"))
+        .select("doc_id").as[Long].collect().toSeq.sorted.map(_ - 9000)
+      // pre-delete: re-submitted copies of docs 7 and 8 are gated out
+      assert(probe(Seq(7L, 8L)).isEmpty)
+      // docs 7 and 8 are deleted from the lake; forget their content
+      val removed = DocsStreaming.deleteCorpusHashes(
+        corpus.filter(col("doc_id").isin(7L, 8L)), "text", table,
+        buckets = 4)
+      assert(removed == 2L)
+      assert(spark.table(table).count() == 498L)
+      // post-delete: the same content re-ingests (nothing remembers
+      // it), while un-forgotten content still gates
+      assert(probe(Seq(7L, 8L, 9L)) == Seq(7L, 8L))
+      // no surviving doc carries the hash anymore -> re-delete no-op
+      assert(DocsStreaming.deleteCorpusHashes(
+        corpus.filter(col("doc_id") === 7L), "text", table,
+        buckets = 4) == 0L)
+      // the rewritten table still probes exchange-free
+      val plan = DocsStreaming.ingestBatch(
+          Seq((9100L, "text body number 100", t0))
+            .toDF("doc_id", "text", "ts"),
+          Some(spark.table(table)), minQuality = 0.0,
+          keepLangs = Seq("en", "und"))
+        .queryExecution.executedPlan.toString
+      val lines = plan.split("\n").toSeq
+      val scanIdx = lines.indexWhere(_.contains(table))
+      assert(scanIdx >= 0 &&
+        !lines.slice(math.max(0, scanIdx - 3), scanIdx)
+          .exists(_.contains("Exchange")),
+        "the post-delete index must still probe without an exchange:\n"
+          + plan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__compact")
+    }
+  }
 }

@@ -115,11 +115,11 @@ class PartitionInvarianceSpec extends SparkTestBase {
   }
 
   test("simhashPairs: the near-dup pair set survives any layout") {
-    // maxHamming capped at 3 since r15: hammingPairs refuses bands the
-    // 4-chunk pigeonhole cannot guarantee (8 used to run silently
-    // incomplete here)
+    // band 8 runs through the generalized multi-index banding (9
+    // chunks of ~7 bits — r15: recall exact at every band, where the
+    // old fixed 4x16 split was silently incomplete past hamming 3)
     assertInvariant(docs, "simhashPairs") { df =>
-      val out = Dedup.simhashPairs(df, "id", "text", maxHamming = 3)
+      val out = Dedup.simhashPairs(df, "id", "text", maxHamming = 8)
         .select("id_a", "id_b")
       rematerialize(out)
     }
