@@ -371,6 +371,24 @@ object MediaCodec {
       case _ => None
     }
 
+  /** Full sample decode for PCM 16-bit: (sampleRate, channels,
+    * interleaved samples) — everything [[wavDecode]] reads, stopping
+    * before the RMS reduction. The perceptual audio-hash path
+    * ([[Multimodal]] audioHashes) needs the actual waveform, not its
+    * amplitude summary (cf. [[pngDecodePixels]] for images). */
+  def wavDecodeSamples(b: Array[Byte])
+      : Option[(Int, Int, Array[Short])] =
+    wavChunks(b).flatMap {
+      case (1, ch, rate, 16, off, len)
+          if ch > 0 && rate > 0 && len >= 2 * ch =>
+        val n = len / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = le16(b, off + i * 2).toShort; i += 1 }
+        Some((rate, ch, out))
+      case _ => None
+    }
+
   /** Minimal real WAV: PCM 16-bit, interleaved samples — valid RIFF
     * header any audio reader opens. Used by specs and the `mm_audio`
     * oracle construction (cf. [[pngEncodeSolid]]). */

@@ -151,6 +151,69 @@ object Multimodal {
     Dedup.hammingPairs(fp, idCol, "dhash", maxHamming)
   }
 
+  /** Perceptual AUDIO fingerprint over PCM16 WAV payloads — the audio
+    * twin of [[imageHashes]]: decode the real waveform
+    * ([[MediaCodec.wavDecodeSamples]]), reduce each frame to an
+    * integer mono magnitude (mean of per-channel |sample|, floor), box
+    * the track into 65 time windows (frame f -> window
+    * floor(f*65/nFrames)), take the floor mean magnitude per window,
+    * and emit a 64-bit gradient hash: bit j set iff
+    * energy(j+1) > energy(j) (bit 63 stays clear — the same
+    * engine-portability policy as the image hashes). The envelope's
+    * gradient SIGNS survive the transforms crawl audio actually
+    * undergoes — resampling, re-encoding, volume normalization (any
+    * uniform gain preserves every comparison) — which is what makes
+    * this the cheap near-dup detector in front of any embedding model.
+    * All integer arithmetic: the `mm_audio_dedup` oracle replays the
+    * fingerprints closed-form. Tracks shorter than 65 frames (or
+    * undecodable payloads) are dropped. Output: (idCol, ehash). */
+  def audioHashes(df: DataFrame, idCol: String = "doc_id",
+                  payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, wav) =>
+        MediaCodec.wavDecodeSamples(wav).flatMap { case (_, ch, smp) =>
+          val nFrames = smp.length / ch
+          if (nFrames < 65) None
+          else {
+            val sum = new Array[Long](65)
+            val cnt = new Array[Long](65)
+            var f = 0
+            while (f < nFrames) {
+              var mag = 0L
+              var c = 0
+              while (c < ch) { mag += math.abs(smp(f * ch + c).toLong); c += 1 }
+              val w = (f.toLong * 65 / nFrames).toInt
+              sum(w) += mag / ch
+              cnt(w) += 1
+              f += 1
+            }
+            val e = Array.tabulate(65)(w => sum(w) / math.max(cnt(w), 1L))
+            var h = 0L
+            var j = 0
+            while (j < 63) {
+              if (e(j + 1) > e(j)) h |= 1L << j
+              j += 1
+            }
+            Some((id, h))
+          }
+        }
+      }).toDF(idCol, "ehash")
+  }
+
+  /** Near-duplicate audio pairs: [[audioHashes]] envelope fingerprints
+    * through [[Dedup.hammingPairs]] — the same banding as text simhash
+    * and image dHash, so the pair space only materializes inside
+    * chunk-colliding buckets. Output: (id_a, id_b, hamming). */
+  def audioDedupPairs(df: DataFrame, idCol: String = "doc_id",
+                      payloadCol: String = "payload",
+                      maxHamming: Int = 3): DataFrame = {
+    val fp = audioHashes(df, idCol, payloadCol).cache()
+    Dedup.hammingPairs(fp, idCol, "ehash", maxHamming)
+  }
+
   /** Batch-wise featurization over partitions: pulls (id, type, payload)
     * in fixed-size batches — the same shape a vectorized (Arrow/pandas)
     * UDF has — so a real decoder can amortize model/codec init per batch

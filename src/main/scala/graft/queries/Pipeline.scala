@@ -1665,6 +1665,47 @@ object Pipeline {
             .as("hamming_a"))
         .orderBy("id_a", "id_b")
     }),
+
+    // perceptual AUDIO dedup (r15): mm_dedup's construction applied to
+    // waveforms — each doc gets a REAL PCM16 WAV of 65 constant-
+    // amplitude segments (50 frames each) whose amplitude walks +-300
+    // per planted gradient bit; group = doc_id % 16 decides the
+    // envelope, docs with doc_id % 3 == 1 flip one bit (doc_id % 63),
+    // so same-group pairs sit within the band and cross-group pairs
+    // far above it. Spark runs the production chain (wavEncodePcm16 ->
+    // wavDecodeSamples -> integer mono magnitude -> 65-window floor
+    // means -> gradient hash -> hammingPairs); the oracle rebuilds the
+    // fingerprints closed-form from doc_id and brute-forces the pair
+    // join. Sliced to doc_id < 1000 to bound the oracle's n^2 space.
+    "mm_audio_dedup" -> ((s, dir) => {
+      val wavUdf = udf((id: Long) => {
+        val g = (id % 16).toInt
+        // start 12000, step +-150: the walk stays in [2400, 23600] —
+        // strictly positive (|sample| == amplitude, so the closed form
+        // holds) and well inside Short range
+        val amps = new Array[Int](65)
+        amps(0) = 12000 + ((g * 37) % 2000)
+        for (j <- 0 until 64) {
+          val bit = j < 63 && {
+            (((g * 113 + j * 41) % 5) < 2) ^
+              (id % 3 == 1 && j == (id % 63).toInt)
+          }
+          amps(j + 1) = amps(j) + (if (bit) 150 else -150)
+        }
+        val samples = new Array[Short](65 * 50)
+        for (j <- 0 until 65; k <- 0 until 50)
+          samples(j * 50 + k) = amps(j).toShort
+        graft.operators.MediaCodec.wavEncodePcm16(8000, 1, samples)
+      })
+      val withPayload = docs(s, dir).filter(col("doc_id") < 1000)
+        .select(col("doc_id"))
+        .withColumn("payload", wavUdf(col("doc_id")))
+      Multimodal.audioDedupPairs(withPayload, "doc_id", "payload",
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   /** DuckDB twin of Similarity.quantizeInt8 over the embeddings table:
@@ -3833,6 +3874,30 @@ object Pipeline {
            bit_count(xor(a.ahash, b.ahash))::INT AS hamming_a
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         ORDER BY id_a, id_b""",
+    // the audio rig's envelope hash collapses closed-form to the
+    // planted bits themselves (+-150 steps are strictly monotone, the
+    // walk stays positive so |sample| == amplitude): rebuild each
+    // doc's fingerprint from doc_id and brute-force the pair join —
+    // matches Spark's wav-decode -> window -> gradient chain only if
+    // every integer stage is bit-exact
+    "mm_audio_dedup" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 16)::BIGINT AS g
+               FROM documents WHERE doc_id < 1000),
+         bits AS (SELECT d.doc_id, j.j,
+             CASE WHEN (d.doc_id % 3 = 1 AND j.j = d.doc_id % 63)
+                  THEN 1 - (CASE WHEN ((d.g*113 + j.j*41) % 5) < 2
+                            THEN 1 ELSE 0 END)
+                  ELSE (CASE WHEN ((d.g*113 + j.j*41) % 5) < 2
+                        THEN 1 ELSE 0 END)
+             END::BIGINT AS bit
+           FROM d CROSS JOIN unnest(range(0, 63)) AS j(j)),
+         fp AS (SELECT doc_id, sum(bit << j)::BIGINT AS ehash
+                FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.ehash, b.ehash))::INT AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.ehash, b.ehash)) <= 3
          ORDER BY id_a, id_b""",
   )
 
