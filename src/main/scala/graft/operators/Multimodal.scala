@@ -94,47 +94,113 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, png) =>
-        MediaCodec.pngDecodePixels(png).map { case (w, h, ch, img) =>
-          // integer luma per pixel
-          def luma(px: Int, py: Int): Int = {
-            val o = (py * w + px) * ch
-            if (ch >= 3) {
-              val r = img(o) & 0xFF; val g = img(o + 1) & 0xFF
-              val b = img(o + 2) & 0xFF
-              (77 * r + 150 * g + 29 * b) >> 8
-            } else img(o) & 0xFF
-          }
-          // box-resample to 9x8: sums/counts per cell, floor means
-          val sum = Array.ofDim[Long](8, 9)
-          val cnt = Array.ofDim[Long](8, 9)
-          var py = 0
-          while (py < h) {
-            val cy = (py.toLong * 8 / h).toInt
-            var px = 0
-            while (px < w) {
-              val cx = (px.toLong * 9 / w).toInt
-              sum(cy)(cx) += luma(px, py)
-              cnt(cy)(cx) += 1
-              px += 1
-            }
-            py += 1
-          }
-          val grid = Array.tabulate(8, 9)((cy, cx) =>
-            (sum(cy)(cx) / math.max(cnt(cy)(cx), 1L)).toInt)
-          var dhash = 0L
-          var ahash = 0L
-          var tot = 0L
-          for (cy <- 0 until 8; cx <- 0 until 8) tot += grid(cy)(cx)
-          for (cy <- 0 until 8; cx <- 0 until 8) {
-            val j = cy * 8 + cx
-            if (j < 63) { // bit 63 stays clear on both hashes
-              if (grid(cy)(cx + 1) > grid(cy)(cx)) dhash |= 1L << j
-              if (grid(cy)(cx).toLong * 64 > tot) ahash |= 1L << j
-            }
-          }
+        imageHashOf(png).map { case (ahash, dhash) =>
           (id, ahash, dhash)
         }
       }).toDF(idCol, "ahash", "dhash")
+  }
+
+  /** The per-image kernel behind [[imageHashes]] (and the per-frame
+    * kernel behind [[videoFrameHashes]]): PNG bytes -> (ahash, dhash),
+    * None when undecodable. Pure, executor-side. */
+  private[operators] def imageHashOf(png: Array[Byte])
+      : Option[(Long, Long)] =
+    MediaCodec.pngDecodePixels(png).map { case (w, h, ch, img) =>
+      // integer luma per pixel
+      def luma(px: Int, py: Int): Int = {
+        val o = (py * w + px) * ch
+        if (ch >= 3) {
+          val r = img(o) & 0xFF; val g = img(o + 1) & 0xFF
+          val b = img(o + 2) & 0xFF
+          (77 * r + 150 * g + 29 * b) >> 8
+        } else img(o) & 0xFF
+      }
+      // box-resample to 9x8: sums/counts per cell, floor means
+      val sum = Array.ofDim[Long](8, 9)
+      val cnt = Array.ofDim[Long](8, 9)
+      var py = 0
+      while (py < h) {
+        val cy = (py.toLong * 8 / h).toInt
+        var px = 0
+        while (px < w) {
+          val cx = (px.toLong * 9 / w).toInt
+          sum(cy)(cx) += luma(px, py)
+          cnt(cy)(cx) += 1
+          px += 1
+        }
+        py += 1
+      }
+      val grid = Array.tabulate(8, 9)((cy, cx) =>
+        (sum(cy)(cx) / math.max(cnt(cy)(cx), 1L)).toInt)
+      var dhash = 0L
+      var ahash = 0L
+      var tot = 0L
+      for (cy <- 0 until 8; cx <- 0 until 8) tot += grid(cy)(cx)
+      for (cy <- 0 until 8; cx <- 0 until 8) {
+        val j = cy * 8 + cx
+        if (j < 63) { // bit 63 stays clear on both hashes
+          if (grid(cy)(cx + 1) > grid(cy)(cx)) dhash |= 1L << j
+          if (grid(cy)(cx).toLong * 64 > tot) ahash |= 1L << j
+        }
+      }
+      (ahash, dhash)
+    }
+
+  /** Per-frame perceptual fingerprints over AVI (Motion-PNG) payloads
+    * — the video twin of [[imageHashes]]: demux
+    * ([[MediaCodec.aviFrames]]), sample every `frameStride`-th frame
+    * (decode cost scales with n_frames/stride, the
+    * [[featurizeVideo]] knob), dHash each sampled frame through
+    * [[imageHashOf]]. Output: (idCol, frame_idx, dhash) — one row per
+    * decodable sampled frame. */
+  def videoFrameHashes(df: DataFrame, idCol: String = "doc_id",
+                       payloadCol: String = "payload",
+                       frameStride: Int = 1): DataFrame = {
+    require(frameStride >= 1, s"frameStride must be >= 1: $frameStride")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, avi) =>
+        MediaCodec.aviFrames(avi).iterator.zipWithIndex
+          .filter(_._2 % frameStride == 0)
+          .flatMap { case (png, i) =>
+            imageHashOf(png).map { case (_, dhash) => (id, i, dhash) }
+          }
+      }).toDF(idCol, "frame_idx", "dhash")
+  }
+
+  /** Near-duplicate VIDEO pairs: frame-fingerprint set overlap — two
+    * videos are near-dups when the Jaccard similarity of their
+    * DISTINCT frame dHash sets reaches `threshold` (re-encoded or
+    * rescaled copies keep their frame fingerprints — dHash is
+    * scale-invariant — while trims/edits drop some). The pair space
+    * comes from an inverted-index join on the frame hash (the
+    * [[Dedup.ngramJaccardPairs]] shape with frame fingerprints as the
+    * shingles): only videos SHARING a frame fingerprint ever pair,
+    * never n². Output: (id_a, id_b, n_shared, jaccard[4dp]). */
+  def videoDedupPairs(df: DataFrame, idCol: String = "doc_id",
+                      payloadCol: String = "payload",
+                      threshold: Double = 0.5,
+                      frameStride: Int = 1): DataFrame = {
+    // distinct (video, frame-hash) feeds both join sides and the set
+    // sizes — cache, don't re-demux
+    val fh = videoFrameHashes(df, idCol, payloadCol, frameStride)
+      .select(col(idCol), col("dhash")).distinct().cache()
+    val sizes = fh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val l = fh.select(col(idCol).as("id_a"), col("dhash"))
+    val r = fh.select(col(idCol).as("id_b"), col("dhash"))
+    l.join(r, "dhash").filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")),
+        "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")),
+        "id_b")
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
   }
 
   /** Near-duplicate image pairs: [[imageHashes]] dhash fingerprints

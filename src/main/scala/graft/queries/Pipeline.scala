@@ -1637,7 +1637,7 @@ object Pipeline {
           for (cx <- 0 until 8) {
             val j = cy * 8 + cx
             val bit = j < 63 && {
-              (((g * 131 + j * 37) % 7) < 3) ^
+              (((g * 131 + j * 37) % 97) < 41) ^
                 (id % 3 == 0 && j == (id % 63).toInt)
             }
             grid(cy)(cx + 1) = grid(cy)(cx) + (if (bit) 5 else -5)
@@ -1687,7 +1687,7 @@ object Pipeline {
         amps(0) = 12000 + ((g * 37) % 2000)
         for (j <- 0 until 64) {
           val bit = j < 63 && {
-            (((g * 113 + j * 41) % 5) < 2) ^
+            (((g * 113 + j * 41) % 89) < 37) ^
               (id % 3 == 1 && j == (id % 63).toInt)
           }
           amps(j + 1) = amps(j) + (if (bit) 150 else -150)
@@ -1704,6 +1704,52 @@ object Pipeline {
           maxHamming = 3)
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // perceptual VIDEO dedup (r15): near-dup videos by FRAME-SET
+    // overlap — each doc gets a REAL 5-frame Motion-PNG AVI whose
+    // frames are the mm_dedup gradient images; group = doc_id % 8
+    // decides the frame seeds, and docs with doc_id % 3 == 0 replace
+    // frame 2 with a doc-unique frame (an edit), so same-group pairs
+    // sit at jaccard 1.0 / 0.6667 and cross-group pairs share nothing.
+    // Spark runs the production chain (aviEncodeMpng -> aviFrames
+    // demux -> per-frame pngDecodePixels -> dHash -> inverted-index
+    // join on the frame fingerprint); the oracle rebuilds every
+    // frame's dhash closed-form from (doc_id, frame) and replays the
+    // set-jaccard join. Sliced to doc_id < 400 to bound the rig.
+    "mm_video_dedup" -> ((s, dir) => {
+      val aviUdf = udf((id: Long) => {
+        val g = (id % 8).toInt
+        def frame(seed: Int): Array[Byte] = {
+          val grid = Array.ofDim[Int](8, 9)
+          for (cy <- 0 until 8) {
+            grid(cy)(0) = 100 + ((seed * 13 + cy * 7) % 40)
+            for (cx <- 0 until 8) {
+              val j = cy * 8 + cx
+              val bit = j < 63 && (((seed * 131 + j * 37) % 97) < 41)
+              grid(cy)(cx + 1) = grid(cy)(cx) + (if (bit) 5 else -5)
+            }
+          }
+          val px = new Array[Byte](18 * 16)
+          for (py <- 0 until 16; pxx <- 0 until 18)
+            px(py * 18 + pxx) = grid(py / 2)(pxx / 2).toByte
+          graft.operators.MediaCodec.pngEncodeGray(18, 16, px)
+        }
+        val frames = Array.tabulate(5) { k =>
+          val seed = if (id % 3 == 0 && k == 2) (2000 + id).toInt
+            else g * 8 + k
+          frame(seed)
+        }
+        graft.operators.MediaCodec.aviEncodeMpng(18, 16, 25, frames)
+      })
+      val withPayload = docs(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id"))
+        .withColumn("payload", aviUdf(col("doc_id")))
+      Multimodal.videoDedupPairs(withPayload, "doc_id", "payload",
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          col("n_shared").cast("bigint").as("n_shared"), col("jaccard"))
         .orderBy("id_a", "id_b")
     }),
   )
@@ -3838,9 +3884,9 @@ object Pipeline {
                FROM documents WHERE doc_id < 1000),
          bits AS (SELECT d.doc_id, j.j,
              CASE WHEN (d.doc_id % 3 = 0 AND j.j = d.doc_id % 63)
-                  THEN 1 - (CASE WHEN ((d.g*131 + j.j*37) % 7) < 3
+                  THEN 1 - (CASE WHEN ((d.g*131 + j.j*37) % 97) < 41
                             THEN 1 ELSE 0 END)
-                  ELSE (CASE WHEN ((d.g*131 + j.j*37) % 7) < 3
+                  ELSE (CASE WHEN ((d.g*131 + j.j*37) % 97) < 41
                         THEN 1 ELSE 0 END)
              END::BIGINT AS bit
            FROM d CROSS JOIN unnest(range(0, 63)) AS j(j)),
@@ -3886,9 +3932,9 @@ object Pipeline {
                FROM documents WHERE doc_id < 1000),
          bits AS (SELECT d.doc_id, j.j,
              CASE WHEN (d.doc_id % 3 = 1 AND j.j = d.doc_id % 63)
-                  THEN 1 - (CASE WHEN ((d.g*113 + j.j*41) % 5) < 2
+                  THEN 1 - (CASE WHEN ((d.g*113 + j.j*41) % 89) < 37
                             THEN 1 ELSE 0 END)
-                  ELSE (CASE WHEN ((d.g*113 + j.j*41) % 5) < 2
+                  ELSE (CASE WHEN ((d.g*113 + j.j*41) % 89) < 37
                         THEN 1 ELSE 0 END)
              END::BIGINT AS bit
            FROM d CROSS JOIN unnest(range(0, 63)) AS j(j)),
@@ -3898,6 +3944,38 @@ object Pipeline {
            bit_count(xor(a.ehash, b.ehash))::INT AS hamming
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.ehash, b.ehash)) <= 3
+         ORDER BY id_a, id_b""",
+    // the video rig's frame fingerprints rebuilt closed-form per
+    // (doc_id, frame seed), then the set-jaccard join replayed —
+    // matches Spark's demux -> per-frame decode -> dHash ->
+    // inverted-index chain only if every frame hashes bit-exact
+    "mm_video_dedup" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 8)::BIGINT AS g
+               FROM documents WHERE doc_id < 400),
+         fr AS (SELECT d.doc_id,
+                  CASE WHEN d.doc_id % 3 = 0 AND k.k = 2
+                       THEN 2000 + d.doc_id ELSE d.g*8 + k.k END AS s
+                FROM d CROSS JOIN unnest(range(0, 5)) AS k(k)),
+         fb AS (SELECT doc_id, s, j.j,
+                  (CASE WHEN ((s*131 + j.j*37) % 97) < 41
+                   THEN 1 ELSE 0 END)::BIGINT AS bit
+                FROM fr CROSS JOIN unnest(range(0, 63)) AS j(j)),
+         fh AS (SELECT DISTINCT doc_id, dhash FROM (
+                  SELECT doc_id, s, sum(bit << j)::BIGINT AS dhash
+                  FROM fb GROUP BY doc_id, s)),
+         sz AS (SELECT doc_id, count(*) AS n FROM fh GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  count(*)::BIGINT AS n_shared
+                FROM fh a JOIN fh b
+                  ON a.dhash = b.dhash AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+         SELECT p.id_a, p.id_b, p.n_shared,
+           round(p.n_shared::DOUBLE / (sa.n + sb.n - p.n_shared), 4)
+             AS jaccard
+         FROM pr p JOIN sz sa ON sa.doc_id = p.id_a
+         JOIN sz sb ON sb.doc_id = p.id_b
+         WHERE round(p.n_shared::DOUBLE / (sa.n + sb.n - p.n_shared), 4)
+           >= 0.5
          ORDER BY id_a, id_b""",
   )
 
