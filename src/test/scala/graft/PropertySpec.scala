@@ -275,4 +275,26 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("hammingPairs: banded pair set equals brute force for arbitrary " +
+      "fingerprints and bands (r15 generalized multi-index banding)") {
+    val fpGen: Gen[(List[Long], Int)] = Gen.zip(
+      Gen.listOfN(10, Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+      Gen.chooseNum(0, 31))
+    forAll(fpGen, n = 8) { case (raw, band) =>
+      val fps = raw.distinct.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+      if (fps.size >= 2) {
+        val expected = (for {
+          (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+          h = java.lang.Long.bitCount(fa ^ fb) if h <= band
+        } yield (ia, ib, h)).toSet
+        val got = graft.operators.Dedup
+          .hammingPairs(fps.toDF("id", "fp"), "id", "fp", band)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .toSet
+        assert(got == expected,
+          s"band $band: got $got expected $expected over $fps")
+      }
+    }
+  }
 }
