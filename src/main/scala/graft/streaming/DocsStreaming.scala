@@ -112,6 +112,8 @@ object DocsStreaming {
                          table: String, buckets: Int = 32): Long = {
     val spark = forgotten.sparkSession
     healCorpusHashIndex(spark, table) // the count below needs a live table
+    require(spark.catalog.tableExists(table),
+      s"deleteCorpusHashes: no corpus-hash index table '$table'")
     // materialize: the staged swap drops the table the plan reads
     val gone = corpusHashIndex(forgotten, textCol).localCheckpoint()
     val before = spark.table(table).count()

@@ -621,6 +621,19 @@ class PqSpec extends SparkTestBase {
     // ids absent from the index are a no-op
     assert(Similarity.deleteFromPqIndex(
       Seq(999L).toDF("id"), "id", path) == 0L)
+    // the delete -> re-add cycle: the bloom sidecar was rebuilt from
+    // the survivors, so re-appending the deleted rows is a CLEAN drop
+    // again (a stale bloom would refuse them as maybe-duplicates the
+    // codes scan then disproves; a broken one would admit real dups)
+    Similarity.appendPqIndex(corpus.filter(col("id") >= 24), "id",
+      "vec", path, expectedSource = Some("unit"))
+    assert(Similarity.readPqIndex(spark, path).codes.count() == 32L)
+    // and the re-added ids are duplicates now — refusal via the merged
+    // bloom
+    intercept[IllegalArgumentException] {
+      Similarity.appendPqIndex(corpus.filter(col("id") === 30), "id",
+        "vec", path)
+    }
   }
 
   test("bloom-gated append guard: a clean drop never scans codes/, a " +
