@@ -209,6 +209,35 @@ class PlanAuditSpec extends SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("mm_dedup decodes each image once: both banding sides and both " +
+      "ahash joins read the cached fingerprint frame") {
+    val p = plan("mm_dedup")
+    // the fingerprint frame (one real PNG decode per doc) feeds the
+    // chunk-banding self-join's two sides plus the two ahash re-joins —
+    // all four consumers must read the cache, or a 100 TB corpus gets
+    // decoded twice-plus (the dd_spans lesson applied to media)
+    val consumers = "InMemoryTableScan".r.findAllMatchIn(p).length
+    assert(consumers == 4,
+      s"expected 4 cached fingerprint consumers, got $consumers:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "image near-dup pairs must come from the chunk equi-join:\n" + p)
+  }
+
+  test("mm_video_dedup demuxes each video once and never cross-pairs") {
+    val p = plan("mm_video_dedup")
+    // the distinct (video, frame-hash) frame feeds the inverted-index
+    // self-join's two sides plus the size aggregate consumed on both
+    // join legs (n_a and n_b) — four cached consumers, zero re-demux;
+    // the pair space must come from the frame-hash equi-join
+    val consumers = "InMemoryTableScan".r.findAllMatchIn(p).length
+    assert(consumers == 4,
+      s"expected 4 cached frame-hash consumers, got $consumers:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "video near-dup pairs must come from the frame-hash equi-join:\n" + p)
+  }
+
   test("txt_lm_score computes the bigram stream once (three cached reads)") {
     val p = plan("txt_lm_score")
     // bigram counts, context counts, and the scoring probe must all read
