@@ -53,6 +53,32 @@ object ArtifactMaintenance {
     fs.delete(old, true)
   }
 
+  /** [[stagedSwap]] for dirs that may not exist yet (sidecar rebuilds:
+    * a bloom invalidated before its codes rewrite, or a first write).
+    * When `live` exists the rewrite swaps in crash-safe; when it does
+    * not, the replacement is written at `<live>__compact` and renamed
+    * into place — a crash before the rename leaves NO live dir, which
+    * every sidecar reader treats as absent (degrade to the full scan),
+    * never as a torn-but-readable dir that still carries its stamps
+    * (r15 advice: a plain mode("overwrite") rebuild could commit some
+    * part-files, stamps included, and a stamped-but-incomplete bloom
+    * manufactures false negatives). */
+  private[operators] def stagedReplace(spark: SparkSession, live: String)
+                                      (write: String => Unit): Unit = {
+    healCrashState(spark, live)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val livePath = new org.apache.hadoop.fs.Path(live)
+    val fs = livePath.getFileSystem(conf)
+    if (fs.exists(livePath)) stagedSwap(spark, live)(write)
+    else {
+      val staged = new org.apache.hadoop.fs.Path(live + "__compact")
+      if (fs.exists(staged)) fs.delete(staged, true)
+      write(staged.toString)
+      require(fs.rename(staged, livePath),
+        s"stagedReplace: could not move $staged into place at $livePath")
+    }
+  }
+
   /** Detect and repair the documented [[stagedSwap]] crash state —
     * live dir missing, `<live>__old` present (a previous swap staged
     * the original out and died before staging the rewrite in): rename

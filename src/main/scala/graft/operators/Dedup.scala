@@ -484,7 +484,12 @@ object Dedup {
     * delete of the same ids is a no-op for the dirs already done).
     * Hyperparameter stamps are preserved verbatim. Ids absent from the
     * index are a no-op. Returns the number of documents removed
-    * (signature rows — one per doc).
+    * (signature rows — one per doc). Signatures — the COUNTED dir —
+    * swap LAST (r16, from the r15 advice): a retry of a delete that
+    * crashed mid-way then reads its before-count from the
+    * not-yet-rewritten signatures and reports every document the retry
+    * actually removes, instead of "0 removed" for a delete that was
+    * half-applied (the right-to-be-forgotten caller's audit trail).
     *
     * Cost shape: parquet immutability makes any delete a full rewrite
     * of all three dirs — batch deletion requests and apply them in one
@@ -510,17 +515,20 @@ object Dedup {
           "left_anti")
         .write.mode("overwrite").parquet(staged)
     }
+    ArtifactMaintenance.stagedSwap(spark, s"$path/buckets") { staged =>
+      idx.buckets
+        .join(del.select(col("__del_id").as(bktId)), Seq(bktId),
+          "left_anti")
+        .write.mode("overwrite").parquet(staged)
+    }
+    // counted dir last (see scaladoc): a crash before this swap leaves
+    // the retry's before-count intact, so the retry reports what it
+    // actually removed
     ArtifactMaintenance.stagedSwap(spark, s"$path/signatures") { staged =>
       idx.signatures
         .join(del.select(col("__del_id").as(sigId)), Seq(sigId),
           "left_anti")
         .select(col(sigId), col("signature").as("signature", sigMeta))
-        .write.mode("overwrite").parquet(staged)
-    }
-    ArtifactMaintenance.stagedSwap(spark, s"$path/buckets") { staged =>
-      idx.buckets
-        .join(del.select(col("__del_id").as(bktId)), Seq(bktId),
-          "left_anti")
         .write.mode("overwrite").parquet(staged)
     }
     before - spark.read.parquet(s"$path/signatures").count()
@@ -695,8 +703,13 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
                    mode: HashMode = HashMode.Xx): DataFrame = {
-    // fingerprints feed both join sides — cache, don't recompute
-    val fp = simhash(df, idCol, textCol, mode).cache()
+    // fingerprints feed both join sides — materialize once via
+    // localCheckpoint, don't recompute (r16, same stroke as the
+    // r15-advised Multimodal pair operators): checkpoint blocks are
+    // reclaimed by the ContextCleaner once the returned plan is
+    // unreachable, so per-drop calls over a crawl never accumulate
+    // registry-pinned cache entries
+    val fp = simhash(df, idCol, textCol, mode).localCheckpoint()
     hammingPairs(fp, idCol, "simhash", maxHamming)
   }
 

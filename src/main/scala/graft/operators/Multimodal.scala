@@ -184,9 +184,15 @@ object Multimodal {
                       threshold: Double = 0.5,
                       frameStride: Int = 1): DataFrame = {
     // distinct (video, frame-hash) feeds both join sides and the set
-    // sizes — cache, don't re-demux
+    // sizes — materialize ONCE via localCheckpoint, don't re-demux.
+    // localCheckpoint, not cache() (r15 advice): a cache() entry is
+    // pinned by the session's cache registry until someone unpersists
+    // it, so per-drop calls over a crawl accumulate executor storage;
+    // checkpoint blocks are owned by this frame and reclaimed by the
+    // ContextCleaner once the returned plan is unreachable. The pair
+    // plan itself stays lazy (PlanAuditSpec audits its join shape).
     val fh = videoFrameHashes(df, idCol, payloadCol, frameStride)
-      .select(col(idCol), col("dhash")).distinct().cache()
+      .select(col(idCol), col("dhash")).distinct().localCheckpoint()
     val sizes = fh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val l = fh.select(col(idCol).as("id_a"), col("dhash"))
     val r = fh.select(col(idCol).as("id_b"), col("dhash"))
@@ -212,8 +218,11 @@ object Multimodal {
   def imageDedupPairs(df: DataFrame, idCol: String = "doc_id",
                       payloadCol: String = "payload",
                       maxHamming: Int = 3): DataFrame = {
-    // fingerprints feed both join sides — cache, don't re-decode
-    val fp = imageHashes(df, idCol, payloadCol).cache()
+    // fingerprints feed both join sides — materialize once via
+    // localCheckpoint, don't re-decode; ContextCleaner-managed
+    // lifecycle instead of a registry-pinned cache() (r15 advice —
+    // see videoDedupPairs)
+    val fp = imageHashes(df, idCol, payloadCol).localCheckpoint()
     Dedup.hammingPairs(fp, idCol, "dhash", maxHamming)
   }
 
@@ -276,7 +285,9 @@ object Multimodal {
   def audioDedupPairs(df: DataFrame, idCol: String = "doc_id",
                       payloadCol: String = "payload",
                       maxHamming: Int = 3): DataFrame = {
-    val fp = audioHashes(df, idCol, payloadCol).cache()
+    // same ContextCleaner-managed fingerprint lifecycle as
+    // imageDedupPairs (r15 advice)
+    val fp = audioHashes(df, idCol, payloadCol).localCheckpoint()
     Dedup.hammingPairs(fp, idCol, "ehash", maxHamming)
   }
 

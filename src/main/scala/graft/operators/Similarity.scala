@@ -852,12 +852,42 @@ object Similarity {
 
   /** (Re)build the sidecar from an id frame — called by the index
     * writers, compactions, and deletions (a bloom cannot subtract, so
-    * delete rebuilds from the survivors). */
+    * delete rebuilds from the survivors). Routed through
+    * [[ArtifactMaintenance.stagedReplace]] (r16, from the r15 advice):
+    * a plain overwrite could crash mid-job-commit and leave a
+    * partially-committed but READABLE dir that still carries the
+    * bf_bits/bf_k stamps — missing (word, mask) rows then manufacture
+    * bloom false negatives and duplicate appends get admitted. Staged,
+    * a torn rebuild is either the intact old bloom or no dir at all
+    * (readIdBloom → None → full-scan guard). */
   private def writeIdBloom(ids: DataFrame, idCol: String,
-                           bloomDir: String, n: Long): Unit =
-    Sketches.bloomBuild(ids.select(col(idCol)), idCol,
-        bits = idBloomBits(n), k = 3)
-      .write.mode("overwrite").parquet(bloomDir)
+                           bloomDir: String, n: Long): Unit = {
+    val bloom = Sketches.bloomBuild(ids.select(col(idCol)), idCol,
+      bits = idBloomBits(n), k = 3)
+    ArtifactMaintenance.stagedReplace(ids.sparkSession, bloomDir) {
+      staged => bloom.write.mode("overwrite").parquet(staged)
+    }
+  }
+
+  /** Remove the sidecar (live dir plus any staged/old leftovers a
+    * crashed swap could resurrect) BEFORE a fresh codes/ overwrite.
+    * The fresh-write crash window must leave NO readable bloom (r15
+    * advice): the previous artifact's still-valid, correctly-stamped
+    * bloom sitting beside brand-new codes would answer "definitely
+    * not indexed" for ids that ARE in the new codes — a false
+    * negative, the one failure the bloom contract cannot absorb. No
+    * sidecar = full-scan guard, which is always sound. Append keeps
+    * its merge-before-codes ordering and delete/compact their
+    * superset-stale rebuilds — only the fresh write needs this. */
+  private def invalidateIdBloom(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (suffix <- Seq("", "__old", "__compact")) {
+      val p = new org.apache.hadoop.fs.Path(idBloomPath(path) + suffix)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
 
   /** Rebuild the sidecar from the JUST-WRITTEN codes dir — one pruned
     * id-column read of data whose footers are hot; count comes from
@@ -993,6 +1023,12 @@ object Similarity {
       .putLong("pqLut", offsets.last)
     if (sourceTag.nonEmpty) b.putString("source", sourceTag)
     val meta = b.build()
+    // a fresh write over a path that already holds an index: drop the
+    // OLD sidecar before touching codes/ (see invalidateIdBloom — a
+    // crash between the codes overwrite and the bloom rebuild must
+    // degrade to the full scan, never to a stale bloom's false
+    // negatives)
+    invalidateIdBloom(corpus.sparkSession, path)
     codebooks.write.mode("overwrite").parquet(s"$path/books")
     pqEncode(corpus, idCol, vecCol, codebooks)
       .select(col(idCol), col("codes").as("codes", meta), col("r_nsq"))
@@ -1057,7 +1093,13 @@ object Similarity {
     val spark = newDocs.sparkSession
     val idx = readPqIndex(spark, path, expectedSource)
     val diskIdCol = idx.codes.columns.head
-    val batchIds = newDocs.select(col(idCol).as(diskIdCol))
+    // cast to the ON-DISK id type before any bloom work: the bloom
+    // hashes string renderings, and a batch id that renders differently
+    // from its on-disk twin (DOUBLE '5.0' vs BIGINT '5') would always
+    // miss the bloom and bypass the duplicate refusal the join-based
+    // guard used to catch via numeric coercion (r15 advice)
+    val batchIds = newDocs.select(col(idCol)
+      .cast(idx.codes.schema(diskIdCol).dataType).as(diskIdCol))
     if (requireNewIds)
       requireDisjointIds(spark, idx.codes, diskIdCol, batchIds, path,
         "appendPqIndex")
@@ -1067,8 +1109,9 @@ object Similarity {
       upgradeLegacy = requireNewIds)
     val meta = idx.codes.schema("codes").metadata
     pqEncode(newDocs, idCol, vecCol, idx.books)
-      .select(col(idCol).as(diskIdCol), col("codes").as("codes", meta),
-        col("r_nsq"))
+      // same cast on the appended rows: codes/ keeps ONE id type
+      .select(col(idCol).cast(idx.codes.schema(diskIdCol).dataType)
+        .as(diskIdCol), col("codes").as("codes", meta), col("r_nsq"))
       .write.mode("append").parquet(s"$path/codes")
   }
 
@@ -1218,6 +1261,9 @@ object Similarity {
       .putLong("ivfCentsFpV", CentroidFpVersion)
     if (sourceTag.nonEmpty) b.putString("source", sourceTag)
     val meta = b.build()
+    // same fresh-write ordering as writePqIndex: old sidecar out
+    // before any half is overwritten (see invalidateIdBloom)
+    invalidateIdBloom(corpus.sparkSession, path)
     cents.write.mode("overwrite").parquet(s"$path/cents")
     codebooks.write.mode("overwrite").parquet(s"$path/books")
     ivfPqResidualEncode(
@@ -1323,7 +1369,10 @@ object Similarity {
     val spark = newDocs.sparkSession
     val idx = readIvfPqResidualIndex(spark, path, expectedSource)
     val diskIdCol = idx.codes.columns.head
-    val batchIds = newDocs.select(col(idCol).as(diskIdCol))
+    // on-disk id type before bloom work — same rendering-mismatch
+    // hazard as appendPqIndex (r15 advice)
+    val batchIds = newDocs.select(col(idCol)
+      .cast(idx.codes.schema(diskIdCol).dataType).as(diskIdCol))
     if (requireNewIds)
       requireDisjointIds(spark, idx.codes, diskIdCol, batchIds, path,
         "appendIvfPqResidualIndex")
@@ -1337,7 +1386,9 @@ object Similarity {
     ivfPqResidualEncode(
       ivfResiduals(newDocs, idCol, vecCol, idx.centroids),
       idCol, idx.centroids, idx.books)
-      .select(col(idCol).as(diskIdCol), col("cid"),
+      // same cast on the appended rows: codes/ keeps ONE id type
+      .select(col(idCol).cast(idx.codes.schema(diskIdCol).dataType)
+        .as(diskIdCol), col("cid"),
         col("codes").as("codes", meta), col("x_nsq"))
       .write.mode("append").parquet(s"$path/codes")
   }

@@ -612,6 +612,46 @@ class DedupSpec extends SparkTestBase {
     assert(probeNearC().isEmpty, "re-admitted content must gate again")
   }
 
+  test("deleteFromMinhashIndex: a retry that completes a half-applied " +
+      "delete reports what it actually removed (r15 advice — " +
+      "signatures, the counted dir, swap last)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mh-retry")
+    val path = tmp.resolve("index").toString
+    val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val C = "red orange yellow green blue indigo violet cyan magenta teal pink grey"
+    val D = "north south east west up down left right front back over under"
+    Dedup.writeMinhashIndex(
+      Seq((1L, A), (10L, C), (11L, D)).toDF("doc_id", "text"),
+      "doc_id", "text", path, sourceTag = "unit")
+    // simulate the crash state of a delete of doc 10 that finished the
+    // hashes and buckets swaps and died BEFORE the signatures swap
+    // (production order: hashes -> buckets -> signatures)
+    def rewriteWithout(dir: String): Unit = {
+      val d = s"$path/$dir"
+      val df0 = spark.read.parquet(d)
+      val idc = df0.columns.find(c => c != "content_hash" &&
+        c != "band" && c != "bucket" && c != "signature").get
+      val kept = df0.filter(col(idc) =!= 10L).localCheckpoint(true)
+      new scala.reflect.io.Directory(new java.io.File(d))
+        .deleteRecursively()
+      kept.write.parquet(d)
+    }
+    rewriteWithout("hashes")
+    rewriteWithout("buckets")
+    // the retry completes the delete AND reports the one doc it
+    // removed — the before-count reads the not-yet-rewritten
+    // signatures dir, so the audit trail never says "0 removed" for a
+    // delete that this call actually applied
+    assert(Dedup.deleteFromMinhashIndex(
+      Seq(10L).toDF("doc_id"), "doc_id", path) == 1L)
+    val idx = Dedup.readMinhashIndex(spark, path,
+      expectedSource = Some("unit"))
+    assert(idx.signatures.count() == 2 && idx.hashes.count() == 2)
+    // and only now is a re-delete the documented no-op
+    assert(Dedup.deleteFromMinhashIndex(
+      Seq(10L).toDF("doc_id"), "doc_id", path) == 0L)
+  }
+
   test("minhash index provenance: a probe expecting a different source refuses") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mh-prov")
     val path = tmp.resolve("index").toString

@@ -226,13 +226,20 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("mm_video_dedup demuxes each video once and never cross-pairs") {
     val p = plan("mm_video_dedup")
-    // the distinct (video, frame-hash) frame feeds the inverted-index
+    // the distinct (video, frame-hash) frame is demuxed ONCE — since
+    // r16 via localCheckpoint (ContextCleaner-managed, where the old
+    // cache() stayed registry-pinned across per-drop calls: r15
+    // advice) — and its materialized blocks feed the inverted-index
     // self-join's two sides plus the size aggregate consumed on both
-    // join legs (n_a and n_b) — four cached consumers, zero re-demux;
+    // join legs (n_a and n_b): four scans of the SAME checkpointed
+    // RDD, zero re-demux (no PNG decode appears in the pair plan);
     // the pair space must come from the frame-hash equi-join
-    val consumers = "InMemoryTableScan".r.findAllMatchIn(p).length
+    val consumers = "Scan ExistingRDD".r.findAllMatchIn(p).length
     assert(consumers == 4,
-      s"expected 4 cached frame-hash consumers, got $consumers:\n" + p)
+      s"expected 4 checkpointed frame-hash consumers, got $consumers:\n" + p)
+    assert(!p.contains("mapPartitions") && !p.contains("aviFrames"),
+      "the demux must sit BELOW the checkpoint, not re-run per consumer:\n"
+        + p)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       "video near-dup pairs must come from the frame-hash equi-join:\n" + p)

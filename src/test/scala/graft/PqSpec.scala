@@ -774,4 +774,102 @@ class PqSpec extends SparkTestBase {
     assert(!java.nio.file.Files.exists(dir.resolve("codes__old")) &&
       !java.nio.file.Files.exists(dir.resolve("codes__compact")))
   }
+
+  test("fresh-write crash window: an aborted writePqIndex over an " +
+      "existing index leaves NO readable bloom (r15 advice — the old " +
+      "artifact's still-valid sidecar beside new codes would certify " +
+      "real duplicates as definitely-new)") {
+    val base = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 128.0f)))
+      .toDF("id", "vec")
+    val books = Similarity.pqTrain(base, "id", "vec", m = 2, ksub = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_fresh_crash").toString
+    Similarity.writePqIndex(base, "id", "vec", books, path,
+      sourceTag = "unit")
+    assert(new java.io.File(s"$path/idbloom").exists())
+    // a rewrite whose codes job dies mid-write: the new corpus's vec
+    // column throws on the executor, so the codes overwrite starts
+    // (invalidation has already run) and never commits
+    val boom = udf((i: Long) =>
+      if (i < 0) Array(0.0f) else throw new RuntimeException("boom"))
+    val bad = base.select((col("id") + 100).as("id"),
+      boom(col("id")).as("vec"))
+    intercept[Throwable] {
+      Similarity.writePqIndex(bad, "id", "vec", books, path,
+        sourceTag = "unit")
+    }
+    assert(!new java.io.File(s"$path/idbloom").exists(),
+      "the crash window between the codes overwrite and the bloom " +
+        "rebuild must leave NO sidecar — absence degrades to the " +
+        "full-scan guard; a stale readable bloom manufactures false " +
+        "negatives")
+  }
+
+  test("append duplicate guard coerces the batch id type: a DOUBLE-" +
+      "rendered duplicate still refuses, a clean double-typed drop " +
+      "appends under the ON-DISK id type (r15 advice)") {
+    val base = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 128.0f)))
+      .toDF("id", "vec")
+    val books = Similarity.pqTrain(base, "id", "vec", m = 2, ksub = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_idtype").toString
+    Similarity.writePqIndex(base, "id", "vec", books, path,
+      sourceTag = "unit")
+    // DOUBLE 5.0 renders '5.0', on-disk BIGINT renders '5': an uncast
+    // bloom probe would always miss and ADMIT the duplicate
+    val dupDbl = base.filter(col("id") === 5)
+      .select(col("id").cast("double").as("id"), col("vec"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendPqIndex(dupDbl, "id", "vec", path)
+    }
+    assert(ex.getMessage.contains("shares ids"))
+    // a genuinely new double-typed drop appends cleanly — and lands
+    // under the artifact's own id type, so codes/ never splits schema
+    val newDbl = base.filter(col("id") === 7)
+      .select((col("id") + 100).cast("double").as("id"), col("vec"))
+    Similarity.appendPqIndex(newDbl, "id", "vec", path)
+    val idx = Similarity.readPqIndex(spark, path)
+    assert(idx.codes.schema(idx.codes.columns.head).dataType ==
+      org.apache.spark.sql.types.LongType,
+      "codes/ must keep ONE id type across differently-typed appends")
+    assert(idx.codes.count() == 33)
+    // the folded bloom remembers the coerced id: re-delivery refuses
+    intercept[IllegalArgumentException] {
+      Similarity.appendPqIndex(newDbl, "id", "vec", path)
+    }
+  }
+
+  test("sidecar rebuilds are staged: delete and compact leave a live " +
+      "bloom and no __compact/__old leftovers (r15 advice — a torn " +
+      "plain-overwrite rebuild could keep its stamps with rows " +
+      "missing, manufacturing false negatives)") {
+    val base = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 128.0f)))
+      .toDF("id", "vec")
+    val books = Similarity.pqTrain(base, "id", "vec", m = 2, ksub = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_bloom_staged").toString
+    Similarity.writePqIndex(base, "id", "vec", books, path,
+      sourceTag = "unit")
+    def assertClean(when: String): Unit = {
+      assert(new java.io.File(s"$path/idbloom").exists(),
+        s"$when: live sidecar missing")
+      for (sfx <- Seq("__compact", "__old"))
+        assert(!new java.io.File(s"$path/idbloom$sfx").exists(),
+          s"$when: staged-swap leftover idbloom$sfx")
+    }
+    assertClean("after fresh write")
+    Similarity.deleteFromPqIndex(Seq(3L, 4L).toDF("id"), "id", path)
+    assertClean("after delete")
+    Similarity.compactPqIndex(spark, path, targetPartitions = 1)
+    assertClean("after compact")
+    // and the rebuilt sidecar still serves the fast path
+    val idx = Similarity.readPqIndex(spark, path)
+    val clean = Similarity.requireDisjointIds(spark, idx.codes,
+      idx.codes.columns.head, Seq(700L).toDF(idx.codes.columns.head),
+      path, "test")
+    assert(clean.bloomUsed && !clean.scannedCodes)
+  }
 }
