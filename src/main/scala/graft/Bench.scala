@@ -65,6 +65,10 @@ import org.apache.spark.sql.functions._
   * entries), SPARK_GRAFT_BENCH_CHUNK (max queries per child JVM),
   * SPARK_GRAFT_BENCH_WARMUP=0 (skip the untimed warmup pass — the
   * artifact's baseline_break marker then says so),
+  * SPARK_GRAFT_BENCH_BUDGET_S (global wall budget, default 2700 s;
+  * exhausted -> remaining entries named in skipped_budget, exit 0;
+  * <= 0 disables), SPARK_GRAFT_BENCH_CHILD_TIMEOUT_S (per-child hard
+  * timeout, default 1800 s, clamped to the remaining budget),
   * SPARK_GRAFT_BENCH_RESULT_TSV (internal — marks a child).
   */
 object Bench {
@@ -1881,7 +1885,8 @@ object Bench {
                     warmupOn: Boolean = true,
                     partial: Option[(Int, Int)] = None,
                     certCached: Set[String] = Set.empty,
-                    loadQualified: Set[String] = Set.empty): String = {
+                    loadQualified: Set[String] = Set.empty,
+                    skippedBudget: Set[String] = Set.empty): String = {
     val byName = results.map(r => r.name -> r).toMap
     val shown = headline.filter(byName.contains)
     val shownSet = shown.toSet
@@ -1908,7 +1913,13 @@ object Bench {
     // r13 verdict #3: the compact line also counts entries timed under
     // external load (the full artifact names them in load_qualified)
     val nLoadq = loadQualified.count(n => results.exists(_.name == n))
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec",${partialField(partial)}"queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = true)}${crossoverField(results)}${claimsFields(results, compact = true)}${certFields(results, compact = true, certCached)}"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_cold":$nCold,"n_loadq":$nLoadq,"n_err":$nErr,"full":${jstr(outPath)}}"""
+    // wall-budget self-truncation (r16): the COUNT rides the budgeted
+    // line — a reader can't mistake a truncated run for full coverage —
+    // and the full artifact names every skipped entry
+    val skipField =
+      if (skippedBudget.isEmpty) ""
+      else s""""n_skipped_budget":${skippedBudget.size},"""
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec",${partialField(partial)}"queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = true)}${crossoverField(results)}${claimsFields(results, compact = true)}${certFields(results, compact = true, certCached)}$skipField"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_cold":$nCold,"n_loadq":$nLoadq,"n_err":$nErr,"full":${jstr(outPath)}}"""
   }
 
   /** Marker for an INCREMENTALLY-written artifact (r12 verdict #1: the
@@ -1960,11 +1971,11 @@ object Bench {
   private def baselineBreak(warmupOn: Boolean, compact: Boolean): String =
     (warmupOn, compact) match {
       case (true, false) =>
-        """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup + r10 chunked forks + r11 straggler retry (a >3x-spread entry gets 2 extra samples, all recorded) + r12 cold-run absorption (a leading run that is strictly worst and >3x the rest is extended warmup, reclassified into cold_warmup_secs with a replacement sample taken) + r13 single-run controls (designed-to-lose twins take one warm sample, named in single_run_controls) + r13 cert cache (a guard whose certified sources are hash-unchanged reuses its cached pass, named in certification_cached) + r14 load qualification (entries timed in a fork that observed 1-min load above 1.25x the core count are named in load_qualified and excluded from round-over-round deltas); pre-r10 minima are a different timing regime, not comparable","""
+        """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup + r10 chunked forks + r11 straggler retry (a >3x-spread entry gets 2 extra samples, all recorded) + r12 cold-run absorption (a leading run that is strictly worst and >3x the rest is extended warmup, reclassified into cold_warmup_secs with a replacement sample taken) + r13 single-run controls (designed-to-lose twins take one warm sample, named in single_run_controls) + r13 cert cache (a guard whose certified sources are hash-unchanged reuses its cached pass, named in certification_cached) + r14 load qualification (entries timed in a fork that observed 1-min load above 1.25x the core count are named in load_qualified and excluded from round-over-round deltas) + r16 wall budget (contract-family chunks fork first, bench_* rigs last; once SPARK_GRAFT_BENCH_BUDGET_S is exhausted remaining entries are named in skipped_budget instead of the harness killing the run; children tolerate GC-storm heartbeat gaps); pre-r10 minima are a different timing regime, not comparable","""
       // the compact line is budget-pinned (<1800 chars): the break
       // marker names the regime rounds and defers the method list to
       // the full artifact's self-describing baseline_break
-      case (true, true) => """"baseline_break":"r10-14; see full","""
+      case (true, true) => """"baseline_break":"r10-16; see full","""
       case (false, false) =>
         """"baseline_break":"warmup DISABLED this run (SPARK_GRAFT_BENCH_WARMUP=0) — minima include cold first runs; r8 interleaved cohorts + r10 chunked forks + r11 straggler retry","""
       case (false, true) => """"baseline_break":"warmup off","""
@@ -2190,7 +2201,8 @@ object Bench {
                  forks: Map[String, ForkStats] = Map.empty,
                  partial: Option[(Int, Int)] = None,
                  certCached: Set[String] = Set.empty,
-                 loadQualified: Set[String] = Set.empty): String = {
+                 loadQualified: Set[String] = Set.empty,
+                 skippedBudget: Set[String] = Set.empty): String = {
     val qs = results.map { r =>
       jstr(r.name) + ":" + r.err.fold(r.secs.toString)(m => jstr(m))
     }.mkString("{", ",", "}")
@@ -2277,7 +2289,16 @@ object Bench {
       s""""load_threshold_x100":${loadQualifyThresholdX100(cpus)},""" +
         present.map(jstr).mkString("\"load_qualified\":[", ",", "],")
     }
-    s"""{"metric":"total","value":$total,"unit":"sec",${partialField(partial)}"queries":$qs,"spread":$spread,$runsField$coldField$outlierField$headlineField$ctrlField$loadField"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = false)}${crossoverField(results)}${claimsFields(results)}${certFields(results, compact = false, certCached)}$forkField"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_err":$nErr}"""
+    // wall-budget self-truncation (r16): every entry the budget left
+    // untimed, by name, plus the budget that bound — so a reader (and
+    // bench_compare.py) can tell "absent because skipped" from
+    // "dropped from the bench"
+    val skipField =
+      if (skippedBudget.isEmpty) ""
+      else skippedBudget.toSeq.sorted.map(jstr)
+        .mkString("\"skipped_budget\":[", ",", "],") +
+        s""""budget_s":${f3(budgetSeconds)},"""
+    s"""{"metric":"total","value":$total,"unit":"sec",${partialField(partial)}"queries":$qs,"spread":$spread,$runsField$coldField$outlierField$headlineField$ctrlField$loadField"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = false)}${crossoverField(results)}${claimsFields(results)}${certFields(results, compact = false, certCached)}$forkField$skipField"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_err":$nErr}"""
   }
 
   // ---------------------------------------------------------------------
@@ -2597,6 +2618,65 @@ object Bench {
   private def maxChildQueries: Int =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "6").toInt
 
+  // ---------------------------------------------------------------------
+  // Wall budget (r16, from the r15 invalid driver artifact): the round's
+  // artifact of record is whatever the harness's stdout-tail window holds
+  // when the process ends, and r15's run was KILLED (rc 124) at chunk
+  // 3/38 with only the heavy synthetic rigs timed — no contract family
+  // made it into the record at all. Two policies fix that class of
+  // failure without touching healthy-run numbers:
+  //   1. orderChunks: contract families fork FIRST, the bench_* rigs
+  //      last, so a truncated run's prefix is the part a reader needs
+  //      most (r15 ran alphabetically: bench_* first).
+  //   2. a global wall budget: once it is exhausted the parent STOPS
+  //      LAUNCHING chunks, names every untimed entry in the artifact
+  //      (skipped_budget), and exits 0 with a complete, non-partial
+  //      final line — a self-truncated valid artifact instead of a
+  //      harness-killed invalid one. Claims whose operands were skipped
+  //      are omitted, not guessed (claimsFields already does this).
+  // ---------------------------------------------------------------------
+
+  /** Wall-clock origin of this JVM (object init — main's first touch). */
+  private val benchT0Nanos: Long = System.nanoTime()
+
+  /** Global wall budget in seconds (SPARK_GRAFT_BENCH_BUDGET_S, default
+    * 2700). Healthy full driver runs complete in ~1900-2600 s of bench
+    * wall (r13/r14 artifacts); the driver's own kill arrives later than
+    * that (r13's 2761 s sbt total survived) — so the default only binds
+    * on a degraded box, where finishing with named skips beats being
+    * killed mid-run. 0 or negative disables the budget. */
+  private def budgetSeconds: Double =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2700").toDouble
+
+  private def remainingBudgetSeconds: Double = {
+    val b = budgetSeconds
+    if (b <= 0) Double.PositiveInfinity
+    else b - (System.nanoTime() - benchT0Nanos) / 1e9
+  }
+
+  /** Seconds of budget that must remain to START more work — below it
+    * the run wraps up and writes the final artifact instead. */
+  private val BudgetWrapUpMarginSeconds = 30.0
+
+  /** Per-child hard timeout in seconds (SPARK_GRAFT_BENCH_CHILD_TIMEOUT_S,
+    * default 1800) — clamped to the remaining wall budget, so one wedged
+    * child can no longer eat the whole run (r15: the old flat 45 min
+    * cap was larger than the entire budget). */
+  private def childTimeoutCapSeconds: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_CHILD_TIMEOUT_S", "1800").toLong
+
+  /** Contract families first, the synthetic `bench_*` crossover rigs
+    * LAST: alphabetical order put the heaviest chunks at the head of
+    * the run, which is exactly the wrong truncation order. Relative
+    * order within each group is preserved (family clustering and
+    * chunk naming are untouched). */
+  private[graft] def orderChunks(chunks: Seq[(String, Seq[String])])
+      : Seq[(String, Seq[String])] = {
+    val (rigs, contract) = chunks.partition(
+      _._2.headOption.exists(_.startsWith("bench_")))
+    contract ++ rigs
+  }
+
   /** Split the query list into fork units: per name-prefix family first
     * (rigs and tables cluster by prefix, so chunk-mates share setup),
     * then into chunks of at most `maxPer` queries. A crossover cohort is
@@ -2640,8 +2720,15 @@ object Bench {
   /** Below this min time a query gets topped up to min-of-5 runs. */
   private val StableMinSeconds = 0.5
 
+  /** `enforceBudget` (parent-side callers only — the fork-unavailable
+    * fallback and the failed-chunk re-run): stop STARTING units once
+    * the wall budget is exhausted; the un-run entries are simply
+    * absent from the result and the caller names them in
+    * skipped_budget. Child JVMs never enforce it themselves — the
+    * parent's budget-clamped child timeout is their bound. */
   private def runInProcess(sfDir: String, cpus: String, runs: Int,
-      only: Option[Set[String]]): Seq[QTime] = {
+      only: Option[Set[String]],
+      enforceBudget: Boolean = false): Seq[QTime] = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -2649,6 +2736,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // survive a GC storm instead of dying mid-chunk (r15: the
+      // driver-run chunk-1 child spent 80+ s in GC and was killed by
+      // its own heartbeat monitor — "unable to send heartbeats to
+      // driver more than 60 times" at the default 10 s interval — and
+      // the re-run burned the wall budget that killed the artifact).
+      // A same-JVM local-mode heartbeat says nothing about cluster
+      // health; 60 s / 600 s keeps a degraded box's numbers flowing
+      // (the GC bill is still recorded per run in runs_gc_ms).
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -2700,6 +2797,12 @@ object Bench {
       } else { seen += name; Some(Seq(name)) }
     }
     val results = units.flatMap { unit =>
+      if (enforceBudget &&
+          remainingBudgetSeconds < BudgetWrapUpMarginSeconds) {
+        // budget exhausted: stop starting units (the caller records the
+        // absent names as skipped_budget)
+        Nil
+      } else {
       val errs = scala.collection.mutable.Map.empty[String, String]
       val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
         .withDefaultValue(Vector.empty)
@@ -2846,6 +2949,7 @@ object Bench {
       // outside every timed window.
       System.gc()
       unitResults
+      }
     }
     spark.stop()
     results
@@ -2933,7 +3037,8 @@ object Bench {
     * for a child that predates the telemetry line). */
   private def runChild(javaBin: String, jvmArgs: Seq[String], cp: String,
       chunk: String, names: Seq[String], sfDir: String, cpus: String,
-      runs: Int, logDir: Path): Option[(Seq[QTime], Option[ForkStats])] = {
+      runs: Int, logDir: Path,
+      timeoutSeconds: Long): Option[(Seq[QTime], Option[ForkStats])] = {
     val tsv = logDir.resolve(s"bench_$chunk.tsv")
     val log = logDir.resolve(s"bench_$chunk.log")
     Files.deleteIfExists(tsv)
@@ -2950,7 +3055,7 @@ object Bench {
     pb.redirectOutput(log.toFile)
     try {
       val p = pb.start()
-      val done = p.waitFor(45, TimeUnit.MINUTES)
+      val done = p.waitFor(timeoutSeconds, TimeUnit.SECONDS)
       if (!done) { p.destroyForcibly(); return None }
       if (p.exitValue() != 0) return None
       val text = Files.readString(tsv)
@@ -2967,21 +3072,26 @@ object Bench {
     * child JVMs failed and their queries were re-timed in the
     * shared-session fallback (those numbers lack the JIT/GC isolation
     * the mode label promises — the artifact must say so),
-    * "shared_session" when forking was unavailable entirely. */
+    * "shared_session" when forking was unavailable entirely. The final
+    * Set is the wall-budget skip list: entries never timed because the
+    * budget ran out (named in the artifact as skipped_budget). */
   private def runForked(sfDir: String, cpus: String, runs: Int,
       exclude: Set[String] = Set.empty,
       onChunk: (Seq[QTime], Map[String, ForkStats], Set[String], Int, Int)
           => Unit = (_, _, _, _, _) => ())
-      : (Seq[QTime], Map[String, ForkStats], String, Set[String]) = {
+      : (Seq[QTime], Map[String, ForkStats], String, Set[String],
+         Set[String]) = {
     val names = allBenchQueries.keys.toSeq.filterNot(exclude).sorted
-    val chunks = forkChunks(names)
+    val chunks = orderChunks(forkChunks(names))
     val cp = forkClasspath()
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
     if (cp.isEmpty || !Files.isExecutable(javaBin)) {
       System.err.println("bench: fork unavailable, falling back in-process")
-      return (runInProcess(sfDir, cpus, runs,
-        if (exclude.isEmpty) None else Some(names.toSet)), Map.empty,
-        "shared_session", Set.empty)
+      val rs = runInProcess(sfDir, cpus, runs,
+        if (exclude.isEmpty) None else Some(names.toSet),
+        enforceBudget = true)
+      return (rs, Map.empty, "shared_session", Set.empty,
+        names.toSet -- rs.map(_.name))
     }
     val logDir = Paths.get("target", "bench-fork")
     Files.createDirectories(logDir)
@@ -3002,21 +3112,33 @@ object Bench {
           if stats.get(chunk).exists(s =>
             s.loadX100 >= 0 && s.loadX100 > loadQualifyThresholdX100(cpus))
         => qs }.flatten.toSet
+    val skipped = scala.collection.mutable.Set.empty[String]
     for (((chunk, qs), idx) <- chunks.zipWithIndex) {
-      val t0 = System.nanoTime()
-      runChild(javaBin.toString, jvmArgs, cp, chunk, qs, sfDir, cpus, runs,
-          logDir) match {
-        case Some((rs, st)) =>
-          buf ++= rs
-          st.foreach(s => stats += chunk -> s)
-          System.err.println(f"bench: chunk $chunk (${qs.size} queries) " +
-            f"done in ${(System.nanoTime() - t0) / 1e9}%.1f s" +
-            st.fold("")(s => s" [gc ${s.gcMs} ms/${s.gcCount}, " +
-              s"heap peak ${s.heapPeakMb} MB]"))
-        case None =>
-          failed ++= qs
-          System.err.println(s"bench: chunk $chunk child FAILED " +
-            s"(see $logDir/bench_$chunk.log), will re-run in-process")
+      val remaining = remainingBudgetSeconds
+      if (remaining < BudgetWrapUpMarginSeconds) {
+        if (skipped.isEmpty)
+          System.err.println(f"bench: wall budget " +
+            f"(${budgetSeconds}%.0f s) exhausted after ${idx} of " +
+            s"${chunks.size} chunks — remaining entries will be named " +
+            "in skipped_budget")
+        skipped ++= qs
+      } else {
+        val t0 = System.nanoTime()
+        runChild(javaBin.toString, jvmArgs, cp, chunk, qs, sfDir, cpus,
+            runs, logDir, timeoutSeconds = math.max(60L,
+              math.min(childTimeoutCapSeconds, remaining.toLong))) match {
+          case Some((rs, st)) =>
+            buf ++= rs
+            st.foreach(s => stats += chunk -> s)
+            System.err.println(f"bench: chunk $chunk (${qs.size} queries) " +
+              f"done in ${(System.nanoTime() - t0) / 1e9}%.1f s" +
+              st.fold("")(s => s" [gc ${s.gcMs} ms/${s.gcCount}, " +
+                s"heap peak ${s.heapPeakMb} MB]"))
+          case None =>
+            failed ++= qs
+            System.err.println(s"bench: chunk $chunk child FAILED " +
+              s"(see $logDir/bench_$chunk.log), will re-run in-process")
+        }
       }
       // incremental artifact checkpoint (r12 verdict #1): a run killed
       // by the harness wall budget leaves the best-so-far prefix as a
@@ -3027,12 +3149,32 @@ object Bench {
         System.err.println(s"bench: progress checkpoint failed: " +
           e.getMessage) }
     }
-    val leftover = failed.result()
-    if (leftover.nonEmpty)
-      buf ++= runInProcess(sfDir, cpus, runs, Some(leftover.toSet))
+    // failed-child re-runs are budget-gated too: finishing with named
+    // skips beats being killed mid-fallback (r15: the chunk-1 rerun
+    // plus two degraded chunks consumed the whole wall)
+    val leftover = failed.result().filterNot(skipped)
+    var rerunTimed = false
+    if (leftover.nonEmpty) {
+      if (remainingBudgetSeconds >
+          BudgetWrapUpMarginSeconds + 90) {
+        val rs = runInProcess(sfDir, cpus, runs, Some(leftover.toSet),
+          enforceBudget = true)
+        buf ++= rs
+        rerunTimed = rs.nonEmpty
+        skipped ++= leftover.toSet -- rs.map(_.name)
+      } else {
+        System.err.println(s"bench: no budget left for the in-process " +
+          s"re-run of ${leftover.size} failed-chunk entries — skipping")
+        skipped ++= leftover
+      }
+    }
+    // "partial" means shared-session retimes are MIXED INTO a forked
+    // artifact — entries that were skipped instead are named in
+    // skipped_budget and don't change the timing-isolation label
     val mode =
-      if (leftover.isEmpty) "fork_per_chunk" else "fork_per_chunk_partial"
-    (buf.toVector.sortBy(_.name), stats.toMap, mode, loadQualifiedSoFar())
+      if (rerunTimed) "fork_per_chunk_partial" else "fork_per_chunk"
+    (buf.toVector.sortBy(_.name), stats.toMap, mode, loadQualifiedSoFar(),
+      skipped.toSet)
   }
 
   /** Load threshold in load_x100 units: a 1-minute load average above
@@ -3082,7 +3224,7 @@ object Bench {
     if (cachedNames.nonEmpty)
       System.err.println(s"bench: cert cache hit for ${cachedNames.size} " +
         s"guards (skipped): ${cachedNames.toSeq.sorted.mkString(", ")}")
-    val (results0, forks, mode, loadQualified) =
+    val (results0, forks, mode, loadQualified, skippedBudget) =
       if (fork) runForked(sfDir, cpus, runs, cachedNames,
         onChunk = (soFar, forksSoFar, loadqSoFar, k, n) => {
           val withHits = (soFar ++ certHits).sortBy(_.name)
@@ -3102,7 +3244,7 @@ object Bench {
         // shared-session runs carry the one JVM's own footprint so even
         // the fallback path is diagnosable
         (rs, Map("shared" -> currentForkStats()), "shared_session",
-          Set.empty[String])
+          Set.empty[String], Set.empty[String])
       }
     val results = (results0 ++ certHits).sortBy(_.name)
     // seed/refresh the cache from this run's FRESH green certifications
@@ -3117,11 +3259,13 @@ object Bench {
       System.err.println(s"bench: cert cache write failed: ${e.getMessage}") }
     Files.writeString(Paths.get(outPath),
       renderFull(results, sfDir, cpus, runs, mode, warmupOn, forks,
-        certCached = cachedNames, loadQualified = loadQualified) + "\n")
+        certCached = cachedNames, loadQualified = loadQualified,
+        skippedBudget = skippedBudget) + "\n")
     // a FULL run regenerates the measured-number blocks in the docs —
-    // partial/sliced/extras-off runs must not overwrite them with holes
+    // partial/sliced/extras-off/budget-truncated runs must not
+    // overwrite them with holes
     // (disable explicitly with SPARK_GRAFT_BENCH_DOCSYNC=0)
-    if (only.isEmpty && extrasEnabled && warmupOn &&
+    if (only.isEmpty && extrasEnabled && warmupOn && skippedBudget.isEmpty &&
         sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCSYNC", "1") != "0")
       try syncDocs(results, sfDir, runs, mode, cachedNames)
       catch { case e: Throwable =>
@@ -3130,6 +3274,7 @@ object Bench {
     // (the incremental per-chunk lines above are all `partial`-marked;
     // this one is not, which is how a reader tells a completed run)
     println(renderCompact(results, sfDir, cpus, runs, mode, outPath,
-      warmupOn, certCached = cachedNames, loadQualified = loadQualified))
+      warmupOn, certCached = cachedNames, loadQualified = loadQualified,
+      skippedBudget = skippedBudget))
   }
 }

@@ -296,7 +296,7 @@ class BenchSpec extends AnyFunSuite {
     // (r14: the list outgrew the <1800-char stdout window)
     assert(full.get("baseline_break").asText().contains("warmup"))
     val cbrk = compact.get("baseline_break")
-    assert(cbrk != null && cbrk.asText().contains("r10-14") &&
+    assert(cbrk != null && cbrk.asText().contains("r10-16") &&
       cbrk.asText().contains("full"))
     // with the warmup disabled, the marker must describe THAT run, not
     // the methodology that never executed (r9 advice)
@@ -360,6 +360,50 @@ class BenchSpec extends AnyFunSuite {
         "bench_lsh50k_q8"), maxPer = 2)
     assert(tiny.size == 1 && tiny.head._2.size == 4,
       "a cohort must never be split even when it exceeds maxPer")
+  }
+
+  test("orderChunks: contract families fork first, bench_* rigs last, " +
+      "relative order preserved, nothing lost (r16 — the r15 driver " +
+      "run was killed with ONLY heavy rig chunks timed)") {
+    val chunks = Bench.forkChunks(Bench.allBenchQueries.keys.toSeq.sorted)
+    val ordered = Bench.orderChunks(chunks)
+    // a permutation: same chunks, same contents
+    assert(ordered.sortBy(_._1) == chunks.sortBy(_._1))
+    // every bench_* chunk comes after every contract chunk
+    val isRig = ordered.map(_._2.head.startsWith("bench_"))
+    assert(isRig.nonEmpty && isRig.contains(true) && isRig.contains(false))
+    val firstRig = isRig.indexOf(true)
+    assert(isRig.drop(firstRig).forall(identity),
+      "bench_* chunks must form the TAIL of the fork plan")
+    // relative order within each group is untouched (chunk names key
+    // logs/telemetry; reshuffling within a family would break the
+    // family-clustering warmup assumption)
+    assert(ordered.filter(_._2.head.startsWith("bench_")) ==
+      chunks.filter(_._2.head.startsWith("bench_")))
+    assert(ordered.filterNot(_._2.head.startsWith("bench_")) ==
+      chunks.filterNot(_._2.head.startsWith("bench_")))
+  }
+
+  test("skipped_budget: named in the full artifact with the budget, " +
+      "counted on the compact line, absent entirely on a full run") {
+    val r = Seq(Bench.QTime("q_ok", 1.0, 1.2, None))
+    val skipped = Set("bench_cc2m_skew", "bench_cc2m_dist")
+    val full = mapper.readTree(Bench.renderFull(r, "sf", "32", 3,
+      skippedBudget = skipped))
+    val names = full.get("skipped_budget")
+    assert(names != null && names.size == 2 &&
+      names.get(0).asText() == "bench_cc2m_dist",
+      "full artifact must NAME every budget-skipped entry, sorted")
+    assert(full.get("budget_s") != null)
+    val compact = mapper.readTree(Bench.renderCompact(r, "sf", "32", 3,
+      skippedBudget = skipped))
+    assert(compact.get("n_skipped_budget").asInt() == 2)
+    // a complete run carries neither field — artifact shape unchanged
+    val clean = mapper.readTree(Bench.renderFull(r, "sf", "32", 3))
+    assert(clean.get("skipped_budget") == null &&
+      clean.get("budget_s") == null)
+    assert(mapper.readTree(Bench.renderCompact(r, "sf", "32", 3))
+      .get("n_skipped_budget") == null)
   }
 
   test("fork telemetry: renders as a TSV comment, round-trips, never breaks data") {
