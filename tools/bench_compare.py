@@ -51,6 +51,15 @@ def main(old_path, new_path, threshold=1.5):
               f"{'y' if len(loadq) == 1 else 'ies'} excluded "
               f"(fork observed load over threshold): "
               f"{', '.join(sorted(loadq))}")
+    # entries a wall-budget-truncated run never timed (r16
+    # `skipped_budget`): absent by policy, not dropped from the bench
+    for side, art in (("old", old), ("new", new)):
+        sb = art.get("skipped_budget", [])
+        if sb:
+            print(f"note: {side} artifact skipped {len(sb)} entr"
+                  f"{'y' if len(sb) == 1 else 'ies'} under its wall "
+                  f"budget ({art.get('budget_s', '?')} s) — absent "
+                  "from its fields by policy, not a coverage change")
     oq = {k: v for k, v in old.get("queries", {}).items()
           if isinstance(v, (int, float))}
     nq = {k: v for k, v in new.get("queries", {}).items()
