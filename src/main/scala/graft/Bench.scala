@@ -3214,12 +3214,24 @@ object Bench {
     // are excluded from the fork plan and present in every incremental
     // checkpoint
     val cachePath = if (fork) certCachePath() else None
-    val cache = cachePath.map(readCertCache).getOrElse(Map.empty)
+    val rawCache = cachePath.map(readCertCache).getOrElse(Map.empty)
+    // storage keys carry the run conditions (r16): the file holds one
+    // entry PER (guard, cpus, sf) — a full dev run at cpus=8/sf0.001
+    // must not evict the driver-conditions (cpus=32/sf0.1) passes it
+    // cannot satisfy. The hash key always embedded the conditions, so
+    // a legacy bare-name entry is still only ever a hit under the
+    // conditions it was written at — read it as a fallback, migrate it
+    // to the composite key on the next write.
+    def storageKey(n: String): String =
+      s"$n@cpus=$cpus;sf=${Paths.get(sfDir).getFileName}"
     // keys captured ONCE, before anything runs (see resolveCertHits)
     val certKeys: Map[String, String] =
       if (cachePath.isEmpty) Map.empty
       else certificationOnly.toSeq.filter(allBenchQueries.contains)
         .flatMap(n => certKey(n, cpus, sfDir).map(n -> _)).toMap
+    val cache: Map[String, (String, Double)] = certKeys.keys.flatMap(n =>
+      rawCache.get(storageKey(n)).orElse(rawCache.get(n)).map(n -> _))
+      .toMap
     val (certHits, cachedNames) = resolveCertHits(cache, certKeys)
     if (cachedNames.nonEmpty)
       System.err.println(s"bench: cert cache hit for ${cachedNames.size} " +
@@ -3248,12 +3260,16 @@ object Bench {
       }
     val results = (results0 ++ certHits).sortBy(_.name)
     // seed/refresh the cache from this run's FRESH green certifications
+    // (composite storage keys; the guard's legacy bare-name entry, if
+    // any, is dropped in the same stroke — migrated, not duplicated)
     for (path <- cachePath) try {
-      val updated = cache ++ (for {
+      val fresh = (for {
         r <- results0 if certificationOnly(r.name) && r.err.isEmpty
         key <- certKeys.get(r.name) // run-start keys, never recomputed
-      } yield r.name -> (key, r.secs))
-      if (updated != cache)
+      } yield r.name -> (key, r.secs)).toMap
+      val updated = (rawCache -- fresh.keys) ++
+        fresh.map { case (n, v) => storageKey(n) -> v }
+      if (updated != rawCache)
         Files.writeString(path, renderCertCache(updated))
     } catch { case e: Throwable =>
       System.err.println(s"bench: cert cache write failed: ${e.getMessage}") }
