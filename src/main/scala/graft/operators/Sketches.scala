@@ -5,16 +5,19 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
 
 /** Distributed probabilistic sketches with DETERMINISTIC md5-derived
-  * hashes: count-min (approximate frequencies over an unbounded key
-  * stream in O(width x depth) memory) and Bloom filters (the semi-join
-  * reduction workhorse — broadcast a few KB of bits to prefilter a huge
-  * probe side before an expensive join/shuffle).
+  * hashes — the classic trio: count-min (approximate frequencies over an
+  * unbounded key stream in O(width x depth) memory), Bloom filters (the
+  * semi-join reduction workhorse — broadcast a few KB of bits to
+  * prefilter a huge probe side before an expensive join/shuffle), and
+  * HyperLogLog (distinct counts in m registers — a <=m-rows-per-task
+  * shuffle where countDistinct shuffles the full key universe).
   *
-  * Unlike the engine-native sketches (HLL / approx_percentile, which get
-  * accuracy-claim oracles because their internals are engine-specific),
-  * these are built from md5 prefixes, so an external engine rebuilds the
-  * SAME sketch bit-for-bit and the oracle checks exact values — the
-  * sketch structure itself is under test, not just its error bound.
+  * Unlike the engine-native sketches (approx_count_distinct /
+  * approx_percentile, whose internals are engine-specific and so can
+  * only get accuracy-claim oracles), these are built from md5 prefixes,
+  * so an external engine rebuilds the SAME sketch bit-for-bit and the
+  * oracle checks exact values — the sketch structure itself is under
+  * test, not just its error bound.
   *
   * PARAMETER BINDING: a sketch is only meaningful together with the
   * parameters it was built with — probing a width-512 count-min as if it
@@ -107,6 +110,100 @@ object Sketches {
         "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Register index of `key` in [0, m) — first 32 md5 bits of the
+    * 'hl:r:' stream (DuckDB twin:
+    * `('0x'||substr(md5('hl:r:'||key),1,8))::BIGINT % m`). */
+  private def hllRegister(key: Column, m: Int): Column =
+    conv(substring(md5(concat(lit("hl:r:"), key.cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long") % m
+
+  /** HLL rank: rho = leading-zero count + 1 of an INDEPENDENT 32-bit
+    * hash = 33 - bitlength(w), with the all-zero hash capped at 33.
+    * Bit length comes from the base-2 STRING conversion
+    * (`length(conv(w,10,2))` / DuckDB `length(bin(w))`) — integer-exact
+    * in both engines, where `floor(log2(w))` off a float log could
+    * misrank exact powers of two by one ulp. */
+  private def hllRho(key: Column): Column = {
+    val w = conv(substring(md5(concat(lit("hl:w:"), key.cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long")
+    when(w === 0L, lit(33)).otherwise(lit(33) - length(conv(w, 10, 2)))
+  }
+
+  /** HyperLogLog sketch over a key column (Flajolet et al. 2007) as
+    * (register, maxrho) rows — the cardinality member of the sketch
+    * trio (Bloom = membership, count-min = frequency, HLL = distinct
+    * count). One narrow projection + one groupBy(register) with
+    * map-side partial MAX: the shuffle carries at most m rows per
+    * map task regardless of corpus size, where countDistinct shuffles
+    * the full key universe — THE reason this sketch exists at 100 TB
+    * (vocabulary sizing before a BPE train, per-source distinct-doc
+    * estimates). `m` (power of two >= 16) is stamped into the maxrho
+    * column metadata; registers never hit are simply absent (the
+    * estimator restores them as zeros). Deterministic md5 hashing, so
+    * an external engine rebuilds the SAME register table bit-for-bit
+    * (the `sk_hll` oracle does). */
+  def hllSketch(df: DataFrame, keyCol: String, m: Int = 512): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0,
+      s"m must be a power of two >= 16: $m")
+    df.select(hllRegister(col(keyCol), m).as("register"),
+        hllRho(col(keyCol)).as("rho"))
+      .groupBy("register").agg(max(col("rho")).as("mx"))
+      .select(col("register"),
+        col("mx").cast("int").as("maxrho", stamp("hll_m" -> m)))
+  }
+
+  /** Union two HLL sketches register-wise (max merges losslessly —
+    * sketch(A union B) == merge(sketch(A), sketch(B)), spec-pinned):
+    * the property that lets per-shard/per-day sketches roll up without
+    * touching raw data. Both operands must carry the same stamped m. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val ma = stamped(a, "maxrho", "hll_m")
+    val mb = stamped(b, "maxrho", "hll_m")
+    require(ma.isDefined && mb.isDefined && ma == mb,
+      s"hllMerge: operand m stamps differ or are missing ($ma vs $mb) — " +
+        "registers from different geometries do not align")
+    a.unionByName(b).groupBy("register").agg(max(col("maxrho")).as("mx"))
+      .select(col("register"),
+        col("mx").cast("int").as("maxrho", stamp("hll_m" -> ma.get)))
+  }
+
+  /** Cardinality estimate from a [[hllSketch]] frame: ONE row
+    * (m, v_zero, sum_inv, est) — the standard estimator with the
+    * small-range linear-counting correction (raw <= 2.5m and empty
+    * registers present -> m*ln(m/V)). sum_inv = Σ 2^-maxrho with
+    * absent registers contributing 2^0 = 1; every term is a dyadic
+    * rational and their sum stays under 53 significand bits, so the
+    * sum is EXACT regardless of aggregation order — the property that
+    * makes the estimate engine-portable (only ln can differ, by an
+    * ulp, which the oracle's 2dp rounding absorbs). m defaults to the
+    * stamped value. */
+  def hllEstimate(sketch: DataFrame, m: Int = 0): DataFrame = {
+    val mm = resolve(stamped(sketch, "maxrho", "hll_m"), m, "m")
+    val alpha = mm match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1 + 1.079 / mm)
+    }
+    sketch
+      .agg(count(lit(1)).as("present"),
+        // SQL-form shiftleft: the Scala signature takes a literal bit
+        // count only. 1L << maxrho <= 1L << 33 fits a long; 1.0/2^k is
+        // exact in double
+        coalesce(sum(expr("1.0 / shiftleft(1L, maxrho)")), lit(0.0))
+          .as("sum_present"))
+      .select(lit(mm.toLong).as("m"),
+        (lit(mm.toLong) - col("present")).as("v_zero"),
+        (col("sum_present") + (lit(mm) - col("present")).cast("double"))
+          .as("sum_inv"))
+      .select(col("m"), col("v_zero"), col("sum_inv"),
+        when(lit(alpha * mm * mm) / col("sum_inv") <= lit(2.5 * mm) &&
+            col("v_zero") > 0L,
+          lit(mm.toDouble) * log(lit(mm.toDouble) /
+            col("v_zero").cast("double")))
+          .otherwise(lit(alpha * mm * mm) / col("sum_inv")).as("est"))
   }
 
   /** Bit position h of `key` in [0, bits) — the Bloom hash family. */

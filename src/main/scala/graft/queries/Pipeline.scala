@@ -785,6 +785,40 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // HyperLogLog cardinality: vocabulary size of the documents corpus
+    // estimated from 512 registers vs the exact distinct count — the
+    // "size the BPE vocab before training" use case. md5 hashes make
+    // the register table bit-replicable, so the oracle checks the
+    // sketch structure (v_zero, the exact dyadic sum_inv) and the
+    // estimate, not just an error bound. sum_inv is order-exact (every
+    // term a dyadic rational, total < 53 significand bits); est/err
+    // round at 2dp to absorb the one nondeterminism left (ln differing
+    // by an ulp between libm and the JVM).
+    "sk_hll" -> ((s, dir) => {
+      // two keyed sets so BOTH estimator branches are oracled: the
+      // small synthetic vocabulary lands in linear counting (v_zero
+      // large), the doc-id set (n >> 2.5m/alpha) in the raw harmonic
+      // estimator
+      def row(what: String, keyed: DataFrame, keyCol: String) =
+        Sketches.hllEstimate(Sketches.hllSketch(keyed, keyCol, m = 512))
+          .crossJoin(keyed.agg(countDistinct(col(keyCol)).cast("long")
+            .as("exact_distinct")))
+          .select(lit(what).as("what"),
+            col("m").cast("long").as("m"),
+            col("v_zero").cast("long").as("v_zero"),
+            round(col("sum_inv"), 6).as("sum_inv"),
+            round(col("est"), 2).as("est_hll"),
+            col("exact_distinct"),
+            round(abs(col("est") - col("exact_distinct")) /
+              col("exact_distinct") * 100, 2).as("err_pct"))
+      val d = docs(s, dir)
+      row("vocab",
+          d.select(explode(TextAnalysis.tokens(col("text"))).as("term")),
+          "term")
+        .unionByName(row("doc_ids", d.select(col("doc_id")), "doc_id"))
+        .orderBy("what")
+    }),
+
     // JL random projection 64d -> 16d with a deterministic md5-derived
     // matrix — the pre-ANN dimensionality squeeze (oracled bit-for-bit:
     // DuckDB rebuilds the same matrix from the same salt). Result is
@@ -3488,6 +3522,47 @@ object Pipeline {
          SELECT doc_id, bool_and(hit) AS might_contain,
            doc_id < 100 AS in_set
          FROM hits GROUP BY doc_id ORDER BY doc_id""",
+    "sk_hll" ->
+      """WITH keyed AS (
+           SELECT 'vocab' AS what,
+             unnest(string_split_regex(trim(text), '\s+')) AS k
+           FROM documents
+           UNION ALL
+           SELECT 'doc_ids' AS what, doc_id::VARCHAR AS k
+           FROM documents),
+         h AS (
+           SELECT what,
+             ('0x' || substr(md5('hl:r:' || k),1,8))::BIGINT % 512
+               AS register,
+             ('0x' || substr(md5('hl:w:' || k),1,8))::BIGINT AS w
+           FROM keyed),
+         r AS (
+           SELECT what, register,
+             max(CASE WHEN w = 0 THEN 33
+                      ELSE 33 - length(bin(w)) END) AS maxrho
+           FROM h GROUP BY what, register),
+         agg AS (
+           SELECT what, count(*) AS present,
+             coalesce(sum(1.0 / (1::BIGINT << maxrho)), 0.0) AS sp
+           FROM r GROUP BY what),
+         est AS (
+           SELECT what, (512 - present) AS v_zero,
+             sp + (512 - present) AS sum_inv,
+             CASE WHEN (0.7213 / (1 + 1.079/512)) * 512 * 512
+                         / (sp + (512 - present)) <= 2.5 * 512
+                       AND present < 512
+                  THEN 512 * ln(512.0 / (512 - present))
+                  ELSE (0.7213 / (1 + 1.079/512)) * 512 * 512
+                         / (sp + (512 - present)) END AS e
+           FROM agg),
+         x AS (SELECT what, count(DISTINCT k) AS exact_distinct
+               FROM keyed GROUP BY what)
+         SELECT est.what, 512::BIGINT AS m, v_zero::BIGINT AS v_zero,
+           round(sum_inv, 6) AS sum_inv, round(e, 2) AS est_hll,
+           exact_distinct::BIGINT AS exact_distinct,
+           round(abs(e - exact_distinct) / exact_distinct * 100, 2)
+             AS err_pct
+         FROM est JOIN x USING (what) ORDER BY what""",
     "sim_project" ->
       """WITH pl AS (
            SELECT jd.j AS j, list(jd.pv ORDER BY jd.d) AS plane

@@ -130,4 +130,59 @@ class SketchesSpec extends SparkTestBase {
       .as[(String, Boolean)].collect().toMap
     assert(out.values.forall(identity))
   }
+
+  test("hll estimate lands within the theoretical error band and the " +
+      "small-range correction is exact-ish on tiny sets") {
+    // 5000 planted distinct keys, each repeated 3x (duplicates must not
+    // move a cardinality sketch)
+    val n = 5000
+    val keys = (0 until n).flatMap(i => Seq.fill(3)(s"key_$i")).toDF("k")
+    val est = Sketches.hllEstimate(Sketches.hllSketch(keys, "k", m = 512))
+      .select("est").as[Double].head()
+    // 1.04/sqrt(512) ~ 4.6% standard error; 3 sigma ~ 14%
+    assert(math.abs(est - n) / n < 0.14,
+      s"hll estimate $est too far from $n")
+    // tiny set -> linear-counting branch, which is near-exact
+    val tiny = (0 until 20).map(i => s"t$i").toDF("k")
+    val estTiny = Sketches.hllEstimate(Sketches.hllSketch(tiny, "k"))
+      .select("est").as[Double].head()
+    assert(math.abs(estTiny - 20) < 2.0, s"linear counting gave $estTiny")
+  }
+
+  test("hll merge is lossless: sketch(A union B) == " +
+      "merge(sketch(A), sketch(B)), and mismatched m refuses") {
+    val a = (0 until 800).map(i => s"a$i").toDF("k")
+    val b = (400 until 1200).map(i => s"a$i").toDF("k") // overlaps A
+    val direct = Sketches.hllSketch(a.unionByName(b), "k", m = 256)
+      .as[(Long, Int)].collect().toMap
+    val merged = Sketches.hllMerge(
+        Sketches.hllSketch(a, "k", m = 256),
+        Sketches.hllSketch(b, "k", m = 256))
+      .as[(Long, Int)].collect().toMap
+    assert(merged == direct,
+      "register-wise max must equal the union's sketch")
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.hllMerge(Sketches.hllSketch(a, "k", m = 256),
+        Sketches.hllSketch(b, "k", m = 512))
+    }
+    assert(ex.getMessage.contains("m stamps differ"))
+  }
+
+  test("hll m is validated and stamped; empty input estimates 0-ish " +
+      "via pure linear counting") {
+    intercept[IllegalArgumentException] {
+      Sketches.hllSketch(stream, "k", m = 100) // not a power of two
+    }
+    val sk = Sketches.hllSketch(stream, "k", m = 16)
+    // estimate defaults to the stamped m (explicit contradicting m throws)
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.hllEstimate(sk, m = 64)
+    }
+    assert(ex.getMessage.contains("built with m=16"))
+    val empty = Sketches.hllSketch(stream.filter(lit(false)), "k", m = 16)
+    val row = Sketches.hllEstimate(empty, m = 16)
+      .select("v_zero", "est").as[(Long, Double)].head()
+    assert(row._1 == 16L && row._2 == 0.0,
+      s"empty sketch must linear-count to 0: $row")
+  }
 }
