@@ -894,6 +894,29 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // streaming HLL batch collapse (r16): distinctUsersPerWindow — the
+    // per-window approximate-distinct counter with O(m)-bytes state —
+    // run over the batch events table (the ev_attrib certification
+    // pattern). The Aggregator's JVM md5 registers are byte-identical
+    // to the Sketches SQL family (spec-pinned), so DuckDB replays the
+    // register table per window and the row hashes must match; exact
+    // per-window distincts ride along for the error column.
+    "ev_distinct" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val est = graft.streaming.EventsStreaming
+        .distinctUsersPerWindow(e, windowLen = "1 hour", m = 512)
+        .select(col("window_start").cast("string").as("h"),
+          round(col("est_users"), 2).as("est_users"))
+      val exact = e.groupBy(date_trunc("hour", col("ts")).cast("string")
+          .as("h"))
+        .agg(countDistinct(col("user_id")).cast("long").as("exact_users"))
+      est.join(exact, "h")
+        .select(col("h"), col("est_users"), col("exact_users"),
+          round(abs(col("est_users") - col("exact_users")) /
+            col("exact_users") * 100, 2).as("err_pct"))
+        .orderBy("h")
+    }),
+
     // batch sessionization: 30-min-gap sessions via lag + running sum —
     // the batch twin of streaming.EventsStreaming.sessionize (oracled)
     "ev_sessionize" -> ((s, dir) => {
@@ -3783,6 +3806,42 @@ object Pipeline {
            md5(array_to_string(list_sort(list_distinct(
              string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
          FROM documents ORDER BY doc_id""",
+    "ev_distinct" ->
+      """WITH keyed AS (
+           SELECT CAST(date_trunc('hour', ts) AS varchar) AS h,
+             user_id::VARCHAR AS k
+           FROM events),
+         hsh AS (
+           SELECT h,
+             ('0x' || substr(md5('hl:r:' || k),1,8))::BIGINT % 512
+               AS register,
+             ('0x' || substr(md5('hl:w:' || k),1,8))::BIGINT AS w
+           FROM keyed),
+         r AS (
+           SELECT h, register,
+             max(CASE WHEN w = 0 THEN 33
+                      ELSE 33 - length(bin(w)) END) AS maxrho
+           FROM hsh GROUP BY h, register),
+         agg AS (
+           SELECT h, count(*) AS present,
+             coalesce(sum(1.0 / (1::BIGINT << maxrho)), 0.0) AS sp
+           FROM r GROUP BY h),
+         est AS (
+           SELECT h,
+             round(CASE WHEN (0.7213 / (1 + 1.079/512)) * 512 * 512
+                          / (sp + (512 - present)) <= 2.5 * 512
+                        AND present < 512
+                   THEN 512 * ln(512.0 / (512 - present))
+                   ELSE (0.7213 / (1 + 1.079/512)) * 512 * 512
+                          / (sp + (512 - present)) END, 2) AS est_users
+           FROM agg),
+         x AS (SELECT CAST(date_trunc('hour', ts) AS varchar) AS h,
+                 count(DISTINCT user_id) AS exact_users
+               FROM events GROUP BY 1)
+         SELECT est.h, est_users, exact_users::BIGINT AS exact_users,
+           round(abs(est_users - exact_users) / exact_users * 100, 2)
+             AS err_pct
+         FROM est JOIN x USING (h) ORDER BY h""",
     "ev_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS us

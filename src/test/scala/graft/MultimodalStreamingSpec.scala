@@ -109,6 +109,63 @@ class MultimodalStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("distinctUsersPerWindow batch collapse equals the SQL-expression " +
+      "sketch exactly (JVM md5 registers ≡ Sketches family)") {
+    import spark.implicits._
+    val rows = (0 until 300).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"),
+        (i % 173).toLong)
+    }
+    val events = rows.toDF("ts", "user_id")
+    val viaAgg = graft.streaming.EventsStreaming
+      .distinctUsersPerWindow(events, windowLen = "1 hour", m = 512)
+      .select("est_users").as[Double].head()
+    val viaSql = graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllSketch(
+          events.select(col("user_id").cast("string").as("k")), "k",
+          m = 512))
+      .select("est").as[Double].head()
+    // EXACT equality: identical registers (same md5 prefix family),
+    // order-exact dyadic sum, same ln on the same JVM
+    assert(viaAgg == viaSql,
+      s"aggregator estimate $viaAgg != SQL-expression estimate $viaSql")
+  }
+
+  test("streaming distinctUsersPerWindow equals its batch collapse " +
+      "across multiple micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+    val q = graft.streaming.EventsStreaming
+      .distinctUsersPerWindow(events, windowLen = "1 hour", m = 64)
+      .writeStream.format("memory").queryName("hll_test")
+      .outputMode("complete").start()
+    try {
+      def ts(h: Int, m: Int) =
+        java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // users split across micro-batches WITH cross-batch repeats: the
+      // register state must merge, not recount
+      val batch1 = (0 until 40).map(u => (ts(0, u % 60), u.toLong))
+      val batch2 = (20 until 70).map(u => (ts(0, u % 60), u.toLong)) ++
+        (0 until 10).map(u => (ts(1, u), (1000 + u).toLong))
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "select window_start, est_users from hll_test")
+        .as[(java.sql.Timestamp, Double)].collect().toMap
+      val batch = graft.streaming.EventsStreaming
+        .distinctUsersPerWindow((batch1 ++ batch2).toDF("ts", "user_id"),
+          windowLen = "1 hour", m = 64)
+        .as[(java.sql.Timestamp, Double)].collect().toMap
+      assert(streamed == batch,
+        s"stream $streamed diverged from batch collapse $batch")
+      assert(streamed.size == 2)
+    } finally q.stop()
+  }
+
   test("streaming dedupeExact drops in-watermark duplicate keys") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
