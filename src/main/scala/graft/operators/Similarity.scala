@@ -848,7 +848,10 @@ object Similarity {
   private def idBloomBits(n: Long): Int =
     math.min(math.max(1L << 16, n * 10L), 1L << 25).toInt
 
-  private def idBloomPath(path: String): String = s"$path/idbloom"
+  /** Sidecar dir for ANY id-guarded index artifact — shared with the
+    * minhash dedup index (r17: `Dedup.appendToMinhashIndex` grew the
+    * same bloom-gated duplicate refusal as the PQ twins). */
+  private[graft] def idBloomPath(path: String): String = s"$path/idbloom"
 
   /** (Re)build the sidecar from an id frame — called by the index
     * writers, compactions, and deletions (a bloom cannot subtract, so
@@ -860,8 +863,8 @@ object Similarity {
     * bloom false negatives and duplicate appends get admitted. Staged,
     * a torn rebuild is either the intact old bloom or no dir at all
     * (readIdBloom → None → full-scan guard). */
-  private def writeIdBloom(ids: DataFrame, idCol: String,
-                           bloomDir: String, n: Long): Unit = {
+  private[graft] def writeIdBloom(ids: DataFrame, idCol: String,
+                                  bloomDir: String, n: Long): Unit = {
     val bloom = Sketches.bloomBuild(ids.select(col(idCol)), idCol,
       bits = idBloomBits(n), k = 3)
     ArtifactMaintenance.stagedReplace(ids.sparkSession, bloomDir) {
@@ -879,7 +882,7 @@ object Similarity {
     * sidecar = full-scan guard, which is always sound. Append keeps
     * its merge-before-codes ordering and delete/compact their
     * superset-stale rebuilds — only the fresh write needs this. */
-  private def invalidateIdBloom(
+  private[graft] def invalidateIdBloom(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     for (suffix <- Seq("", "__old", "__compact")) {
@@ -903,8 +906,8 @@ object Similarity {
   /** The sidecar, if present AND well-formed (stamps validate) —
     * anything else is None: the guard then takes the full scan, which
     * is always sound. */
-  private def readIdBloom(spark: org.apache.spark.sql.SparkSession,
-                          bloomDir: String): Option[DataFrame] =
+  private[graft] def readIdBloom(spark: org.apache.spark.sql.SparkSession,
+                                 bloomDir: String): Option[DataFrame] =
     try {
       val p = new org.apache.hadoop.fs.Path(bloomDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -971,10 +974,10 @@ object Similarity {
     * the full id column union the batch — the LAST corpus-sized id
     * read it ever pays (unless `upgradeLegacy` is false: the caller
     * opted out of scans via requireNewIds = false). */
-  private def mergeIdBloom(spark: org.apache.spark.sql.SparkSession,
-                           batchIds: DataFrame, diskIdCol: String,
-                           path: String, codes: DataFrame,
-                           upgradeLegacy: Boolean): Unit = {
+  private[graft] def mergeIdBloom(spark: org.apache.spark.sql.SparkSession,
+                                  batchIds: DataFrame, diskIdCol: String,
+                                  path: String, codes: DataFrame,
+                                  upgradeLegacy: Boolean): Unit = {
     val bloomDir = idBloomPath(path)
     readIdBloom(spark, bloomDir) match {
       case Some(old) =>
@@ -995,6 +998,45 @@ object Similarity {
         writeIdBloom(all, diskIdCol, bloomDir, all.count())
       case None => // requireNewIds = false on a legacy artifact: the
         // caller opted out of corpus-sized reads; stay legacy
+    }
+  }
+
+  /** Cast a batch's id column to the artifact's ON-DISK id type with
+    * round-trip fidelity enforced (r16 advice): the bare cast
+    * truncated silently — a genuinely-new DOUBLE id 5.5 coerced to
+    * BIGINT 5 and was wrongly refused as a duplicate (or, with
+    * requireNewIds = false, appended under a COLLIDING id so two docs
+    * share id 5), and an unparseable string id cast to null and
+    * bypassed the bloom entirely. Any non-null id whose cast is null
+    * or fails to cast BACK equal is named and refused before a byte
+    * is written. A same-type batch passes through untouched (no
+    * filter job). Returns the single-column frame named `diskIdCol`. */
+  private[graft] def castIdsLossless(batch: DataFrame, idCol: String,
+      target: org.apache.spark.sql.types.DataType, diskIdCol: String,
+      opName: String): DataFrame = {
+    val src = batch.select(col(idCol))
+    val srcType = src.schema(idCol).dataType
+    if (srcType == target) src.select(col(idCol).as(diskIdCol))
+    else {
+      // try_cast, not cast: under ANSI mode a malformed value would
+      // THROW inside the detection filter — the guard's job is to NAME
+      // the offending ids, so null-on-failure feeds the refusal below
+      // (both directions: the back-cast must not throw either)
+      val fwd = expr(s"try_cast(`$idCol` AS ${target.sql})")
+      val back = expr(s"try_cast(try_cast(`$idCol` AS ${target.sql}) " +
+        s"AS ${srcType.sql})")
+      val lossy = src.filter(col(idCol).isNotNull &&
+        (fwd.isNull || !(back <=> col(idCol))))
+      val sample = lossy.select(col(idCol).cast("string"))
+        .limit(3).collect().map(_.getString(0))
+      if (sample.nonEmpty) throw new IllegalArgumentException(
+        s"$opName: batch ids of type ${srcType.simpleString} do not " +
+          s"round-trip through the index's on-disk id type " +
+          s"${target.simpleString} (e.g. ${sample.mkString(", ")}) — a " +
+          "truncating cast would collide with or shadow existing ids; " +
+          "align the batch id column's type with the index before " +
+          "appending")
+      src.select(col(idCol).cast(target).as(diskIdCol))
     }
   }
 
@@ -1097,9 +1139,11 @@ object Similarity {
     // hashes string renderings, and a batch id that renders differently
     // from its on-disk twin (DOUBLE '5.0' vs BIGINT '5') would always
     // miss the bloom and bypass the duplicate refusal the join-based
-    // guard used to catch via numeric coercion (r15 advice)
-    val batchIds = newDocs.select(col(idCol)
-      .cast(idx.codes.schema(diskIdCol).dataType).as(diskIdCol))
+    // guard used to catch via numeric coercion (r15 advice); round-trip
+    // fidelity enforced so a lossy cast refuses instead of truncating
+    // (r16 advice)
+    val batchIds = castIdsLossless(newDocs, idCol,
+      idx.codes.schema(diskIdCol).dataType, diskIdCol, "appendPqIndex")
     if (requireNewIds)
       requireDisjointIds(spark, idx.codes, diskIdCol, batchIds, path,
         "appendPqIndex")
@@ -1370,9 +1414,11 @@ object Similarity {
     val idx = readIvfPqResidualIndex(spark, path, expectedSource)
     val diskIdCol = idx.codes.columns.head
     // on-disk id type before bloom work — same rendering-mismatch
-    // hazard as appendPqIndex (r15 advice)
-    val batchIds = newDocs.select(col(idCol)
-      .cast(idx.codes.schema(diskIdCol).dataType).as(diskIdCol))
+    // hazard as appendPqIndex (r15 advice), same round-trip fidelity
+    // enforcement (r16 advice: no silent truncation)
+    val batchIds = castIdsLossless(newDocs, idCol,
+      idx.codes.schema(diskIdCol).dataType, diskIdCol,
+      "appendIvfPqResidualIndex")
     if (requireNewIds)
       requireDisjointIds(spark, idx.codes, diskIdCol, batchIds, path,
         "appendIvfPqResidualIndex")

@@ -1803,8 +1803,13 @@ object Pipeline {
       val withPayload = docs(s, dir).filter(col("doc_id") < 400)
         .select(col("doc_id"))
         .withColumn("payload", aviUdf(col("doc_id")))
+      // maxDocFreq = 60 puts the stop-frame prune IN the oracled path
+      // (r16 verdict #2): the rig's max frame doc-freq is 50 (one group
+      // = 50 docs), so no frame is pruned and the values still replay
+      // closed-form — the oracle carries the SAME df > 60 filter on the
+      // join sides, so a prune that ever fired wrong would hash-mismatch
       Multimodal.videoDedupPairs(withPayload, "doc_id", "payload",
-          threshold = 0.5)
+          threshold = 0.5, maxDocFreq = Some(60))
         .select(col("id_a"), col("id_b"),
           col("n_shared").cast("bigint").as("n_shared"), col("jaccard"))
         .orderBy("id_a", "id_b")
@@ -4082,7 +4087,10 @@ object Pipeline {
     // the video rig's frame fingerprints rebuilt closed-form per
     // (doc_id, frame seed), then the set-jaccard join replayed —
     // matches Spark's demux -> per-frame decode -> dHash ->
-    // inverted-index chain only if every frame hashes bit-exact
+    // inverted-index chain only if every frame hashes bit-exact. The
+    // stop-frame prune (maxDocFreq = 60) is replayed too: join sides
+    // exclude frames with doc-freq > 60, set sizes stay unpruned —
+    // the exact semantics videoDedupPairs implements
     "mm_video_dedup" ->
       """WITH d AS (SELECT doc_id, (doc_id % 8)::BIGINT AS g
                FROM documents WHERE doc_id < 400),
@@ -4098,9 +4106,13 @@ object Pipeline {
                   SELECT doc_id, s, sum(bit << j)::BIGINT AS dhash
                   FROM fb GROUP BY doc_id, s)),
          sz AS (SELECT doc_id, count(*) AS n FROM fh GROUP BY doc_id),
+         stopf AS (SELECT dhash FROM fh GROUP BY dhash
+                   HAVING count(*) > 60),
+         fhp AS (SELECT doc_id, dhash FROM fh
+                 WHERE dhash NOT IN (SELECT dhash FROM stopf)),
          pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                   count(*)::BIGINT AS n_shared
-                FROM fh a JOIN fh b
+                FROM fhp a JOIN fhp b
                   ON a.dhash = b.dhash AND a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id)
          SELECT p.id_a, p.id_b, p.n_shared,

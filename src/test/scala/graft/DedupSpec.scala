@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 class DedupSpec extends SparkTestBase {
   import spark.implicits._
@@ -528,6 +528,77 @@ class DedupSpec extends SparkTestBase {
         .toDF("doc_id", "text"),
       idx2, "doc_id", "text", threshold = 0.3)
     assert(b2.select("doc_id").as[Long].collect().toSeq == Seq(21L))
+  }
+
+  test("appendToMinhashIndex: a re-delivered drop is REFUSED (duplicate " +
+      "ids), bloom-gated so a clean drop never scans signatures/") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mh-guard")
+    val path = tmp.resolve("index").toString
+    val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val C = "red orange yellow green blue indigo violet cyan magenta teal pink grey"
+    val D = "north south east west up down left right front back over under"
+    Dedup.writeMinhashIndex(Seq((1L, A)).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    // the fresh write seeded the idbloom sidecar: a DISJOINT batch
+    // certifies "all new" against the broadcast bloom without
+    // constructing a signatures/ scan at all (the plan-shape pin the
+    // r16 verdict asked for, via the same DupCheckStats hook PqSpec
+    // uses)
+    val idx = Dedup.readMinhashIndex(spark, path)
+    val clean = Similarity.requireDisjointIds(spark, idx.signatures,
+      "doc_id", Seq(10L).toDF("doc_id"), path, "appendToMinhashIndex")
+    assert(clean.bloomUsed && !clean.scannedCodes && clean.maybeHits == 0)
+    val drop = Seq((10L, C)).toDF("doc_id", "text")
+    Dedup.appendToMinhashIndex(drop, "doc_id", "text", path)
+    // crash-retry: the SAME drop re-delivered must refuse, not
+    // double-count signatures and inflate bucket collision stats
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(drop, "doc_id", "text", path)
+    }
+    assert(e.getMessage.contains("appendToMinhashIndex") &&
+      e.getMessage.contains("shares ids"))
+    // nothing was written by the refused attempt
+    assert(Dedup.readMinhashIndex(spark, path).signatures.count() == 2)
+    // requireNewIds = false is the caller's explicit opt-out
+    Dedup.appendToMinhashIndex(Seq((11L, D)).toDF("doc_id", "text"),
+      "doc_id", "text", path, requireNewIds = false)
+    assert(Dedup.readMinhashIndex(spark, path).signatures.count() == 3)
+    // a LEGACY artifact (no sidecar) still refuses — via the full
+    // id-column scan fallback
+    val bloomDir = java.nio.file.Paths.get(path, "idbloom")
+    assert(java.nio.file.Files.exists(bloomDir))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(bloomDir).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(drop, "doc_id", "text", path)
+    }
+    assert(e2.getMessage.contains("shares ids"))
+  }
+
+  test("appendToMinhashIndex: a batch id that cannot round-trip through " +
+      "the on-disk id type refuses instead of truncating") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mh-cast")
+    val path = tmp.resolve("index").toString
+    val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val C = "red orange yellow green blue indigo violet cyan magenta teal pink grey"
+    Dedup.writeMinhashIndex(Seq((5L, A)).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    // DOUBLE 5.5 would silently coerce to BIGINT 5 — a COLLIDING id —
+    // under the old bare cast (r16 advice); now it refuses by name
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(Seq((5.5, C)).toDF("doc_id", "text"),
+        "doc_id", "text", path)
+    }
+    assert(e.getMessage.contains("round-trip") &&
+      e.getMessage.contains("5.5"))
+    // a WIDENING cast that round-trips (INT -> BIGINT) passes through
+    Dedup.appendToMinhashIndex(Seq((7, C)).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    val sigs = Dedup.readMinhashIndex(spark, path).signatures
+    assert(sigs.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(sigs.count() == 2)
   }
 
   test("compactMinhashIndex: append-fragmented dirs rewrite to fewer " +

@@ -230,13 +230,22 @@ class PlanAuditSpec extends SparkTestBase {
     // r16 via localCheckpoint (ContextCleaner-managed, where the old
     // cache() stayed registry-pinned across per-drop calls: r15
     // advice) — and its materialized blocks feed the inverted-index
-    // self-join's two sides plus the size aggregate consumed on both
-    // join legs (n_a and n_b): four scans of the SAME checkpointed
-    // RDD, zero re-demux (no PNG decode appears in the pair plan);
-    // the pair space must come from the frame-hash equi-join
+    // self-join's two sides, the size aggregate consumed on both join
+    // legs (n_a and n_b), and (r17, the stop-frame prune) the doc-freq
+    // aggregate under each anti-joined leg: SIX scans of the SAME
+    // checkpointed RDD, zero re-demux (no PNG decode appears in the
+    // pair plan); the pair space must come from the frame-hash
+    // equi-join
     val consumers = "Scan ExistingRDD".r.findAllMatchIn(p).length
-    assert(consumers == 4,
-      s"expected 4 checkpointed frame-hash consumers, got $consumers:\n" + p)
+    assert(consumers == 6,
+      s"expected 6 checkpointed frame-hash consumers, got $consumers:\n" + p)
+    // the stop-frame prune must be a BROADCAST anti-join (the stop set
+    // is bounded by totalFrameRows / cap, never corpus-sized) — one
+    // per join leg
+    val antis = "BroadcastHashJoin [^\\n]*LeftAnti".r
+      .findAllMatchIn(p).length
+    assert(antis == 2,
+      s"expected 2 broadcast stop-frame anti-joins, got $antis:\n" + p)
     assert(!p.contains("mapPartitions") && !p.contains("aviFrames"),
       "the demux must sit BELOW the checkpoint, not re-run per consumer:\n"
         + p)

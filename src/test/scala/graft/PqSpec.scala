@@ -705,6 +705,41 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("append id-type coercion enforces round-trip fidelity: a lossy " +
+      "or unparseable batch id refuses by name instead of truncating") {
+    val corpus = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 128.0f)))
+      .toDF("id", "vec")
+    val books = Similarity.pqTrain(corpus, "id", "vec", m = 2, ksub = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_cast").toString
+    Similarity.writePqIndex(corpus, "id", "vec", books, path)
+    // DOUBLE 100.5 is genuinely NEW, but the old bare cast truncated it
+    // to BIGINT 100 (r16 advice: with requireNewIds it was then either
+    // wrongly refused against an indexed 100, or appended COLLIDING)
+    val lossy = Seq((100.5, Array.tabulate(4)(d => d / 10.0f)))
+      .toDF("id", "vec")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendPqIndex(lossy, "id", "vec", path)
+    }
+    assert(ex.getMessage.contains("round-trip") &&
+      ex.getMessage.contains("100.5"))
+    // an unparseable STRING id casts to null under the old guard and
+    // bypassed the bloom entirely — refused now
+    val junk = Seq(("not-a-number", Array.tabulate(4)(d => d / 10.0f)))
+      .toDF("id", "vec")
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.appendPqIndex(junk, "id", "vec", path)
+    }
+    assert(ex2.getMessage.contains("round-trip"))
+    // a faithfully-rendering DOUBLE (100.0 -> 100 -> 100.0) still
+    // passes — the r15 rendering-coercion behavior is preserved
+    val ok = Seq((100.0, Array.tabulate(4)(d => d / 10.0f)))
+      .toDF("id", "vec")
+    Similarity.appendPqIndex(ok, "id", "vec", path)
+    assert(Similarity.readPqIndex(spark, path).codes.count() == 33L)
+  }
+
   test("fingerprint version stamp: a mismatch on a pre-versioning " +
       "artifact names the algorithm change, not a tear (r14 advice)") {
     val corpus = (0 until 16).map(i =>
