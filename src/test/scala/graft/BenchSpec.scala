@@ -342,9 +342,19 @@ class BenchSpec extends AnyFunSuite {
     val flat = chunks.flatMap(_._2)
     assert(flat.sorted == names.sorted)
     assert(flat.distinct.size == flat.size)
-    // bound: no chunk exceeds the cap (no current cohort is wider than 6)
-    for ((chunk, qs) <- chunks)
-      assert(qs.size <= 6, s"chunk $chunk has ${qs.size} queries")
+    // bound: no chunk exceeds the cap (no current cohort is wider than
+    // 6), EXCEPT families with an explicit override — x_* shares one
+    // child JVM (r17: ~30 sub-second SQL queries were paying 5 Spark
+    // spin-ups; the pollution regime the cap defends against comes
+    // from heavy operator families, not sub-second SQL)
+    for ((chunk, qs) <- chunks) {
+      val fam = qs.head.takeWhile(_ != '_')
+      val cap = Bench.famChunkOverride.getOrElse(fam, 6)
+      assert(qs.size <= cap, s"chunk $chunk has ${qs.size} queries")
+    }
+    // the x family rides in exactly ONE chunk
+    assert(chunks.count(_._1.startsWith("x")) == 1,
+      "x_* must share a single child JVM")
     // chunk names are unique (they key log files and telemetry)
     assert(chunks.map(_._1).distinct.size == chunks.size)
     // chunks never span families (rigs and tables cluster by prefix)
@@ -369,6 +379,11 @@ class BenchSpec extends AnyFunSuite {
     val ordered = Bench.orderChunks(chunks)
     // a permutation: same chunks, same contents
     assert(ordered.sortBy(_._1) == chunks.sortBy(_._1))
+    // the all-sub-second x_* chunk forks FIRST (r17: on a degraded
+    // host the truncation point should land after the cheapest third
+    // of the contract, not before it)
+    assert(ordered.head._1.startsWith("x"),
+      s"x chunk must fork first, got ${ordered.head._1}")
     // every bench_* chunk comes after every contract chunk
     val isRig = ordered.map(_._2.head.startsWith("bench_"))
     assert(isRig.nonEmpty && isRig.contains(true) && isRig.contains(false))
@@ -380,19 +395,21 @@ class BenchSpec extends AnyFunSuite {
     // family-clustering warmup assumption)
     assert(ordered.filter(_._2.head.startsWith("bench_")) ==
       chunks.filter(_._2.head.startsWith("bench_")))
-    assert(ordered.filterNot(_._2.head.startsWith("bench_")) ==
-      chunks.filterNot(_._2.head.startsWith("bench_")))
+    assert(ordered.filterNot(_._2.head.startsWith("bench_"))
+      .filterNot(_._1.startsWith("x")) ==
+      chunks.filterNot(_._2.head.startsWith("bench_"))
+        .filterNot(_._1.startsWith("x")))
   }
 
   test("skipped_budget: named in the full artifact with the budget, " +
       "counted on the compact line, absent entirely on a full run") {
     val r = Seq(Bench.QTime("q_ok", 1.0, 1.2, None))
-    val skipped = Set("bench_cc2m_skew", "bench_cc2m_dist")
+    val skipped = Set("bench_cc600k_skew", "bench_cc600k_dist")
     val full = mapper.readTree(Bench.renderFull(r, "sf", "32", 3,
       skippedBudget = skipped))
     val names = full.get("skipped_budget")
     assert(names != null && names.size == 2 &&
-      names.get(0).asText() == "bench_cc2m_dist",
+      names.get(0).asText() == "bench_cc600k_dist",
       "full artifact must NAME every budget-skipped entry, sorted")
     assert(full.get("budget_s") != null)
     val compact = mapper.readTree(Bench.renderCompact(r, "sf", "32", 3,
@@ -404,6 +421,103 @@ class BenchSpec extends AnyFunSuite {
       clean.get("budget_s") == null)
     assert(mapper.readTree(Bench.renderCompact(r, "sf", "32", 3))
       .get("n_skipped_budget") == null)
+  }
+
+  test("failed_skipped: crash-then-skipped entries carry their own " +
+      "field, distinct from skipped_budget (r16 advice)") {
+    val r = Seq(Bench.QTime("q_ok", 1.0, 1.2, None))
+    val full = mapper.readTree(Bench.renderFull(r, "sf", "32", 3,
+      skippedBudget = Set("q_never_started"),
+      failedSkipped = Set("q_crashed_b", "q_crashed_a")))
+    val fs = full.get("failed_skipped")
+    assert(fs != null && fs.size == 2 &&
+      fs.get(0).asText() == "q_crashed_a",
+      "crash-then-skipped entries must be NAMED, sorted")
+    assert(full.get("skipped_budget").size == 1,
+      "the two causes must not merge")
+    val compact = mapper.readTree(Bench.renderCompact(r, "sf", "32", 3,
+      failedSkipped = Set("q_crashed_a")))
+    assert(compact.get("n_failed_skipped").asInt() == 1)
+    // a clean run carries neither
+    assert(mapper.readTree(Bench.renderFull(r, "sf", "32", 3))
+      .get("failed_skipped") == null)
+    assert(mapper.readTree(Bench.renderCompact(r, "sf", "32", 3))
+      .get("n_failed_skipped") == null)
+  }
+
+  test("claims_unevaluated: a claim whose operands were skipped is " +
+      "NAMED in the artifact, not silently omitted (r16 verdict #7)") {
+    // only one claim's operands present -> every other claim is named
+    val r = Seq(
+      Bench.QTime("bench_dd50k_ngram_pruned", 1.0, 1.1, None),
+      Bench.QTime("bench_dd50k_ngram", 2.0, 2.2, None))
+    val full = mapper.readTree(Bench.renderFull(r, "sf", "32", 3))
+    val un = full.get("claims_unevaluated")
+    assert(un != null &&
+      un.size() == Bench.claimSpecs.size - 1,
+      "every claim with a missing operand must be named")
+    import scala.jdk.CollectionConverters._
+    val names = un.elements().asScala.map(_.asText()).toSet
+    assert(!names.contains("prune_beats_naive_dd50k"))
+    assert(names.contains("cc_skew_within_2x") &&
+      names.contains("precontract_tames_skew_cc600k"),
+      "the r15-failed CC-skew claims must never vanish unevaluated")
+    // an ERRORED operand also unevaluates its claims
+    val withErr = r :+ Bench.QTime("bench_dd50k_minhash", 0.0, 0.0,
+      Some("boom"))
+    val full2 = mapper.readTree(Bench.renderFull(withErr, "sf", "32", 3))
+    val names2 = full2.get("claims_unevaluated").elements().asScala
+      .map(_.asText()).toSet
+    assert(names2.contains("minhash_beats_naive_dd50k"))
+    // compact line carries the COUNT only (budget-pinned)
+    val compact = mapper.readTree(Bench.renderCompact(r, "sf", "32", 3))
+    assert(compact.get("n_claims_unevaluated").asInt() ==
+      Bench.claimSpecs.size - 1)
+    // a full result set carries neither field
+    val allOps = Bench.claimSpecs.flatMap { case (_, l, rr, _) =>
+      Seq(l, rr) }.distinct.map(n => Bench.QTime(n, 1.0, 1.0, None))
+    assert(mapper.readTree(Bench.renderFull(allOps, "sf", "32", 3))
+      .get("claims_unevaluated") == null)
+  }
+
+  test("GC-storm retry: fires when a steady run spends >20% of its " +
+      "wall in GC, policy stamped into the artifact (r16 verdict #8)") {
+    // 39.7 s sample carrying 8.7 s of GC (the r16 dd_incremental_idx
+    // case) crosses the 20% line; the same sample at 5% does not
+    assert(Bench.gcStorm(Seq(39.7), Seq(8700L)))
+    assert(!Bench.gcStorm(Seq(39.7), Seq(1900L)))
+    // per-run, not aggregate: a fast run with a tiny absolute GC bill
+    // that IS its wall still flags
+    assert(Bench.gcStorm(Seq(2.0, 0.5), Seq(0L, 150L)))
+    assert(!Bench.gcStorm(Nil, Nil))
+    // the policy is an artifact fact
+    val full = mapper.readTree(Bench.renderFull(
+      Seq(Bench.QTime("q_ok", 1.0, 1.2, None)), "sf", "32", 3))
+    assert(full.get("gc_retry_fraction").asDouble() ==
+      Bench.GcRetryFraction)
+  }
+
+  test("contract trend: history file round-trips and renders as one " +
+      "generated line (r16 verdict #6)") {
+    val entries = Seq(("r14 sealed", 81.7, -1), ("r15 sealed", 135.0, 149),
+      ("r16 sealed", 139.826, 151))
+    val tmp = java.nio.file.Files.createTempFile("trend", ".json")
+    java.nio.file.Files.writeString(tmp,
+      Bench.renderContractHistory(entries))
+    assert(Bench.readContractHistory(tmp) == entries)
+    val line = Bench.renderContractTrend(entries)
+    assert(line.contains("81.700 s (r14 sealed)") &&
+      line.contains("135.000 s/149 entries (r15 sealed)") &&
+      line.contains(" → "))
+    // the committed history file parses and starts with the
+    // back-filled r14 entry
+    val committed = Bench.readContractHistory(
+      java.nio.file.Paths.get(Bench.ContractHistoryPath))
+    assert(committed.nonEmpty && committed.head._1 == "r14 sealed")
+    // absent/malformed history degrades to a placeholder, never throws
+    assert(Bench.readContractHistory(
+      java.nio.file.Paths.get("no_such_history.json")).isEmpty)
+    assert(Bench.renderContractTrend(Nil).contains("no sealed-run"))
   }
 
   test("fork telemetry: renders as a TSV comment, round-trips, never breaks data") {
@@ -501,7 +615,7 @@ class BenchSpec extends AnyFunSuite {
     assert(full.get("n_claims_failed").asInt() == 1)
     // factor-based claim: skew within 2x of uniform
     val skew = mapper.readTree(Bench.renderFull(
-      Seq(qt("bench_cc2m_skew", 30.7), qt("bench_cc2m_dist", 22.7)),
+      Seq(qt("bench_cc600k_skew", 30.7), qt("bench_cc600k_dist", 22.7)),
       "sf", "4", 3))
     assert(skew.get("claims").get("cc_skew_within_2x").asBoolean())
     assert(skew.get("n_claims_failed").asInt() == 0)
@@ -543,7 +657,7 @@ class BenchSpec extends AnyFunSuite {
       qt("bench_lsh50k_brute", 1.5), qt("bench_lsh50k_lsh", 0.8),
       qt("bench_lsh50k_ivf", 1.1), qt("bench_lsh50k_q8", 1.6),
       qt("bench_cc450k_driver", 2.1), qt("bench_cc450k_dist", 9.0),
-      qt("bench_cc2m_dist", 23.0), qt("bench_cc2m_skew", 31.0),
+      qt("bench_cc600k_dist", 23.0), qt("bench_cc600k_skew", 31.0),
       qt("bench_dd50k_ngram", 21.0), qt("bench_dd50k_ngram_pruned", 11.0),
       qt("bench_dd50k_minhash", 8.8), qt("bench_dd12k_ngram", 3.9),
       qt("bench_dd12k_minhash", 3.6),
@@ -634,8 +748,8 @@ class BenchSpec extends AnyFunSuite {
       "bench_lsh50k_recall", "bench_lsh50k_pq_guard",
       // CC crossover rig: driver vs distributed + equality/round guard,
       // plus the star-heavy skew twin of the 2M-edge graph
-      "bench_cc450k_driver", "bench_cc450k_dist", "bench_cc2m_dist",
-      "bench_cc2m_skew", "bench_cc2m_skew_nopre", "bench_cc_guard",
+      "bench_cc450k_driver", "bench_cc450k_dist", "bench_cc600k_dist",
+      "bench_cc600k_skew", "bench_cc600k_skew_nopre", "bench_cc_guard",
       // dedup crossover rig: naive/pruned exact vs minhash + recall
       // guard, plus quarter-size twins for the scaling-exponent ratio
       "bench_dd50k_ngram", "bench_dd50k_ngram_pruned",

@@ -84,10 +84,35 @@ def main(old_path, new_path, threshold=1.5):
             print(f"  {n:28s} {a:8.2f} -> {b:8.2f}  x{ratio:.2f}")
     # claims: conclusion flips are the signal that survives regime breaks
     oc, nc = old.get("claims", {}), new.get("claims", {})
+    # r17 rename: the big CC rig shrank 2M -> 600k edges and the claim
+    # renamed with it — compare the lineage as one claim so a flip (or
+    # a failed-then-unevaluated disappearance) is never masked by the
+    # rename
+    renames = {"precontract_tames_skew_cc2m": "precontract_tames_skew_cc600k"}
+    for old_name, new_name in renames.items():
+        if old_name in oc and old_name not in nc:
+            oc = dict(oc)
+            oc[new_name] = oc.pop(old_name)
+            print(f"note: claim {old_name} renamed to {new_name} "
+                  "(same conclusion, rig shrunk 2M -> 600k edges)")
     for name in sorted(set(oc) | set(nc)):
         a, b = oc.get(name), nc.get(name)
         if a is not None and b is not None and a != b:
             print(f"CLAIM FLIP: {name}: {a} -> {b}")
+    # a claim that FAILED in the old artifact and went UNEVALUATED in
+    # the new one (operands skipped/errored) must not silently vanish
+    # (r16 verdict #7) — the new artifact names its unevaluated claims
+    new_uneval = set(new.get("claims_unevaluated", []))
+    for old_name, new_name in renames.items():
+        if old_name in new_uneval:
+            new_uneval.add(new_name)
+    for name in sorted(set(oc)):
+        renamed = renames.get(name, name)
+        if oc[name] is False and (renamed in new_uneval or
+                                  (renamed not in nc and not new_uneval)):
+            print(f"WARNING: claim {name} FAILED in the old artifact "
+                  "and was NOT evaluated in the new one — the failure "
+                  "is unresolved, not fixed")
     flips = [n for n in set(oc) & set(nc) if oc[n] != nc[n]]
     print(f"\nclaims: old {sum(bool(v) for v in oc.values())}/{len(oc)} ok, "
           f"new {sum(bool(v) for v in nc.values())}/{len(nc)} ok, "
