@@ -138,12 +138,27 @@ object Sketches {
     * map-side partial MAX: the shuffle carries at most m rows per
     * map task regardless of corpus size, where countDistinct shuffles
     * the full key universe — THE reason this sketch exists at 100 TB
-    * (vocabulary sizing before a BPE train, per-source distinct-doc
-    * estimates). `m` (power of two >= 16) is stamped into the maxrho
-    * column metadata; registers never hit are simply absent (the
-    * estimator restores them as zeros). Deterministic md5 hashing, so
-    * an external engine rebuilds the SAME register table bit-for-bit
-    * (the `sk_hll` oracle does). */
+    * (vocabulary sizing before a BPE train). `m` (power of two >= 16)
+    * and the hash width (`hll_hashbits` = 32) are stamped into the
+    * maxrho column metadata; registers never hit are simply absent
+    * (the estimator restores them as zeros). Deterministic md5
+    * hashing, so an external engine rebuilds the SAME register table
+    * bit-for-bit (the `sk_hll` oracle does).
+    *
+    * RANGE CEILING (r17, from the r16 verdict): rho derives from a
+    * 32-bit hash (rho <= 33) and [[hllEstimate]] implements only the
+    * small-range linear-counting correction — past ~10^8 distinct
+    * keys the 32-bit hash space saturates and estimates degrade LOW
+    * with no warning, the classic uncorrected-32-bit-HLL failure.
+    * The 32-bit width is a deliberate portability trade, not an
+    * oversight: every 2^-maxrho term stays a dyadic rational whose
+    * sum fits 53 significand bits, so sum_inv is EXACT regardless of
+    * aggregation order and the DuckDB oracle replays the estimator
+    * bit-for-bit. Use THIS form for oracle-checked pipelines and
+    * cardinalities safely under 10^8 (vocabulary sizing); use
+    * [[hllSketch64]] (spec-covered, not oracled) for production
+    * cardinalities past that — per-source distinct-doc counts at
+    * 100 TB cross 10^9. [[hllMerge]] refuses to mix the two widths. */
   def hllSketch(df: DataFrame, keyCol: String, m: Int = 512): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0,
       s"m must be a power of two >= 16: $m")
@@ -151,7 +166,40 @@ object Sketches {
         hllRho(col(keyCol)).as("rho"))
       .groupBy("register").agg(max(col("rho")).as("mx"))
       .select(col("register"),
-        col("mx").cast("int").as("maxrho", stamp("hll_m" -> m)))
+        col("mx").cast("int")
+          .as("maxrho", stamp("hll_m" -> m, "hll_hashbits" -> 32)))
+  }
+
+  /** 64-bit-hash twin of [[hllSketch]] for production cardinalities
+    * past the 32-bit form's ~10^8 ceiling: register and rho both come
+    * from ONE xxhash64 value (low log2(m) bits pick the register, rho
+    * counts leading zeros of the remaining 64-p bits + 1, so
+    * rho <= 65-p and the register stream never saturates below ~10^18).
+    * Same plan shape (narrow projection + groupBy(register) with
+    * map-side partial max), same estimator ([[hllEstimate]] — at
+    * 64-bit widths the large-range correction is unnecessary by
+    * construction), same lossless register-wise-max merge. JVM-mode:
+    * xxhash64 is Spark-native and NOT replayable in DuckDB, so this
+    * twin is spec-covered (accuracy band + merge property), not
+    * oracled — the documented trade against [[hllSketch]]. */
+  def hllSketch64(df: DataFrame, keyCol: String, m: Int = 512): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0,
+      s"m must be a power of two >= 16: $m")
+    val p = java.lang.Integer.numberOfTrailingZeros(m)
+    val h = xxhash64(concat(lit("hl64:"), col(keyCol).cast("string")))
+    val reg = h.bitwiseAND(lit((m - 1).toLong))
+    val w = shiftrightunsigned(h, p)
+    // rho = leading zeros within the (64-p)-bit window + 1
+    //     = (64-p) + 1 - bitlength(w); the all-zero window caps at
+    //     (64-p) + 1. Bit length via base-2 string conversion — the
+    //     same integer-exact recipe as hllRho
+    val rho = when(w === 0L, lit(64 - p + 1))
+      .otherwise(lit(64 - p + 1) - length(conv(w, 10, 2)))
+    df.select(reg.as("register"), rho.as("rho"))
+      .groupBy("register").agg(max(col("rho")).as("mx"))
+      .select(col("register"),
+        col("mx").cast("int")
+          .as("maxrho", stamp("hll_m" -> m, "hll_hashbits" -> 64)))
   }
 
   /** Union two HLL sketches register-wise (max merges losslessly —
@@ -164,9 +212,20 @@ object Sketches {
     require(ma.isDefined && mb.isDefined && ma == mb,
       s"hllMerge: operand m stamps differ or are missing ($ma vs $mb) — " +
         "registers from different geometries do not align")
+    // hash width must match too (r17): a 32-bit and a 64-bit sketch at
+    // the same m have aligned register INDEXES but incomparable rho
+    // streams — merging them silently corrupts the estimate. Sketches
+    // that predate the stamp are the 32-bit family.
+    val ha = stamped(a, "maxrho", "hll_hashbits").getOrElse(32)
+    val hb = stamped(b, "maxrho", "hll_hashbits").getOrElse(32)
+    require(ha == hb,
+      s"hllMerge: operand hash widths differ ($ha vs $hb bits) — a " +
+        "32-bit (hllSketch, oracled) and a 64-bit (hllSketch64, " +
+        "production-range) sketch never merge")
     a.unionByName(b).groupBy("register").agg(max(col("maxrho")).as("mx"))
       .select(col("register"),
-        col("mx").cast("int").as("maxrho", stamp("hll_m" -> ma.get)))
+        col("mx").cast("int")
+          .as("maxrho", stamp("hll_m" -> ma.get, "hll_hashbits" -> ha)))
   }
 
   /** Cardinality estimate from a [[hllSketch]] frame: ONE row
@@ -178,7 +237,12 @@ object Sketches {
     * sum is EXACT regardless of aggregation order — the property that
     * makes the estimate engine-portable (only ln can differ, by an
     * ulp, which the oracle's 2dp rounding absorbs). m defaults to the
-    * stamped value. */
+    * stamped value. Serves BOTH hash widths (a 64-bit sketch's
+    * maxrho <= 61 still fits the long shift); there is deliberately NO
+    * large-range correction — unnecessary for [[hllSketch64]] by
+    * construction, and for [[hllSketch]] the honest remedy past its
+    * documented ~10^8 ceiling is the 64-bit twin, not a correction
+    * formula the oracle cannot replay. */
   def hllEstimate(sketch: DataFrame, m: Int = 0): DataFrame = {
     val mm = resolve(stamped(sketch, "maxrho", "hll_m"), m, "m")
     val alpha = mm match {

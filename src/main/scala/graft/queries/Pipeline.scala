@@ -1814,6 +1814,46 @@ object Pipeline {
           col("n_shared").cast("bigint").as("n_shared"), col("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+
+    // perceptual dedup routed into CURATION (r17, r16 verdict #4): the
+    // mm_dedup rig's image near-dup pairs feed connectedComponents ->
+    // keepFirstExact — ONE surviving copy per transitive perceptual
+    // cluster, the same survivor policy the text corpus gets
+    // (dd_survivors_exact), now applied to pixels. The rig's 16 planted
+    // gradient groups each collapse to one component (every intra-group
+    // pair sits within hamming 3 of the dHash), so exactly 16 images
+    // survive; the oracle rebuilds the dhashes closed-form, brute-forces
+    // the banded pair set, and replays the min-label transitive closure
+    // as a recursive CTE.
+    "mm_survivors" -> ((s, dir) => {
+      val pngUdf = udf((id: Long) => {
+        val g = (id % 16).toInt
+        val grid = Array.ofDim[Int](8, 9)
+        for (cy <- 0 until 8) {
+          grid(cy)(0) = 100 + ((g * 13 + cy * 7) % 40)
+          for (cx <- 0 until 8) {
+            val j = cy * 8 + cx
+            val bit = j < 63 && {
+              (((g * 131 + j * 37) % 97) < 41) ^
+                (id % 3 == 0 && j == (id % 63).toInt)
+            }
+            grid(cy)(cx + 1) = grid(cy)(cx) + (if (bit) 5 else -5)
+          }
+        }
+        val px = new Array[Byte](18 * 16)
+        for (py <- 0 until 16; pxx <- 0 until 18)
+          px(py * 18 + pxx) = grid(py / 2)(pxx / 2).toByte
+        graft.operators.MediaCodec.pngEncodeGray(18, 16, px)
+      })
+      val withPayload = docs(s, dir).filter(col("doc_id") < 1000)
+        .select(col("doc_id"))
+        .withColumn("payload", pngUdf(col("doc_id")))
+      val pairs = Multimodal.imageDedupPairs(withPayload, "doc_id",
+        "payload", maxHamming = 3)
+      graft.operators.Dedup.keepFirstExact(
+          withPayload.select("doc_id"), "doc_id", pairs)
+        .select("doc_id").orderBy("doc_id")
+    }),
   )
 
   /** DuckDB twin of Similarity.quantizeInt8 over the embeddings table:
@@ -4123,6 +4163,39 @@ object Pipeline {
          WHERE round(p.n_shared::DOUBLE / (sa.n + sb.n - p.n_shared), 4)
            >= 0.5
          ORDER BY id_a, id_b""",
+    // perceptual CURATION: the mm_dedup dhash construction rebuilt
+    // closed-form, the banded pair set brute-forced (recall is exact
+    // at hamming <= 3, so brute force IS the banded answer), then
+    // min-label transitive closure (the dd_survivors_exact recursion)
+    // and one survivor per component — keepFirstExact on pixels
+    "mm_survivors" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, (doc_id % 16)::BIGINT AS g
+               FROM documents WHERE doc_id < 1000),
+         bits AS (SELECT d.doc_id, j.j,
+             CASE WHEN (d.doc_id % 3 = 0 AND j.j = d.doc_id % 63)
+                  THEN 1 - (CASE WHEN ((d.g*131 + j.j*37) % 97) < 41
+                            THEN 1 ELSE 0 END)
+                  ELSE (CASE WHEN ((d.g*131 + j.j*37) % 97) < 41
+                        THEN 1 ELSE 0 END)
+             END::BIGINT AS bit
+           FROM d CROSS JOIN unnest(range(0, 63)) AS j(j)),
+         dh AS (SELECT doc_id, sum(bit << j)::BIGINT AS dhash
+                FROM bits GROUP BY doc_id),
+         prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+         edges AS (SELECT id_a AS a, id_b AS b FROM prs
+                   UNION SELECT id_b, id_a FROM prs),
+         reach(a, b) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         labels AS (SELECT a AS doc_id, min(b) AS cluster FROM reach
+                    GROUP BY a)
+         SELECT doc_id FROM d
+         WHERE doc_id NOT IN
+           (SELECT doc_id FROM labels WHERE doc_id != cluster)
+         ORDER BY doc_id""",
   )
 
   /** Shared CTE chain (corpus → … → dec2) for the ds_curate and

@@ -185,4 +185,48 @@ class SketchesSpec extends SparkTestBase {
     assert(row._1 == 16L && row._2 == 0.0,
       s"empty sketch must linear-count to 0: $row")
   }
+
+  test("hll hash width is stamped: 32 on the oracled form, 64 on the " +
+      "production twin, and hllMerge refuses to mix them (r17)") {
+    val keys = (0 until 100).map(i => s"k$i").toDF("k")
+    def hashbits(df: org.apache.spark.sql.DataFrame): Long =
+      df.schema.fields.find(_.name == "maxrho").get
+        .metadata.getLong("hll_hashbits")
+    assert(hashbits(Sketches.hllSketch(keys, "k", m = 64)) == 32L)
+    assert(hashbits(Sketches.hllSketch64(keys, "k", m = 64)) == 64L)
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.hllMerge(Sketches.hllSketch(keys, "k", m = 64),
+        Sketches.hllSketch64(keys, "k", m = 64))
+    }
+    assert(ex.getMessage.contains("hash widths differ"))
+    // the merged output propagates the width stamp
+    assert(hashbits(Sketches.hllMerge(
+      Sketches.hllSketch64(keys, "k", m = 64),
+      Sketches.hllSketch64(keys, "k", m = 64))) == 64L)
+  }
+
+  test("hllSketch64: estimate lands within the error band, duplicates " +
+      "don't move it, and the register-wise-max merge is lossless") {
+    val n = 5000
+    val keys = (0 until n).flatMap(i => Seq.fill(3)(s"key_$i")).toDF("k")
+    val est = Sketches.hllEstimate(Sketches.hllSketch64(keys, "k", m = 512))
+      .select("est").as[Double].head()
+    // same band as the 32-bit form: 3 sigma of 1.04/sqrt(512)
+    assert(math.abs(est - n) / n < 0.14,
+      s"hll64 estimate $est too far from $n")
+    // rho stays within the 64-bit window's bound (<= 65 - log2(m) = 56)
+    val maxRho = Sketches.hllSketch64(keys, "k", m = 512)
+      .agg(org.apache.spark.sql.functions.max("maxrho")).as[Int].head()
+    assert(maxRho >= 1 && maxRho <= 56, s"rho out of range: $maxRho")
+    val a = (0 until 800).map(i => s"a$i").toDF("k")
+    val b = (400 until 1200).map(i => s"a$i").toDF("k")
+    val direct = Sketches.hllSketch64(a.unionByName(b), "k", m = 256)
+      .as[(Long, Int)].collect().toMap
+    val merged = Sketches.hllMerge(
+        Sketches.hllSketch64(a, "k", m = 256),
+        Sketches.hllSketch64(b, "k", m = 256))
+      .as[(Long, Int)].collect().toMap
+    assert(merged == direct,
+      "register-wise max must equal the union's sketch")
+  }
 }
