@@ -348,19 +348,44 @@ class BenchSpec extends AnyFunSuite {
     // spin-ups; the pollution regime the cap defends against comes
     // from heavy operator families, not sub-second SQL)
     for ((chunk, qs) <- chunks) {
-      val fam = qs.head.takeWhile(_ != '_')
+      val fam = Bench.famOf(qs.head)
       val cap = Bench.famChunkOverride.getOrElse(fam, 6)
       assert(qs.size <= cap, s"chunk $chunk has ${qs.size} queries")
     }
-    // the x family rides in exactly ONE chunk
+    // the light families ride in few chunks (r17: each extra chunk is
+    // ~20 s of Spark spin-up for sub-second queries)
     assert(chunks.count(_._1.startsWith("x")) == 1,
       "x_* must share a single child JVM")
+    assert(chunks.count(c => c._2.head.startsWith("mm_")) == 1,
+      "mm_* must share a single child JVM")
+    assert(chunks.count(c => c._2.head.startsWith("q_")) <= 2,
+      "q_* must fit two child JVMs")
+    assert(chunks.count(c => c._2.head.startsWith("txt_")) <= 2,
+      "txt_* must fit two child JVMs")
     // chunk names are unique (they key log files and telemetry)
     assert(chunks.map(_._1).distinct.size == chunks.size)
-    // chunks never span families (rigs and tables cluster by prefix)
+    // chunks never span families (rigs and tables cluster by prefix;
+    // the flagship q1_agg rides with the q family it belongs to — r17)
     for ((chunk, qs) <- chunks)
-      assert(qs.map(_.takeWhile(_ != '_')).distinct.size == 1,
+      assert(qs.map(Bench.famOf).distinct.size == 1,
         s"chunk $chunk spans families: $qs")
+    assert(chunks.exists(_._2.contains("q1_agg")) &&
+      !chunks.exists(c => c._2 == Seq("q1_agg")),
+      "q1_agg must share the q family's child JVM, not its own")
+    // claim-operand atoms pack before claim-free ones INSIDE each
+    // family (r17): in the bench_* family this keeps the layout/encode
+    // entries behind every claim operand, so a budget truncation can
+    // only strand claim-free entries. Property: across the family's
+    // chunk sequence, once a chunk carries no claim operand, no later
+    // chunk carries one (one boundary chunk may mix both bands).
+    val claimOps = Bench.claimSpecs.flatMap(c => Seq(c._2, c._3)).toSet
+    val rigFlags = chunks.filter(_._2.head.startsWith("bench_"))
+      .map(_._2.exists(claimOps))
+    assert(rigFlags.contains(true) && rigFlags.contains(false),
+      "expected both claim-bearing and claim-free rig chunks")
+    val firstFreeRig = rigFlags.indexOf(false)
+    assert(rigFlags.drop(firstFreeRig).forall(!_),
+      s"claim-free rig chunks must form the family tail: $rigFlags")
     // round-9 regression target: the dd family (16 contract queries) must
     // no longer ride in one JVM
     assert(chunks.count(_._1.startsWith("dd")) >= 3)
@@ -390,11 +415,26 @@ class BenchSpec extends AnyFunSuite {
     val firstRig = isRig.indexOf(true)
     assert(isRig.drop(firstRig).forall(identity),
       "bench_* chunks must form the TAIL of the fork plan")
-    // relative order within each group is untouched (chunk names key
+    // within the rig tail, every chunk carrying a claim operand forks
+    // before every claim-free one (r17: the claim-free layout/encode
+    // rigs used to sit between the contract and the claim operands —
+    // exactly where a degraded host's truncation landed in r15/r16)
+    val claimOps = Bench.claimSpecs.flatMap(c => Seq(c._2, c._3)).toSet
+    val rigTail = ordered.drop(firstRig)
+    val hasClaim = rigTail.map(_._2.exists(claimOps))
+    assert(hasClaim.head, "first rig chunk must carry a claim operand")
+    val firstFree = hasClaim.indexOf(false)
+    assert(firstFree > 0 && hasClaim.drop(firstFree).forall(!_),
+      "claim-free rig chunks must form the TAIL of the rig band")
+    // relative order within each band is untouched (chunk names key
     // logs/telemetry; reshuffling within a family would break the
     // family-clustering warmup assumption)
-    assert(ordered.filter(_._2.head.startsWith("bench_")) ==
-      chunks.filter(_._2.head.startsWith("bench_")))
+    assert(rigTail.filter(_._2.exists(claimOps)) ==
+      chunks.filter(c => c._2.head.startsWith("bench_") &&
+        c._2.exists(claimOps)))
+    assert(rigTail.filterNot(_._2.exists(claimOps)) ==
+      chunks.filter(c => c._2.head.startsWith("bench_") &&
+        !c._2.exists(claimOps)))
     assert(ordered.filterNot(_._2.head.startsWith("bench_"))
       .filterNot(_._1.startsWith("x")) ==
       chunks.filterNot(_._2.head.startsWith("bench_"))
