@@ -2006,7 +2006,7 @@ object Bench {
   private def baselineBreak(warmupOn: Boolean, compact: Boolean): String =
     (warmupOn, compact) match {
       case (true, false) =>
-        """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup + r10 chunked forks + r11 straggler retry (a >3x-spread entry gets 2 extra samples, all recorded) + r12 cold-run absorption (a leading run that is strictly worst and >3x the rest is extended warmup, reclassified into cold_warmup_secs with a replacement sample taken) + r13 single-run controls (designed-to-lose twins take one warm sample, named in single_run_controls) + r13 cert cache (a guard whose certified sources are hash-unchanged reuses its cached pass, named in certification_cached) + r14 load qualification (entries timed in a fork that observed 1-min load above 1.25x the core count are named in load_qualified and excluded from round-over-round deltas) + r16 wall budget (contract-family chunks fork first, bench_* rigs last; once SPARK_GRAFT_BENCH_BUDGET_S is exhausted remaining entries are named in skipped_budget instead of the harness killing the run; children tolerate GC-storm heartbeat gaps); pre-r10 minima are a different timing regime, not comparable","""
+        """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup + r10 chunked forks + r11 straggler retry (a >3x-spread entry gets 2 extra samples, all recorded) + r12 cold-run absorption (a leading run that is strictly worst and >3x the rest is extended warmup, reclassified into cold_warmup_secs with a replacement sample taken) + r13 single-run controls (designed-to-lose twins take one warm sample, named in single_run_controls) + r13 cert cache (a guard whose certified sources are hash-unchanged reuses its cached pass, named in certification_cached) + r14 load qualification (entries timed in a fork that observed 1-min load above 1.25x the core count are named in load_qualified and excluded from round-over-round deltas) + r16 wall budget (contract-family chunks fork first, bench_* rigs last; once SPARK_GRAFT_BENCH_BUDGET_S is exhausted remaining entries are named in skipped_budget instead of the harness killing the run; children tolerate GC-storm heartbeat gaps) + r17 chunk repack (light families x/q/txt/mm share child JVMs, claim-operand atoms pack and fork before the claim-free rig tail, GC-storm runs >20% wall-in-GC take 2 extra samples — chunk membership changed, so per-entry JVM-lifetime context differs from r16) + r17 rig shrink (the cc 2M-edge rigs are 600k same-shape; bench_cc600k_* minima are NOT comparable to bench_cc2m_*); pre-r10 minima are a different timing regime, not comparable","""
       // the compact line is budget-pinned (<1800 chars): the break
       // marker names the regime rounds and defers the method list to
       // the full artifact's self-describing baseline_break
