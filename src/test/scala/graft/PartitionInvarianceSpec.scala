@@ -236,4 +236,47 @@ class PartitionInvarianceSpec extends SparkTestBase {
     assertInvariant(docs, "bpeTrain")(df =>
       rematerialize(graft.operators.Bpe.train(df, "text", nMerges = 4)))
   }
+
+  test("videoDedupPairs (stop-frame pruned): the pair set survives " +
+      "any layout") {
+    // 36 videos in 6 frame-groups, every video carrying one UBIQUITOUS
+    // frame (doc-freq 36 > cap 10, so the r17 prune genuinely fires)
+    // plus 4 group frames (doc-freq 6, kept) — the pairs that survive
+    // are exactly the same-group ones, and they must not depend on
+    // layout (the frame-hash doc-freq aggregate, the broadcast stop
+    // set, and the inverted-index join all shuffle)
+    import graft.operators.{MediaCodec, Multimodal}
+    def frame(seed: Int): Array[Byte] = {
+      val grid = Array.ofDim[Int](8, 9)
+      for (cy <- 0 until 8) {
+        grid(cy)(0) = 100 + ((seed * 13 + cy * 7) % 40)
+        for (cx <- 0 until 8) {
+          val j = cy * 8 + cx
+          val bit = j < 63 && (((seed * 131 + j * 37) % 97) < 41)
+          grid(cy)(cx + 1) = grid(cy)(cx) + (if (bit) 5 else -5)
+        }
+      }
+      val px = new Array[Byte](18 * 16)
+      for (py <- 0 until 16; pxx <- 0 until 18)
+        px(py * 18 + pxx) = grid(py / 2)(pxx / 2).toByte
+      MediaCodec.pngEncodeGray(18, 16, px)
+    }
+    val videos = (0 until 36).map { i =>
+      val id = (i * 55L + 7L) % 997L
+      val g = i % 6
+      val seeds = Seq(g * 8, g * 8 + 1, g * 8 + 2, g * 8 + 3, 999)
+      (id, s"g${i % 3}",
+        MediaCodec.aviEncodeMpng(18, 16, 25, seeds.map(frame).toArray))
+    }.toDF("id", "grp", "payload")
+    assertInvariant(videos, "videoDedupPairs")(df =>
+      Multimodal.videoDedupPairs(df, "id", "payload", threshold = 0.3,
+        maxDocFreq = Some(10)).select("id_a", "id_b"))
+  }
+
+  test("hllSketch64: the register table survives any layout") {
+    // xxhash64 register/rho derivation + groupBy(register) max — the
+    // production-range twin must be as layout-blind as the md5 family
+    assertInvariant(docs, "hllSketch64")(df =>
+      graft.operators.Sketches.hllSketch64(df, "text", m = 64))
+  }
 }
