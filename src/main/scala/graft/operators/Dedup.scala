@@ -790,8 +790,14 @@ object Dedup {
     * |A ∩ B| / (|A| + |B| - |A ∩ B|). The pair space is only materialized
     * for pairs that actually share a shingle. At 100 TB, ubiquitous
     * shingles are the skew risk — cap them with maxDocFreq (standard
-    * "stop-shingle" pruning; exactness holds for pairs whose intersection
-    * isn't entirely stop-shingles, which a 0.8 threshold implies).
+    * "stop-shingle" pruning). The prune is CONSERVATIVE /
+    * false-negative (r18 wording fix, from the r17 advice): shared
+    * stop-shingles are dropped from the intersection count while set
+    * sizes stay unpruned, so any pair sharing at least one
+    * stop-shingle gets an UNDERESTIMATED jaccard and may fall below
+    * the threshold; exactness holds only for pairs sharing no
+    * stop-shingle. The trade is deliberate — a pair held together
+    * mainly by boilerplate is the one this prune exists to demote.
     *
     * CACHE LIFECYCLE: the shingle frame is `cache()`d for the plan's
     * lifetime (it feeds both join sides plus the set-size aggregate) —

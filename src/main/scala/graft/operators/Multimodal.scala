@@ -186,9 +186,15 @@ object Multimodal {
     * item, landed r17): frames appearing in more than `maxDocFreq`
     * videos are dropped from BOTH join sides via a broadcast anti-join
     * against the (bounded: totalFrameRows / cap) stop set, while set
-    * sizes stay unpruned — exactness holds for pairs whose shared
-    * frames aren't entirely stop-frames, which any threshold ≥ 0.5
-    * over a multi-frame video implies. Output:
+    * sizes stay unpruned. The prune is CONSERVATIVE / false-negative
+    * (r18 wording fix, from the r17 advice): shared stop-frames are
+    * dropped from n_shared while the jaccard denominator keeps them,
+    * so any pair sharing at least one stop-frame gets an
+    * UNDERESTIMATED jaccard and may fall below the threshold (two
+    * identical all-stop-frame videos score 0, not 1); exactness holds
+    * only for pairs sharing no stop-frame. The trade is deliberate —
+    * a pair held together mainly by ubiquitous frames is the one this
+    * prune exists to demote. Output:
     * (id_a, id_b, n_shared, jaccard[4dp]). */
   def videoDedupPairs(df: DataFrame, idCol: String = "doc_id",
                       payloadCol: String = "payload",

@@ -156,13 +156,22 @@ object Sketches {
     * aggregation order and the DuckDB oracle replays the estimator
     * bit-for-bit. Use THIS form for oracle-checked pipelines and
     * cardinalities safely under 10^8 (vocabulary sizing); use
-    * [[hllSketch64]] (spec-covered, not oracled) for production
+    * [[hllSketch64]] (oracled too since r18 — `sk_hll64`) for production
     * cardinalities past that — per-source distinct-doc counts at
-    * 100 TB cross 10^9. [[hllMerge]] refuses to mix the two widths. */
+    * 100 TB cross 10^9. [[hllMerge]] refuses to mix the two widths.
+    *
+    * NULL keys are not elements (r18, from the r17 advice): both
+    * builders filter them out before hashing, so a null-bearing key
+    * column contributes nothing to the estimate under EITHER width —
+    * previously the 32-bit form produced an inert (null, null) row
+    * while a hash-native 64-bit variant would have hashed the null to
+    * a real register, and a 32->64 migration would silently shift
+    * estimates on null-bearing columns. */
   def hllSketch(df: DataFrame, keyCol: String, m: Int = 512): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0,
       s"m must be a power of two >= 16: $m")
-    df.select(hllRegister(col(keyCol), m).as("register"),
+    df.filter(col(keyCol).isNotNull)
+      .select(hllRegister(col(keyCol), m).as("register"),
         hllRho(col(keyCol)).as("rho"))
       .groupBy("register").agg(max(col("rho")).as("mx"))
       .select(col("register"),
@@ -172,30 +181,49 @@ object Sketches {
 
   /** 64-bit-hash twin of [[hllSketch]] for production cardinalities
     * past the 32-bit form's ~10^8 ceiling: register and rho both come
-    * from ONE xxhash64 value (low log2(m) bits pick the register, rho
-    * counts leading zeros of the remaining 64-p bits + 1, so
-    * rho <= 65-p and the register stream never saturates below ~10^18).
-    * Same plan shape (narrow projection + groupBy(register) with
-    * map-side partial max), same estimator ([[hllEstimate]] — at
+    * from ONE logical 64-bit hash h — the first 16 md5 hex digits of
+    * the 'hl64:' stream, handled as two 32-bit slices hi/lo so no
+    * engine ever materializes a value its BIGINT cannot hold (an
+    * unsigned 64-bit conv overflows a signed long; DuckDB BIGINT
+    * arithmetic throws on overflow where the JVM wraps). The low
+    * log2(m) bits of h (= of lo, p <= 32) pick the register; rho
+    * counts leading zeros of w = h >>> p plus 1, recovered WITHOUT
+    * building h: bitlength(h) is 32 + bitlength(hi) when hi > 0 else
+    * bitlength(lo), and bitlength(w) = bitlength(h) - p when positive,
+    * so rho = 65 - bitlength(h) with the w == 0 case capped at 65 - p.
+    * rho <= 65-p, and the register stream never saturates below
+    * ~10^18. Same plan shape (narrow projection + groupBy(register)
+    * with map-side partial max), same estimator ([[hllEstimate]] — at
     * 64-bit widths the large-range correction is unnecessary by
-    * construction), same lossless register-wise-max merge. JVM-mode:
-    * xxhash64 is Spark-native and NOT replayable in DuckDB, so this
-    * twin is spec-covered (accuracy band + merge property), not
-    * oracled — the documented trade against [[hllSketch]]. */
+    * construction), same lossless register-wise-max merge.
+    *
+    * r18 (r17 verdict #5): the hash moved from Spark-native xxhash64
+    * to this md5 two-slice construction precisely so DuckDB CAN replay
+    * the register table bit-for-bit — the production-range twin is now
+    * oracled end to end (`sk_hll64`), closing the one oracle gap the
+    * r17 board carried. md5 costs more per row than xxhash64, but the
+    * sketch build is one narrow scan whose shuffle is <= m rows per
+    * map task — hashing is not the bottleneck at any scale, and
+    * engine-portability is the whole design point of this family. */
   def hllSketch64(df: DataFrame, keyCol: String, m: Int = 512): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0,
       s"m must be a power of two >= 16: $m")
     val p = java.lang.Integer.numberOfTrailingZeros(m)
-    val h = xxhash64(concat(lit("hl64:"), col(keyCol).cast("string")))
-    val reg = h.bitwiseAND(lit((m - 1).toLong))
-    val w = shiftrightunsigned(h, p)
-    // rho = leading zeros within the (64-p)-bit window + 1
-    //     = (64-p) + 1 - bitlength(w); the all-zero window caps at
-    //     (64-p) + 1. Bit length via base-2 string conversion — the
-    //     same integer-exact recipe as hllRho
-    val rho = when(w === 0L, lit(64 - p + 1))
-      .otherwise(lit(64 - p + 1) - length(conv(w, 10, 2)))
-    df.select(reg.as("register"), rho.as("rho"))
+    val hex = md5(concat(lit("hl64:"), col(keyCol).cast("string"))
+      .cast("binary"))
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    // low p bits of h == low p bits of lo; m is a power of two, so
+    // % m is the mask (both operands nonnegative in both engines)
+    val reg = lo % m
+    // integer-exact bit length of h via base-2 string conversion —
+    // the same recipe as hllRho, composed across the two slices
+    val bitlen = when(hi > 0L, lit(32) + length(conv(hi, 10, 2)))
+      .when(lo > 0L, length(conv(lo, 10, 2)))
+      .otherwise(lit(0))
+    val rho = when(bitlen > p, lit(65) - bitlen).otherwise(lit(65 - p))
+    df.filter(col(keyCol).isNotNull)
+      .select(reg.as("register"), rho.as("rho"))
       .groupBy("register").agg(max(col("rho")).as("mx"))
       .select(col("register"),
         col("mx").cast("int")
@@ -232,19 +260,32 @@ object Sketches {
     * (m, v_zero, sum_inv, est) — the standard estimator with the
     * small-range linear-counting correction (raw <= 2.5m and empty
     * registers present -> m*ln(m/V)). sum_inv = Σ 2^-maxrho with
-    * absent registers contributing 2^0 = 1; every term is a dyadic
-    * rational and their sum stays under 53 significand bits, so the
-    * sum is EXACT regardless of aggregation order — the property that
-    * makes the estimate engine-portable (only ln can differ, by an
-    * ulp, which the oracle's 2dp rounding absorbs). m defaults to the
-    * stamped value. Serves BOTH hash widths (a 64-bit sketch's
-    * maxrho <= 61 still fits the long shift); there is deliberately NO
-    * large-range correction — unnecessary for [[hllSketch64]] by
-    * construction, and for [[hllSketch]] the honest remedy past its
-    * documented ~10^8 ceiling is the 64-bit twin, not a correction
-    * formula the oracle cannot replay. */
+    * absent registers contributing 2^0 = 1. The present-register sum
+    * is computed as a SCALED INTEGER (Σ 2^(K - maxrho) with K the
+    * width's rho ceiling — 33 for 32-bit sketches, 65 - log2(m) for
+    * 64-bit — summed in decimal so the theoretical 2^65 edge cannot
+    * wrap a long) and only then divided by 2^K in double: the integer
+    * sum is exact regardless of aggregation order, the int->double
+    * conversion is correctly rounded in every engine, and division by
+    * a power of two is an exponent shift — so sum_inv is the SAME
+    * double bit pattern in Spark and DuckDB even past the 53-bit
+    * point where a per-term double sum would become order-dependent
+    * (the 64-bit width's terms reach 2^-56). For 32-bit sketches the
+    * result is value-identical to the historical per-term double sum
+    * (those terms always fit 53 bits), so existing oracles are
+    * untouched. m defaults to the stamped value; the hash width comes
+    * from the [[hllSketch]]/[[hllSketch64]] stamp (unstamped frames
+    * are treated as 32-bit). There is deliberately NO large-range
+    * correction — unnecessary for [[hllSketch64]] by construction,
+    * and for [[hllSketch]] the honest remedy past its documented
+    * ~10^8 ceiling is the 64-bit twin, not a correction formula the
+    * oracle cannot replay. */
   def hllEstimate(sketch: DataFrame, m: Int = 0): DataFrame = {
     val mm = resolve(stamped(sketch, "maxrho", "hll_m"), m, "m")
+    val hashbits = stamped(sketch, "maxrho", "hll_hashbits").getOrElse(32)
+    val kCap =
+      if (hashbits == 64) 65 - java.lang.Integer.numberOfTrailingZeros(mm)
+      else 33
     val alpha = mm match {
       case 16 => 0.673
       case 32 => 0.697
@@ -254,9 +295,13 @@ object Sketches {
     sketch
       .agg(count(lit(1)).as("present"),
         // SQL-form shiftleft: the Scala signature takes a literal bit
-        // count only. 1L << maxrho <= 1L << 33 fits a long; 1.0/2^k is
-        // exact in double
-        coalesce(sum(expr("1.0 / shiftleft(1L, maxrho)")), lit(0.0))
+        // count only. kCap - maxrho is in [0, kCap-1] (rho >= 1), so
+        // each term fits a long; the sum rides in decimal(38,0)
+        coalesce(
+          sum(expr(s"cast(shiftleft(1L, $kCap - maxrho) " +
+              "as decimal(38,0))")).cast("double") /
+            lit(math.pow(2.0, kCap)),
+          lit(0.0))
           .as("sum_present"))
       .select(lit(mm.toLong).as("m"),
         (lit(mm.toLong) - col("present")).as("v_zero"),

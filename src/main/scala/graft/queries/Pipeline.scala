@@ -819,6 +819,35 @@ object Pipeline {
         .orderBy("what")
     }),
 
+    // 64-bit HyperLogLog (r18, r17 verdict #5): the production-range
+    // twin (hllSketch64, ~10^18 ceiling) oracled with the same sk_hll
+    // pattern — possible since the twin's hash moved from xxhash64 to
+    // an md5 two-slice (hi/lo 32-bit halves of the first 16 md5 hex
+    // digits) DuckDB replays exactly, and hllEstimate's present-sum
+    // moved to a scaled-integer form whose int->double conversion is
+    // correctly rounded in both engines (Sketches.scala scaladoc).
+    // Same two keyed sets so BOTH estimator branches are oracled.
+    "sk_hll64" -> ((s, dir) => {
+      def row(what: String, keyed: DataFrame, keyCol: String) =
+        Sketches.hllEstimate(Sketches.hllSketch64(keyed, keyCol, m = 512))
+          .crossJoin(keyed.agg(countDistinct(col(keyCol)).cast("long")
+            .as("exact_distinct")))
+          .select(lit(what).as("what"),
+            col("m").cast("long").as("m"),
+            col("v_zero").cast("long").as("v_zero"),
+            round(col("sum_inv"), 6).as("sum_inv"),
+            round(col("est"), 2).as("est_hll"),
+            col("exact_distinct"),
+            round(abs(col("est") - col("exact_distinct")) /
+              col("exact_distinct") * 100, 2).as("err_pct"))
+      val d = docs(s, dir)
+      row("vocab",
+          d.select(explode(TextAnalysis.tokens(col("text"))).as("term")),
+          "term")
+        .unionByName(row("doc_ids", d.select(col("doc_id")), "doc_id"))
+        .orderBy("what")
+    }),
+
     // JL random projection 64d -> 16d with a deterministic md5-derived
     // matrix — the pre-ANN dimensionality squeeze (oracled bit-for-bit:
     // DuckDB rebuilds the same matrix from the same salt). Result is
@@ -1850,6 +1879,85 @@ object Pipeline {
         .withColumn("payload", pngUdf(col("doc_id")))
       val pairs = Multimodal.imageDedupPairs(withPayload, "doc_id",
         "payload", maxHamming = 3)
+      graft.operators.Dedup.keepFirstExact(
+          withPayload.select("doc_id"), "doc_id", pairs)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // AUDIO survivors (r18, r17 verdict #6): the mm_audio_dedup wav rig's
+    // perceptual pairs routed through the same curation keep policy as
+    // mm_survivors — audioDedupPairs -> connectedComponents ->
+    // keepFirstExact, one surviving waveform (min doc_id) per transitive
+    // envelope-hash cluster. The rig's 16 planted envelope groups each
+    // collapse to one component, so 16 waveforms survive; the oracle
+    // rebuilds the envelope hashes closed-form, brute-forces the banded
+    // pair set, and replays the min-label transitive closure.
+    "mm_audio_survivors" -> ((s, dir) => {
+      val wavUdf = udf((id: Long) => {
+        val g = (id % 16).toInt
+        val amps = new Array[Int](65)
+        amps(0) = 12000 + ((g * 37) % 2000)
+        for (j <- 0 until 64) {
+          val bit = j < 63 && {
+            (((g * 113 + j * 41) % 89) < 37) ^
+              (id % 3 == 1 && j == (id % 63).toInt)
+          }
+          amps(j + 1) = amps(j) + (if (bit) 150 else -150)
+        }
+        val samples = new Array[Short](65 * 50)
+        for (j <- 0 until 65; k <- 0 until 50)
+          samples(j * 50 + k) = amps(j).toShort
+        graft.operators.MediaCodec.wavEncodePcm16(8000, 1, samples)
+      })
+      val withPayload = docs(s, dir).filter(col("doc_id") < 1000)
+        .select(col("doc_id"))
+        .withColumn("payload", wavUdf(col("doc_id")))
+      val pairs = Multimodal.audioDedupPairs(withPayload, "doc_id",
+        "payload", maxHamming = 3)
+      graft.operators.Dedup.keepFirstExact(
+          withPayload.select("doc_id"), "doc_id", pairs)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // VIDEO survivors (r18, r17 verdict #6): the mm_video_dedup avi rig's
+    // frame-set-jaccard pairs (WITH the stop-frame prune in the path,
+    // maxDocFreq = 60 — inert on this rig, see the mm_video_dedup note)
+    // routed through the same keep policy: videoDedupPairs ->
+    // connectedComponents -> keepFirstExact. Every same-group pair
+    // scores jaccard >= 0.6667 >= 0.5, so each of the 8 planted frame
+    // groups collapses to one component and 8 videos survive; the
+    // oracle replays the jaccard join closed-form and the min-label
+    // transitive closure.
+    "mm_video_survivors" -> ((s, dir) => {
+      val aviUdf = udf((id: Long) => {
+        val g = (id % 8).toInt
+        def frame(seed: Int): Array[Byte] = {
+          val grid = Array.ofDim[Int](8, 9)
+          for (cy <- 0 until 8) {
+            grid(cy)(0) = 100 + ((seed * 13 + cy * 7) % 40)
+            for (cx <- 0 until 8) {
+              val j = cy * 8 + cx
+              val bit = j < 63 && (((seed * 131 + j * 37) % 97) < 41)
+              grid(cy)(cx + 1) = grid(cy)(cx) + (if (bit) 5 else -5)
+            }
+          }
+          val px = new Array[Byte](18 * 16)
+          for (py <- 0 until 16; pxx <- 0 until 18)
+            px(py * 18 + pxx) = grid(py / 2)(pxx / 2).toByte
+          graft.operators.MediaCodec.pngEncodeGray(18, 16, px)
+        }
+        val frames = Array.tabulate(5) { k =>
+          val seed = if (id % 3 == 0 && k == 2) (2000 + id).toInt
+            else g * 8 + k
+          frame(seed)
+        }
+        graft.operators.MediaCodec.aviEncodeMpng(18, 16, 25, frames)
+      })
+      val withPayload = docs(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id"))
+        .withColumn("payload", aviUdf(col("doc_id")))
+      val pairs = Multimodal.videoDedupPairs(withPayload, "doc_id",
+        "payload", threshold = 0.5, maxDocFreq = Some(60))
       graft.operators.Dedup.keepFirstExact(
           withPayload.select("doc_id"), "doc_id", pairs)
         .select("doc_id").orderBy("doc_id")
@@ -3631,6 +3739,60 @@ object Pipeline {
            round(abs(e - exact_distinct) / exact_distinct * 100, 2)
              AS err_pct
          FROM est JOIN x USING (what) ORDER BY what""",
+    // the 64-bit twin replayed from the md5 two-slice: hi/lo are the
+    // first/second 8 hex digits of md5('hl64:'||k); register = low 9
+    // bits of the 64-bit value (= lo % 512), rho = 65 - bitlength(h)
+    // capped at 56 (the w == 0 case). The present-register sum rides
+    // as the scaled integer sum(2^(56-maxrho)) (DuckDB sums BIGINT
+    // into HUGEINT — no overflow) and converts to double ONCE, exactly
+    // mirroring hllEstimate's decimal-sum -> double -> /2^56 chain, so
+    // sum_inv is the same double bit pattern in both engines
+    "sk_hll64" ->
+      """WITH keyed AS (
+           SELECT 'vocab' AS what,
+             unnest(string_split_regex(trim(text), '\s+')) AS k
+           FROM documents
+           UNION ALL
+           SELECT 'doc_ids' AS what, doc_id::VARCHAR AS k
+           FROM documents),
+         h AS (
+           SELECT what,
+             ('0x' || substr(md5('hl64:' || k),1,8))::BIGINT AS hi,
+             ('0x' || substr(md5('hl64:' || k),9,8))::BIGINT AS lo
+           FROM keyed WHERE k IS NOT NULL),
+         bl AS (
+           SELECT what, lo % 512 AS register,
+             CASE WHEN hi > 0 THEN 32 + length(bin(hi))
+                  WHEN lo > 0 THEN length(bin(lo)) ELSE 0 END AS bitlen
+           FROM h),
+         r AS (
+           SELECT what, register,
+             max(CASE WHEN bitlen > 9 THEN 65 - bitlen ELSE 56 END)
+               AS maxrho
+           FROM bl GROUP BY what, register),
+         agg AS (
+           SELECT what, count(*) AS present,
+             sum(1::BIGINT << (56 - maxrho))::DOUBLE
+               / 72057594037927936.0 AS sp
+           FROM r GROUP BY what),
+         est AS (
+           SELECT what, (512 - present) AS v_zero,
+             sp + (512 - present) AS sum_inv,
+             CASE WHEN (0.7213 / (1 + 1.079/512)) * 512 * 512
+                         / (sp + (512 - present)) <= 2.5 * 512
+                       AND present < 512
+                  THEN 512 * ln(512.0 / (512 - present))
+                  ELSE (0.7213 / (1 + 1.079/512)) * 512 * 512
+                         / (sp + (512 - present)) END AS e
+           FROM agg),
+         x AS (SELECT what, count(DISTINCT k) AS exact_distinct
+               FROM keyed GROUP BY what)
+         SELECT est.what, 512::BIGINT AS m, v_zero::BIGINT AS v_zero,
+           round(sum_inv, 6) AS sum_inv, round(e, 2) AS est_hll,
+           exact_distinct::BIGINT AS exact_distinct,
+           round(abs(e - exact_distinct) / exact_distinct * 100, 2)
+             AS err_pct
+         FROM est JOIN x USING (what) ORDER BY what""",
     "sim_project" ->
       """WITH pl AS (
            SELECT jd.j AS j, list(jd.pv ORDER BY jd.d) AS plane
@@ -4184,6 +4346,83 @@ object Pipeline {
          prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM dh a JOIN dh b ON a.doc_id < b.doc_id
                  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+         edges AS (SELECT id_a AS a, id_b AS b FROM prs
+                   UNION SELECT id_b, id_a FROM prs),
+         reach(a, b) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         labels AS (SELECT a AS doc_id, min(b) AS cluster FROM reach
+                    GROUP BY a)
+         SELECT doc_id FROM d
+         WHERE doc_id NOT IN
+           (SELECT doc_id FROM labels WHERE doc_id != cluster)
+         ORDER BY doc_id""",
+    // AUDIO curation: the mm_audio_dedup envelope-hash construction
+    // rebuilt closed-form, the banded pair set brute-forced, then the
+    // same min-label transitive closure and one survivor per component
+    // — keepFirstExact on waveforms
+    "mm_audio_survivors" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, (doc_id % 16)::BIGINT AS g
+               FROM documents WHERE doc_id < 1000),
+         bits AS (SELECT d.doc_id, j.j,
+             CASE WHEN (d.doc_id % 3 = 1 AND j.j = d.doc_id % 63)
+                  THEN 1 - (CASE WHEN ((d.g*113 + j.j*41) % 89) < 37
+                            THEN 1 ELSE 0 END)
+                  ELSE (CASE WHEN ((d.g*113 + j.j*41) % 89) < 37
+                        THEN 1 ELSE 0 END)
+             END::BIGINT AS bit
+           FROM d CROSS JOIN unnest(range(0, 63)) AS j(j)),
+         fp AS (SELECT doc_id, sum(bit << j)::BIGINT AS ehash
+                FROM bits GROUP BY doc_id),
+         prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.ehash, b.ehash)) <= 3),
+         edges AS (SELECT id_a AS a, id_b AS b FROM prs
+                   UNION SELECT id_b, id_a FROM prs),
+         reach(a, b) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         labels AS (SELECT a AS doc_id, min(b) AS cluster FROM reach
+                    GROUP BY a)
+         SELECT doc_id FROM d
+         WHERE doc_id NOT IN
+           (SELECT doc_id FROM labels WHERE doc_id != cluster)
+         ORDER BY doc_id""",
+    // VIDEO curation: the mm_video_dedup frame-set-jaccard join
+    // replayed closed-form (including the inert maxDocFreq = 60
+    // stop-frame prune), then the min-label transitive closure over
+    // the threshold-passing pairs — keepFirstExact on videos
+    "mm_video_survivors" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, (doc_id % 8)::BIGINT AS g
+               FROM documents WHERE doc_id < 400),
+         fr AS (SELECT d.doc_id,
+                  CASE WHEN d.doc_id % 3 = 0 AND k.k = 2
+                       THEN 2000 + d.doc_id ELSE d.g*8 + k.k END AS s
+                FROM d CROSS JOIN unnest(range(0, 5)) AS k(k)),
+         fb AS (SELECT doc_id, s, j.j,
+                  (CASE WHEN ((s*131 + j.j*37) % 97) < 41
+                   THEN 1 ELSE 0 END)::BIGINT AS bit
+                FROM fr CROSS JOIN unnest(range(0, 63)) AS j(j)),
+         fh AS (SELECT DISTINCT doc_id, dhash FROM (
+                  SELECT doc_id, s, sum(bit << j)::BIGINT AS dhash
+                  FROM fb GROUP BY doc_id, s)),
+         sz AS (SELECT doc_id, count(*) AS n FROM fh GROUP BY doc_id),
+         stopf AS (SELECT dhash FROM fh GROUP BY dhash
+                   HAVING count(*) > 60),
+         fhp AS (SELECT doc_id, dhash FROM fh
+                 WHERE dhash NOT IN (SELECT dhash FROM stopf)),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  count(*)::BIGINT AS n_shared
+                FROM fhp a JOIN fhp b
+                  ON a.dhash = b.dhash AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+         prs AS (SELECT p.id_a, p.id_b
+                 FROM pr p JOIN sz sa ON sa.doc_id = p.id_a
+                 JOIN sz sb ON sb.doc_id = p.id_b
+                 WHERE round(p.n_shared::DOUBLE
+                     / (sa.n + sb.n - p.n_shared), 4) >= 0.5),
          edges AS (SELECT id_a AS a, id_b AS b FROM prs
                    UNION SELECT id_b, id_a FROM prs),
          reach(a, b) AS (

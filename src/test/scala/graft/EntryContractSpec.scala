@@ -16,7 +16,7 @@ class EntryContractSpec extends SparkTestBase {
   // pin the exact count so an accidental deletion of a whole query+oracle
   // PAIR can't shrink the contract silently. Update alongside intentional
   // additions.
-  private val ContractSize = 152
+  private val ContractSize = 155
 
   test("the contract holds exactly the expected number of queries") {
     assert(SparkEntry.queries.size == ContractSize,

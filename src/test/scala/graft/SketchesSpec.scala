@@ -205,6 +205,26 @@ class SketchesSpec extends SparkTestBase {
       Sketches.hllSketch64(keys, "k", m = 64))) == 64L)
   }
 
+  test("null keys are not elements under EITHER hash width (r18, from " +
+      "the r17 advice: the widths must not disagree on null semantics)") {
+    val withNulls = (Seq[Option[String]](None, None) ++
+      (0 until 50).map(i => Some(s"k$i"))).toDF("k")
+    val clean = (0 until 50).map(i => s"k$i").toDF("k")
+    // identical register tables with and without the nulls — a null
+    // key hits no register and shifts no estimate, same under both
+    // builders (previously the 32-bit form produced an inert
+    // (null, null) row while a hash-native 64-bit form would have
+    // hashed null into a REAL register)
+    def tbl(df: org.apache.spark.sql.DataFrame,
+            f: (org.apache.spark.sql.DataFrame, String, Int)
+              => org.apache.spark.sql.DataFrame) =
+      f(df, "k", 64).as[(Long, Int)].collect().toMap
+    assert(tbl(withNulls, Sketches.hllSketch(_, _, _)) ==
+      tbl(clean, Sketches.hllSketch(_, _, _)))
+    assert(tbl(withNulls, Sketches.hllSketch64(_, _, _)) ==
+      tbl(clean, Sketches.hllSketch64(_, _, _)))
+  }
+
   test("hllSketch64: estimate lands within the error band, duplicates " +
       "don't move it, and the register-wise-max merge is lossless") {
     val n = 5000
