@@ -243,8 +243,133 @@ object Bench {
   private def setup(s: SparkSession, key: String)
                    (build: => DataFrame): DataFrame = synchronized {
     if (setupSession ne s) { setupMemo.clear(); setupSession = s }
-    setupMemo.getOrElseUpdate(key, build.localCheckpoint())
+    setupMemo.getOrElseUpdate(key, rigCached(s, key)(build).localCheckpoint())
   }
+
+  // ---------------------------------------------------------------------
+  // Content-keyed rig persistence (r18, r17 verdict #2): the per-JVM
+  // setup memo regenerates every synthetic corpus and index artifact in
+  // EVERY child JVM of every full bench — the 50k/200k ANN corpora plus
+  // the derived centroid/list/q8/PQ artifacts, the 450k/600k CC edge
+  // rigs, the 50k/12.5k near-dup corpora, the heavy-hitter and BPE
+  // corpora — several hundred seconds of deterministic generation per
+  // sealed run that produces byte-identical frames every time. Rigs on
+  // the whitelist below now persist to data/bench_rigs/<key>@<hash12>/
+  // as parquet, keyed like the cert cache: a hash over the rig's
+  // parameter fingerprint, the generator's operator source bytes, the
+  // session's core count (float-aggregating trainers like pqTrain are
+  // deterministic only per partitioning), and RigCacheEpoch. A child
+  // whose key matches LOADS instead of generating; a miss generates,
+  // writes to a temp dir, atomically renames, and then reads the
+  // parquet back — so the memoized frame is parquet-backed on BOTH
+  // paths and first-run/cached-run downstream plans see the same input
+  // shape. Guard memos (guard_*) and the derived-session skew rigs
+  // (their frames must stay bound to the AQE-off newSession) are
+  // deliberately NOT whitelisted. Disable with SPARK_GRAFT_RIG_CACHE=0
+  // or point the env var at an alternate directory. NOTE for
+  // round-over-round readers: per-entry input partitioning context
+  // changed when this landed (parquet-scan splits replace range
+  // parallelism) — recorded in baseline_break.
+  // ---------------------------------------------------------------------
+
+  /** Bump when rig SEMANTICS change in this file without any parameter
+    * or operator-source change (the certEpochs convention). */
+  private[graft] val RigCacheEpoch = 1
+
+  /** Whitelisted setup keys -> (parameter fingerprint, generator source
+    * files under src/main/scala/graft whose bytes key the cache). */
+  private[graft] val rigSpecs: Map[String, (String, Seq[String])] = {
+    val sim = Seq("operators/Similarity.scala",
+      "plans/VectorExpressions.scala", "plans/RewriteVectorDot.scala",
+      "functions/VectorFunctions.scala")
+    val dd = Seq("operators/Dedup.scala")
+    val annParams = s"n=$SynthN;n200k=$Km200kN;clusters=$SynthClusters;" +
+      s"stride=$SynthQueryStride;pq=m8k64i2"
+    val ccParams = s"n450=$Cc450kNodes/$Cc450kSize;" +
+      s"big=$CcBigNodes/$CcBigSize;skew=$CcSkewFrac"
+    val ddParams = s"d50=$Dd50kDocs;d12=$Dd12kDocs;fam=$Dd50kFamily;" +
+      s"boiler=$Dd50kBoilerFrac"
+    Seq("ann_corpus", "km200k_corpus", "ann_cents", "ann_lists", "ann_q8",
+        "ann_pq_books", "ann_pq_codes", "ann_residuals", "ann_res_books",
+        "ann_res_codes").map(_ -> (annParams, sim)).toMap ++
+      Map(
+        "cc450k" -> (ccParams, dd),
+        "cc600k" -> (ccParams, dd),
+        "ccskew" -> (ccParams, dd),
+        "dd50k" -> (ddParams, dd),
+        "dd12k" -> (ddParams, dd),
+        "hh_corpus" -> (s"docs=$HhDocs;head=$HhHead;tail=$HhTail",
+          Seq.empty[String]),
+        "bpe_synth_corpus" -> ("words=2000000",
+          Seq("operators/Bpe.scala")))
+  }
+
+  private def rigCacheDir: Option[Path] =
+    sys.env.getOrElse("SPARK_GRAFT_RIG_CACHE", "data/bench_rigs") match {
+      case "0" => None
+      case p => Some(Paths.get(p))
+    }
+
+  /** 12-hex content key for one whitelisted rig, or None when a listed
+    * generator source is unreadable (running outside the repo). */
+  private[graft] def rigKey(key: String, cores: Int): Option[String] =
+    rigSpecs.get(key).flatMap { case (params, files) =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update((s"epoch=$RigCacheEpoch;rig=$key;params=$params;" +
+        s"cores=$cores;").getBytes("UTF-8"))
+      val ok = files.sorted.forall { f =>
+        val p = Paths.get("src", "main", "scala", "graft").resolve(f)
+        if (!Files.isReadable(p)) false
+        else { md.update(Files.readAllBytes(p)); true }
+      }
+      if (ok) Some(md.digest().take(6).map(b => f"$b%02x").mkString)
+      else None
+    }
+
+  private def rigCached(s: SparkSession, key: String)
+                       (build: => DataFrame): DataFrame = {
+    val cached = for {
+      dir <- rigCacheDir
+      hash <- rigKey(key, s.sparkContext.defaultParallelism)
+    } yield {
+      val path = dir.resolve(s"$key@$hash")
+      try {
+        if (Files.exists(path.resolve("_SUCCESS")))
+          s.read.parquet(path.toString)
+        else {
+          Files.createDirectories(dir)
+          val tmp = dir.resolve(
+            s"$key@$hash.tmp-${ProcessHandle.current.pid}")
+          build.write.mode("overwrite").parquet(tmp.toString)
+          try Files.move(tmp, path,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: Throwable =>
+            // another process won the race (or the move failed): the
+            // final path either exists or this run falls back to its
+            // own temp copy on the read below
+            if (!Files.exists(path.resolve("_SUCCESS")))
+              throw new IllegalStateException(s"rig cache move failed: $key")
+            deleteRigDir(tmp)
+          }
+          System.err.println(s"bench: rig cache wrote $key@$hash")
+          s.read.parquet(path.toString)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"bench: rig cache bypassed for $key " +
+          s"(${e.getMessage}) — generating in-memory")
+        build
+      }
+    }
+    cached.getOrElse(build)
+  }
+
+  private def deleteRigDir(p: Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+    } catch { case _: Throwable => () }
 
   private def synth50k(s: SparkSession): DataFrame =
     setup(s, "ann_corpus")(
@@ -1917,7 +2042,10 @@ object Bench {
                     certCached: Set[String] = Set.empty,
                     loadQualified: Set[String] = Set.empty,
                     skippedBudget: Set[String] = Set.empty,
-                    failedSkipped: Set[String] = Set.empty): String = {
+                    failedSkipped: Set[String] = Set.empty,
+                    degradedSingleRun: Set[String] = Set.empty,
+                    failedChunks: Map[String, ChunkFailure] = Map.empty)
+      : String = {
     val byName = results.map(r => r.name -> r).toMap
     val shown = headline.filter(byName.contains)
     val shownSet = shown.toSet
@@ -1954,7 +2082,15 @@ object Bench {
     val failedField =
       if (failedSkipped.isEmpty) ""
       else s""""n_failed_skipped":${failedSkipped.size},"""
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec",${partialField(partial)}"queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = true)}${crossoverField(results)}${claimsFields(results, compact = true)}${certFields(results, compact = true, certCached)}$skipField$failedField"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_cold":$nCold,"n_loadq":$nLoadq,"n_err":$nErr,"full":${jstr(outPath)}}"""
+    // rescue-pass count (r18 — full artifact names them and flags the
+    // claims they fed in claims_single_run)
+    val degradedField =
+      if (degradedSingleRun.isEmpty) ""
+      else s""""n_degraded_single_run":${degradedSingleRun.size},"""
+    val failedChunksField =
+      if (failedChunks.isEmpty) ""
+      else s""""n_failed_chunks":${failedChunks.size},"""
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec",${partialField(partial)}"queries":$qs,"other_families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs",${baselineBreak(warmupOn, compact = true)}${crossoverField(results)}${claimsFields(results, compact = true, degraded = degradedSingleRun)}${certFields(results, compact = true, certCached)}$skipField$failedField$degradedField$failedChunksField"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_cold":$nCold,"n_loadq":$nLoadq,"n_err":$nErr,"full":${jstr(outPath)}}"""
   }
 
   /** Marker for an INCREMENTALLY-written artifact (r12 verdict #1: the
@@ -2006,7 +2142,7 @@ object Bench {
   private def baselineBreak(warmupOn: Boolean, compact: Boolean): String =
     (warmupOn, compact) match {
       case (true, false) =>
-        """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup + r10 chunked forks + r11 straggler retry (a >3x-spread entry gets 2 extra samples, all recorded) + r12 cold-run absorption (a leading run that is strictly worst and >3x the rest is extended warmup, reclassified into cold_warmup_secs with a replacement sample taken) + r13 single-run controls (designed-to-lose twins take one warm sample, named in single_run_controls) + r13 cert cache (a guard whose certified sources are hash-unchanged reuses its cached pass, named in certification_cached) + r14 load qualification (entries timed in a fork that observed 1-min load above 1.25x the core count are named in load_qualified and excluded from round-over-round deltas) + r16 wall budget (contract-family chunks fork first, bench_* rigs last; once SPARK_GRAFT_BENCH_BUDGET_S is exhausted remaining entries are named in skipped_budget instead of the harness killing the run; children tolerate GC-storm heartbeat gaps) + r17 chunk repack (light families x/q/txt/mm share child JVMs, claim-operand atoms pack and fork before the claim-free rig tail, GC-storm runs >20% wall-in-GC take 2 extra samples — chunk membership changed, so per-entry JVM-lifetime context differs from r16) + r17 rig shrink (the cc 2M-edge rigs are 600k same-shape; bench_cc600k_* minima are NOT comparable to bench_cc2m_*); pre-r10 minima are a different timing regime, not comparable","""
+        """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup + r10 chunked forks + r11 straggler retry (a >3x-spread entry gets 2 extra samples, all recorded) + r12 cold-run absorption (a leading run that is strictly worst and >3x the rest is extended warmup, reclassified into cold_warmup_secs with a replacement sample taken) + r13 single-run controls (designed-to-lose twins take one warm sample, named in single_run_controls) + r13 cert cache (a guard whose certified sources are hash-unchanged reuses its cached pass, named in certification_cached) + r14 load qualification (entries timed in a fork that observed 1-min load above 1.25x the core count are named in load_qualified and excluded from round-over-round deltas) + r16 wall budget (contract-family chunks fork first, bench_* rigs last; once SPARK_GRAFT_BENCH_BUDGET_S is exhausted remaining entries are named in skipped_budget instead of the harness killing the run; children tolerate GC-storm heartbeat gaps) + r17 chunk repack (light families x/q/txt/mm share child JVMs, claim-operand atoms pack and fork before the claim-free rig tail, GC-storm runs >20% wall-in-GC take 2 extra samples — chunk membership changed, so per-entry JVM-lifetime context differs from r16) + r17 rig shrink (the cc 2M-edge rigs are 600k same-shape; bench_cc600k_* minima are NOT comparable to bench_cc2m_*) + r18 rig persistence (whitelisted synthetic corpora/index artifacts load from a content-keyed parquet cache instead of regenerating per child JVM — rig-consuming entries see parquet-scan input partitioning where they saw range parallelism, so their minima are a new reference point) + r18 claim rescue (under budget pressure claim operands degrade to one flagged single-run sample, named in degraded_single_run, instead of vanishing into skipped_budget); pre-r10 minima are a different timing regime, not comparable","""
       // the compact line is budget-pinned (<1800 chars): the break
       // marker names the regime rounds and defers the method list to
       // the full artifact's self-describing baseline_break
@@ -2198,11 +2334,27 @@ object Bench {
   // miss (its name lands on the line) and the full map is in
   // bench_out.json.
   private[graft] def claimsFields(results: Seq[QTime],
-                                  compact: Boolean = false): String = {
+                                  compact: Boolean = false,
+                                  degraded: Set[String] = Set.empty)
+      : String = {
     val ok = results.collect { case q if q.err.isEmpty => q.name -> q.secs }.toMap
     val eval = claimSpecs.flatMap { case (name, lhs, rhs, factor) =>
       for (l <- ok.get(lhs); r <- ok.get(rhs)) yield name -> (l < factor * r)
     }
+    // claims whose operands include a rescue-pass single-run sample
+    // (r18, r17 verdict #1): evaluated — a flagged verdict beats three
+    // rounds of silence — but the flag says the ratio rests on one
+    // sample per degraded operand, so nobody reads a flip as definitive
+    val singleRunClaims = claimSpecs.collect {
+      case (name, lhs, rhs, _)
+        if ok.contains(lhs) && ok.contains(rhs) &&
+          (degraded(lhs) || degraded(rhs)) => name
+    }
+    val singleRunField =
+      if (singleRunClaims.isEmpty) ""
+      else if (compact) s""""n_claims_single_run":${singleRunClaims.size},"""
+      else singleRunClaims.map(jstr)
+        .mkString("\"claims_single_run\":[", ",", "],")
     // claims whose operands were skipped/errored are NAMED, not just
     // omitted (r17, r16 verdict #7): a claim that FAILED last round
     // must not silently disappear from the record because a budget
@@ -2231,12 +2383,12 @@ object Bench {
       val more = if (failedNames.size > 8)
         s""""claims_failed_more":${failedNames.size - 8},""" else ""
       s""""n_claims":${eval.size},"claims_failed":${
-        shown.mkString("[", ",", "]")},$more$unevalField"""
+        shown.mkString("[", ",", "]")},$more$singleRunField$unevalField"""
     } else {
       val body = eval.map { case (n, v) => jstr(n) + ":" + v }
         .mkString("{", ",", "}")
       s""""claims":$body,"n_claims_failed":${eval.count(!_._2)},""" +
-        unevalField
+        singleRunField + unevalField
     }
   }
 
@@ -2253,7 +2405,10 @@ object Bench {
                  certCached: Set[String] = Set.empty,
                  loadQualified: Set[String] = Set.empty,
                  skippedBudget: Set[String] = Set.empty,
-                 failedSkipped: Set[String] = Set.empty): String = {
+                 failedSkipped: Set[String] = Set.empty,
+                 degradedSingleRun: Set[String] = Set.empty,
+                 failedChunks: Map[String, ChunkFailure] = Map.empty)
+      : String = {
     val qs = results.map { r =>
       jstr(r.name) + ":" + r.err.fold(r.secs.toString)(m => jstr(m))
     }.mkString("{", ",", "}")
@@ -2358,7 +2513,24 @@ object Bench {
       if (failedSkipped.isEmpty) ""
       else failedSkipped.toSeq.sorted.map(jstr)
         .mkString("\"failed_skipped\":[", ",", "],")
-    s"""{"metric":"total","value":$total,"unit":"sec",${partialField(partial)}"queries":$qs,"spread":$spread,$runsField$coldField$outlierField$headlineField$ctrlField$loadField"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs","gc_retry_fraction":$GcRetryFraction,${baselineBreak(warmupOn, compact = false)}${crossoverField(results)}${claimsFields(results)}${certFields(results, compact = false, certCached)}$forkField$skipField$failedField"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_err":$nErr}"""
+    // rescue-pass samples (r18): one warm run each, taken under budget
+    // pressure so the claim could carry a verdict — named so nobody
+    // reads them as min-of-N minima (bench_compare.py excludes them
+    // from round-over-round deltas like load_qualified)
+    val degradedField =
+      if (degradedSingleRun.isEmpty) ""
+      else degradedSingleRun.toSeq.sorted.map(jstr)
+        .mkString("\"degraded_single_run\":[", ",", "],")
+    // per-failed-chunk cause (r18, r17 verdict #3): exit code (null =
+    // timeout kill) + the child log's tail, so a crash diagnosis no
+    // longer depends on stderr the harness discards
+    val failedChunksField =
+      if (failedChunks.isEmpty) ""
+      else failedChunks.toSeq.sortBy(_._1).map { case (c, f) =>
+        jstr(c) + s""":{"exit":${f.exit.fold("null")(_.toString)},""" +
+          s""""log_tail":${jstr(f.logTail)}}"""
+      }.mkString("\"failed_chunks\":{", ",", "},")
+    s"""{"metric":"total","value":$total,"unit":"sec",${partialField(partial)}"queries":$qs,"spread":$spread,$runsField$coldField$outlierField$headlineField$ctrlField$loadField"sf":"$sfDir","cpus":$cpus,"runs":$runs,${fastRunsFields(runs, results)}"timing":"min_of_runs","gc_retry_fraction":$GcRetryFraction,${baselineBreak(warmupOn, compact = false)}${crossoverField(results)}${claimsFields(results, degraded = degradedSingleRun)}${certFields(results, compact = false, certCached)}$forkField$skipField$failedField$degradedField$failedChunksField"mode":${jstr(mode)},"n_outliers":${outlierEntries(results).size},"n_err":$nErr}"""
   }
 
   // ---------------------------------------------------------------------
@@ -2598,6 +2770,17 @@ object Bench {
       s"""  {"label": ${jstr(l)}, "total_s": ${f3(t)}$nField}"""
     }.mkString("[\n", ",\n", "\n]\n")
 
+  /** True when the history file EXISTS with non-empty, non-"[]" content
+    * that [[readContractHistory]] could not parse into any entry —
+    * the transiently-truncated-file case whose silent overwrite the
+    * r17 advice flagged. */
+  private[graft] def contractHistoryCorrupt(path: Path): Boolean =
+    Files.isReadable(path) && readContractHistory(path).isEmpty && {
+      val txt = try Files.readString(path).trim
+        catch { case _: Throwable => "" }
+      txt.nonEmpty && txt != "[]"
+    }
+
   /** Append this run's contract total to the committed history when it
     * moved (>2% or entry-count change) — called only on doc-syncing
     * full runs, so the history stays a sealed-run-to-sealed-run
@@ -2611,6 +2794,17 @@ object Bench {
     val n = contract.size
     val path = Paths.get(ContractHistoryPath)
     val prior = readContractHistory(path)
+    // an existing-but-unparseable history must not be silently replaced
+    // by a one-entry file (r18, r17 advice: a transiently truncated
+    // write would discard the committed round-over-round trend) — warn,
+    // leave the file untouched, and render this run without a trend.
+    // A legitimately EMPTY history ("[]" or a missing file) still seeds.
+    if (prior.isEmpty && contractHistoryCorrupt(path)) {
+      System.err.println(s"bench: $ContractHistoryPath exists but did " +
+        "not parse — leaving it untouched (fix or delete it to resume " +
+        "the trend)")
+      return prior
+    }
     val label = java.time.LocalDate.now().toString
     val changed = prior.lastOption.forall { case (_, t, pn) =>
       pn != n || math.abs(t - total) > 0.02 * math.max(t, 1.0) }
@@ -2767,7 +2961,7 @@ object Bench {
     * The HEAVY families (dd, ds, sim, bench rigs) keep the 6-entry
     * JVM-recycling cap. */
   private[graft] val famChunkOverride: Map[String, Int] =
-    Map("x" -> 64, "q" -> 14, "txt" -> 12, "mm" -> 8)
+    Map("x" -> 64, "q" -> 14, "txt" -> 12, "mm" -> 12)
 
   // ---------------------------------------------------------------------
   // Wall budget (r16, from the r15 invalid driver artifact): the round's
@@ -2865,11 +3059,24 @@ object Bench {
     if (name == "q1_agg") "q" else name.takeWhile(_ != '_')
 
   private[graft] def forkChunks(names: Seq[String],
-      maxPer: Int = maxChildQueries): Seq[(String, Seq[String])] = {
+      maxPer: Int = maxChildQueries,
+      envChunkCap: Option[Int] =
+        sys.env.get("SPARK_GRAFT_BENCH_CHUNK").map(_.toInt))
+      : Seq[(String, Seq[String])] = {
     val byFam = names.groupBy(famOf).toSeq.sortBy(_._1)
     val claimOps = claimSpecs.flatMap(c => Seq(c._2, c._3)).toSet
     byFam.flatMap { case (fam, qs) =>
-      val famMax = famChunkOverride.getOrElse(fam, maxPer)
+      // an EXPLICITLY-set SPARK_GRAFT_BENCH_CHUNK caps the light-family
+      // overrides too (r18, r17 advice: setting the knob to 1 to
+      // isolate a misbehaving query must isolate light-family queries
+      // as well, and must shrink the 30-query x chunk's crash blast
+      // radius) — the override only RAISES the default, never the
+      // operator's explicit request
+      val famMax = envChunkCap match {
+        case Some(cap) =>
+          math.min(famChunkOverride.getOrElse(fam, maxPer), cap)
+        case None => famChunkOverride.getOrElse(fam, maxPer)
+      }
       val present = qs.toSet
       val seen = scala.collection.mutable.Set.empty[String]
       val atoms: Seq[Seq[String]] = qs.sorted.flatMap { n =>
@@ -2916,10 +3123,15 @@ object Bench {
     * the wall budget is exhausted; the un-run entries are simply
     * absent from the result and the caller names them in
     * skipped_budget. Child JVMs never enforce it themselves — the
-    * parent's budget-clamped child timeout is their bound. */
+    * parent's budget-clamped child timeout is their bound.
+    * `reserveSeconds` (r18): extra budget this run must LEAVE OVER —
+    * the failed-chunk re-run passes the claim-rescue reserve so a
+    * full-quality retry cannot eat the budget that guarantees every
+    * claim at least a flagged single-run verdict. */
   private def runInProcess(sfDir: String, cpus: String, runs: Int,
       only: Option[Set[String]],
-      enforceBudget: Boolean = false): Seq[QTime] = {
+      enforceBudget: Boolean = false,
+      reserveSeconds: Double = 0.0): Seq[QTime] = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -2989,7 +3201,8 @@ object Bench {
     }
     val results = units.flatMap { unit =>
       if (enforceBudget &&
-          remainingBudgetSeconds < BudgetWrapUpMarginSeconds) {
+          remainingBudgetSeconds <
+            BudgetWrapUpMarginSeconds + reserveSeconds) {
         // budget exhausted: stop starting units (the caller records the
         // absent names as skipped_budget)
         Nil
@@ -3233,14 +3446,34 @@ object Bench {
     java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray(Array.empty[String]).toSeq)
 
-  /** Run one chunk in a child JVM; None = the child failed (bad exit,
-    * timeout, unreadable TSV) and the chunk must be re-run in-process.
-    * On success, the child's GC/heap telemetry rides along (None only
+  /** Why a child JVM's chunk produced no results (r18, r17 verdict #3:
+    * the CAUSE of the r17 ds-chunk crash lived only in stderr the
+    * driver harness discards — now it rides in the artifact).
+    * exit = None for a timeout kill; logTail = the last lines of the
+    * child's combined stdout/stderr log. */
+  private[graft] final case class ChunkFailure(exit: Option[Int],
+                                               logTail: String)
+
+  /** Last `maxLines` lines of a child log, each clipped, total capped —
+    * enough to carry an OOM/stack headline without bloating the
+    * artifact. */
+  private[graft] def logTailOf(text: String, maxLines: Int = 20,
+                               maxTotal: Int = 4000): String = {
+    val lines = text.linesIterator.toSeq.takeRight(maxLines)
+      .map(l => if (l.length > 240) l.take(240) + "…" else l)
+    val joined = lines.mkString("\n")
+    if (joined.length > maxTotal) joined.takeRight(maxTotal) else joined
+  }
+
+  /** Run one chunk in a child JVM; Left(failure) = the child failed
+    * (bad exit, timeout, unreadable TSV) with the exit code and log
+    * tail captured, and the chunk must be re-run in-process. On
+    * success, the child's GC/heap telemetry rides along (None only
     * for a child that predates the telemetry line). */
   private def runChild(javaBin: String, jvmArgs: Seq[String], cp: String,
       chunk: String, names: Seq[String], sfDir: String, cpus: String,
-      runs: Int, logDir: Path,
-      timeoutSeconds: Long): Option[(Seq[QTime], Option[ForkStats])] = {
+      runs: Int, logDir: Path, timeoutSeconds: Long)
+      : Either[ChunkFailure, (Seq[QTime], Option[ForkStats])] = {
     val tsv = logDir.resolve(s"bench_$chunk.tsv")
     val log = logDir.resolve(s"bench_$chunk.log")
     Files.deleteIfExists(tsv)
@@ -3255,37 +3488,83 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_BENCH_RUNS", runs.toString)
     pb.redirectErrorStream(true)
     pb.redirectOutput(log.toFile)
+    def tail(): String =
+      try logTailOf(Files.readString(log)) catch { case _: Throwable => "" }
     try {
       val p = pb.start()
       val done = p.waitFor(timeoutSeconds, TimeUnit.SECONDS)
-      if (!done) { p.destroyForcibly(); return None }
-      if (p.exitValue() != 0) return None
+      if (!done) {
+        p.destroyForcibly()
+        return Left(ChunkFailure(None,
+          s"[timeout after $timeoutSeconds s]\n" + tail()))
+      }
+      if (p.exitValue() != 0)
+        return Left(ChunkFailure(Some(p.exitValue()), tail()))
       val text = Files.readString(tsv)
       val parsed = parseTsv(text)
       // a child that silently timed nothing is a failure, not an answer
       if (parsed.map(_.name).toSet == names.toSet)
-        Some((parsed, parseTelemetry(text)))
-      else None
-    } catch { case _: Throwable => None }
+        Right((parsed, parseTelemetry(text)))
+      else Left(ChunkFailure(Some(0),
+        "[exit 0 but TSV incomplete]\n" + tail()))
+    } catch { case e: Throwable =>
+      Left(ChunkFailure(None, s"[launcher threw ${e.getClass.getSimpleName}: " +
+        s"${e.getMessage}]\n" + tail()))
+    }
   }
 
-  /** Returns (results, per-fork telemetry, mode): "fork_per_chunk" when
-    * every chunk ran isolated, "fork_per_chunk_partial" when one or more
-    * child JVMs failed and their queries were re-timed in the
-    * shared-session fallback (those numbers lack the JIT/GC isolation
-    * the mode label promises — the artifact must say so),
-    * "shared_session" when forking was unavailable entirely. The last
-    * two Sets split the untimed entries by CAUSE (r16 advice — the old
-    * single skipped_budget bucket hid child crashes): skipped_budget =
-    * never attempted because the budget ran out; failed_skipped = the
-    * chunk's child FAILED and the budget then refused the in-process
-    * re-run. */
+  /** Everything one forked bench run produced (r18 — the flat tuple
+    * outgrew itself when claim rescue and failed-chunk causes landed).
+    * degradedSingleRun = entries timed ONCE in a rescue fork under
+    * budget pressure (their sample is warm but single — never a
+    * min-of-N number); failedChunks = per failed chunk, the exit code
+    * and log tail that used to die with the harness's stderr. */
+  private[graft] final case class ForkOutcome(
+      results: Seq[QTime], forks: Map[String, ForkStats], mode: String,
+      loadQualified: Set[String], skippedBudget: Set[String],
+      failedSkipped: Set[String],
+      degradedSingleRun: Set[String] = Set.empty,
+      failedChunks: Map[String, ChunkFailure] = Map.empty)
+
+  /** Claim operands: the entries whose seconds any claim in claimSpecs
+    * reads. Under budget pressure these must DEGRADE (one flagged
+    * sample), never vanish (r18, r17 verdict #1 — the CC-skew claims
+    * went three driver rounds unevaluated because budget truncation
+    * skipped their operands). */
+  private[graft] val claimOperandNames: Set[String] =
+    claimSpecs.flatMap(c => Seq(c._2, c._3)).toSet
+
+  /** Budget to hold back for the claim-rescue pass while untimed claim
+    * operands remain: a flat Spark-spin-up allowance per rescue chunk
+    * plus a per-operand single-run allowance. Deliberately lean — the
+    * reserve only matters on a degraded host, and over-reserving would
+    * truncate healthy runs' claim-free tail for nothing. Overridable
+    * via SPARK_GRAFT_BENCH_RESCUE_RESERVE_S (a flat number). */
+  private[graft] def rescueReserveSeconds(nPendingOps: Int): Double =
+    if (nPendingOps == 0) 0.0
+    else sys.env.get("SPARK_GRAFT_BENCH_RESCUE_RESERVE_S")
+      .map(_.toDouble)
+      .getOrElse(120.0 + 15.0 * nPendingOps)
+
+  /** Returns the run's ForkOutcome. mode: "fork_per_chunk" when every
+    * chunk ran isolated, "fork_per_chunk_partial" when any child JVM
+    * FAILED (r18, closing the r17 advice: a crash now flips the label
+    * even when nothing was re-timed in the shared session — re-timed
+    * entries additionally lack the JIT/GC isolation the label
+    * promises), "shared_session" when forking was unavailable
+    * entirely. skippedBudget/failedSkipped split the untimed entries
+    * by CAUSE (r16 advice): skipped_budget = never attempted because
+    * the budget ran out; failed_skipped = the chunk's child FAILED and
+    * the budget then refused the in-process re-run. Claim operands are
+    * exempt from vanishing: when the budget can no longer afford
+    * full-quality chunks, still-untimed operands run ONCE each in
+    * rescue forks (runs=1 — the single-run-control methodology: one
+    * untimed warmup, one warm sample) and land in degradedSingleRun;
+    * claims evaluated from them are flagged claims_single_run. */
   private def runForked(sfDir: String, cpus: String, runs: Int,
       exclude: Set[String] = Set.empty,
       onChunk: (Seq[QTime], Map[String, ForkStats], Set[String], Int, Int)
-          => Unit = (_, _, _, _, _) => ())
-      : (Seq[QTime], Map[String, ForkStats], String, Set[String],
-         Set[String], Set[String]) = {
+          => Unit = (_, _, _, _, _) => ()): ForkOutcome = {
     val names = allBenchQueries.keys.toSeq.filterNot(exclude).sorted
     val chunks = orderChunks(forkChunks(names))
     val cp = forkClasspath()
@@ -3295,7 +3574,7 @@ object Bench {
       val rs = runInProcess(sfDir, cpus, runs,
         if (exclude.isEmpty) None else Some(names.toSet),
         enforceBudget = true)
-      return (rs, Map.empty, "shared_session", Set.empty,
+      return ForkOutcome(rs, Map.empty, "shared_session", Set.empty,
         names.toSet -- rs.map(_.name), Set.empty)
     }
     val logDir = Paths.get("target", "bench-fork")
@@ -3304,6 +3583,8 @@ object Bench {
     val buf = scala.collection.mutable.ArrayBuffer.empty[QTime]
     val stats = scala.collection.mutable.Map.empty[String, ForkStats]
     val failed = Seq.newBuilder[String]
+    val failedChunks =
+      scala.collection.mutable.Map.empty[String, ChunkFailure]
     // load-qualification (r13 verdict #3: the fork telemetry RECORDS
     // the observed load average, but no policy acted on it — on a box
     // whose load swings 3x run to run that is the difference between a
@@ -3318,31 +3599,56 @@ object Bench {
             s.loadX100 >= 0 && s.loadX100 > loadQualifyThresholdX100(cpus))
         => qs }.flatten.toSet
     val skipped = scala.collection.mutable.Set.empty[String]
+    // claim operands present in chunks idx.. (suffix sets, precomputed):
+    // the per-chunk stop condition reserves rescue budget for exactly
+    // the operands a stop would strand
+    val suffixClaimOps: Array[Set[String]] = {
+      val arr = new Array[Set[String]](chunks.size + 1)
+      arr(chunks.size) = Set.empty
+      for (i <- chunks.indices.reverse)
+        arr(i) = arr(i + 1) ++ chunks(i)._2.filter(claimOperandNames)
+      arr
+    }
+    // ONE-WAY wrap-up switch: once the budget can no longer afford a
+    // normal chunk PLUS the rescue reserve for the claim operands a
+    // stop would strand, no further normal chunk launches — without
+    // the latch, later chunks whose suffix carries few operands see a
+    // small reserve, resume launching, and eat the very budget the
+    // rescue pass was reserved (caught by the r18 tight-budget drill)
+    var wrappingUp = false
     for (((chunk, qs), idx) <- chunks.zipWithIndex) {
       val remaining = remainingBudgetSeconds
-      if (remaining < BudgetWrapUpMarginSeconds) {
-        if (skipped.isEmpty)
+      val timedSoFar = buf.iterator.map(_.name).toSet
+      val pendingOps = suffixClaimOps(idx) -- timedSoFar
+      if (wrappingUp || remaining < BudgetWrapUpMarginSeconds +
+            rescueReserveSeconds(pendingOps.size)) {
+        if (!wrappingUp)
           System.err.println(f"bench: wall budget " +
             f"(${budgetSeconds}%.0f s) exhausted after ${idx} of " +
             s"${chunks.size} chunks — remaining entries will be named " +
-            "in skipped_budget")
+            s"in skipped_budget" + (if (pendingOps.isEmpty) ""
+            else s"; ${pendingOps.size} claim operands go to the " +
+              "single-run rescue pass"))
+        wrappingUp = true
         skipped ++= qs
       } else {
         val t0 = System.nanoTime()
         runChild(javaBin.toString, jvmArgs, cp, chunk, qs, sfDir, cpus,
             runs, logDir, timeoutSeconds = math.max(60L,
               math.min(childTimeoutCapSeconds, remaining.toLong))) match {
-          case Some((rs, st)) =>
+          case Right((rs, st)) =>
             buf ++= rs
             st.foreach(s => stats += chunk -> s)
             System.err.println(f"bench: chunk $chunk (${qs.size} queries) " +
               f"done in ${(System.nanoTime() - t0) / 1e9}%.1f s" +
               st.fold("")(s => s" [gc ${s.gcMs} ms/${s.gcCount}, " +
                 s"heap peak ${s.heapPeakMb} MB]"))
-          case None =>
+          case Left(why) =>
             failed ++= qs
+            failedChunks += chunk -> why
             System.err.println(s"bench: chunk $chunk child FAILED " +
-              s"(see $logDir/bench_$chunk.log), will re-run in-process")
+              s"(exit ${why.exit.fold("timeout")(_.toString)}, " +
+              s"see $logDir/bench_$chunk.log), will re-run in-process")
         }
       }
       // incremental artifact checkpoint (r12 verdict #1): a run killed
@@ -3356,7 +3662,9 @@ object Bench {
     }
     // failed-child re-runs are budget-gated too: finishing with named
     // skips beats being killed mid-fallback (r15: the chunk-1 rerun
-    // plus two degraded chunks consumed the whole wall)
+    // plus two degraded chunks consumed the whole wall) — and they now
+    // RESERVE the claim-rescue budget (r18), so a full-quality retry
+    // cannot starve the rescue pass
     val leftover = failed.result().filterNot(skipped)
     // crash-then-skipped entries land in their OWN bucket (r16 advice):
     // "child crashed and the retry was refused" and "never attempted"
@@ -3364,10 +3672,14 @@ object Bench {
     val failedSkipped = scala.collection.mutable.Set.empty[String]
     var rerunTimed = false
     if (leftover.nonEmpty) {
+      val pendingAfterLeftover =
+        (claimOperandNames -- buf.iterator.map(_.name).toSet)
+          .intersect(names.toSet) -- leftover
+      val reserve = rescueReserveSeconds(pendingAfterLeftover.size)
       if (remainingBudgetSeconds >
-          BudgetWrapUpMarginSeconds + 90) {
+          BudgetWrapUpMarginSeconds + reserve + 90) {
         val rs = runInProcess(sfDir, cpus, runs, Some(leftover.toSet),
-          enforceBudget = true)
+          enforceBudget = true, reserveSeconds = reserve)
         buf ++= rs
         rerunTimed = rs.nonEmpty
         failedSkipped ++= leftover.toSet -- rs.map(_.name)
@@ -3377,14 +3689,54 @@ object Bench {
         failedSkipped ++= leftover
       }
     }
-    // "partial" means shared-session retimes are MIXED INTO a forked
-    // artifact — entries that were skipped instead are named in
-    // skipped_budget/failed_skipped and don't change the
-    // timing-isolation label
+    // claim-rescue pass (r18, r17 verdict #1): every claim operand the
+    // run still has not timed — budget-skipped, crash-skipped, or
+    // refused-retry — gets ONE warm sample in a fresh rescue fork
+    // (runs=1; the single-run-control methodology) so the claim can
+    // carry a FLAGGED verdict instead of going unevaluated. Rescue
+    // chunks are budget-gated individually; whatever still cannot run
+    // stays in its skip bucket.
+    val degraded = scala.collection.mutable.Set.empty[String]
+    val pendingRescue = (claimOperandNames --
+      buf.iterator.map(_.name).toSet).intersect(names.toSet)
+    if (pendingRescue.nonEmpty &&
+        remainingBudgetSeconds > BudgetWrapUpMarginSeconds) {
+      System.err.println(s"bench: claim-rescue pass for " +
+        s"${pendingRescue.size} operands (single-run, flagged): " +
+        pendingRescue.toSeq.sorted.mkString(", "))
+      for ((chunk, qs) <- forkChunks(pendingRescue.toSeq.sorted)
+           if remainingBudgetSeconds > BudgetWrapUpMarginSeconds) {
+        val rchunk = s"rescue_$chunk"
+        runChild(javaBin.toString, jvmArgs, cp, rchunk, qs, sfDir, cpus,
+            runs = 1, logDir, timeoutSeconds = math.max(60L,
+              math.min(childTimeoutCapSeconds,
+                remainingBudgetSeconds.toLong))) match {
+          case Right((rs, st)) =>
+            buf ++= rs
+            degraded ++= rs.map(_.name)
+            skipped --= rs.map(_.name)
+            failedSkipped --= rs.map(_.name)
+            st.foreach(s => stats += rchunk -> s)
+            System.err.println(s"bench: rescue chunk $rchunk " +
+              s"(${qs.size} operands) done")
+          case Left(why) =>
+            failedChunks += rchunk -> why
+            System.err.println(s"bench: rescue chunk $rchunk FAILED " +
+              s"(exit ${why.exit.fold("timeout")(_.toString)})")
+        }
+      }
+    }
+    // "partial" now means EITHER shared-session retimes are mixed into
+    // a forked artifact OR at least one child crashed (r18, r17 advice
+    // — a crash must flip the label even when nothing was re-timed);
+    // entries that were skipped instead are named in
+    // skipped_budget/failed_skipped
     val mode =
-      if (rerunTimed) "fork_per_chunk_partial" else "fork_per_chunk"
-    (buf.toVector.sortBy(_.name), stats.toMap, mode, loadQualifiedSoFar(),
-      skipped.toSet, failedSkipped.toSet)
+      if (rerunTimed || failedChunks.nonEmpty) "fork_per_chunk_partial"
+      else "fork_per_chunk"
+    ForkOutcome(buf.toVector.sortBy(_.name), stats.toMap, mode,
+      loadQualifiedSoFar(), skipped.toSet, failedSkipped.toSet,
+      degraded.toSet, failedChunks.toMap)
   }
 
   /** Load threshold in load_x100 units: a 1-minute load average above
@@ -3446,8 +3798,7 @@ object Bench {
     if (cachedNames.nonEmpty)
       System.err.println(s"bench: cert cache hit for ${cachedNames.size} " +
         s"guards (skipped): ${cachedNames.toSeq.sorted.mkString(", ")}")
-    val (results0, forks, mode, loadQualified, skippedBudget,
-         failedSkipped) =
+    val outcome =
       if (fork) runForked(sfDir, cpus, runs, cachedNames,
         onChunk = (soFar, forksSoFar, loadqSoFar, k, n) => {
           val withHits = (soFar ++ certHits).sortBy(_.name)
@@ -3466,9 +3817,11 @@ object Bench {
         val rs = runInProcess(sfDir, cpus, runs, only)
         // shared-session runs carry the one JVM's own footprint so even
         // the fallback path is diagnosable
-        (rs, Map("shared" -> currentForkStats()), "shared_session",
-          Set.empty[String], Set.empty[String], Set.empty[String])
+        ForkOutcome(rs, Map("shared" -> currentForkStats()),
+          "shared_session", Set.empty, Set.empty, Set.empty)
       }
+    val ForkOutcome(results0, forks, mode, loadQualified, skippedBudget,
+      failedSkipped, degradedSingleRun, failedChunks) = outcome
     val results = (results0 ++ certHits).sortBy(_.name)
     // seed/refresh the cache from this run's FRESH green certifications
     // (composite storage keys; the guard's legacy bare-name entry, if
@@ -3487,13 +3840,16 @@ object Bench {
     Files.writeString(Paths.get(outPath),
       renderFull(results, sfDir, cpus, runs, mode, warmupOn, forks,
         certCached = cachedNames, loadQualified = loadQualified,
-        skippedBudget = skippedBudget, failedSkipped = failedSkipped) + "\n")
+        skippedBudget = skippedBudget, failedSkipped = failedSkipped,
+        degradedSingleRun = degradedSingleRun,
+        failedChunks = failedChunks) + "\n")
     // a FULL run regenerates the measured-number blocks in the docs —
     // partial/sliced/extras-off/budget-truncated/crash-holed runs must
-    // not overwrite them with holes
+    // not overwrite them with holes (degraded single-run samples count
+    // as holes too — their minima must never become doc numbers)
     // (disable explicitly with SPARK_GRAFT_BENCH_DOCSYNC=0)
     if (only.isEmpty && extrasEnabled && warmupOn && skippedBudget.isEmpty &&
-        failedSkipped.isEmpty &&
+        failedSkipped.isEmpty && degradedSingleRun.isEmpty &&
         sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCSYNC", "1") != "0")
       try syncDocs(results, sfDir, runs, mode, cachedNames)
       catch { case e: Throwable =>
@@ -3503,6 +3859,8 @@ object Bench {
     // this one is not, which is how a reader tells a completed run)
     println(renderCompact(results, sfDir, cpus, runs, mode, outPath,
       warmupOn, certCached = cachedNames, loadQualified = loadQualified,
-      skippedBudget = skippedBudget, failedSkipped = failedSkipped))
+      skippedBudget = skippedBudget, failedSkipped = failedSkipped,
+      degradedSingleRun = degradedSingleRun,
+      failedChunks = failedChunks))
   }
 }

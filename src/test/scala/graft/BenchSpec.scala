@@ -1050,4 +1050,126 @@ class BenchSpec extends AnyFunSuite {
     assert(compact.get("n_cert_cached").asInt() == 1)
     assert(math.abs(compact.get("cert_secs").asDouble() - 16.0) < 1e-9)
   }
+
+  test("claim-rescue artifact facts (r18, r17 verdict #1): degraded " +
+      "operands are named, the claims they feed are flagged, and " +
+      "bench_compare-style readers can exclude them") {
+    // dd_embed_lsh/dd_embed_pairs are a real claim pair
+    // (embed_lsh_beats_brute) — evaluate it from one degraded operand
+    val r = Seq(
+      Bench.QTime("dd_embed_lsh", 1.0, 1.0, None),
+      Bench.QTime("dd_embed_pairs", 2.0, 2.0, None),
+      Bench.QTime("q1_agg", 1.0, 1.0, None))
+    val degraded = Set("dd_embed_lsh")
+    val full = mapper.readTree(Bench.renderFull(r, "sf", "32", 3,
+      degradedSingleRun = degraded))
+    val d = full.get("degraded_single_run")
+    assert(d != null && d.size() == 1 &&
+      d.get(0).asText() == "dd_embed_lsh")
+    // the claim still EVALUATES (that is the whole point)...
+    assert(full.get("claims").get("embed_lsh_beats_brute").asBoolean())
+    // ...but is flagged as resting on a single-run sample
+    val sr = full.get("claims_single_run")
+    assert(sr != null && sr.size() == 1 &&
+      sr.get(0).asText() == "embed_lsh_beats_brute")
+    val compact = mapper.readTree(Bench.renderCompact(r, "sf", "32", 3,
+      degradedSingleRun = degraded))
+    assert(compact.get("n_degraded_single_run").asInt() == 1)
+    assert(compact.get("n_claims_single_run").asInt() == 1)
+    // a clean run carries neither field
+    val clean = mapper.readTree(Bench.renderFull(r, "sf", "32", 3))
+    assert(clean.get("degraded_single_run") == null &&
+      clean.get("claims_single_run") == null)
+  }
+
+  test("failed chunks carry exit code + log tail in the artifact " +
+      "(r18, r17 verdict #3)") {
+    val r = Seq(Bench.QTime("q1_agg", 1.0, 1.0, None))
+    val fc = Map(
+      "ds" -> Bench.ChunkFailure(Some(137),
+        "java.lang.OutOfMemoryError: Java heap space\n\tat X"),
+      "sim_2" -> Bench.ChunkFailure(None, "[timeout after 600 s]"))
+    val full = mapper.readTree(Bench.renderFull(r, "sf", "32", 3,
+      failedChunks = fc))
+    val node = full.get("failed_chunks")
+    assert(node != null && node.size() == 2)
+    assert(node.get("ds").get("exit").asInt() == 137)
+    assert(node.get("ds").get("log_tail").asText()
+      .contains("OutOfMemoryError"))
+    assert(node.get("sim_2").get("exit").isNull) // timeout = null exit
+    val compact = mapper.readTree(Bench.renderCompact(r, "sf", "32", 3,
+      failedChunks = fc))
+    assert(compact.get("n_failed_chunks").asInt() == 2)
+  }
+
+  test("log tail is bounded: last 20 lines, long lines clipped, " +
+      "total capped") {
+    val longLine = "x" * 1000
+    val text = (1 to 100).map(i => s"line$i").mkString("\n") +
+      "\n" + longLine
+    val tail = Bench.logTailOf(text)
+    assert(tail.contains("line100") && !tail.contains("line80\n"))
+    assert(tail.length <= 4000)
+    assert(!tail.contains(longLine)) // clipped with an ellipsis
+  }
+
+  test("an explicit SPARK_GRAFT_BENCH_CHUNK caps the light-family " +
+      "overrides too (r18, r17 advice)") {
+    val names = Seq("x_a", "x_b", "x_c", "q_a", "dd_a", "dd_b")
+    // no env cap: x rides its 64-entry override, one chunk
+    val free = Bench.forkChunks(names, maxPer = 6, envChunkCap = None)
+    assert(free.count(_._1.startsWith("x")) == 1)
+    // explicit cap 1: EVERY family honors it — isolating a
+    // misbehaving query isolates light-family queries as well
+    val capped = Bench.forkChunks(names, maxPer = 1,
+      envChunkCap = Some(1))
+    assert(capped.forall(_._2.size == 1),
+      s"cap 1 must isolate every entry: $capped")
+  }
+
+  test("rescue reserve: zero without pending operands, lean and " +
+      "env-overridable with them") {
+    assert(Bench.rescueReserveSeconds(0) == 0.0)
+    val r5 = Bench.rescueReserveSeconds(5)
+    assert(r5 > 0 && r5 < 600,
+      s"reserve for 5 operands should be lean, got $r5")
+    assert(Bench.rescueReserveSeconds(1) < Bench.rescueReserveSeconds(10))
+  }
+
+  test("claim operands are exactly the names claimSpecs reads") {
+    assert(Bench.claimOperandNames ==
+      Bench.claimSpecs.flatMap(c => Seq(c._2, c._3)).toSet)
+    assert(Bench.claimOperandNames.contains("bench_cc600k_skew"))
+    assert(Bench.claimOperandNames.contains("dd_embed_pairs"))
+  }
+
+  test("corrupt contract history is detected (r18, r17 advice: never " +
+      "overwrite a committed trend a truncated write garbled)") {
+    val dir = java.nio.file.Files.createTempDirectory("hist")
+    val missing = dir.resolve("missing.json")
+    assert(!Bench.contractHistoryCorrupt(missing))
+    val empty = dir.resolve("empty.json")
+    java.nio.file.Files.writeString(empty, "[]\n")
+    assert(!Bench.contractHistoryCorrupt(empty)) // legitimately empty
+    val good = dir.resolve("good.json")
+    java.nio.file.Files.writeString(good, Bench.renderContractHistory(
+      Seq(("r17 sealed", 113.8, 152))))
+    assert(!Bench.contractHistoryCorrupt(good))
+    val truncated = dir.resolve("trunc.json")
+    java.nio.file.Files.writeString(truncated,
+      """[{"label": "r17 sealed", "total_s": 113.""") // mid-write kill
+    assert(Bench.contractHistoryCorrupt(truncated))
+  }
+
+  test("rig cache keys: whitelisted rigs key deterministically, " +
+      "unknown keys don't, and the key moves with cores") {
+    val a = Bench.rigKey("ann_corpus", 32)
+    assert(a.isDefined && a == Bench.rigKey("ann_corpus", 32))
+    assert(a != Bench.rigKey("ann_corpus", 8))
+    assert(Bench.rigKey("guard_cc", 32).isEmpty) // guards never persist
+    assert(Bench.rigKey("skew_fact", 32).isEmpty) // session-bound rigs
+    // every whitelisted rig resolves from inside the repo
+    Bench.rigSpecs.keys.foreach(k =>
+      assert(Bench.rigKey(k, 32).isDefined, s"rig $k has no key"))
+  }
 }

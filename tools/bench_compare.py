@@ -51,6 +51,16 @@ def main(old_path, new_path, threshold=1.5):
               f"{'y' if len(loadq) == 1 else 'ies'} excluded "
               f"(fork observed load over threshold): "
               f"{', '.join(sorted(loadq))}")
+    # rescue-pass single-run samples (r18 `degraded_single_run`): one
+    # warm sample taken under budget pressure so a claim could carry a
+    # verdict — not a min-of-N number, excluded from the delta table
+    degq = set(old.get("degraded_single_run", [])) | \
+        set(new.get("degraded_single_run", []))
+    if degq:
+        print(f"note: {len(degq)} degraded single-run entr"
+              f"{'y' if len(degq) == 1 else 'ies'} excluded "
+              f"(claim-rescue sample, not a min-of-N timing): "
+              f"{', '.join(sorted(degq))}")
     # entries a wall-budget-truncated run never timed (r16
     # `skipped_budget`): absent by policy, not dropped from the bench
     for side, art in (("old", old), ("new", new)):
@@ -64,7 +74,7 @@ def main(old_path, new_path, threshold=1.5):
           if isinstance(v, (int, float))}
     nq = {k: v for k, v in new.get("queries", {}).items()
           if isinstance(v, (int, float))}
-    shared = sorted(set(oq) & set(nq) - cert - loadq)
+    shared = sorted(set(oq) & set(nq) - cert - loadq - degq)
     rows = []
     for n in shared:
         a, b = oq[n], nq[n]
@@ -108,11 +118,24 @@ def main(old_path, new_path, threshold=1.5):
             new_uneval.add(new_name)
     for name in sorted(set(oc)):
         renamed = renames.get(name, name)
-        if oc[name] is False and (renamed in new_uneval or
-                                  (renamed not in nc and not new_uneval)):
+        # r18 (r17 advice): warn whenever the previously-FAILED claim is
+        # simply ABSENT from the new claims map — whether it is named in
+        # claims_unevaluated, was deleted/renamed without a renames
+        # entry, or the new artifact predates the field. The old
+        # `not new_uneval` guard let a deleted claim vanish silently
+        # exactly when OTHER claims happened to be unevaluated.
+        if oc[name] is False and renamed not in nc:
+            why = ("named unevaluated" if renamed in new_uneval
+                   else "absent from the new claims map")
             print(f"WARNING: claim {name} FAILED in the old artifact "
-                  "and was NOT evaluated in the new one — the failure "
-                  "is unresolved, not fixed")
+                  f"and was NOT evaluated in the new one ({why}) — the "
+                  "failure is unresolved, not fixed")
+    # claims evaluated from rescue-pass samples: verdicts exist but rest
+    # on one sample per degraded operand — surfaced so a flip here is
+    # read as provisional
+    for name in sorted(new.get("claims_single_run", [])):
+        print(f"note: claim {name} evaluated from single-run rescue "
+              "samples in the new artifact (flagged, not definitive)")
     flips = [n for n in set(oc) & set(nc) if oc[n] != nc[n]]
     print(f"\nclaims: old {sum(bool(v) for v in oc.values())}/{len(oc)} ok, "
           f"new {sum(bool(v) for v in nc.values())}/{len(nc)} ok, "
