@@ -273,8 +273,11 @@ object Bench {
   // ---------------------------------------------------------------------
 
   /** Bump when rig SEMANTICS change in this file without any parameter
-    * or operator-source change (the certEpochs convention). */
-  private[graft] val RigCacheEpoch = 1
+    * or operator-source change (the certEpochs convention).
+    * Epoch 2: cached rigs carry a `__rig_order` stamp and load back in
+    * generation layout (see [[restoreRigLayout]]) — epoch-1 dirs lack
+    * the stamp and must not be read. */
+  private[graft] val RigCacheEpoch = 2
 
   /** Whitelisted setup keys -> (parameter fingerprint, generator source
     * files under src/main/scala/graft whose bytes key the cache). */
@@ -326,17 +329,39 @@ object Bench {
       else None
     }
 
-  /** Read a cached rig back at the session's parallelism: the rigs are
-    * small enough that the parquet scan coalesces their files into one
-    * or two splits (maxPartitionBytes), and a 1-partition corpus
-    * SERIALIZES every downstream consumer that doesn't reshuffle — the
-    * first cached seal measured the full-corpus k-means trainer 4.5x
-    * slower and the PQ ADC scan 2x slower on exactly this. The
-    * round-robin repartition runs once, inside setup's localCheckpoint
-    * materialization, outside every timed window. */
+  /** Order stamp written into every cached rig:
+    * `monotonically_increasing_id()` over the generator's narrow plan,
+    * i.e. (generation partition, offset) — a total order equal to the
+    * generator's row order. */
+  private[graft] val RigOrderCol = "__rig_order"
+
+  /** Read a cached rig back in its GENERATION layout. Two earlier
+    * cuts got this wrong, in opposite directions:
+    *  - a bare parquet read coalesces the small rig files into 1-2
+    *    splits (maxPartitionBytes), and a 1-partition corpus SERIALIZES
+    *    every downstream consumer that doesn't reshuffle (first cached
+    *    seal: full-corpus k-means 4.5x slower, PQ ADC scan 2x);
+    *  - a round-robin `repartition(parallelism)` restores parallelism
+    *    but SCATTERS row order, destroying the co-location the CC
+    *    pre-pass (Dedup.localContract) and contraction probe exploit —
+    *    the chain/star edge rigs emit same-component edges ADJACENT in
+    *    generation order (ids are permuted, so no column carries the
+    *    locality), and on the scattered layout bench_cc600k_dist/skew
+    *    ran 1.6x slower and precontract_tames_skew_cc600k FAILED.
+    * So the writer stamps [[RigOrderCol]] and the read range-partitions
+    * + sorts on it before dropping it, restoring both the generator's
+    * parallelism and its row co-location — cached and generated runs
+    * then measure one layout regime. Runs once, inside setup's
+    * localCheckpoint materialization, outside every timed window. */
   private def readRig(s: SparkSession, path: Path): DataFrame =
-    s.read.parquet(path.toString)
-      .repartition(s.sparkContext.defaultParallelism)
+    restoreRigLayout(s.read.parquet(path.toString),
+      s.sparkContext.defaultParallelism)
+
+  private[graft] def restoreRigLayout(df: DataFrame,
+                                      parallelism: Int): DataFrame =
+    df.repartitionByRange(parallelism, col(RigOrderCol))
+      .sortWithinPartitions(RigOrderCol)
+      .drop(RigOrderCol)
 
   private def rigCached(s: SparkSession, key: String)
                        (build: => DataFrame): DataFrame = {
@@ -352,7 +377,11 @@ object Bench {
           Files.createDirectories(dir)
           val tmp = dir.resolve(
             s"$key@$hash.tmp-${ProcessHandle.current.pid}")
-          build.write.mode("overwrite").parquet(tmp.toString)
+          val built = build
+          require(!built.columns.contains(RigOrderCol),
+            s"rig $key already carries a $RigOrderCol column")
+          built.withColumn(RigOrderCol, monotonically_increasing_id())
+            .write.mode("overwrite").parquet(tmp.toString)
           try Files.move(tmp, path,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           catch { case _: Throwable =>
@@ -2154,7 +2183,7 @@ object Bench {
   private def baselineBreak(warmupOn: Boolean, compact: Boolean): String =
     (warmupOn, compact) match {
       case (true, false) =>
-        """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup + r10 chunked forks + r11 straggler retry (a >3x-spread entry gets 2 extra samples, all recorded) + r12 cold-run absorption (a leading run that is strictly worst and >3x the rest is extended warmup, reclassified into cold_warmup_secs with a replacement sample taken) + r13 single-run controls (designed-to-lose twins take one warm sample, named in single_run_controls) + r13 cert cache (a guard whose certified sources are hash-unchanged reuses its cached pass, named in certification_cached) + r14 load qualification (entries timed in a fork that observed 1-min load above 1.25x the core count are named in load_qualified and excluded from round-over-round deltas) + r16 wall budget (contract-family chunks fork first, bench_* rigs last; once SPARK_GRAFT_BENCH_BUDGET_S is exhausted remaining entries are named in skipped_budget instead of the harness killing the run; children tolerate GC-storm heartbeat gaps) + r17 chunk repack (light families x/q/txt/mm share child JVMs, claim-operand atoms pack and fork before the claim-free rig tail, GC-storm runs >20% wall-in-GC take 2 extra samples — chunk membership changed, so per-entry JVM-lifetime context differs from r16) + r17 rig shrink (the cc 2M-edge rigs are 600k same-shape; bench_cc600k_* minima are NOT comparable to bench_cc2m_*) + r18 rig persistence (whitelisted synthetic corpora/index artifacts load from a content-keyed parquet cache instead of regenerating per child JVM — rig-consuming entries see parquet-scan input partitioning where they saw range parallelism, so their minima are a new reference point) + r18 claim rescue (under budget pressure claim operands degrade to one flagged single-run sample, named in degraded_single_run, instead of vanishing into skipped_budget); pre-r10 minima are a different timing regime, not comparable","""
+        """"baseline_break":"r8 interleaved cohorts + r9 untimed warmup + r10 chunked forks + r11 straggler retry (a >3x-spread entry gets 2 extra samples, all recorded) + r12 cold-run absorption (a leading run that is strictly worst and >3x the rest is extended warmup, reclassified into cold_warmup_secs with a replacement sample taken) + r13 single-run controls (designed-to-lose twins take one warm sample, named in single_run_controls) + r13 cert cache (a guard whose certified sources are hash-unchanged reuses its cached pass, named in certification_cached) + r14 load qualification (entries timed in a fork that observed 1-min load above 1.25x the core count are named in load_qualified and excluded from round-over-round deltas) + r16 wall budget (contract-family chunks fork first, bench_* rigs last; once SPARK_GRAFT_BENCH_BUDGET_S is exhausted remaining entries are named in skipped_budget instead of the harness killing the run; children tolerate GC-storm heartbeat gaps) + r17 chunk repack (light families x/q/txt/mm share child JVMs, claim-operand atoms pack and fork before the claim-free rig tail, GC-storm runs >20% wall-in-GC take 2 extra samples — chunk membership changed, so per-entry JVM-lifetime context differs from r16) + r17 rig shrink (the cc 2M-edge rigs are 600k same-shape; bench_cc600k_* minima are NOT comparable to bench_cc2m_*) + r18 rig persistence (whitelisted synthetic corpora/index artifacts load from a content-keyed parquet cache instead of regenerating per child JVM; the cached read restores the generator's row order and parallelism via a stamped __rig_order column, so cached and generated runs share one layout regime — an interim r18 cut round-robined cached loads instead, scattering the row co-location the CC pre-pass exploits, and cc600k minima from that cut are not reference points) + r18 claim rescue (under budget pressure claim operands degrade to one flagged single-run sample, named in degraded_single_run, instead of vanishing into skipped_budget); pre-r10 minima are a different timing regime, not comparable","""
       // the compact line is budget-pinned (<1800 chars): the break
       // marker names the regime rounds and defers the method list to
       // the full artifact's self-describing baseline_break

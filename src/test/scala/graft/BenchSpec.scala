@@ -1172,4 +1172,29 @@ class BenchSpec extends AnyFunSuite {
     Bench.rigSpecs.keys.foreach(k =>
       assert(Bench.rigKey(k, 32).isDefined, s"rig $k has no key"))
   }
+
+  test("restoreRigLayout puts a scattered cached rig back in generation " +
+      "order at the requested parallelism (r18: the CC pre-pass depends " +
+      "on same-component edges staying ADJACENT, which no column carries)") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    // generation order = ascending id; stamp the order col the writer
+    // stamps, then scatter the way a coalesced parquet read + round-robin
+    // repartition would
+    val stamped = spark.range(0, 1000, 1, 8).toDF("payload")
+      .withColumn(Bench.RigOrderCol, monotonically_increasing_id())
+    val scattered = stamped.repartition(3)
+    val restored = Bench.restoreRigLayout(scattered, 8)
+    assert(restored.columns.toSeq == Seq("payload"), "order col must drop")
+    assert(restored.rdd.getNumPartitions == 8)
+    // within every partition rows are back in generation order, and the
+    // partitions cover contiguous, ordered ranges (range partitioning)
+    val perPart = restored.select(
+        spark_partition_id().as("pid"), col("payload"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val byPid = perPart.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2).toSeq)
+    byPid.foreach(p => assert(p == p.sorted, "partition not in gen order"))
+    assert(byPid.flatten == (0L until 1000L), "global order lost")
+  }
 }
