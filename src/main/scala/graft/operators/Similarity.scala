@@ -608,12 +608,28 @@ object Similarity {
     * `prebuiltCodes` is the materialized [[pqEncode]] artifact (build
     * once when the corpus lands, probe per query batch — the minhash
     * index split). */
+  /** Widen a PROBE-side artifact scan to the session's parallelism.
+    * A locally-written index artifact is one or two parquet files, and
+    * a compute-dense pass whose partitioning is the scan's (the ADC
+    * crossJoin — no exchange between scan and scoring) then runs in
+    * one task: measured 7.0 s for the sim_topk_pq_idx probe vs 1.1 s
+    * for the same ADC math on in-memory codes (which arrive through a
+    * shuffle that AQE keeps at session parallelism). At 100 TB the
+    * artifact arrives in thousands of splits and this is a no-op —
+    * the guard keys on the actual scan partition count, not a local
+    * constant. Probe paths only: append/delete/compact rewrite the
+    * artifact and must not inherit a cosmetic round-robin exchange. */
+  private[graft] def widenScan(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, codebooks: DataFrame, k: Int = 10,
              excludeSelf: Boolean = true, shortlist: Int = 0,
              prebuiltCodes: Option[DataFrame] = None): DataFrame = {
     val (m, dsub, offsets) = pqMeta(codebooks)
-    val codes = prebuiltCodes
+    val codes = prebuiltCodes.map(widenScan)
       .getOrElse(pqEncode(corpus, idCol, vecCol, codebooks))
       .select(col(idCol).as("neighbor_id"), col("codes"), col("r_nsq"))
     val lutFrame = pqQueryLut(queries, idCol, vecCol, codebooks,
@@ -647,7 +663,7 @@ object Similarity {
                 prebuiltLists: Option[DataFrame] = None,
                 prebuiltCodes: Option[DataFrame] = None): DataFrame = {
     val (m, dsub, offsets) = pqMeta(codebooks)
-    val lists = prebuiltLists
+    val lists = prebuiltLists.map(widenScan)
       .getOrElse(ivfAssign(corpus, idCol, vecCol, centroids, cidCol,
         centCol))
       .withColumnRenamed(idCol, "neighbor_id")
@@ -660,7 +676,7 @@ object Similarity {
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
               else lit(true))
       .select("query_id", "neighbor_id").distinct()
-    val codes = prebuiltCodes
+    val codes = prebuiltCodes.map(widenScan)
       .getOrElse(pqEncode(corpus, idCol, vecCol, codebooks))
       .select(col(idCol).as("neighbor_id"), col("codes"), col("r_nsq"))
     val lutFrame = pqQueryLut(queries, idCol, vecCol, codebooks,
@@ -787,7 +803,7 @@ object Similarity {
                         prebuiltCodes: Option[DataFrame] = None)
       : DataFrame = {
     val (m, dsub, offsets) = pqMeta(codebooks)
-    val codes = prebuiltCodes
+    val codes = prebuiltCodes.map(widenScan)
       .getOrElse {
         val lists = prebuiltLists
           .getOrElse(ivfAssign(corpus, idCol, vecCol, centroids, cidCol,
