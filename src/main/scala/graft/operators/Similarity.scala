@@ -618,10 +618,29 @@ object Similarity {
     * artifact arrives in thousands of splits and this is a no-op —
     * the guard keys on the actual scan partition count, not a local
     * constant. Probe paths only: append/delete/compact rewrite the
-    * artifact and must not inherit a cosmetic round-robin exchange. */
+    * artifact and must not inherit a cosmetic round-robin exchange.
+    *
+    * Shuffle-bearing (adaptive) frames are returned UNTOUCHED, and the
+    * width probe never calls `Dataset.rdd`: on an AQE plan `.rdd`
+    * materializes every intermediate query stage EAGERLY at
+    * query-construction time — the first cut did exactly that, and the
+    * recall sweeps (which pass in-memory pqEncode/ivfAssign frames as
+    * `prebuiltCodes`/`prebuiltLists`) re-executed their encode
+    * subtrees once per nProbe variant, doubling
+    * sim_recall_sweep_ivfpq(_res) (1.5 -> 2.9 s measured). Those
+    * frames arrive through an exchange whose width AQE's
+    * parallelism-first coalescing already keeps at session width — the
+    * single-task hazard is exclusive to exchange-free scan-rooted
+    * plans, which are non-adaptive and safe to probe lazily. */
   private[graft] def widenScan(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    df.queryExecution.executedPlan match {
+      case _: AdaptiveSparkPlanExec => df
+      case plan =>
+        val want = df.sparkSession.sparkContext.defaultParallelism
+        if (plan.execute().getNumPartitions < want) df.repartition(want)
+        else df
+    }
   }
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -803,7 +822,12 @@ object Similarity {
                         prebuiltCodes: Option[DataFrame] = None)
       : DataFrame = {
     val (m, dsub, offsets) = pqMeta(codebooks)
-    val codes = prebuiltCodes.map(widenScan)
+    // NOT widened (contrast pqTopK): the residual probe is candidate-
+    // bounded — it touches nProbe/lists of the codes per query, and the
+    // contract probes run 8 queries — so a narrow artifact scan carries
+    // trivial compute and the extra exchange only costs (measured:
+    // sim_topk_ivfpq_res_inc 7.74 -> 9.69 s in-chunk with the widen).
+    val codes = prebuiltCodes
       .getOrElse {
         val lists = prebuiltLists
           .getOrElse(ivfAssign(corpus, idCol, vecCol, centroids, cidCol,
